@@ -1,0 +1,273 @@
+"""Dissect tokenizer → anchored-regex compiler, executed vectorized.
+
+A from-scratch reimplementation of the *semantics* of Beats' dissect
+processor (reference: libbeat/processors/dissect/) on a completely
+different execution model: the tokenizer compiles ONCE (per plan, not
+per event) into a single anchored regular expression whose capture
+groups are applied to an entire Arrow batch at a time — either via a
+pandas UDF (``pd.Series.str.extract``, one regex pass per batch) or as
+JVM-side ``regexp_extract`` expressions inside whole-stage codegen.
+
+Semantics preserved from the reference (cited file:line):
+
+- tokenizer grammar ``%{key}`` with literal delimiters; modifiers
+  ``?`` (named skip), ``+`` (append, joined left-to-right), ``/n``
+  (append ordinal), ``#n`` (fixed length), ``->`` (greedy padding),
+  ``|type`` (conversion) — libbeat/processors/dissect/const.go:25-57.
+- the first delimiter must match at offset 0 ("hard match", no
+  lookahead) — dissect.go:107-118. We anchor the regex with ``^``.
+- each value ends at the FIRST occurrence of the next delimiter
+  (IndexOf semantics ⇒ non-greedy ``.*?`` captures) — dissect.go:140-147.
+- greedy padding consumes the run of repeated delimiters following the
+  value — dissect.go:151-161. Compiled as ``(?:delim)+``.
+- a trailing literal after the last key acts as a closing delimiter;
+  content after it is ignored (no end anchor) — parser.go:68-71 with
+  the extract loop. Without a trailing literal the last key takes the
+  remainder of the string (possibly empty) — dissect.go:180-183.
+- append fields are joined with ``" "`` (or ``append_separator``) in
+  ordinal order, appearance order for equal ordinals — parser.go:81-84,
+  const.go:54.
+- type conversion right-trims spaces then parses — dissect.go:248-252.
+  Difference (documented): on conversion failure the reference keeps
+  the raw string in an ``any``-typed map; a relational column has one
+  type, so a failed cast yields NULL instead.
+- indirect ``&`` / pointer ``*`` fields produce row-dependent key
+  NAMES — impossible on a fixed relational schema; compiling one
+  raises ``UnsupportedModifier`` (the config is rejected at plan build,
+  mirroring config-time validation in the reference).
+
+Multi-line messages work: the regex is compiled with DOTALL, matching
+the reference's byte-oriented IndexOf walk.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DissectError(ValueError):
+    pass
+
+
+class UnsupportedModifier(DissectError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"(?s)(.*?)%\{([^}]*)\}")
+# key name, /ordinal, #fixed-length, ->greedy, |type  (const.go:47-52)
+_SUFFIX_RE = re.compile(
+    r"(.*?)(?:/(\d{1,2}))?(?:#(\d{1,2}))?(->)?(?:\|([A-Za-z]*))?$"
+)
+
+_TYPE_TO_SPARK = {
+    "long": "long",
+    "integer": "int",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "ip": "string",
+    "string": "string",
+    "": None,
+}
+
+
+@dataclass
+class _Key:
+    name: str
+    skip: bool = False
+    append: bool = False
+    ordinal: int = 0
+    fixed_len: int | None = None
+    greedy: bool = False
+    dtype: str | None = None
+    group: str = ""  # regex group name, assigned at compile
+    seq: int = 0
+
+
+@dataclass
+class DissectPattern:
+    """A compiled dissect tokenizer.
+
+    ``keys()`` lists output key names in declaration order;
+    ``regex`` is the single anchored pattern; ``spark_type(key)``
+    gives the post-extraction cast (None = string).
+    """
+
+    tokenizer: str
+    append_separator: str = " "
+    regex: str = dc_field(init=False, default="")
+    _keys: list[_Key] = dc_field(init=False, default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._compile()
+
+    # -- compilation ---------------------------------------------------
+    def _compile(self) -> None:
+        matches = list(_TOKEN_RE.finditer(self.tokenizer))
+        if not matches:
+            raise DissectError(f"invalid dissect tokenizer: {self.tokenizer!r}")
+        pairs: list[tuple[str, _Key]] = []
+        pos = 0
+        for i, m in enumerate(matches):
+            delim, rawkey = m.group(1), m.group(2)
+            pairs.append((delim, self._parse_key(rawkey, i)))
+            pos = m.end()
+        trailing = self.tokenizer[pos:]
+
+        parts: list[str] = ["^", re.escape(pairs[0][0])]
+        group_n = 0
+        for i, (_, key) in enumerate(pairs):
+            next_delim = pairs[i + 1][0] if i + 1 < len(pairs) else trailing
+            is_last = i + 1 == len(pairs) and not trailing
+            # the value pattern
+            if key.fixed_len is not None:
+                body = f".{{{key.fixed_len}}}"
+            elif is_last:
+                body = ".*"  # remainder of string (dissect.go:180-183)
+            else:
+                body = ".*?"  # first-occurrence-of-delimiter semantics
+            if key.skip:
+                parts.append(f"(?:{body})")
+            else:
+                key.group = f"g{group_n}"
+                group_n += 1
+                parts.append(f"(?P<{key.group}>{body})")
+            # the delimiter after the value
+            if next_delim:
+                d = re.escape(next_delim)
+                parts.append(f"(?:{d})+" if key.greedy else d)
+            if is_last and key.fixed_len is not None:
+                parts.append("$")  # last fixed-length key must fit exactly
+        self.regex = "".join(parts)
+        self._keys = [k for _, k in pairs]
+        try:
+            self._compiled = re.compile(self.regex, re.DOTALL)
+        except re.error as e:  # pragma: no cover
+            raise DissectError(f"tokenizer compiled to bad regex: {e}") from e
+        if not any(not k.skip for k in self._keys):
+            raise DissectError("tokenizer defines no saveable keys")
+
+    def _parse_key(self, raw: str, seq: int) -> _Key:
+        if raw == "":
+            return _Key(name=f"_skip{seq}", skip=True, seq=seq)
+        skip = append = False
+        if raw.startswith(("&+", "+&", "&", "*")):
+            raise UnsupportedModifier(
+                f"indirect/pointer field %{{{raw}}} needs row-dependent key names; "
+                "not representable on a fixed relational schema"
+            )
+        if raw.startswith("?"):
+            skip, raw = True, raw[1:]
+        elif raw.startswith("+"):
+            append, raw = True, raw[1:]
+        m = _SUFFIX_RE.match(raw)
+        if not m:
+            raise DissectError(f"bad key spec {raw!r}")
+        name, ordinal, fixed, greedy, dtype = m.groups()
+        if dtype is not None and dtype not in _TYPE_TO_SPARK:
+            raise DissectError(f"unknown dissect type {dtype!r}")
+        return _Key(
+            name=name,
+            skip=skip,
+            append=append,
+            ordinal=int(ordinal) if ordinal else 0,
+            fixed_len=int(fixed) if fixed else None,
+            greedy=bool(greedy),
+            dtype=dtype or None,
+            seq=seq,
+        )
+
+    # -- introspection --------------------------------------------------
+    def keys(self) -> list[str]:
+        """Output key names, declaration order, append groups collapsed."""
+        seen: list[str] = []
+        for k in self._keys:
+            if not k.skip and k.name not in seen:
+                seen.append(k.name)
+        return seen
+
+    def spark_type(self, name: str) -> str | None:
+        for k in self._keys:
+            if k.name == name and k.dtype:
+                return _TYPE_TO_SPARK[k.dtype]
+        return None
+
+    def _groups_for(self, name: str) -> list[str]:
+        ks = [k for k in self._keys if k.name == name and not k.skip]
+        ks.sort(key=lambda k: (k.ordinal, k.seq))  # parser.go:81-84
+        return [k.group for k in ks]
+
+    # -- execution: pandas (Arrow-vectorized) ---------------------------
+    def extract_pandas(self, s: pd.Series) -> pd.DataFrame:
+        """One regex pass over a batch; returns str columns per key plus
+        a boolean ``_match`` column. Unmatched rows → all-null."""
+        ext = s.astype("string").str.extract(self._compiled, expand=True)
+        out = pd.DataFrame(index=s.index)
+        for name in self.keys():
+            groups = self._groups_for(name)
+            if len(groups) == 1:
+                out[name] = ext[groups[0]]
+            else:
+                out[name] = ext[groups[0]].str.cat(
+                    [ext[g] for g in groups[1:]], sep=self.append_separator
+                )
+        # extract yields NaN for every group on unmatched rows; our groups
+        # are non-optional so first-group notna() == row matched.
+        out["_match"] = ext[self._groups_for(self.keys()[0])[0]].notna()
+        return out
+
+    def pandas_udf(self):
+        """An Arrow pandas UDF: text column → struct of extracted keys
+        (all strings) + ``_match`` boolean. Compile-once, run-per-batch:
+        the compiled regex rides in the UDF closure, mirroring the
+        reference's construction-time specialization
+        (dissect/dissect.go:226-237)."""
+        fields = [T.StructField(k, T.StringType()) for k in self.keys()]
+        fields.append(T.StructField("_match", T.BooleanType()))
+        schema = T.StructType(fields)
+        pattern = self
+
+        @F.pandas_udf(schema)
+        def _dissect(s: pd.Series) -> pd.DataFrame:
+            return pattern.extract_pandas(s)
+
+        return _dissect
+
+    # -- execution: JVM-native (regexp_extract battery) -----------------
+    def native_columns(self, col: Column) -> dict[str, Column]:
+        """Per-key ``regexp_extract`` expressions (whole-stage codegen;
+        K regex passes but zero Python). Java regex doesn't take
+        Python's ``(?P<name>`` syntax, so the battery uses plain
+        numbered groups — numbering is identical. Includes ``_match``."""
+        java_regex = re.sub(r"\(\?P<g\d+>", "(", self.regex)
+        # DOTALL flag must ride inline for the JVM side
+        java_regex = "(?s)" + java_regex
+        # map group name -> numeric index (named groups are also numbered)
+        idx = {}
+        n = 0
+        for k in self._keys:
+            if not k.skip:
+                n += 1
+                idx[k.group] = n
+        matched = col.rlike(java_regex)
+        out: dict[str, Column] = {}
+        for name in self.keys():
+            groups = self._groups_for(name)
+            parts = [F.regexp_extract(col, java_regex, idx[g]) for g in groups]
+            v = parts[0] if len(parts) == 1 else F.concat_ws(self.append_separator, *parts)
+            out[name] = F.when(matched, v)
+        out["_match"] = matched
+        return out
+
+    # -- typed cast helper ----------------------------------------------
+    def cast(self, name: str, col: Column) -> Column:
+        t = self.spark_type(name)
+        if t is None or t == "string":
+            return col
+        return F.rtrim(col).cast(t)  # right-trim then parse (dissect.go:249)

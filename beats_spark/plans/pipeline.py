@@ -1,0 +1,111 @@
+"""The pipeline: source → processor chain → router → fan-out sinks.
+
+The Spark restatement of libbeat's publisher pipeline
+(libbeat/publisher/pipeline/pipeline.go): the processor chain and
+router compile ONCE at build (the reference builds its chain per
+client, processing/default.go:277-415) into a single narrow Catalyst
+stage — parse, mutate, enrich and route all fuse under whole-stage
+codegen with zero shuffles; the only wide operation in the whole job
+is the optional skew-salting repartition before the write.
+
+Ordering/skew (SURVEY.md §7.2 phase 3): ``conv_id`` is salted with
+``pmod(xxhash64(conv_id), n_buckets)`` — the engine's analogue of the
+kafka output's hash-by-fields partitioner
+(libbeat/outputs/kafka/partition.go:199-219) — so one hot conversation
+cannot pin a single executor; a Window over (conv_id, turn_idx) is
+available downstream for stable-order comparisons
+(pipeline.go:49-64's publish-order ACK guarantee).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+from beats_spark.plans.metrics import PipelineMetrics
+from beats_spark.plans.router import META_SINK, route, sink_names
+from beats_spark.plans.sinks import (
+    DLQ_SINK,
+    FanoutResult,
+    redirect_dead_letters,
+    write_fanout,
+)
+
+BUCKET_COL = "_bucket"
+
+
+@dataclass
+class PipelineConfig:
+    processors: list[dict[str, Any]] = dc_field(default_factory=list)
+    router_rules: list[dict[str, Any]] = dc_field(default_factory=list)
+    default_sink: str = "main"
+    dead_letter: bool = True
+    dead_letter_tags: list[str] | None = None
+    key_field: str = "conv_id"  # salting / bucketing key
+    n_buckets: int = 0  # 0 = no explicit bucket column
+    out_root: str | None = None
+    write_mode: str = "overwrite"
+    ts_col: str = "ts"
+
+
+@dataclass
+class RunResult:
+    metrics: dict[str, int]
+    sink_counts: dict[str, int]
+    out_root: str | None
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic key→bucket hash (the FNV-by-fields precedent,
+    kafka/partition.go:199-219; xxhash64 here — stable across runs and
+    Spark versions, unlike ``hash``'s seed default)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def transform(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The narrow stage: chain + router + DLQ redirect + bucket stamp.
+    Pure column expressions — inspect with .explain(): one
+    WholeStageCodegen span over the scan."""
+    chain = build_chain(cfg.processors)
+    df = chain(df)
+    df = route(df, cfg.router_rules, default=cfg.default_sink, ts_col=cfg.ts_col)
+    if cfg.dead_letter:
+        df = redirect_dead_letters(df, cfg.dead_letter_tags)
+    if cfg.n_buckets and cfg.key_field in df.columns:
+        df = df.withColumn(BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets))
+    return df
+
+
+def expected_sinks(cfg: PipelineConfig) -> list[str] | None:
+    names = sink_names(cfg.router_rules, cfg.default_sink)
+    if names is not None and cfg.dead_letter and DLQ_SINK not in names:
+        names.append(DLQ_SINK)
+    return names
+
+
+def run(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> RunResult:
+    """Execute the batch pipeline once (non-checkpointed path; see
+    plans.lineage for the resumable variant)."""
+    metrics = PipelineMetrics()
+    df = metrics.observe_total(source)
+    df = transform(df, cfg)
+    df = metrics.observe_published(df, expected_sinks(cfg))
+
+    if cfg.out_root:
+        fan: FanoutResult = write_fanout(
+            df,
+            cfg.out_root,
+            mode=cfg.write_mode,
+            extra_partition_cols=[BUCKET_COL] if cfg.n_buckets else None,
+        )
+        counts = fan.sink_counts
+    else:
+        counts = {
+            r[META_SINK]: r["n"]
+            for r in df.groupBy(META_SINK).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    return RunResult(metrics=metrics.collect(), sink_counts=counts, out_root=cfg.out_root)

@@ -1,0 +1,64 @@
+"""Condition language tests (semantics per libbeat/conditions/*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.conditions import compile_condition
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "error", "deploy finished", 10.0, "10.1.2.3", None),
+        (2, "info", "routine tick", 250.0, "8.8.8.8", "x"),
+        (3, "warn", None, 99.9, "192.168.1.9", "y"),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, level string, message string, value double, ip string, opt string"
+    )
+
+
+def ids(df, cond):
+    return sorted(r["id"] for r in df.filter(compile_condition(df, cond)).collect())
+
+
+def test_equals(df):
+    assert ids(df, {"equals": {"level": "error"}}) == [1]
+    assert ids(df, {"equals": {"id": 2}}) == [2]
+    # missing field => false, not error (equals.go: missing field fails)
+    assert ids(df, {"equals": {"nosuch": "x"}}) == []
+
+
+def test_contains_regexp(df):
+    assert ids(df, {"contains": {"message": "deploy"}}) == [1]
+    assert ids(df, {"regexp": {"message": "^routine"}}) == [2]
+    # null value fails the check rather than propagating null
+    assert ids(df, {"contains": {"message": "x"}}) == []
+
+
+def test_range(df):
+    assert ids(df, {"range": {"value": {"gte": 99.9, "lt": 260}}}) == [2, 3]
+    assert ids(df, {"range": {"value": {"gt": 10}}}) == [2, 3]
+
+
+def test_has_fields(df):
+    assert ids(df, {"has_fields": ["opt"]}) == [2, 3]
+    assert ids(df, {"has_fields": ["nosuch"]}) == []
+
+
+def test_network(df):
+    assert ids(df, {"network": {"ip": "10.0.0.0/8"}}) == [1]
+    assert ids(df, {"network": {"ip": "private"}}) == [1, 3]
+    assert ids(df, {"network": {"ip": "public"}}) == [2]
+
+
+def test_combinators(df):
+    cond = {
+        "or": [
+            {"equals": {"level": "error"}},
+            {"and": [{"range": {"value": {"gt": 200}}}, {"contains": {"message": "tick"}}]},
+        ]
+    }
+    assert ids(df, cond) == [1, 2]
+    # not over a null-valued leaf: two-valued, row 3 (null message) included
+    assert ids(df, {"not": {"contains": {"message": "deploy"}}}) == [2, 3]

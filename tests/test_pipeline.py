@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests against an independent pandas oracle
+(the reference's system-test model: run the pipeline, recompute
+expectations independently, compare rows and per-sink counts —
+filebeat/tests/system/test_processors.py is the template)."""
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.plans.pipeline import PipelineConfig, run, transform
+from beats_spark.plans.router import META_SINK
+
+TOKENIZER = 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{message}"'
+LINE_RE = re.compile(r'^level=(.*?) ts=(.*?) caller=(.*?) msg="(.*?)"')
+
+TOOL_CATEGORIES = {
+    "search": "retrieval", "browser": "retrieval", "python": "compute",
+    "bash": "compute", "editor": "authoring", "none": "na",
+}
+ROLE_CHANNELS = {"user": "inbound", "assistant": "outbound", "tool": "internal", "system": "control"}
+
+
+def pipeline_cfg(**kw):
+    return PipelineConfig(
+        processors=[
+            {"dissect": {"tokenizer": TOKENIZER, "field": "text", "target_prefix": ""}},
+            {"enrich_lookup": {"key_field": "tool", "target_field": "category",
+                                "mapping": TOOL_CATEGORIES}},
+            {"enrich_lookup": {"key_field": "role", "target_field": "channel",
+                                "mapping": ROLE_CHANNELS}},
+            {"drop_event": {"when": {"equals": {"level": "debug"}}}},
+        ],
+        router_rules=[
+            {"when": {"equals": {"level": "error"}}, "index": "errors"},
+            {"when": {"equals": {"role": "tool"}}, "index": "tool_events"},
+            {"when": {"contains": {"message": "deploy"}}, "index": "deploys"},
+        ],
+        default_sink="main",
+        **kw,
+    )
+
+
+def pandas_oracle(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Independent row-at-a-time recomputation of the pipeline."""
+    out = []
+    for _, r in pdf.iterrows():
+        m = LINE_RE.match(r["text"])
+        level = m.group(1) if m else None
+        message = m.group(4) if m else None
+        flags = [] if m else ["dissect_parsing_error"]
+        if level == "debug":
+            continue  # drop_event
+        if flags:
+            sink = "_dlq"
+        elif level == "error":
+            sink = "errors"
+        elif r["role"] == "tool":
+            sink = "tool_events"
+        elif message and "deploy" in message:
+            sink = "deploys"
+        else:
+            sink = "main"
+        out.append({
+            "conv_id": r["conv_id"], "turn_idx": r["turn_idx"],
+            "level": level, "message": message,
+            "category": TOOL_CATEGORIES[r["tool"]],
+            "channel": ROLE_CHANNELS[r["role"]],
+            "sink": sink,
+        })
+    return pd.DataFrame(out)
+
+
+def test_end_to_end_counts_and_rows(spark, transcripts, tmp_path):
+    cfg = pipeline_cfg(out_root=str(tmp_path / "sinks"), n_buckets=4)
+    res = run(spark, transcripts, cfg)
+
+    oracle = pandas_oracle(transcripts.toPandas())
+    expected_counts = oracle["sink"].value_counts().to_dict()
+    assert res.sink_counts == expected_counts
+
+    # metrics invariant: total == published + filtered (monitoring.go:87-116)
+    m = res.metrics
+    assert m["pipeline.events.total"] == transcripts.count()
+    assert m["pipeline.events.total"] == m["pipeline.events.published"] + m["pipeline.events.filtered"]
+    assert sum(res.sink_counts.values()) == m["pipeline.events.published"]
+
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    written = spark.read.parquet(str(tmp_path / "sinks"))
+    got = (
+        written.select("conv_id", "turn_idx", "level", "message", "category", "channel",
+                        F.col(META_SINK).alias("sink"))
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = oracle.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = got.reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_transform_is_single_narrow_stage(spark, transcripts):
+    """The chain+router must not shuffle: no Exchange in the physical
+    plan (broadcast joins excepted) — the property that keeps the job
+    scan-bound at 100 TB."""
+    cfg = pipeline_cfg()
+    plan = transform(transcripts, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" not in plan  # literal maps fold to expressions here
+
+
+def test_checkpoint_resume_identical(spark, transcripts, tmp_path):
+    from beats_spark.plans.lineage import run_checkpointed
+
+    cfg = pipeline_cfg(out_root=str(tmp_path / "a"), n_buckets=8)
+    full = run_checkpointed(spark, transcripts, cfg, "run1", str(tmp_path / "lin_a"), chunk_size=3)
+    assert full.buckets_done == 8 and full.buckets_skipped == 0
+
+    # simulate a crash after the first chunk: pre-commit 5 of 8 buckets
+    cfg2 = pipeline_cfg(out_root=str(tmp_path / "b"), n_buckets=8)
+    partial = run_checkpointed(spark, transcripts.filter("conv_id is not null"), cfg2, "run2",
+                                str(tmp_path / "lin_b"), chunk_size=5)
+    # wipe nothing; re-run same run_id — must skip committed buckets
+    resumed = run_checkpointed(spark, transcripts, cfg2, "run2", str(tmp_path / "lin_b"))
+    assert resumed.buckets_skipped == 8 and resumed.buckets_done == 0
+
+    a = spark.read.parquet(str(tmp_path / "a")).orderBy("conv_id", "turn_idx").toPandas()
+    b = spark.read.parquet(str(tmp_path / "b")).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_index(axis=1), b.sort_index(axis=1), check_dtype=False
+    )
+
+
+def test_synth_is_deterministic(spark):
+    from beats_spark.sources import synth_transcripts
+
+    a = synth_transcripts(spark, n_convs=50).orderBy("conv_id", "turn_idx").collect()
+    b = synth_transcripts(spark, n_convs=50).orderBy("conv_id", "turn_idx").collect()
+    assert a == b
+    # skew present by construction: hot conversations exist
+    sizes = (
+        synth_transcripts(spark, n_convs=200)
+        .groupBy("conv_id").count().agg(F.max("count"), F.percentile_approx("count", 0.5))
+        .first()
+    )
+    assert sizes[0] >= 10 * max(sizes[1], 1)

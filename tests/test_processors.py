@@ -1,0 +1,209 @@
+"""Per-processor unit tests, modeled on the reference's table-driven
+per-package Go tests (SURVEY.md §5.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators import ProcessorConfigError, build_chain, make_processor
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, "alice", "42", "h=1h30m", '{"k": 7, "name": "n7"}', "a,b;c", "aGVsbG8=", "2026-02-01T10:00:00Z"),
+        (2, "bob", "notanint", "h=150ms", "not json", "x,y", "%%%bad", "bad-ts"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id int, user string, num string, dur string, props string, csvline string, b64 string, when_str string",
+    )
+
+
+def one(df, cfg):
+    return build_chain([cfg])(df)
+
+
+def test_add_fields_root_and_target(df):
+    out = one(df, {"add_fields": {"target": "", "fields": {"env": "prod", "nested": {"a": 1}}}})
+    row = out.first()
+    assert row["env"] == "prod" and row["nested_a"] == 1
+    out2 = one(df, {"add_fields": {"fields": {"x": "y"}}})  # default target "fields"
+    assert out2.first()["fields_x"] == "y"
+
+
+def test_rename_and_guards(df):
+    out = one(df, {"rename": {"fields": [{"from": "user", "to": "username"}]}})
+    assert "user" not in out.columns and out.first()["username"] == "alice"
+    with pytest.raises(ProcessorConfigError):
+        one(df, {"rename": {"fields": [{"from": "user", "to": "id"}]}})  # target exists
+    with pytest.raises(ProcessorConfigError):
+        one(df, {"rename": {"fields": [{"from": "ghost", "to": "g2"}]}})  # missing source
+    out2 = one(df, {"rename": {"fields": [{"from": "ghost", "to": "g2"}], "ignore_missing": True}})
+    assert out2.columns == df.columns
+
+
+def test_copy_move_drop_include(df):
+    out = one(df, {"copy_fields": {"fields": [{"from": "user", "to": "user2"}]}})
+    assert out.first()["user2"] == "alice"
+    with pytest.raises(ProcessorConfigError):
+        one(df, {"copy_fields": {"fields": [{"from": "user", "to": "id"}]}})
+    out = one(df, {"move_fields": {"fields": ["user", "num"], "to": "payload"}})
+    assert "payload_user" in out.columns and "user" not in out.columns
+    out = one(df, {"drop_fields": {"fields": ["num", "dur"]}})
+    assert "num" not in out.columns
+    out = one(df, {"include_fields": {"fields": ["id", "user"]}})
+    assert out.columns == ["id", "user"]
+
+
+def test_convert_tags_failures(df):
+    out = one(df, {"convert": {"fields": [{"from": "num", "to": "num_i", "type": "integer"}]}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["num_i"] == 42 and rows[1]["flags"] is None
+    assert rows[2]["num_i"] is None and "convert_error" in rows[2]["flags"]
+
+
+def test_convert_rename_mode(df):
+    out = one(df, {"convert": {"fields": [{"from": "num", "to": "n2", "type": "long"}], "mode": "rename"}})
+    assert "num" not in out.columns and out.first()["n2"] == 42
+
+
+def test_timestamp_battery(df):
+    out = one(
+        df,
+        {"timestamp": {"field": "when_str", "target_field": "when_ts",
+                        "layouts": ["yyyy-MM-dd'T'HH:mm:ss'Z'", "yyyy-MM-dd"]}},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["when_ts"] is not None and rows[1]["flags"] is None
+    assert rows[2]["when_ts"] is None and "timestamp_parse_error" in rows[2]["flags"]
+
+
+def test_decode_json_fields(df):
+    out = one(df, {"decode_json_fields": {"fields": ["props"], "target": "p",
+                                            "schema": "k INT, name STRING", "add_error_key": True}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["p_k"] == 7 and rows[1]["p_name"] == "n7"
+    assert rows[2]["p_k"] is None and "_jsonparsefailure" in rows[2]["flags"]
+
+
+def test_decode_csv_and_extract(df):
+    out = one(df, {"decode_csv_fields": {"fields": {"csvline": "csv_arr"}, "separator": ","}})
+    assert out.first()["csv_arr"] == ["a", "b;c"]
+    out2 = build_chain([
+        {"decode_csv_fields": {"fields": {"csvline": "csv_arr"}}},
+        {"extract_array": {"field": "csv_arr", "mappings": {"first": 0, "second": 1}}},
+    ])(df)
+    assert out2.first()["second"] == "b;c"
+    out3 = one(df, {"extract_field": {"field": "csvline", "separator": ",", "index": 0, "target": "head"}})
+    assert out3.first()["head"] == "a"
+
+
+def test_base64_and_duration(df):
+    out = one(df, {"decode_base64_field": {"field": {"from": "b64", "to": "plain"}}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["plain"] == "hello"
+    assert rows[2]["plain"] is None and "decode_base64_error" in rows[2]["flags"]
+
+    out = build_chain([
+        {"extract_field": {"field": "dur", "separator": "=", "index": 1, "target": "d"}},
+        {"decode_duration": {"field": "d", "format": "seconds", "target_field": "d_s"}},
+    ])(df)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["d_s"] == pytest.approx(5400.0)
+    assert rows[2]["d_s"] == pytest.approx(0.150)
+
+
+def test_truncate_replace_case_append(df):
+    out = one(df, {"truncate_fields": {"fields": ["user"], "max_characters": 3}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["user"] == "ali" and "truncated" in rows[1]["flags"]
+    assert rows[2]["user"] == "bob" and rows[2]["flags"] is None
+
+    out = one(df, {"replace": {"fields": [{"field": "user", "pattern": "a", "replacement": "@"}]}})
+    assert out.first()["user"] == "@lice"
+
+    out = one(df, {"uppercase": {"values": ["user"]}})
+    assert out.first()["user"] == "ALICE"
+
+    out = one(df, {"append": {"target_field": "tags", "values": ["t1", "t2", "t1"],
+                                "allow_duplicate": False}})
+    assert out.first()["tags"] == ["t1", "t2"]
+
+    out = one(df, {"add_tags": {"tags": ["x", "y"]}})
+    assert out.first()["tags"] == ["x", "y"]
+
+
+def test_when_guard(df):
+    out = one(df, {"uppercase": {"values": ["user"], "when": {"equals": {"id": 1}}}})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["user"] == "ALICE" and rows[2]["user"] == "bob"
+
+
+def test_drop_event_and_if(df):
+    out = one(df, {"drop_event": {"when": {"equals": {"user": "bob"}}}})
+    assert [r["id"] for r in out.collect()] == [1]
+
+    out = one(df, {"if": {"equals": {"user": "alice"}},
+                    "then": [{"add_fields": {"target": "", "fields": {"kind": "a"}}}],
+                    "else": [{"add_fields": {"target": "", "fields": {"kind": "b"}}}]})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["kind"] == "a" and rows[2]["kind"] == "b"
+
+
+def test_fingerprint_known_value(df, spark):
+    import hashlib
+
+    out = one(df, {"fingerprint": {"fields": ["user", "id"], "method": "sha256"}})
+    row = out.filter(F.col("id") == 1).first()
+    expected = hashlib.sha256(b"|id|1|user|alice|").hexdigest()
+    assert row["fingerprint"] == expected
+
+
+def test_enrich_lookup_map_and_table(df, spark):
+    cfg = {"key_field": "user", "target_field": "team",
+           "mapping": {"alice": "eng"}, "default": "unknown"}
+    out = one(df, {"enrich_lookup": cfg})
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["team"] == "eng" and rows[2]["team"] == "unknown"
+    # big-table path (forced broadcast join)
+    cfg2 = dict(cfg)
+    cfg2["table"] = spark.createDataFrame([("alice", "eng")], "key string, value string")
+    del cfg2["mapping"]
+    out2 = one(df, {"enrich_lookup": cfg2})
+    rows2 = {r["id"]: r for r in out2.collect()}
+    assert rows2[1]["team"] == "eng" and rows2[2]["team"] == "unknown"
+
+
+def test_syslog_rfc3164(spark):
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 host1 sshd[815]: Failed password",),
+         ("not syslog at all",)],
+        "message string",
+    )
+    out = build_chain([{"syslog": {"field": "message"}}])(df)
+    rows = out.collect()
+    assert rows[0]["log_syslog_severity"] == 2 and rows[0]["log_syslog_facility"] == 4
+    assert rows[0]["hostname"] == "host1" and rows[0]["program"] == "sshd"
+    assert rows[0]["syslog_message"] == "Failed password"
+    assert "syslog_parse_error" in rows[1]["flags"]
+
+
+def test_registered_domain_and_network_direction(spark):
+    df = spark.createDataFrame(
+        [("a.b.example.co.uk", "10.0.0.1", "8.8.8.8"), ("www.example.com", "1.2.3.4", "10.9.9.9")],
+        "domain string, source_ip string, destination_ip string",
+    )
+    out = build_chain([
+        {"registered_domain": {"field": "domain"}},
+        {"add_network_direction": {"internal_networks": ["10.0.0.0/8"]}},
+    ])(df)
+    rows = out.collect()
+    assert rows[0]["registered_domain"] == "example.co.uk"
+    assert rows[1]["registered_domain"] == "example.com"
+    assert rows[0]["network_direction"] == "outbound"
+    assert rows[1]["network_direction"] == "inbound"
+
+
+def test_unknown_processor_rejected():
+    with pytest.raises(ProcessorConfigError):
+        make_processor({"frobnicate": {}})

@@ -1,0 +1,75 @@
+"""Router tests — first-match-wins selector semantics
+(libbeat/outputs/outil/select.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.fmtstr import compile_fmtstr, is_const
+from beats_spark.plans.router import route, sink_names
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "error", "tool", "2026-03-01 10:00:00"),
+        (2, "info", "user", "2026-03-02 10:00:00"),
+        (3, "error", "user", "2026-03-03 10:00:00"),
+        (4, "info", "tool", None),
+    ]
+    return spark.createDataFrame(rows, "id int, level string, role string, t string").withColumn(
+        "ts", F.col("t").cast("timestamp")
+    )
+
+
+def sinks(df, rules, **kw):
+    out = route(df, rules, **kw)
+    return {r["id"]: r["_meta_sink"] for r in out.collect()}
+
+
+def test_first_match_wins(df):
+    rules = [
+        {"when": {"equals": {"level": "error"}}, "index": "errors"},
+        {"when": {"equals": {"role": "tool"}}, "index": "tool_events"},
+    ]
+    assert sinks(df, rules) == {1: "errors", 2: "main", 3: "errors", 4: "tool_events"}
+
+
+def test_fmtstr_rule_and_date(df):
+    rules = [{"index": "logs-%{[role]}-%{+yyyy.MM.dd}"}]
+    got = sinks(df, rules)
+    assert got[1] == "logs-tool-2026.03.01"
+    # null ts → fmt yields null → falls to default (select.go:367-373)
+    assert got[4] == "main"
+
+
+def test_mappings_with_default(df):
+    rules = [
+        {"index": "%{[role]}", "mappings": {"tool": "internal"}, "default": "external"}
+    ]
+    got = sinks(df, rules)
+    assert got == {1: "internal", 2: "external", 3: "external", 4: "internal"}
+
+
+def test_meta_override(df):
+    pre = df.withColumn("_meta_sink", F.when(F.col("id") == 2, F.lit("forced")))
+    rules = [{"when": {"equals": {"level": "error"}}, "index": "errors"}]
+    out = route(pre, rules)
+    got = {r["id"]: r["_meta_sink"] for r in out.collect()}
+    assert got[2] == "forced" and got[1] == "errors"
+
+
+def test_sink_names_enumeration():
+    rules = [
+        {"when": {"equals": {"a": 1}}, "index": "x"},
+        {"index": "%{[role]}", "mappings": {"t": "u"}, "default": "d"},
+    ]
+    assert sink_names(rules, "main") == ["x", "u", "d", "main"]
+    assert sink_names([{"index": "free-%{[role]}"}], "main") is None
+    assert is_const("plain") and not is_const("a-%{[b]}")
+
+
+def test_fmtstr_default_value(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    col = compile_fmtstr(df, "pre-%{[k]:fallback}")
+    vals = [r[0] for r in df.select(col).collect()]
+    assert vals == ["pre-a", "pre-fallback"]
