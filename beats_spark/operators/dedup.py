@@ -1,0 +1,390 @@
+"""Large-scale deduplication operators.
+
+The reference has no dedup (a log shipper dedups at the sink via
+``@metadata._id``; libbeat/beat/events/util.go:27-44 and the add_id
+processor are the closest analogues) — these operators exist because a
+100 TB training-data pipeline needs them as first-class citizens.
+
+Design rules (scale-first):
+
+- **Everything hot is a JVM column expression.** Shingling, hashing,
+  MinHash, SimHash and Jaccard are built from ``split`` / ``transform``
+  / ``aggregate`` / ``xxhash64`` / ``array_min`` — zero Python in the
+  data path, whole-stage-codegen friendly.
+- **Exact dedup is one partial-aggregated groupBy** (map-side combine
+  does most of the work before the shuffle); representatives are chosen
+  by ``min(id)`` so the result is deterministic at any parallelism.
+- **Near-dup goes candidate-generation → exact-verify.** MinHash-LSH
+  banding turns the O(n²) pair space into per-bucket joins; the verify
+  stage recomputes exact Jaccard so false positives never escape. At
+  100 TB only the per-band groupBy shuffles, keyed on (band, signature)
+  — uniform by construction because signatures are hashes.
+- Hot buckets (a shingle set shared by millions of docs) are capped with
+  ``max_bucket`` to bound the quadratic blow-up inside a single bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^61-1: classic universal-hash modulus. Coefficients
+# are capped at 31 bits and the base hash at 32 bits so a*x+b <
+# 2^31 * 2^32 = 2^63 — exact in a Spark LongType, no overflow.
+_MERSENNE61 = (1 << 61) - 1
+_MAX32 = (1 << 32) - 1
+_MAX31 = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text for dedup: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Word n-gram shingles as array<string> (distinct, order-free).
+
+    Built JVM-side: ``transform(sequence(0, len-n), i -> concat_ws)``.
+    Documents shorter than ``n`` tokens yield one shingle = whole text.
+    """
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i + 1, F.least(F.lit(n), cnt))
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family,
+    derived from the seed by splitmix-style mixing (pure Python at plan
+    build — never per row)."""
+    params = []
+    state = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        out = []
+        for _ in range(2):
+            state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            out.append((z ^ (z >> 31)) & _MAX31)
+        a = out[0] | 1  # a must be odd/nonzero
+        params.append((a, out[1]))
+    return params
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    Base hash per shingle is ``pmod(xxhash64(s), 2^32)`` (JVM), lifted
+    through ``num_hashes`` universal hashes ``(a*x + b) mod (2^61-1)``;
+    the min over shingles is taken with ``array_min`` — one pass per
+    hash function over an already-materialized base-hash array, fully
+    inside codegen.
+    """
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MAX32 + 1))
+    )
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                base, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))
+            )
+        )
+
+    return F.array(*[_minhash(a, b) for a, b in _hash_params(num_hashes, seed)])
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact content dedup: one row per distinct (normalized) text, the
+    keeper being the minimum id — deterministic at any parallelism.
+
+    Plan shape: hash the text to a 64-bit group key (shuffling a long,
+    not multi-KB text bodies), ``groupBy`` with map-side partial
+    aggregation, keep ``min(id)``. One shuffle, no window sort.
+    """
+    norm = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    keyed = df.withColumn("_ck", F.xxhash64(norm))
+    keepers = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col)).drop("_ck")
+    # semi join back to recover full rows; broadcast-eligible when the
+    # keeper set is small, AQE decides otherwise.
+    return df.join(keepers, id_col, "semi")
+
+
+def exact_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-group summary: (group_key, n_dups, keeper_id) for
+    groups with >1 member."""
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.xxhash64(norm).alias("group_key"), F.col(id_col))
+        .groupBy("group_key")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string-array columns (as double)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+
+    All-pairs is O(n²); ``block_col`` restricts comparison to within a
+    blocking key (e.g. source, language, length bucket) which is how
+    this runs at 100 TB. Without a block col it degrades to a full
+    cross join — only for small verification sets.
+    """
+    sh = shingles(F.col(text_col), n)
+    left = df.select(
+        F.col(id_col).alias("id_a"),
+        sh.alias("sh_a"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    right = df.select(
+        F.col(id_col).alias("id_b"),
+        sh.alias("sh_b"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    joined = (
+        left.join(right, on="_blk") if block_col else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    out = joined.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-Jaccard verified.
+
+    1. signature: ``num_hashes`` minhashes per doc (JVM expressions);
+    2. banding: split into ``bands`` bands of ``num_hashes/bands`` rows,
+       hash each band, explode → (band_idx, band_sig) bucket key;
+    3. bucket self-join (the only shuffle that matters; signatures are
+       hashes ⇒ uniform keys, hot buckets capped at ``max_bucket``);
+    4. verify candidates with exact shingle Jaccard ≥ ``threshold`` —
+       LSH false positives cannot escape, output is a subset of the
+       true pair set with recall set by (bands, rows-per-band).
+    """
+    assert num_hashes % bands == 0, "num_hashes must divide into bands"
+    rows_per_band = num_hashes // bands
+    sh = shingles(F.col(text_col), shingle_n)
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
+        "_sig", minhash_signature(F.col("_sh"), num_hashes, seed)
+    )
+    band_entries = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+
+    # cap pathological buckets: keep the max_bucket lowest ids per bucket
+    bucket_sizes = band_entries.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    band_entries = band_entries.join(
+        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)),
+        ["band", "sig"],
+        "left_anti",
+    )
+
+    a = band_entries.select(
+        F.col("band"), F.col("sig"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = band_entries.select(
+        F.col("band"), F.col("sig"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash(col: Column, bits: int = 64) -> Column:
+    """SimHash of whitespace tokens as a signed 64-bit LongType.
+
+    Per token h = xxhash64(token); each bit contributes ±1 to its
+    position; the sign of the per-position sum sets the output bit.
+    Implemented as one ``aggregate`` over the token array with an
+    array<int> accumulator — JVM-side, no Python, no shuffle.
+    """
+    toks = tokens(col)
+    zero = F.array(*[F.lit(0) for _ in range(bits)])
+
+    def _bit_contribs(t: Column) -> Column:
+        # ±1 per bit position of xxhash64(token); shift amounts are
+        # plan-time Python ints (shiftright requires a literal count)
+        return F.array(
+            *[
+                (
+                    F.shiftrightunsigned(F.xxhash64(t), j)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    * 2
+                    - 1
+                )
+                for j in range(bits)
+            ]
+        )
+
+    counts = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, _bit_contribs(t), lambda a, d: a + d)
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        # bit 63 is the sign bit of a signed long: use the two's
+        # complement literal; XOR accumulation never overflows
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        out = out.bitwiseXOR(
+            F.when(F.element_at(counts, j + 1) > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with banded blocking.
+
+    Pigeonhole: two signatures within ``max_hamming`` bits share at
+    least one of ``max_hamming+1`` disjoint bit-bands exactly — so
+    candidates = per-band equality joins (``n_tables`` must be ≥
+    max_hamming+1 for full recall), verified by exact Hamming distance.
+    """
+    n_tables = max(n_tables, max_hamming + 1)
+    band_bits = bits // n_tables
+    sig = simhash(F.col(text_col), bits)
+    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    entries = base.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftrightunsigned(F.col("_sig"), t * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.key")
+    a = entries.select("band", "key", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = entries.select("band", "key", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+
+    ``n_planes`` = 0 → exact all-pairs (verification scale only).
+    ``n_planes`` > 0 → random-hyperplane LSH blocking first (see
+    similarity.hyperplane_bucket), then exact cosine verify within
+    buckets — the 100 TB path.
+    """
+    from beats_spark.operators.similarity import cosine, hyperplane_bucket, l2_normalize
+
+    base = df.select(
+        F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("_v")
+    )
+    if n_planes:
+        dim = len(df.select(vec_col).first()[0])
+        base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
+        a = base.select("_bkt", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = base.select("_bkt", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = cand.withColumn("cosine", cosine(F.col("va"), F.col("vb"), normalized=True))
+    return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -1,0 +1,161 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure JVM column expressions (regexp counts, md5, array folds) —
+these run inside the same whole-stage-codegen span as the rest of the
+processor chain, cost ~one pass over the text bytes, and need no
+shuffle at any scale.
+
+Every function here is deliberately SQL-replicable (the heuristics use
+only lower/regexp/length/md5 primitives that exist in ANSI-ish SQL
+engines) so correctness oracles can recompute them independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword batteries for the n-gram/stopword
+# language-ID heuristic. Deliberately small and public-knowledge:
+# the score is (matches of language marker words) per language,
+# argmax wins, ties broken by language code order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "los", "las", "que", "de", "por", "una"],
+    "fr": ["le", "la", "les", "des", "est", "que", "une", "dans"],
+    "zh": ["de5", "shi4", "le5", "zai4", "wo3", "you3", "he2", "ren2"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "it", "on", "as", "at", "be", "by"]
+
+
+def _word_pattern(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def count_matches(col: Column, pattern: str) -> Column:
+    """Number of regex matches in a string column (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def token_count_whitespace(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, and single non-space
+# punctuation — the GPT-2 pre-tokenizer's shape without the lookbehind
+# (kept simple so SQL oracles can reproduce it byte-for-byte).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Heuristic language ID: per-language stopword-marker hit counts
+    over the lowercased text; argmax, ties broken by language code
+    (deterministic). Returns the language code string."""
+    markers = markers or LANG_MARKERS
+    scored = [
+        F.struct(
+            count_matches(F.lower(col), _word_pattern(words)).alias("score"),
+            # invert code ordering inside the struct comparison so that
+            # array_max's lexicographic (score, rank) max = highest
+            # score, FIRST code on ties
+            F.lit(-i).alias("rank"),
+            F.lit(code).alias("code"),
+        )
+        for i, (code, words) in enumerate(sorted(markers.items()))
+    ]
+    return F.array_max(F.array(*scored)).getField("code")
+
+
+def quality_metrics(col: Column) -> dict[str, Column]:
+    """Quality heuristics over a text column; all deterministic and
+    cheap: char length, word count, mean word length, punctuation
+    ratio, uppercase ratio, stopword ratio, digit ratio."""
+    n_chars = F.length(col)
+    words = token_count_whitespace(col)
+    n_punct = count_matches(col, r"[^\w\s]")
+    n_upper = count_matches(col, r"[A-Z]")
+    n_digit = count_matches(col, r"[0-9]")
+    n_stop = count_matches(F.lower(col), _word_pattern(STOPWORDS_EN))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_words = F.greatest(words, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_words": words,
+        "mean_word_len": n_chars.cast("double") / safe_words,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "upper_ratio": n_upper.cast("double") / safe_chars,
+        "digit_ratio": n_digit.cast("double") / safe_chars,
+        "stopword_ratio": n_stop.cast("double") / safe_words,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0, 100]: rewards mid-length docs
+    with stopword structure; penalizes punctuation/digit soup. A
+    linear, fully-SQL-expressible rubric (Gopher-rules flavored)."""
+    m = quality_metrics(col)
+    length_ok = F.when((m["n_words"] >= 10) & (m["n_words"] <= 10000), 30.0).otherwise(
+        0.0
+    )
+    word_len_ok = F.when(
+        (m["mean_word_len"] >= 2.0) & (m["mean_word_len"] <= 12.0), 20.0
+    ).otherwise(0.0)
+    stop_component = F.least(m["stopword_ratio"] * 100.0, F.lit(30.0))
+    punct_penalty = F.least(m["punct_ratio"] * 100.0, F.lit(10.0))
+    digit_penalty = F.least(m["digit_ratio"] * 100.0, F.lit(10.0))
+    base = length_ok + word_len_ok + stop_component + F.lit(20.0)
+    return F.greatest(
+        F.least(base - punct_penalty - digit_penalty, F.lit(100.0)), F.lit(0.0)
+    )
+
+
+def md5_fingerprint(col: Column, normalize: bool = True) -> Column:
+    """Content fingerprint: md5 hex of (optionally normalized) text.
+    md5 is engine-portable, so oracles reproduce it exactly."""
+    from beats_spark.operators.dedup import normalize_text
+
+    target = normalize_text(col) if normalize else col
+    return F.md5(target)
+
+
+def rolling_fingerprints(col: Column, window: int = 32, stride: int = 16) -> Column:
+    """Rolling window fingerprints: md5 of each ``window``-char slice
+    every ``stride`` chars — array<string>. The building block for
+    chunk-level contamination / overlap detection: match ANY rolling
+    fingerprint ⇒ shared span. Pure JVM (sequence + transform +
+    substring)."""
+    n = F.length(col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - window + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    return F.transform(starts, lambda s: F.md5(F.substring(col, s, window)))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stamp the full stats battery as columns (one codegen pass)."""
+    c = F.col(text_col)
+    m = quality_metrics(c)
+    return df.withColumns(
+        {
+            "tokens_ws": token_count_whitespace(c),
+            "tokens_bpe": token_count_bpe_ish(c),
+            "lang_pred": lang_id(c),
+            "quality": quality_score(c),
+            "fingerprint": md5_fingerprint(c),
+            "stopword_ratio": m["stopword_ratio"],
+            "punct_ratio": m["punct_ratio"],
+        }
+    )
