@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``  — flagship parse→enrich→route→aggregate pipeline on
+sf0.001. ``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text
+analysis / multimodal). ``oracle_sql()`` — DuckDB-runnable ANSI SQL
+equivalents over the same parquet views; approximate/stateful ops
+(simhash blocking, LSH top-k, streaming) intentionally have no oracle
+and get the driver's rows-only check.
+
+Float policy: hash-checked outputs avoid engine-ordered float math.
+Allowed float outputs are single IEEE-exact divisions of integers
+(identical in both engines) or values floored to integers at 1e6 scale
+(cosines), where the cross-engine error (~1e-12) cannot move the floor.
 """
 
 from __future__ import annotations
@@ -12,27 +19,1002 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Raw-line synthesis: events → log-line text (the transcript `text` shape,
+# BASELINE.json input_hint). Oracles recompute expected fields from the
+# source columns instead of re-parsing, so this only needs to be
+# deterministic, not SQL-replicated.
+# ---------------------------------------------------------------------------
+
+def _level():
+    # Column exprs need an active session — build lazily per query
+    return (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "view", "debug")
+        .when(F.col("event_type") == "purchase", "warn")
+        .otherwise("info")
+    )
+
+
+_LEVEL_SQL = (
+    "CASE event_type WHEN 'error' THEN 'error' WHEN 'view' THEN 'debug' "
+    "WHEN 'purchase' THEN 'warn' ELSE 'info' END"
+)
+
+
+def _raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (event_id, user_id, event_type, ts, value, text) where
+    text is a dissectable log line; every 47th event is malformed
+    (missing the user= section) to exercise tag-and-continue + DLQ."""
+    ev = _load(spark, sf_dir, "events")
+    level = _level()
+    event_ts = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    ok = F.format_string(
+        'level=%s ts=%s user=%d msg="%s"', level, event_ts, F.col("user_id"), F.col("event_type")
+    )
+    bad = F.format_string('level=%s ts=%s msg="%s"', level, event_ts, F.col("event_type"))
+    text = F.when(F.col("event_id") % 47 == 0, bad).otherwise(ok)
+    return ev.select("event_id", "user_id", "event_type", "ts", "value", text.alias("text"))
+
+
+_DISSECT_TOK = 'level=%{level} ts=%{event_ts} user=%{uid|long} msg="%{message}"'
+
+
+# ---------------------------------------------------------------------------
+# Pipeline queries (events)
+# ---------------------------------------------------------------------------
+
+
+def q_pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: dissect parse → timestamp → broadcast enrich →
+    drop_event → first-match router → DLQ redirect → per-sink counts.
+    Mirrors the full libbeat publisher path (SURVEY.md §3.1)."""
+    from beats_spark.operators.base import build_chain
+    from beats_spark.plans.router import META_SINK, route
+    from beats_spark.plans.sinks import redirect_dead_letters
+
+    raw = _raw_lines(spark, sf_dir)
+    chain = build_chain(
+        [
+            {"dissect": {"tokenizer": _DISSECT_TOK, "field": "text", "target_prefix": ""}},
+            {
+                "timestamp": {
+                    "field": "event_ts",
+                    "target_field": "ts2",
+                    "layouts": ["yyyy-MM-dd'T'HH:mm:ss'Z'"],
+                }
+            },
+            {
+                "enrich_lookup": {
+                    "key_field": "level",
+                    "target_field": "channel",
+                    "mapping": {
+                        "error": "alerts",
+                        "warn": "alerts",
+                        "info": "standard",
+                        "debug": "diagnostics",
+                    },
+                    "default": "other",
+                }
+            },
+            {"drop_event": {"when": {"equals": {"level": "debug"}}}},
+        ]
+    )
+    df = chain(raw)
+    df = route(
+        df,
+        rules=[
+            {"when": {"equals": {"level": "error"}}, "index": "errors"},
+            {"when": {"range": {"uid": {"gte": 40}}}, "index": "power-%{[channel]}"},
+            {"index": "%{[level]}", "mappings": {"info": "standard"}, "default": "bulk"},
+        ],
+        default="main",
+        ts_col="ts2",
+    )
+    df = redirect_dead_letters(df)
+    return df.groupBy(F.col(META_SINK).alias("sink")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("uid").alias("users")
+    )
+
+
+_SQL_PIPELINE_FANOUT = f"""
+WITH base AS (
+  SELECT event_id, user_id, {_LEVEL_SQL} AS level, event_id % 47 = 0 AS malformed
+  FROM events
+), parsed AS (
+  SELECT CASE WHEN malformed THEN NULL ELSE level END AS level,
+         CASE WHEN malformed THEN NULL ELSE user_id END AS uid,
+         malformed
+  FROM base
+), kept AS (
+  SELECT * FROM parsed WHERE level IS NULL OR level <> 'debug'
+), routed AS (
+  SELECT CASE
+           WHEN malformed THEN '_dlq'
+           WHEN level = 'error' THEN 'errors'
+           WHEN uid >= 40 THEN 'power-' || CASE level WHEN 'error' THEN 'alerts'
+                WHEN 'warn' THEN 'alerts' WHEN 'info' THEN 'standard' ELSE 'other' END
+           WHEN level = 'info' THEN 'standard'
+           ELSE 'bulk'
+         END AS sink, uid
+  FROM kept)
+SELECT sink, count(*) AS n, count(DISTINCT uid) AS users FROM routed GROUP BY sink
+"""
+
+
+def q_dissect_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect with |long typed capture + failure tagging: per-row
+    parsed fields and the parse-error flag."""
+    from beats_spark.operators.base import build_chain
+
+    raw = _raw_lines(spark, sf_dir)
+    chain = build_chain(
+        [{"dissect": {"tokenizer": _DISSECT_TOK, "field": "text", "target_prefix": ""}}]
+    )
+    df = chain(raw)
+    return df.select(
+        "event_id",
+        F.col("level").alias("level"),
+        F.col("uid").alias("uid"),
+        F.col("message").alias("message"),
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "dissect_parsing_error",
+        ).alias("parse_failed"),
+    )
+
+
+_SQL_DISSECT_TYPED = f"""
+SELECT event_id,
+       CASE WHEN event_id % 47 = 0 THEN NULL ELSE {_LEVEL_SQL} END AS level,
+       CASE WHEN event_id % 47 = 0 THEN NULL ELSE user_id END AS uid,
+       CASE WHEN event_id % 47 = 0 THEN NULL ELSE event_type END AS message,
+       event_id % 47 = 0 AS parse_failed
+FROM events
+"""
+
+
+def q_router_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Router semantics in isolation: condition guard, fmtstr rule with
+    missing-field fallback, mappings+default, first-match-wins."""
+    from beats_spark.plans.router import META_SINK, route
+
+    ev = _load(spark, sf_dir, "events")
+    df = route(
+        ev,
+        rules=[
+            {"when": {"contains": {"event_type": "rror"}}, "index": "sink-err"},
+            {"when": {"range": {"value": {"lt": 5.0}}}, "index": "low-%{[event_type]}"},
+            {
+                "index": "%{[event_type]}",
+                "mappings": {"click": "clicks", "view": "views"},
+                "default": "misc",
+            },
+        ],
+        default="main",
+    )
+    return df.groupBy(F.col(META_SINK).alias("sink")).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_ROUTER_FIRST_MATCH = """
+SELECT CASE
+         WHEN event_type LIKE '%rror%' THEN 'sink-err'
+         WHEN value < 5.0 THEN 'low-' || event_type
+         WHEN event_type = 'click' THEN 'clicks'
+         WHEN event_type = 'view' THEN 'views'
+         ELSE 'misc'
+       END AS sink, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition language: and/or/not/equals/contains/regexp/range."""
+    from beats_spark.functions.conditions import compile_condition
+
+    ev = _load(spark, sf_dir, "events")
+    cond = compile_condition(
+        ev,
+        {
+            "and": [
+                {"or": [{"equals": {"event_type": "click"}}, {"regexp": {"event_type": "^s.*up$"}}]},
+                {"not": {"range": {"value": {"lt": 10.0}}}},
+                {"range": {"user_id": {"gte": 5, "lt": 95}}},
+            ]
+        },
+    )
+    return ev.filter(cond).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.min("event_id").alias("first_id")
+    )
+
+
+_SQL_CONDITIONS = """
+SELECT event_type, count(*) AS n, min(event_id) AS first_id
+FROM events
+WHERE (event_type = 'click' OR regexp_matches(event_type, '^s.*up$'))
+  AND NOT (value < 10.0) AND user_id >= 5 AND user_id < 95
+GROUP BY event_type
+"""
+
+
+def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_json_fields with closed schema over the props column."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain(
+        [{"decode_json_fields": {"fields": ["props"], "schema": "k LONG", "target": ""}}]
+    )
+    return (
+        chain(ev)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count_distinct("k").alias("distinct_k"))
+    )
+
+
+_SQL_DECODE_JSON = """
+SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_timestamp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp processor: layout-battery parse back to UTC, grouped
+    per hour-of-day (the parse→normalize round trip)."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ts_text", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    chain = build_chain(
+        [
+            {
+                "timestamp": {
+                    "field": "ts_text",
+                    "target_field": "ts2",
+                    "layouts": ["MM/dd/yyyy HH:mm:ss", "yyyy-MM-dd HH:mm:ss"],
+                }
+            }
+        ]
+    )
+    return (
+        chain(ev)
+        .groupBy(F.hour("ts2").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_TIMESTAMP_LAYOUTS = """
+SELECT hour(ts)::INT AS hour, count(*) AS n FROM events GROUP BY 1
+"""
+
+
+def q_convert_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert: try-cast semantics — numeric text converts, word text
+    nulls + tags convert_error (Beats fail_on_error=false path)."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "mixed",
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type")).otherwise(
+            F.col("user_id").cast("string")
+        ),
+    )
+    chain = build_chain(
+        [{"convert": {"fields": [{"from": "mixed", "to": "mixed_num", "type": "long"}]}}]
+    )
+    df = chain(ev)
+    return df.select(
+        "event_id",
+        "mixed_num",
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")), "convert_error"
+        ).alias("convert_failed"),
+    )
+
+
+_SQL_CONVERT_TAGGING = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS mixed_num,
+       event_id % 3 = 0 AS convert_failed
+FROM events
+"""
+
+
+def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation battery: rename → copy_fields → truncate_fields →
+    replace → uppercase(values) → drop_fields, in declared order."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain(
+        [
+            {"rename": {"fields": [{"from": "event_type", "to": "etype"}]}},
+            {"copy_fields": {"fields": [{"from": "etype", "to": "etype_copy"}]}},
+            {"truncate_fields": {"fields": ["etype_copy"], "max_characters": 4}},
+            {"replace": {"fields": [{"field": "etype", "pattern": "i", "replacement": "1"}]}},
+            {"uppercase": {"values": ["etype"]}},
+            {"drop_fields": {"fields": ["props", "value"]}},
+        ]
+    )
+    return chain(ev).select("event_id", "etype", "etype_copy")
+
+
+_SQL_MUTATE_CHAIN = """
+SELECT event_id, upper(replace(event_type, 'i', '1')) AS etype,
+       substr(event_type, 1, 4) AS etype_copy
+FROM events
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint processor: sha256 over sorted |k|v| material
+    (fingerprint.go:94-115) — engine-portable hex output."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain(
+        [{"fingerprint": {"fields": ["event_type", "user_id"], "target_field": "fp"}}]
+    )
+    return chain(ev).select("event_id", "fp")
+
+
+_SQL_FINGERPRINT = """
+SELECT event_id,
+       sha256('|event_type|' || event_type || '|user_id|' || user_id::VARCHAR || '|') AS fp
+FROM events
+"""
+
+
+def q_fmtstr_daily_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event format strings with %{+yyyy.MM.dd} timestamp expressions —
+    the add_formatted_index / daily-index pattern."""
+    from beats_spark.plans.router import META_SINK, route
+
+    ev = _load(spark, sf_dir, "events")
+    df = route(ev, rules=[{"index": "logs-%{[event_type]}-%{+yyyy.MM.dd}"}], default="main")
+    return df.groupBy(F.col(META_SINK).alias("sink")).agg(F.count(F.lit(1)).alias("n"))
+
+
+_SQL_FMTSTR_DAILY_SINKS = """
+SELECT 'logs-' || event_type || '-' || strftime(ts, '%Y.%m.%d') AS sink, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog processor (RFC3164 path): synthesize priority+header
+    lines from events, parse back hostname/program/pid/severity."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    pri = (F.col("user_id") % 192).cast("int")
+    line = F.format_string(
+        "<%d>Jan %2d 03:14:%02d host%d app%d[%d]: %s happened",
+        pri,
+        (F.col("event_id") % 28 + 1).cast("int"),
+        (F.col("event_id") % 60).cast("int"),
+        F.col("user_id"),
+        F.col("user_id") % 7,
+        F.col("event_id") % 9999,
+        F.col("event_type"),
+    )
+    df = ev.withColumn("line", line)
+    chain = build_chain([{"syslog": {"field": "line", "format": "rfc3164"}}])
+    return chain(df).select(
+        "event_id",
+        "log_syslog_priority",
+        "log_syslog_severity",
+        F.col("hostname").alias("hostname"),
+        F.col("program").alias("program"),
+        F.col("syslog_message").alias("syslog_message"),
+    )
+
+
+_SQL_SYSLOG_PARSE = """
+SELECT event_id,
+       (user_id % 192)::INT AS log_syslog_priority,
+       (user_id % 192)::INT % 8 AS log_syslog_severity,
+       'host' || user_id::VARCHAR AS hostname,
+       'app' || (user_id % 7)::VARCHAR AS program,
+       event_type || ' happened' AS syslog_message
+FROM events
+"""
+
+
+def q_network_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """network condition: CIDR + named-range membership on synthesized
+    IPv4s, pure JVM integer math."""
+    from beats_spark.functions.conditions import compile_condition
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "ip",
+        F.format_string(
+            "%d.%d.%d.%d",
+            F.when(F.col("user_id") % 3 == 0, 10).when(F.col("user_id") % 3 == 1, 127).otherwise(192),
+            (F.col("user_id") % 200).cast("int"),
+            (F.col("event_id") % 250).cast("int"),
+            (F.col("event_id") % 100).cast("int"),
+        ),
+    )
+    is_private = compile_condition(ev, {"network": {"ip": "private"}})
+    is_loopback = compile_condition(ev, {"network": {"ip": "loopback"}})
+    in_slice = compile_condition(ev, {"network": {"ip": "10.0.0.0/8"}})
+    return ev.select(
+        "event_id",
+        is_private.alias("is_private"),
+        is_loopback.alias("is_loopback"),
+        in_slice.alias("in_ten_net"),
+    )
+
+
+_SQL_NETWORK_CONDITIONS = """
+WITH ips AS (
+  SELECT event_id,
+         CASE WHEN user_id % 3 = 0 THEN 10 WHEN user_id % 3 = 1 THEN 127 ELSE 192 END AS o1,
+         user_id % 200 AS o2
+  FROM events)
+SELECT event_id,
+       (o1 = 10) OR (o1 = 192 AND o2 = 168) AS is_private,
+       o1 = 127 AS is_loopback,
+       o1 = 10 AS in_ten_net
+FROM ips
+"""
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash-join enrich (cache/dns/translate_sid analogue):
+    dimension as an explicit table, join + default for missses."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    dim = [
+        {"key": "click", "value": "engagement"},
+        {"key": "view", "value": "engagement"},
+        {"key": "purchase", "value": "revenue"},
+        {"key": "signup", "value": "growth"},
+    ]
+    chain = build_chain(
+        [
+            {
+                "enrich_lookup": {
+                    "key_field": "event_type",
+                    "target_field": "category",
+                    "table": dim,
+                    "default": "other",
+                }
+            }
+        ]
+    )
+    return (
+        chain(ev)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+_SQL_ENRICH_BROADCAST = """
+SELECT CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+            WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth' ELSE 'other' END AS category,
+       count(*) AS n, sum(round(value * 100)::BIGINT) AS value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_stable_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable per-key ordering (the publish-order ACK guarantee →
+    Window over (key, ts, id)): first 3 events per user."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", F.col("rn").cast("long").alias("rn"), "event_id")
+    )
+
+
+_SQL_STABLE_ORDERING = """
+SELECT user_id, rn, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_base64_field + urldecode + extract_field + decode_duration
+    round trips on synthesized columns."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events").withColumns(
+        {
+            "b64": F.base64(F.encode(F.col("event_type"), "UTF-8")),
+            "urlenc": F.concat(F.col("event_type"), F.lit("%20"), F.col("user_id").cast("string")),
+            "csvish": F.format_string("%s:%d:%s", F.col("event_type"), F.col("user_id"), F.lit("x")),
+            "dur": F.format_string(
+                "%dh%dm", (F.col("user_id") % 5).cast("int"), (F.col("event_id") % 60).cast("int")
+            ),
+        }
+    )
+    chain = build_chain(
+        [
+            {"decode_base64_field": {"field": {"from": "b64", "to": "b64_dec"}}},
+            {"urldecode": {"fields": [{"from": "urlenc", "to": "url_dec"}]}},
+            {"extract_field": {"field": "csvish", "separator": ":", "index": 1, "target": "mid"}},
+            {"decode_duration": {"field": "dur", "format": "seconds", "target_field": "dur_s"}},
+        ]
+    )
+    return chain(ev).select(
+        "event_id",
+        "b64_dec",
+        "url_dec",
+        "mid",
+        F.col("dur_s").cast("long").alias("dur_s"),
+    )
+
+
+_SQL_DECODE_BATTERY = """
+SELECT event_id,
+       event_type AS b64_dec,
+       event_type || ' ' || user_id::VARCHAR AS url_dec,
+       user_id::VARCHAR AS mid,
+       (user_id % 5) * 3600 + (event_id % 60) * 60 AS dur_s
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: corpus unioned with 100 renumbered+noised copies →
+    keeper set must equal the original ids (min-id wins)."""
+    from beats_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.limit(100).withColumns(
+        {
+            "doc_id": F.col("doc_id") + 1000000,
+            "text": F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")),
+        }
+    )
+    kept = exact_dedup(docs.unionByName(copies))
+    return kept.select("doc_id", "source")
+
+
+_SQL_DEDUP_EXACT = """
+WITH uni AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, '  ' || upper(text) || ' '
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+), keyed AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM uni)
+SELECT doc_id, source FROM keyed
+WHERE doc_id IN (SELECT min(doc_id) FROM keyed GROUP BY norm)
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard near-dup pairs over the corpus (the
+    ground-truth stage of the MinHash pipeline)."""
+    from beats_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+_SQL_JACCARD_BODY = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - {n}, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + {n}], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.grams, b.grams))::DOUBLE
+         / len(list_distinct(a.grams || b.grams))::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(a.grams || b.grams))::DOUBLE >= {t}
+"""
+
+_SQL_DEDUP_JACCARD = _SQL_JACCARD_BODY.format(n=5, t=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (banded signatures → bucket join →
+    exact-Jaccard verify). With full recall on the planted pairs the
+    output equals the exact-Jaccard oracle."""
+    from beats_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7
+    )
+
+
+_SQL_DEDUP_MINHASH_LSH = _SQL_JACCARD_BODY.format(n=5, t=0.7)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64-based — no SQL oracle; driver
+    rows-only check). Exact-duplicate injection guarantees hits."""
+    from beats_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    return simhash_pairs(docs.unionByName(copies), max_hamming=3)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs; cosine floored at 1e6 so the
+    cross-engine float delta (~1e-12) cannot flip the value."""
+    from beats_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1000000).cast("long").alias("cos_micro")
+    )
+
+
+_SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000)::BIGINT AS cos_micro
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 20 query vectors
+    (ids only — ranks are float-order-stable across engines because
+    neighbor cosines are well separated; ties broken by id)."""
+    from beats_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(q, emb, k=5).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+_SQL_KNN_BRUTEFORCE = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20)
+WHERE rank <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (recall < 1 by design — no SQL
+    oracle; driver rows-only check)."""
+    from beats_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(q, emb, k=5, n_planes=8, multiprobe=1).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) and md5 content
+    fingerprint per document."""
+    from beats_spark.operators import textstats
+
+    docs = _load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_whitespace(c).cast("long").alias("tokens_ws"),
+        textstats.token_count_bpe_ish(c).cast("long").alias("tokens_bpe"),
+        textstats.md5_fingerprint(c).alias("fingerprint"),
+    )
+
+
+_SQL_TEXT_STATS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tokens_bpe,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: predicted language counts and
+    agreement with the labeled lang column."""
+    from beats_spark.operators import textstats
+
+    docs = _load(spark, sf_dir, "documents")
+    pred = textstats.lang_id(F.col("text"))
+    return (
+        docs.withColumn("pred", pred)
+        .groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0)).alias("correct"),
+        )
+    )
+
+
+_MARKER_SQL = {
+    "de": r"\b(der|die|das|und|nicht|ist|ein|mit)\b",
+    "en": r"\b(the|and|of|to|is|that|for|with)\b",
+    "es": r"\b(el|la|los|las|que|de|por|una)\b",
+    "fr": r"\b(le|la|les|des|est|que|une|dans)\b",
+    "zh": r"\b(de5|shi4|le5|zai4|wo3|you3|he2|ren2)\b",
+}
+
+_SQL_LANG_ID = f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS s_de,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS s_en,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}')) AS s_es,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}')) AS s_fr,
+         len(regexp_extract_all(lower(text), '{_MARKER_SQL["zh"]}')) AS s_zh
+  FROM documents
+), preds AS (
+  SELECT lang, CASE
+    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+    WHEN s_fr >= s_zh THEN 'fr'
+    ELSE 'zh' END AS pred
+  FROM scores)
+SELECT pred, count(*) AS n,
+       sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS correct
+FROM preds GROUP BY pred
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring rubric; score emitted at 1e3 integer scale
+    (identical IEEE op sequence both engines, floor is safe)."""
+    from beats_spark.operators import textstats
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.floor(textstats.quality_score(F.col("text")) * 1000).cast("long").alias("q_milli"),
+    )
+
+
+_SQL_QUALITY_SCORE = """
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|is|that|for|with|a|in|it|on|as|at|be|by)\\b')) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_words BETWEEN 10 AND 10000 THEN 30.0 ELSE 0.0 END AS length_ok,
+         CASE WHEN n_chars::DOUBLE / greatest(n_words, 1)::DOUBLE BETWEEN 2.0 AND 12.0
+              THEN 20.0 ELSE 0.0 END AS word_len_ok,
+         least(n_stop::DOUBLE / greatest(n_words, 1)::DOUBLE * 100.0, 30.0) AS stop_c,
+         least(n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0) AS punct_p,
+         least(n_digit::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0) AS digit_p
+  FROM m)
+SELECT doc_id,
+       floor(greatest(least(length_ok + word_len_ok + stop_c + 20.0 - punct_p - digit_p,
+                            100.0), 0.0) * 1000)::BIGINT AS q_milli
+FROM r
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window fingerprint contamination check: pairs of docs
+    sharing ≥1 aligned 32-char window (injected copies guarantee
+    matches); md5 is engine-portable."""
+    from beats_spark.operators.textstats import rolling_fingerprints
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    uni = docs.unionByName(copies)
+    fp = uni.select(
+        "doc_id", F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
+    ).dropDuplicates(["doc_id", "fp"])
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
+_SQL_ROLLING_FINGERPRINT = """
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)
+), fps AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, s, 32)) AS fp
+  FROM uni, unnest(range(1, greatest(length(text) - 32 + 1, 1) + 1, 16)) AS t(s)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents → opaque binary payloads with a
+    cycled magic prefix; JVM-side mime sniff + size + sha256 (the
+    blobs never reach Python)."""
+    from beats_spark.operators.multimodal import media_metadata
+
+    docs = _load(spark, sf_dir, "documents")
+    magics = [
+        bytes.fromhex("89504e470d0a1a0a"),
+        bytes.fromhex("ffd8ff"),
+        b"GIF8",
+        b"RIFF",
+    ]
+    content = F.encode(F.col("text"), "UTF-8")
+    for i, m in enumerate(magics):
+        content = F.when(
+            F.col("doc_id") % 4 == i, F.concat(F.lit(bytearray(m)), F.encode(F.col("text"), "UTF-8"))
+        ).otherwise(content)
+    med = docs.select(
+        F.col("doc_id").alias("media_id"), content.alias("content"), F.col("text")
+    )
+    # sha over the utf-8 text payload (binary→string cast would mangle
+    # the non-UTF8 magic bytes differently per engine)
+    return media_metadata(med).select(
+        "media_id", "mime", "n_bytes", F.sha2(F.col("text"), 256).alias("sha")
+    )
+
+
+_SQL_MULTIMODAL_META = """
+WITH med AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+           WHEN 1 THEN '\\xFF\\xD8\\xFF'::BLOB || encode(text)
+           WHEN 2 THEN encode('GIF8' || text)
+           ELSE encode('RIFF' || text) END AS content,
+         CASE doc_id % 4
+           WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+           WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END AS mime,
+         text
+  FROM documents)
+SELECT media_id, mime, octet_length(content)::BIGINT AS n_bytes,
+       sha256(text) AS sha
+FROM med
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (byte
+    histogram, Arrow-batched). No SQL oracle — driver rows-only check
+    verifies plumbing/row count."""
+    from beats_spark.operators.multimodal import byte_histogram
+
+    docs = _load(spark, sf_dir, "documents")
+    med = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    hist = byte_histogram(med, n_bins=8)
+    return hist.select(
+        "media_id", F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias("total_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pipeline_fanout(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pipeline_fanout": q_pipeline_fanout,
+        "dissect_typed": q_dissect_typed,
+        "router_first_match": q_router_first_match,
+        "conditions": q_conditions,
+        "decode_json": q_decode_json,
+        "timestamp_layouts": q_timestamp_layouts,
+        "convert_tagging": q_convert_tagging,
+        "mutate_chain": q_mutate_chain,
+        "fingerprint": q_fingerprint,
+        "fmtstr_daily_sinks": q_fmtstr_daily_sinks,
+        "syslog_parse": q_syslog_parse,
+        "network_conditions": q_network_conditions,
+        "enrich_broadcast": q_enrich_broadcast,
+        "stable_ordering": q_stable_ordering,
+        "decode_battery": q_decode_battery,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_neardup": q_embed_neardup,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pipeline_fanout": _SQL_PIPELINE_FANOUT,
+        "dissect_typed": _SQL_DISSECT_TYPED,
+        "router_first_match": _SQL_ROUTER_FIRST_MATCH,
+        "conditions": _SQL_CONDITIONS,
+        "decode_json": _SQL_DECODE_JSON,
+        "timestamp_layouts": _SQL_TIMESTAMP_LAYOUTS,
+        "convert_tagging": _SQL_CONVERT_TAGGING,
+        "mutate_chain": _SQL_MUTATE_CHAIN,
+        "fingerprint": _SQL_FINGERPRINT,
+        "fmtstr_daily_sinks": _SQL_FMTSTR_DAILY_SINKS,
+        "syslog_parse": _SQL_SYSLOG_PARSE,
+        "network_conditions": _SQL_NETWORK_CONDITIONS,
+        "enrich_broadcast": _SQL_ENRICH_BROADCAST,
+        "stable_ordering": _SQL_STABLE_ORDERING,
+        "decode_battery": _SQL_DECODE_BATTERY,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_jaccard": _SQL_DEDUP_JACCARD,
+        "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
+        "embed_neardup": _SQL_EMBED_NEARDUP,
+        "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
+        "text_stats": _SQL_TEXT_STATS,
+        "lang_id": _SQL_LANG_ID,
+        "quality_score": _SQL_QUALITY_SCORE,
+        "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
+        "multimodal_meta": _SQL_MULTIMODAL_META,
+        # no oracle (approximate / binary-only): dedup_simhash, knn_lsh,
+        # media_features
+    }
