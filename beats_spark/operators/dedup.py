@@ -165,7 +165,10 @@ def ngram_jaccard_pairs(
     this runs at 100 TB. Without a block col it degrades to a full
     cross join — only for small verification sets.
     """
+    from beats_spark.operators.scale import spread
+
     sh = shingles(F.col(text_col), n)
+    df = spread(df)
     left = df.select(
         F.col(id_col).alias("id_a"),
         sh.alias("sh_a"),
@@ -205,31 +208,54 @@ def minhash_lsh_pairs(
        LSH false positives cannot escape, output is a subset of the
        true pair set with recall set by (bands, rows-per-band).
     """
+    from beats_spark.operators.scale import spread
+
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
     rows_per_band = num_hashes // bands
-    sh = shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh")).withColumn(
-        "_sig", minhash_signature(F.col("_sh"), num_hashes, seed)
+    sh_df = spread(df).select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-    band_entries = base.select(
+
+    # Signatures in explode→groupBy form: one row per (doc, shingle),
+    # 64 universal hashes as plain codegen arithmetic, MIN aggregated
+    # with map-side partial combine — the shuffle carries only 64 longs
+    # per doc, never the shingles. (The Column-expression
+    # minhash_signature() is equivalent but interprets per element;
+    # this form is the 100 TB path.)
+    expl = sh_df.select("_id", F.explode("_sh").alias("_g")).withColumn(
+        "_x", F.pmod(F.xxhash64("_g"), F.lit(_MAX32 + 1))
+    )
+    params = _hash_params(num_hashes, seed)
+    sigs = expl.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(
+                f"_mh{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_entries = sigs.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                            *[
+                                F.col(f"_mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("sig"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
 
-    # cap pathological buckets: keep the max_bucket lowest ids per bucket
+    # cap pathological buckets (a boilerplate shingle-set shared by
+    # millions of docs would otherwise go quadratic inside one bucket)
     bucket_sizes = band_entries.groupBy("band", "sig").agg(
         F.count(F.lit(1)).alias("_n")
     )
@@ -239,19 +265,33 @@ def minhash_lsh_pairs(
         "left_anti",
     )
 
-    a = band_entries.select(
-        F.col("band"), F.col("sig"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
-    )
-    b = band_entries.select(
-        F.col("band"), F.col("sig"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
-    )
+    a = band_entries.select("band", "sig", F.col("_id").alias("id_a"))
+    b = band_entries.select("band", "sig", F.col("_id").alias("id_b"))
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    # exact-Jaccard verify: broadcast the (small) candidate set against
+    # the raw texts so shingles are recomputed ONLY for candidate rows —
+    # the full-corpus shingle arrays are never materialized twice.
+    # False positives cannot escape the exact check.
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
+    half = texts.join(F.broadcast(cand), texts["_tid"] == cand["id_a"]).select(
+        "id_a", "id_b", F.col("_ttext").alias("_text_a")
+    )
+    verified = (
+        texts.join(F.broadcast(half), texts["_tid"] == half["id_b"])
+        .select("id_a", "id_b", "_text_a", F.col("_ttext").alias("_text_b"))
+        .withColumn(
+            "jaccard",
+            jaccard(
+                shingles(F.col("_text_a"), shingle_n),
+                shingles(F.col("_text_b"), shingle_n),
+            ),
+        )
+    )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )
@@ -300,6 +340,36 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(_id, _sig) SimHash signatures in explode→groupBy form: one row
+    per (doc, token), per-bit ±1 contributions as codegen arithmetic,
+    64 SUM aggregates with map-side combine (shuffle = 64 ints/doc).
+    Bit-identical to the ``simhash`` Column expression."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("_h"), j).bitwiseAND(F.lit(1)).cast("int") * 2
+                - 1
+            ).alias(f"_b{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_val = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig.bitwiseXOR(
+            F.when(F.col(f"_b{j}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select("_id", sig.alias("_sig"))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -322,8 +392,7 @@ def simhash_pairs(
     """
     n_tables = max(n_tables, max_hamming + 1)
     band_bits = bits // n_tables
-    sig = simhash(F.col(text_col), bits)
-    base = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    base = simhash_signatures(df, text_col, id_col, bits)
     entries = base.select(
         "_id",
         "_sig",
@@ -371,20 +440,44 @@ def embedding_neardup_pairs(
     similarity.hyperplane_bucket), then exact cosine verify within
     buckets — the 100 TB path.
     """
-    from beats_spark.operators.similarity import cosine, hyperplane_bucket, l2_normalize
+    from beats_spark.operators.similarity import bucketize, score_pairs_cosine
+    from beats_spark.operators.scale import spread
 
-    base = df.select(
-        F.col(id_col).alias("_id"), l2_normalize(F.col(vec_col)).alias("_v")
-    )
     if n_planes:
-        dim = len(df.select(vec_col).first()[0])
-        base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
-        a = base.select("_bkt", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-        b = base.select("_bkt", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-        cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-        b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
-        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    out = cand.withColumn("cosine", cosine(F.col("va"), F.col("vb"), normalized=True))
-    return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+        # scale path: bucket-blocked candidates, exact rerank
+        bkts = bucketize(df, id_col, vec_col, n_planes, seed)
+        a = bkts.select("bkt", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = bkts.select("bkt", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, "bkt").drop("bkt").filter(F.col("id_a") < F.col("id_b"))
+        scored = score_pairs_cosine(cand, "va", "vb")
+        return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+    # exact mode (verification scale): the full normalized corpus rides
+    # in the task closure; each Arrow batch GEMMs against it and emits
+    # only pairs above threshold — no pair frame is ever materialized.
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    all_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    all_mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ all_mat.T
+            mask = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": ids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(
+        fn, "id_a long, id_b long, cosine double"
+    )

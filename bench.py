@@ -1,0 +1,167 @@
+"""Benchmark entrypoint (driver-run per round).
+
+Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pipeline_turns": N, "pipeline_turns_per_sec": T}
+
+The headline workload is the BASELINE.json north rule: parse → enrich →
+route → per-sink aggregate over deterministic synthetic multi-turn
+transcripts (input_hint schema), plus the heaviest contract queries
+(dedup, knn, text stats) over the sf tables. Scaling efficiency across
+two parallelism levels is measured by scripts/scaling.py (separate
+processes — one JVM cannot change master).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from beats_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def pipeline_bench(spark, n_convs: int) -> tuple[float, int]:
+    """The north-rule job: synth transcripts → full pipeline → per-sink
+    counts. Returns (seconds, turns)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.plans.pipeline import PipelineConfig, transform
+    from beats_spark.plans.router import META_SINK
+    from beats_spark.sources import synth_transcripts
+
+    df = synth_transcripts(spark, n_convs=n_convs)
+    cfg = PipelineConfig(
+        processors=[
+            {
+                "dissect": {
+                    "tokenizer": 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{message}"',
+                    "field": "text",
+                    "target_prefix": "",
+                }
+            },
+            {
+                "timestamp": {
+                    "field": "event_ts",
+                    "target_field": "ts2",
+                    "layouts": ["yyyy-MM-dd'T'HH:mm:ss'Z'"],
+                }
+            },
+            {
+                "enrich_lookup": {
+                    "key_field": "tool",
+                    "target_field": "category",
+                    "mapping": {
+                        "search": "retrieval",
+                        "browser": "retrieval",
+                        "python": "compute",
+                        "bash": "compute",
+                        "editor": "authoring",
+                        "none": "na",
+                    },
+                    "default": "na",
+                }
+            },
+            {
+                "enrich_lookup": {
+                    "key_field": "role",
+                    "target_field": "channel",
+                    "mapping": {
+                        "user": "inbound",
+                        "assistant": "outbound",
+                        "tool": "internal",
+                        "system": "control",
+                    },
+                    "default": "other",
+                }
+            },
+        ],
+        router_rules=[
+            {"when": {"equals": {"level": "error"}}, "index": "alerts"},
+            {"when": {"equals": {"role": "tool"}}, "index": "tools-%{[category]}"},
+            {"index": "%{[channel]}"},
+        ],
+        default_sink="main",
+    )
+    n_turns = df.count()  # materialize input size outside the timed window
+    t0 = time.time()
+    routed = transform(df, cfg)
+    counts = (
+        routed.groupBy(META_SINK).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    dt = time.time() - t0
+    assert sum(r["n"] for r in counts) == n_turns
+    return dt, n_turns
+
+
+# Heaviest representative contract queries (full materialization via
+# count(); results themselves are checked by the correctness gate).
+BENCH_QUERIES = [
+    "pipeline_fanout",
+    "dissect_typed",
+    "syslog_parse",
+    "enrich_broadcast",
+    "stable_ordering",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_neardup",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_stats",
+    "quality_score",
+    "rolling_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BEATS_BENCH_CONVS", "200000"))
+    spark = get_spark(app_name="beats_spark_bench", cores=cpus)
+
+    timings: dict[str, float] = {}
+
+    pipe_sec, turns = pipeline_bench(spark, n_convs)
+    timings["pipeline_e2e"] = round(pipe_sec, 3)
+
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "parse_enrich_route_plus_ops_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+                "cpus": cpus,
+                "pipeline_turns": turns,
+                "pipeline_turns_per_sec": round(turns / pipe_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
