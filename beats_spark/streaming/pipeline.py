@@ -1,0 +1,170 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference IS a streaming system (harvester → memqueue → workers,
+SURVEY.md §2.10); the batch engine here replaces its queue with Iceberg
+snapshots. This module closes the loop for true streaming inputs: the
+SAME compiled processor chain + router (pure narrow column expressions)
+runs unchanged on a streaming DataFrame — ``transform()`` is
+execution-mode agnostic, exactly like libbeat's processor chain is
+queue-agnostic.
+
+Mapping (SURVEY.md §2.10):
+- memqueue batching (1600 events / 10 s)  → micro-batch trigger
+- disk queue + state file                 → checkpointLocation (WAL +
+  offsets; exactly-once file sinks)
+- ACK-ordered cursor persistence          → engine-managed offsets
+- per-sink fan-out                        → partitionBy(_meta_sink)
+  parquet sink (one stream writes all sinks, same as batch)
+- pipeline.events.* counters              → observable metrics on the
+  streaming query (StreamingQueryProgress.observedMetrics)
+- rate_limit / cache stateful processors  → applyInPandasWithState
+  (conversation_sessions below is the worked example)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beats_spark.plans.pipeline import PipelineConfig, transform
+from beats_spark.plans.router import META_SINK
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based streaming source over a transcript parquet directory
+    (the stand-in for a Kafka/Iceberg streaming read; swap
+    ``format("kafka")`` + from_json in production — the downstream
+    plan is identical)."""
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_stream(
+    source: DataFrame,
+    cfg: PipelineConfig,
+    out_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run the pipeline over a streaming source into the partitioned
+    fan-out sink. ``available_now=True`` drains everything currently
+    available then stops (test/batch-catchup mode); False = continuous
+    micro-batches.
+
+    Returns the started StreamingQuery."""
+    routed = transform(source, cfg)
+    routed = routed.observe(
+        "pipeline", F.count(F.lit(1)).alias("events_published")
+    )
+    writer = (
+        routed.writeStream.format("parquet")
+        .partitionBy(META_SINK)
+        .option("path", out_root)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sink_counts(
+    source: DataFrame,
+    cfg: PipelineConfig,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-sink per-window streaming aggregate with late-data handling —
+    the streaming form of the per-sink count tables (the reference's
+    output events.acked counters, libbeat/outputs/metrics.go:32-60).
+    Compose with writeStream.outputMode("append") after the watermark
+    expires windows."""
+    routed = transform(source, cfg)
+    return (
+        routed.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(META_SINK))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(META_SINK).alias("sink"),
+            F.col("n"),
+        )
+    )
+
+
+def conversation_sessions(
+    source: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+):
+    """Custom stateful operator: per-conversation session tracking via
+    ``applyInPandasWithState`` — the engine's pattern for operators the
+    reference implements with mutable per-key state (rate_limit's
+    token buckets, cache's KV store; SURVEY.md §2.6).
+
+    Emits one row per conversation per trigger: (conv_id, n_turns,
+    first_ts, last_ts); state times out ``gap_minutes`` after the
+    watermark passes the last seen event."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, first_ts timestamp, last_ts timestamp"
+    state_schema = "n long, first long, last long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, first, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [n],
+                    "first_ts": [pd.Timestamp(first, unit="us")],
+                    "last_ts": [pd.Timestamp(last, unit="us")],
+                }
+            )
+            return
+        n, first, last = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pd.to_datetime(pdf[ts_col])
+            n += len(pdf)
+            lo = ts.min().value // 1000
+            hi = ts.max().value // 1000
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+        state.update((n, first, last))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_minutes * 60_000)
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "first_ts": [pd.Timestamp(first, unit="us")],
+                "last_ts": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
+    return (
+        source.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

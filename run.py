@@ -1,0 +1,115 @@
+"""spark-submit entrypoint for the beats_spark pipeline.
+
+Usage (cluster)::
+
+    python scripts/package.py             # builds dist/beats_spark.zip
+    spark-submit --py-files dist/beats_spark.zip \
+        run.py --config job.json --source /data/transcripts \
+        --out-root /data/sinks --lineage /data/lineage \
+        --run-id nightly-2026-01-01 [--resume]
+
+``--master`` comes from spark-submit; this script only builds the
+session config (shuffle partitions, AQE, Arrow) on top of whatever
+cluster manager provides. In local development it falls back to
+``local[*]``.
+
+The config file is JSON with the PipelineConfig fields::
+
+    {"processors": [...], "router_rules": [...],
+     "default_sink": "main", "key_field": "conv_id", "n_buckets": 64}
+
+If ``--synth N`` is given instead of --source, N deterministic
+synthetic conversations are generated (seed-fixed) — the self-contained
+benchmark/demo mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="beats_spark pipeline job")
+    p.add_argument("--config", required=True, help="pipeline config JSON file")
+    p.add_argument("--source", help="input parquet path / Iceberg table")
+    p.add_argument("--synth", type=int, default=0, help="generate N synthetic conversations")
+    p.add_argument("--out-root", help="sink root (parquet dir or Iceberg prefix)")
+    p.add_argument("--lineage", help="lineage/checkpoint table path (enables resume)")
+    p.add_argument("--run-id", default="run-0", help="stable id for checkpoint identity")
+    p.add_argument("--resume", action="store_true", help="skip committed buckets of run-id")
+    p.add_argument("--chunk-size", type=int, default=8)
+    p.add_argument("--metrics-out", help="write metrics JSON here")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from beats_spark.plans.pipeline import PipelineConfig, run as run_batch
+    from beats_spark.plans.lineage import run_checkpointed
+    from beats_spark.sources import synth_transcripts
+
+    with open(args.config) as f:
+        cfg_raw = json.load(f)
+    cfg = PipelineConfig(**cfg_raw)
+    if args.out_root:
+        cfg.out_root = args.out_root
+
+    # under spark-submit the master/deploy-mode is already decided;
+    # standalone execution gets a local session with the same tuning
+    builder = (
+        SparkSession.builder.appName("beats_spark_job")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+
+    if args.synth:
+        source = synth_transcripts(spark, n_convs=args.synth)
+    elif args.source:
+        source = spark.read.parquet(args.source)
+    else:
+        print("need --source or --synth", file=sys.stderr)
+        return 2
+
+    t0 = time.time()
+    if args.lineage:
+        if not (cfg.n_buckets and cfg.out_root):
+            print("--lineage needs n_buckets and out_root in config", file=sys.stderr)
+            return 2
+        res = run_checkpointed(
+            spark,
+            source,
+            cfg,
+            run_id=args.run_id,
+            lineage_path=args.lineage,
+            chunk_size=args.chunk_size,
+        )
+        payload = {
+            "run_id": res.run_id,
+            "buckets_done": res.buckets_done,
+            "buckets_skipped": res.buckets_skipped,
+            "sink_counts": res.sink_counts,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+    else:
+        res = run_batch(spark, source, cfg)
+        payload = {
+            "metrics": res.metrics,
+            "sink_counts": res.sink_counts,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+
+    out = json.dumps(payload)
+    print(out)
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as f:
+            f.write(out + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,120 @@
+"""Structured Streaming pipeline tests: stream/batch parity, windowed
+counts, stateful sessions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.plans.pipeline import PipelineConfig, transform
+from beats_spark.plans.router import META_SINK
+from beats_spark.streaming.pipeline import (
+    conversation_sessions,
+    read_transcript_stream,
+    run_stream,
+    windowed_sink_counts,
+)
+
+CFG = PipelineConfig(
+    processors=[
+        {
+            "dissect": {
+                "tokenizer": 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{message}"',
+                "field": "text",
+                "target_prefix": "",
+            }
+        },
+        {
+            "enrich_lookup": {
+                "key_field": "role",
+                "target_field": "channel",
+                "mapping": {
+                    "user": "inbound",
+                    "assistant": "outbound",
+                    "tool": "internal",
+                    "system": "control",
+                },
+                "default": "other",
+            }
+        },
+    ],
+    router_rules=[
+        {"when": {"equals": {"level": "error"}}, "index": "alerts"},
+        {"index": "%{[channel]}"},
+    ],
+    default_sink="main",
+)
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, transcripts, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    transcripts.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_matches_batch(spark, transcripts, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    q = run_stream(src, CFG, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r[META_SINK]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy(META_SINK)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expected = {
+        r[META_SINK]: r["n"]
+        for r in transform(transcripts, CFG)
+        .groupBy(META_SINK)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_stream_restart_is_exactly_once(spark, transcripts, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    run_stream(src, CFG, out, ckpt, available_now=True).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # restart against the same checkpoint: nothing new → no duplicates
+    run_stream(src, CFG, out, ckpt, available_now=True).awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == transcripts.count()
+
+
+def test_windowed_counts_plan_is_streaming(spark, stream_input):
+    src = read_transcript_stream(spark, stream_input)
+    agg = windowed_sink_counts(src, CFG, window="1 hour", watermark="2 hours")
+    assert agg.isStreaming
+    assert set(agg.columns) == {"window_start", "sink", "n"}
+
+
+def test_conversation_sessions_stateful(spark, transcripts, stream_input, tmp_path):
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=8)
+    sess = conversation_sessions(src, gap_minutes=30)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select conv_id, max(n_turns) as n from sessions group by conv_id"
+    ).collect()
+    expected = {
+        r["conv_id"]: r["n"]
+        for r in transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got_map = {r["conv_id"]: r["n"] for r in got}
+    # every conversation appears with its cumulative turn count
+    assert got_map == expected
