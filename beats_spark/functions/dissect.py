@@ -24,9 +24,11 @@ Semantics preserved from the reference (cited file:line):
   content after it is ignored (no end anchor) — parser.go:68-71 with
   the extract loop. Without a trailing literal the last key takes the
   remainder of the string (possibly empty) — dissect.go:180-183.
-- append fields are joined with ``" "`` (or ``append_separator``) in
-  ordinal order, appearance order for equal ordinals — parser.go:81-84,
-  const.go:54.
+- append fields are joined in ordinal order (appearance order for
+  equal ordinals), each appended value prefixed by ITS OWN preceding
+  tokenizer delimiter, or ``" "`` when that delimiter is empty —
+  field.go:220-235 (JoinString), const.go:54. An explicit
+  ``append_separator`` overrides every joiner (engine extension).
 - type conversion right-trims spaces then parses — dissect.go:248-252.
   Difference (documented): on conversion failure the reference keeps
   the raw string in an ``any``-typed map; a relational column has one
@@ -88,6 +90,7 @@ class _Key:
     dtype: str | None = None
     group: str = ""  # regex group name, assigned at compile
     seq: int = 0
+    prev_delim: str = ""  # tokenizer delimiter before this field
 
 
 @dataclass
@@ -100,7 +103,7 @@ class DissectPattern:
     """
 
     tokenizer: str
-    append_separator: str = " "
+    append_separator: str | None = None  # None = reference semantics
     regex: str = dc_field(init=False, default="")
     _keys: list[_Key] = dc_field(init=False, default_factory=list)
 
@@ -116,7 +119,9 @@ class DissectPattern:
         pos = 0
         for i, m in enumerate(matches):
             delim, rawkey = m.group(1), m.group(2)
-            pairs.append((delim, self._parse_key(rawkey, i)))
+            key = self._parse_key(rawkey, i)
+            key.prev_delim = delim
+            pairs.append((delim, key))
             pos = m.end()
         trailing = self.tokenizer[pos:]
 
@@ -199,9 +204,23 @@ class DissectPattern:
         return None
 
     def _groups_for(self, name: str) -> list[str]:
+        return [g for g, _ in self._join_plan(name)]
+
+    def _join_plan(self, name: str) -> list[tuple[str, str]]:
+        """(group, joiner) in application order; joiner precedes the
+        value when appending to an existing one (field.go:220-235):
+        the field's own preceding delimiter, " " when empty, or the
+        explicit append_separator override."""
         ks = [k for k in self._keys if k.name == name and not k.skip]
-        ks.sort(key=lambda k: (k.ordinal, k.seq))  # parser.go:81-84
-        return [k.group for k in ks]
+        ks.sort(key=lambda k: (k.ordinal, k.seq))
+        out = []
+        for k in ks:
+            if self.append_separator is not None:
+                joiner = self.append_separator
+            else:
+                joiner = k.prev_delim if k.prev_delim else " "
+            out.append((k.group, joiner))
+        return out
 
     # -- execution: pandas (Arrow-vectorized) ---------------------------
     def extract_pandas(self, s: pd.Series) -> pd.DataFrame:
@@ -210,13 +229,11 @@ class DissectPattern:
         ext = s.astype("string").str.extract(self._compiled, expand=True)
         out = pd.DataFrame(index=s.index)
         for name in self.keys():
-            groups = self._groups_for(name)
-            if len(groups) == 1:
-                out[name] = ext[groups[0]]
-            else:
-                out[name] = ext[groups[0]].str.cat(
-                    [ext[g] for g in groups[1:]], sep=self.append_separator
-                )
+            plan = self._join_plan(name)
+            acc = ext[plan[0][0]]
+            for g, joiner in plan[1:]:
+                acc = acc + joiner + ext[g]
+            out[name] = acc
         # extract yields NaN for every group on unmatched rows; our groups
         # are non-optional so first-group notna() == row matched.
         out["_match"] = ext[self._groups_for(self.keys()[0])[0]].notna()
@@ -258,9 +275,11 @@ class DissectPattern:
         matched = col.rlike(java_regex)
         out: dict[str, Column] = {}
         for name in self.keys():
-            groups = self._groups_for(name)
-            parts = [F.regexp_extract(col, java_regex, idx[g]) for g in groups]
-            v = parts[0] if len(parts) == 1 else F.concat_ws(self.append_separator, *parts)
+            plan = self._join_plan(name)
+            pieces: list[Column] = [F.regexp_extract(col, java_regex, idx[plan[0][0]])]
+            for g, joiner in plan[1:]:
+                pieces += [F.lit(joiner), F.regexp_extract(col, java_regex, idx[g])]
+            v = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
             out[name] = F.when(matched, v)
         out["_match"] = matched
         return out

@@ -57,7 +57,7 @@ class Dissect(Processor):
         super().__init__(cfg)
         self.pattern = DissectPattern(
             self.cfg["tokenizer"],
-            append_separator=self.cfg.get("append_separator", " "),
+            append_separator=self.cfg.get("append_separator"),
         )
         self.field = _flat(self.cfg.get("field", "message"))
         prefix = self.cfg.get("target_prefix", "dissect")
