@@ -144,3 +144,45 @@ def test_synth_is_deterministic(spark):
         .first()
     )
     assert sizes[0] >= 10 * max(sizes[1], 1)
+
+
+def test_crash_mid_run_then_resume(spark, transcripts, tmp_path, monkeypatch):
+    """Kill the job after the first committed chunk (the verify-skill
+    crash recipe), resume with the same run_id: committed buckets are
+    skipped and the final sinks are byte-identical to an uninterrupted
+    run — the cursor-persist-on-ACK guarantee
+    (input-cursor/publish.go:49-81) in batch form."""
+    import beats_spark.plans.lineage as lineage_mod
+    from beats_spark.plans.lineage import run_checkpointed
+
+    cfg_ref = pipeline_cfg(out_root=str(tmp_path / "ref"), n_buckets=8)
+    run_checkpointed(spark, transcripts, cfg_ref, "ref", str(tmp_path / "lin_ref"), chunk_size=3)
+
+    cfg = pipeline_cfg(out_root=str(tmp_path / "crash"), n_buckets=8)
+    real_transform = lineage_mod.transform
+    calls = {"n": 0}
+
+    def dying_transform(df, c):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash after first chunk")
+        return real_transform(df, c)
+
+    monkeypatch.setattr(lineage_mod, "transform", dying_transform)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_checkpointed(
+            spark, transcripts, cfg, "crashrun", str(tmp_path / "lin_c"), chunk_size=3
+        )
+    monkeypatch.setattr(lineage_mod, "transform", real_transform)
+
+    resumed = run_checkpointed(
+        spark, transcripts, cfg, "crashrun", str(tmp_path / "lin_c"), chunk_size=3
+    )
+    assert resumed.buckets_skipped == 3  # the one committed chunk
+    assert resumed.buckets_done == 5
+
+    a = spark.read.parquet(str(tmp_path / "ref")).orderBy("conv_id", "turn_idx").toPandas()
+    b = spark.read.parquet(str(tmp_path / "crash")).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_index(axis=1), b.sort_index(axis=1), check_dtype=False
+    )
