@@ -945,6 +945,114 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-ROW equality (not just counts): every event's parsed
+    fields + assigned sink, row by row — the north rule's
+    "routed-row sets match" check."""
+    from beats_spark.operators.base import build_chain
+    from beats_spark.plans.router import META_SINK, route
+    from beats_spark.plans.sinks import redirect_dead_letters
+
+    raw = _raw_lines(spark, sf_dir)
+    chain = build_chain(
+        [
+            {"dissect": {"tokenizer": _DISSECT_TOK, "field": "text", "target_prefix": ""}},
+            {
+                "enrich_lookup": {
+                    "key_field": "level",
+                    "target_field": "channel",
+                    "mapping": {
+                        "error": "alerts",
+                        "warn": "alerts",
+                        "info": "standard",
+                        "debug": "diagnostics",
+                    },
+                    "default": "other",
+                }
+            },
+        ]
+    )
+    df = chain(raw)
+    df = route(
+        df,
+        rules=[
+            {"when": {"equals": {"level": "error"}}, "index": "errors"},
+            {"when": {"range": {"uid": {"gte": 40}}}, "index": "power-%{[channel]}"},
+            {"index": "%{[level]}", "mappings": {"info": "standard"}, "default": "bulk"},
+        ],
+        default="main",
+    )
+    df = redirect_dead_letters(df)
+    return df.select(
+        "event_id",
+        F.col("level"),
+        F.col("uid"),
+        F.col("message"),
+        F.col("channel"),
+        F.col(META_SINK).alias("sink"),
+    )
+
+
+_SQL_PIPELINE_ROWS = f"""
+WITH base AS (
+  SELECT event_id, user_id, {_LEVEL_SQL} AS lvl, event_id % 47 = 0 AS malformed,
+         event_type
+  FROM events
+), parsed AS (
+  SELECT event_id,
+         CASE WHEN malformed THEN NULL ELSE lvl END AS level,
+         CASE WHEN malformed THEN NULL ELSE user_id END AS uid,
+         CASE WHEN malformed THEN NULL ELSE event_type END AS message,
+         CASE WHEN malformed THEN 'other' ELSE
+           CASE lvl WHEN 'error' THEN 'alerts' WHEN 'warn' THEN 'alerts'
+                WHEN 'info' THEN 'standard' ELSE 'diagnostics' END END AS channel,
+         malformed
+  FROM base)
+SELECT event_id, level, uid, message, channel,
+       CASE WHEN malformed THEN '_dlq'
+            WHEN level = 'error' THEN 'errors'
+            WHEN uid >= 40 THEN 'power-' || channel
+            WHEN level = 'info' THEN 'standard'
+            ELSE 'bulk' END AS sink
+FROM parsed
+"""
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate_limit processor (batch form): first 2 events per user per
+    day in stable (ts, event_id) order survive."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain(
+        [
+            {
+                "rate_limit": {
+                    "limit": 2,
+                    "fields": ["user_id"],
+                    "period": "1 day",
+                    "ts_field": "ts",
+                    "order_by": ["ts", "event_id"],
+                }
+            }
+        ]
+    )
+    return chain(ev).select("event_id", "user_id")
+
+
+_SQL_RATE_LIMIT = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -958,6 +1066,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_fanout": q_pipeline_fanout,
+        "pipeline_rows": q_pipeline_rows,
+        "rate_limit": q_rate_limit,
         "dissect_typed": q_dissect_typed,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
@@ -991,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
+        "pipeline_rows": _SQL_PIPELINE_ROWS,
+        "rate_limit": _SQL_RATE_LIMIT,
         "dissect_typed": _SQL_DISSECT_TYPED,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,

@@ -17,5 +17,6 @@ from beats_spark.operators.base import (  # noqa: F401
 # import for registration side effects
 from beats_spark.operators import conditionals as _conditionals  # noqa: F401
 from beats_spark.operators import enrich as _enrich  # noqa: F401
+from beats_spark.operators import flowctl as _flowctl  # noqa: F401
 from beats_spark.operators import mutate as _mutate  # noqa: F401
 from beats_spark.operators import parse as _parse  # noqa: F401

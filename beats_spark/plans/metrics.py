@@ -30,6 +30,14 @@ class PipelineMetrics:
         self._obs["total"] = obs
         return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
+    def observe_stage(self, df: DataFrame, stage: str) -> DataFrame:
+        """Rows leaving a processor stage — the per-processor in/out/
+        dropped counters (monitoring.go:139-177): stage N's `in` is
+        stage N-1's `out`, `dropped` is the difference."""
+        obs = Observation(f"pipeline.{stage}")
+        self._obs[f"stage:{stage}"] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
     def observe_published(
         self, df: DataFrame, sink_names: list[str] | None = None, sink_col: str = "_meta_sink"
     ) -> DataFrame:
@@ -57,6 +65,9 @@ class PipelineMetrics:
             for k, v in got.items():
                 if k.startswith("sink."):
                     out[f"output.{k[5:]}.events.acked"] = int(v or 0)
+        for key, obs in self._obs.items():
+            if key.startswith("stage:"):
+                out[f"pipeline.{key[6:]}.events.out"] = int(obs.get["n"])
         if "pipeline.events.total" in out and "pipeline.events.published" in out:
             out["pipeline.events.filtered"] = (
                 out["pipeline.events.total"] - out["pipeline.events.published"]

@@ -44,6 +44,7 @@ class PipelineConfig:
     router_rules: list[dict[str, Any]] = dc_field(default_factory=list)
     default_sink: str = "main"
     dead_letter: bool = True
+    stage_metrics: bool = False  # per-processor events.out observations
     dead_letter_tags: list[str] | None = None
     key_field: str = "conv_id"  # salting / bucketing key
     n_buckets: int = 0  # 0 = no explicit bucket column
@@ -66,12 +67,21 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
-def transform(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def transform(
+    df: DataFrame, cfg: PipelineConfig, metrics: "PipelineMetrics | None" = None
+) -> DataFrame:
     """The narrow stage: chain + router + DLQ redirect + bucket stamp.
     Pure column expressions — inspect with .explain(): one
-    WholeStageCodegen span over the scan."""
+    WholeStageCodegen span over the scan. With ``cfg.stage_metrics``
+    and a metrics object, a per-processor events.out observation rides
+    the same action (zero extra passes)."""
     chain = build_chain(cfg.processors)
-    df = chain(df)
+    if metrics is not None and cfg.stage_metrics:
+        for i, p in enumerate(chain.processors):  # type: ignore[attr-defined]
+            df = p(df)
+            df = metrics.observe_stage(df, f"processor.{i}.{p.name}")
+    else:
+        df = chain(df)
     df = route(df, cfg.router_rules, default=cfg.default_sink, ts_col=cfg.ts_col)
     if cfg.dead_letter:
         df = redirect_dead_letters(df, cfg.dead_letter_tags)
@@ -92,7 +102,7 @@ def run(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> RunResul
     plans.lineage for the resumable variant)."""
     metrics = PipelineMetrics()
     df = metrics.observe_total(source)
-    df = transform(df, cfg)
+    df = transform(df, cfg, metrics)
     df = metrics.observe_published(df, expected_sinks(cfg))
 
     if cfg.out_root:

@@ -1,0 +1,110 @@
+"""rate_limit processor, per-stage metrics, Iceberg fallback IO."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+
+
+def test_rate_limit_global_and_keyed(spark):
+    rows = [(i, i % 3, f"2026-01-01 00:{i:02d}:00") for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, k int, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    keyed = build_chain(
+        [{"rate_limit": {"limit": 4, "fields": ["k"], "order_by": ["ts", "event_id"]}}]
+    )(df)
+    got = keyed.groupBy("k").count().collect()
+    assert all(r["count"] == 4 for r in got)
+    # first-in-order events survive
+    kept = {r["event_id"] for r in keyed.collect()}
+    assert kept == {i for i in range(30) if i // 3 < 4}
+
+    global_lim = build_chain(
+        [{"rate_limit": {"limit": 7, "order_by": ["ts", "event_id"]}}]
+    )(df)
+    assert global_lim.count() == 7
+
+
+def test_rate_limit_windowed(spark):
+    # 10 events/minute across 3 minutes, limit 2 per minute
+    rows = [(m * 100 + i, f"2026-01-01 00:{m:02d}:{i:02d}") for m in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = build_chain(
+        [{"rate_limit": {"limit": 2, "period": "1 minute", "order_by": ["ts", "event_id"]}}]
+    )(df)
+    assert out.count() == 6
+    assert {r["event_id"] for r in out.collect()} == {0, 1, 100, 101, 200, 201}
+
+
+def test_rate_limit_respects_when(spark):
+    rows = [(i, "keep" if i % 2 else "limit") for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, cls string")
+    out = build_chain(
+        [
+            {
+                "rate_limit": {
+                    "limit": 3,
+                    "order_by": ["event_id"],
+                    "when": {"equals": {"cls": "limit"}},
+                }
+            }
+        ]
+    )(df)
+    # 10 'keep' rows pass untouched; 'limit' rows capped at 3
+    assert out.filter(F.col("cls") == "keep").count() == 10
+    assert out.filter(F.col("cls") == "limit").count() == 3
+
+
+def test_per_stage_metrics(spark, transcripts):
+    from beats_spark.plans.metrics import PipelineMetrics
+    from beats_spark.plans.pipeline import PipelineConfig, transform
+    from beats_spark.plans.router import META_SINK
+
+    cfg = PipelineConfig(
+        processors=[
+            {
+                "dissect": {
+                    "tokenizer": 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{message}"',
+                    "field": "text",
+                    "target_prefix": "",
+                }
+            },
+            {"drop_event": {"when": {"equals": {"level": "debug"}}}},
+        ],
+        router_rules=[{"index": "%{[role]}"}],
+        stage_metrics=True,
+    )
+    m = PipelineMetrics()
+    df = m.observe_total(transcripts)
+    df = transform(df, cfg, m)
+    df.groupBy(META_SINK).count().collect()
+    got = m.collect()
+    total = got["pipeline.events.total"]
+    out0 = got["pipeline.processor.0.dissect.events.out"]
+    out1 = got["pipeline.processor.1.drop_event.events.out"]
+    assert out0 == total  # dissect tags, never drops
+    assert 0 < out1 < total  # drop_event removed the debug rows
+
+
+def test_iceberg_fallback_roundtrip(spark, tmp_path):
+    from beats_spark.sources.iceberg import (
+        append_table,
+        iceberg_available,
+        overwrite_partitions,
+        read_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10).withColumn("p", F.col("id") % 2)
+    assert not iceberg_available(spark, path)
+    assert not iceberg_available(spark, "nocatalog.db.tbl")
+    append_table(df, path)
+    append_table(df, path)
+    assert read_table(spark, path).count() == 20
+    overwrite_partitions(df, str(tmp_path / "tbl2"))
+    assert read_table(spark, str(tmp_path / "tbl2")).count() == 10
