@@ -18,5 +18,7 @@ from beats_spark.operators.base import (  # noqa: F401
 from beats_spark.operators import conditionals as _conditionals  # noqa: F401
 from beats_spark.operators import enrich as _enrich  # noqa: F401
 from beats_spark.operators import flowctl as _flowctl  # noqa: F401
+from beats_spark.operators import netsec as _netsec  # noqa: F401
+from beats_spark.operators import compat as _compat  # noqa: F401
 from beats_spark.operators import mutate as _mutate  # noqa: F401
 from beats_spark.operators import parse as _parse  # noqa: F401

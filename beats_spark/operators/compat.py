@@ -1,0 +1,286 @@
+"""Reference-name compatibility processors.
+
+Every processor here is registered under the exact config name the
+reference uses, so a Beats YAML ``processors:`` block ports over
+unchanged. The batch realizations of the stateful/IO-bound ones share
+one physical operator — the broadcast lookup join — because at 100 TB
+a live KV/DNS/LDAP call per event is not a thing: deployments
+materialize the lookup source as a table and join it (SURVEY.md §2.6
+maps cache/dns/translate_* to exactly this).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import (
+    Processor,
+    ProcessorConfigError,
+    Updates,
+    add_flag,
+    register,
+)
+from beats_spark.operators.enrich import EnrichLookup
+
+
+def _lookup(cfg: dict[str, Any]) -> EnrichLookup:
+    return EnrichLookup(cfg)
+
+
+@register
+class Cache(Processor):
+    """cache (get mode): enrich from a materialized KV store.
+    Ref: libbeat/processors/cache/cache.go:40,128, config.go:25-41.
+    Batch form: the store is a mapping/table config (the snapshot of
+    the KV store at plan time); TTL/put/delete are ingest-side concerns
+    of the store table itself."""
+
+    name = "cache"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        get = self.cfg.get("get", self.cfg)
+        return _lookup(
+            {
+                "key_field": get["key_field"],
+                "target_field": get.get("target_field", "cache_value"),
+                "mapping": self.cfg.get("mapping"),
+                "table": self.cfg.get("table"),
+                "default": self.cfg.get("default"),
+                "when": self.when,
+            }
+        ).apply(df)
+
+
+@register
+class Dns(Processor):
+    """dns: reverse/forward lookup against a materialized resolution
+    table (ip→name or name→ip). Ref: libbeat/processors/dns/dns.go:80.
+    Live resolution per event does not scale; ship the rDNS zone as a
+    dimension table."""
+
+    name = "dns"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields: dict[str, str] = self.cfg.get("fields", {})
+        if not fields:
+            raise ProcessorConfigError("dns: needs fields {src: dst}")
+        out = df
+        for src, dst in fields.items():
+            out = _lookup(
+                {
+                    "key_field": src,
+                    "target_field": dst,
+                    "mapping": self.cfg.get("mapping"),
+                    "table": self.cfg.get("table"),
+                    "default": self.cfg.get("default"),
+                    "when": self.when,
+                }
+            ).apply(out)
+        return out
+
+
+@register
+class TranslateSID(Processor):
+    """translate_sid: Windows SID → account name via lookup table.
+    Ref: libbeat/processors/translate_sid/translatesid.go:75."""
+
+    name = "translate_sid"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return _lookup(
+            {
+                "key_field": self.cfg["field"],
+                "target_field": self.cfg.get("account_name_target", "account_name"),
+                "mapping": self.cfg.get("mapping"),
+                "table": self.cfg.get("table"),
+                "default": self.cfg.get("default"),
+                "when": self.when,
+            }
+        ).apply(df)
+
+
+@register
+class TranslateLdap(Processor):
+    """translate_ldap_attribute: LDAP attribute lookup via materialized
+    directory table. Ref: translate_ldap_attribute/translate_ldap_attribute.go:141."""
+
+    name = "translate_ldap_attribute"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return _lookup(
+            {
+                "key_field": self.cfg["field"],
+                "target_field": self.cfg.get("target_field", self.cfg["field"] + "_translated"),
+                "mapping": self.cfg.get("mapping"),
+                "table": self.cfg.get("table"),
+                "default": self.cfg.get("default"),
+                "when": self.when,
+            }
+        ).apply(df)
+
+
+@register
+class DecodeXml(Processor):
+    """decode_xml: XML string → map<string,string> of child-element
+    text (depth-1 closed form of the reference's nested decode,
+    libbeat/processors/decode_xml/decode_xml.go:48-62,88). Runs as an
+    Arrow pandas UDF over stdlib xml.etree — batch-at-a-time, no
+    per-row Python interpreter round trips. Parse failures tag
+    ``decode_xml_error`` and yield null (tag-and-continue)."""
+
+    name = "decode_xml"
+
+    def updates(self, df: DataFrame) -> Updates:
+        from pyspark.sql import types as T
+
+        field = self.cfg["field"]
+        target = self.cfg.get("target", field + "_xml")
+        if field not in df.columns:
+            raise ProcessorConfigError(f"decode_xml: field {field!r} missing")
+
+        @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+        def _decode(s: pd.Series) -> pd.Series:
+            import xml.etree.ElementTree as ET
+
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    root = ET.fromstring(v)
+                except ET.ParseError:
+                    return None
+                out = {c.tag: (c.text or "") for c in root}
+                if not out and root.text:
+                    out = {root.tag: root.text}
+                return out
+
+            return s.map(one)
+
+        decoded = _decode(F.col(field))
+        out = {target: decoded}
+        if not self.cfg.get("ignore_failure", False):
+            out["flags"] = add_flag(
+                df, "decode_xml_error", F.col(field).isNotNull() & decoded.isNull()
+            )
+        return Updates(set=out)
+
+
+@register
+class Script(Processor):
+    """script: user-defined transformation. The reference embeds a
+    JavaScript engine (libbeat/processors/script/javascript.go:51);
+    this engine's extension surface is declarative Spark SQL
+    expressions (plan-compiled, codegen'd) and registered pandas UDFs —
+    per input_hint, no per-row Python.
+
+    Config::
+
+        {"lang": "sql", "columns": {"speed": "distance / time",
+                                    "flag": "value > 10"}}
+    """
+
+    name = "script"
+
+    def updates(self, df: DataFrame) -> Updates:
+        lang = self.cfg.get("lang", "sql")
+        if lang != "sql":
+            raise ProcessorConfigError(
+                f"script: lang {lang!r} unsupported — the Spark-native script "
+                "surface is SQL expressions ('sql') or a registered pandas UDF"
+            )
+        cols = self.cfg.get("columns", {})
+        if not cols:
+            raise ProcessorConfigError("script: needs columns {name: sql_expr}")
+        return Updates(set={name: F.expr(sql) for name, sql in cols.items()})
+
+
+@register
+class AddDataStream(Processor):
+    """add_data_stream: stamp the (type, dataset, namespace) routing
+    triple + the derived stream name. Ref: libbeat/processors/add_data_stream/."""
+
+    name = "add_data_stream"
+
+    def updates(self, df: DataFrame) -> Updates:
+        typ = str(self.cfg.get("type", "logs"))
+        dataset = str(self.cfg.get("dataset", "generic"))
+        namespace = str(self.cfg.get("namespace", "default"))
+        return Updates(
+            set={
+                "data_stream_type": F.lit(typ),
+                "data_stream_dataset": F.lit(dataset),
+                "data_stream_namespace": F.lit(namespace),
+                "data_stream": F.lit(f"{typ}-{dataset}-{namespace}"),
+            }
+        )
+
+
+@register
+class AddLocale(Processor):
+    """add_locale: annotate the event timezone. Deterministic form:
+    the timezone comes from config (or the session zone), never the
+    executor's wall clock. Ref: libbeat/processors/add_locale/add_locale.go:100."""
+
+    name = "add_locale"
+
+    def updates(self, df: DataFrame) -> Updates:
+        tz = self.cfg.get("timezone") or df.sparkSession.conf.get(
+            "spark.sql.session.timeZone", "UTC"
+        )
+        return Updates(set={"event_timezone": F.lit(tz)})
+
+
+@register
+class Now(Processor):
+    """now: stamp a wall-clock column. ``fixed`` pins the value for
+    deterministic/replayable runs (excluded from equality-checked
+    paths otherwise). Ref: libbeat/processors/now/now.go:65."""
+
+    name = "now"
+
+    def updates(self, df: DataFrame) -> Updates:
+        target = self.cfg.get("target_field", "now")
+        fixed = self.cfg.get("fixed")
+        col = F.to_timestamp(F.lit(fixed)) if fixed else F.current_timestamp()
+        return Updates(set={target: col})
+
+
+class _ConstantMetadata(Processor):
+    """Environment-metadata family: the reference gathers host/agent/
+    cloud/orchestrator facts once at startup and stamps them on every
+    event (e.g. add_host_metadata/add_host_metadata.go:44-53). On a
+    cluster the driver resolves the facts once at plan build; executors
+    stamp literals — zero per-event work. Config: ``fields`` mapping of
+    column → constant (anything the deployment's controller knows)."""
+
+    prefix = "meta"
+
+    def updates(self, df: DataFrame) -> Updates:
+        fields: dict[str, Any] = self.cfg.get("fields", {})
+        if not fields:
+            raise ProcessorConfigError(f"{self.name}: needs fields {{name: value}}")
+        return Updates(
+            set={f"{self.prefix}_{k}": F.lit(v) for k, v in fields.items()}
+        )
+
+
+for _name, _prefix in [
+    ("add_host_metadata", "host"),
+    ("add_agent_metadata", "agent"),
+    ("add_observer_metadata", "observer"),
+    ("add_cloud_metadata", "cloud"),
+    ("add_docker_metadata", "container"),
+    ("add_kubernetes_metadata", "kubernetes"),
+    ("add_process_metadata", "process"),
+]:
+    _cls = type(
+        _name.title().replace("_", ""),
+        (_ConstantMetadata,),
+        {"name": _name, "prefix": _prefix},
+    )
+    register(_cls)

@@ -1,0 +1,111 @@
+"""Reference-name compat processors + community_id spec parity."""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import socket
+import struct
+
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+
+
+def py_community_id_v1(sip, dip, sp, dp, proto, seed=0):
+    """Independent oracle: the public Community ID v1 spec."""
+    a = socket.inet_aton(sip) + struct.pack(">H", sp)
+    b = socket.inet_aton(dip) + struct.pack(">H", dp)
+    if a > b:
+        sip, dip, sp, dp = dip, sip, dp, sp
+    material = (
+        struct.pack(">H", seed)
+        + socket.inet_aton(sip)
+        + socket.inet_aton(dip)
+        + struct.pack("BB", proto, 0)
+        + struct.pack(">HH", sp, dp)
+    )
+    return "1:" + base64.b64encode(hashlib.sha1(material).digest()).decode()
+
+
+def test_community_id_matches_spec(spark):
+    rows = [
+        ("128.232.110.120", "66.35.250.204", 34855, 80, "tcp"),
+        ("66.35.250.204", "128.232.110.120", 80, 34855, "tcp"),  # reversed flow
+        ("10.0.0.1", "10.0.0.2", 1234, 53, "udp"),
+        ("192.168.1.1", "8.8.8.8", 40000, 443, "6"),  # numeric proto
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "source_ip string, destination_ip string, source_port int, "
+        "destination_port int, transport_protocol string",
+    )
+    out = build_chain([{"community_id": {}}])(df).collect()
+    protos = {"tcp": 6, "udp": 17, "6": 6}
+    for r in out:
+        expect = py_community_id_v1(
+            r.source_ip,
+            r.destination_ip,
+            r.source_port,
+            r.destination_port,
+            protos[r.transport_protocol],
+        )
+        assert r.community_id == expect
+    # flow symmetry: both directions hash identically
+    assert out[0].community_id == out[1].community_id
+
+
+def test_cache_dns_translate_aliases(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", "S-1-5-18")], "ip string, sid string"
+    )
+    chain = build_chain(
+        [
+            {"cache": {"get": {"key_field": "ip", "target_field": "host"},
+                        "mapping": {"10.0.0.1": "db-1"}, "default": "unknown"}},
+            {"dns": {"fields": {"ip": "rdns"}, "mapping": {"10.0.0.1": "db-1.internal"}}},
+            {"translate_sid": {"field": "sid", "mapping": {"S-1-5-18": "SYSTEM"}}},
+        ]
+    )
+    r = chain(df).first()
+    assert (r.host, r.rdns, r.account_name) == ("db-1", "db-1.internal", "SYSTEM")
+
+
+def test_script_sql_and_data_stream(spark):
+    df = spark.createDataFrame([(10.0, 2.0)], "distance double, time double")
+    chain = build_chain(
+        [
+            {"script": {"lang": "sql", "columns": {"speed": "distance / time"}}},
+            {"add_data_stream": {"type": "logs", "dataset": "agent", "namespace": "prod"}},
+        ]
+    )
+    r = chain(df).first()
+    assert r.speed == 5.0
+    assert r.data_stream == "logs-agent-prod"
+
+
+def test_decode_xml(spark):
+    df = spark.createDataFrame(
+        [(1, "<e><a>x</a><b>y</b></e>"), (2, "<broken"), (3, None)],
+        "id int, xml string",
+    )
+    out = build_chain([{"decode_xml": {"field": "xml", "target": "doc"}}])(df)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].doc == {"a": "x", "b": "y"}
+    assert rows[2].doc is None and "decode_xml_error" in rows[2].flags
+    assert rows[3].doc is None and not (rows[3].flags or [])
+
+
+def test_now_fixed_and_locale_and_host_meta(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    chain = build_chain(
+        [
+            {"now": {"fixed": "2026-01-01 00:00:00"}},
+            {"add_locale": {}},
+            {"add_host_metadata": {"fields": {"name": "worker-1", "os": "linux"}}},
+        ]
+    )
+    r = chain(df).first()
+    assert str(r.now) == "2026-01-01 00:00:00"
+    assert r.event_timezone == "UTC"
+    assert (r.host_name, r.host_os) == ("worker-1", "linux")
