@@ -234,6 +234,8 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(params)
         ]
     )
+    from pyspark import StorageLevel
+
     band_entries = sigs.select(
         "_id",
         F.explode(
@@ -253,6 +255,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+    # The signature set IS the LSH index: materialize it once. Without
+    # this the scan->shingle->64-hash lineage re-executes for the
+    # bucket-size broadcast AND for each self-join side (4x). Size is
+    # ~24 B x bands per doc — trivial next to the corpus at any scale.
+    band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
 
     # cap pathological buckets (a boilerplate shingle-set shared by
     # millions of docs would otherwise go quadratic inside one bucket)
@@ -410,6 +417,9 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.key")
+    from pyspark import StorageLevel
+
+    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)  # joined twice below
     a = entries.select("band", "key", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
     b = entries.select("band", "key", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
     cand = (
