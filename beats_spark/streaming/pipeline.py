@@ -168,3 +168,65 @@ def conversation_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def rate_limit_stream(
+    source: DataFrame,
+    limit_per_minute: int,
+    key_cols: list[str],
+    ts_col: str = "ts",
+):
+    """Stateful token-bucket rate limiter — the true streaming form of
+    the reference's rate_limit processor (token bucket per key-fields,
+    drops events over the limit; libbeat/processors/ratelimit/
+    rate_limit.go:41-105). State per key: (window_start_epoch_min,
+    tokens_used); each micro-batch drains events in event-time order
+    and drops those beyond the per-minute budget."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n_keys = len(key_cols)
+    out_cols = key_cols + [ts_col, "dropped"]
+    out_schema = ", ".join(
+        [f"{c} string" for c in key_cols] + [f"{ts_col} timestamp", "dropped boolean"]
+    )
+    state_schema = "win long, used long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        win, used = state.get if state.exists else (-1, 0)
+        frames = []
+        for pdf in pdfs:
+            if len(pdf):
+                frames.append(pdf)
+        if not frames:
+            return
+        batch = pd.concat(frames).sort_values(ts_col)
+        dropped_flags = []
+        for ts in batch[ts_col]:
+            minute = int(pd.Timestamp(ts).value // 60_000_000_000)
+            if minute != win:
+                win, used = minute, 0
+            if used < limit_per_minute:
+                used += 1
+                dropped_flags.append(False)
+            else:
+                dropped_flags.append(True)
+        state.update((win, used))
+        state.setTimeoutDuration(3_600_000)
+        out = batch[[ts_col]].copy()
+        for i, c in enumerate(key_cols):
+            out[c] = key[i]
+        out["dropped"] = dropped_flags
+        yield out[out_cols]
+
+    return source.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

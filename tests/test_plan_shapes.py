@@ -1,0 +1,136 @@
+"""Physical-plan shape assertions — the ".explain and iterate" gate.
+
+These tests pin the plan properties that matter at 100 TB: filters and
+projections reaching the parquet scan, enrich joins being broadcast
+(no shuffle of the fact side), sink reads pruning partitions, and the
+processor chain staying inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+from beats_spark.plans.pipeline import PipelineConfig, transform
+from beats_spark.plans.router import META_SINK
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_push_down_to_scan(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ev.filter(F.col("event_type") == "error").select("event_id", "value")
+    plan = formatted(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,error\)", plan)
+    # column pruning: scan must read only the 3 needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "event_id:bigint",
+        "event_type:string",
+        "value:double",
+    }
+
+
+def test_enrich_table_join_is_broadcast(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chain = build_chain(
+        [
+            {
+                "enrich_lookup": {
+                    "key_field": "event_type",
+                    "target_field": "cat",
+                    "table": [{"key": "error", "value": "bad"}],
+                    "default": "ok",
+                }
+            }
+        ]
+    )
+    plan = plan_of(chain(ev))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_enrich_mapping_is_pure_expression(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chain = build_chain(
+        [
+            {
+                "enrich_lookup": {
+                    "key_field": "event_type",
+                    "target_field": "cat",
+                    "mapping": {"error": "bad"},
+                    "default": "ok",
+                }
+            }
+        ]
+    )
+    plan = plan_of(chain(ev))
+    # small literal maps must compile to expressions — no join at all
+    assert "Join" not in plan
+
+
+def test_transform_chain_is_one_codegen_stage_no_shuffle(spark, transcripts):
+    cfg = PipelineConfig(
+        processors=[
+            {
+                "dissect": {
+                    "tokenizer": 'level=%{level} ts=%{event_ts} caller=%{caller} msg="%{message}"',
+                    "field": "text",
+                    "target_prefix": "",
+                }
+            },
+            {"drop_event": {"when": {"equals": {"level": "debug"}}}},
+            {
+                "enrich_lookup": {
+                    "key_field": "role",
+                    "target_field": "channel",
+                    "mapping": {"user": "inbound"},
+                    "default": "other",
+                }
+            },
+        ],
+        router_rules=[{"index": "%{[level]}"}],
+    )
+    plan = plan_of(transform(transcripts, cfg))
+    assert "Exchange" not in plan  # parse+mutate+enrich+route: zero shuffles
+    assert plan.count("WholeStageCodegen") <= 2
+
+
+def test_sink_read_prunes_partitions(spark, transcripts, tmp_path):
+    from beats_spark.plans.sinks import read_sink, write_fanout
+
+    cfg = PipelineConfig(
+        processors=[],
+        router_rules=[{"index": "%{[role]}"}],
+        dead_letter=False,
+    )
+    routed = transform(transcripts, cfg)
+    write_fanout(routed, str(tmp_path / "sinks"))
+    back = read_sink(spark, str(tmp_path / "sinks"), "user")
+    plan = formatted(back)
+    # partition filter on _meta_sink, not a data filter
+    assert re.search(r"PartitionFilters: \[.*_meta_sink.*\]", plan)
+
+
+def test_rate_limit_single_shuffle_on_key(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = build_chain(
+        [{"rate_limit": {"limit": 3, "fields": ["user_id"], "order_by": ["ts", "event_id"]}}]
+    )(ev)
+    plan = plan_of(out)
+    assert plan.count("Exchange") == 1  # exactly the rate-limit key shuffle

@@ -118,3 +118,29 @@ def test_conversation_sessions_stateful(spark, transcripts, stream_input, tmp_pa
     got_map = {r["conv_id"]: r["n"] for r in got}
     # every conversation appears with its cumulative turn count
     assert got_map == expected
+
+
+def test_rate_limit_stream_token_bucket(spark, transcripts, stream_input, tmp_path):
+    from beats_spark.streaming.pipeline import rate_limit_stream
+
+    src = read_transcript_stream(spark, stream_input)
+    limited = rate_limit_stream(src, limit_per_minute=2, key_cols=["conv_id"])
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("ratelimited")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql(
+        "select conv_id, date_trunc('minute', ts) as m, "
+        "sum(case when dropped then 0 else 1 end) as kept, count(*) as total "
+        "from ratelimited group by 1, 2"
+    ).collect()
+    assert res
+    assert all(r.kept <= 2 for r in res)
+    assert sum(r.total for r in res) == transcripts.count()
+    # some conversation must actually hit the limit (hot convs exist)
+    assert any(r.total > r.kept for r in res)
