@@ -1053,6 +1053,98 @@ WHERE rn <= 2
 """
 
 
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_tags + append + include_fields: array building/dedup and
+    whitelist projection (arrays rendered as sorted CSV for the
+    cross-engine hash)."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain(
+        [
+            {"add_tags": {"tags": ["prod", "beats"]}},
+            {
+                "append": {
+                    "target_field": "tags",
+                    "fields": ["event_type"],
+                    "values": ["extra"],
+                    "allow_duplicate": False,
+                }
+            },
+            {"include_fields": {"fields": ["event_id", "tags"]}},
+        ]
+    )
+    out = chain(ev)
+    return out.select(
+        "event_id",
+        F.array_join(F.array_sort("tags"), ",").alias("tags_csv"),
+    )
+
+
+_SQL_ARRAY_OPS = """
+SELECT event_id,
+       array_to_string(list_sort(['prod', 'beats', event_type, 'extra']), ',') AS tags_csv
+FROM events
+"""
+
+
+def q_domain_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """registered_domain (eTLD+1) + add_network_direction + script(sql)
+    over synthesized hostnames/flows."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events").withColumns(
+        {
+            "domain": F.concat(
+                F.lit("svc"),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit(".example."),
+                F.when(F.col("user_id") % 2 == 0, "co.uk").otherwise("com"),
+            ),
+            "source_ip": F.format_string(
+                "%d.0.0.%d",
+                F.when(F.col("user_id") % 2 == 0, 10).otherwise(8),
+                (F.col("event_id") % 200 + 1).cast("int"),
+            ),
+            "destination_ip": F.format_string(
+                "%d.0.0.%d",
+                F.when(F.col("event_id") % 2 == 0, 10).otherwise(9),
+                (F.col("user_id") % 200 + 1).cast("int"),
+            ),
+        }
+    )
+    chain = build_chain(
+        [
+            {"registered_domain": {"field": "domain", "target_field": "rdomain"}},
+            {
+                "add_network_direction": {
+                    "source": "source_ip",
+                    "destination": "destination_ip",
+                    "internal_networks": ["10.0.0.0/8"],
+                }
+            },
+            {"script": {"lang": "sql", "columns": {"uid2": "user_id * 2"}}},
+        ]
+    )
+    return chain(ev).select("event_id", "rdomain", "network_direction", "uid2")
+
+
+_SQL_DOMAIN_DIRECTION = """
+SELECT event_id,
+       CASE WHEN user_id % 2 = 0 THEN 'example.co.uk' ELSE 'example.com' END AS rdomain,
+       CASE
+         WHEN user_id % 2 = 0 AND event_id % 2 = 0 THEN 'internal'
+         WHEN user_id % 2 = 0 THEN 'outbound'
+         WHEN event_id % 2 = 0 THEN 'inbound'
+         ELSE 'external'
+       END AS network_direction,
+       user_id * 2 AS uid2
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1082,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "stable_ordering": q_stable_ordering,
         "decode_battery": q_decode_battery,
+        "array_ops": q_array_ops,
+        "domain_direction": q_domain_direction,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1117,6 +1211,8 @@ def oracle_sql() -> dict[str, str]:
         "enrich_broadcast": _SQL_ENRICH_BROADCAST,
         "stable_ordering": _SQL_STABLE_ORDERING,
         "decode_battery": _SQL_DECODE_BATTERY,
+        "array_ops": _SQL_ARRAY_OPS,
+        "domain_direction": _SQL_DOMAIN_DIRECTION,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
