@@ -280,16 +280,19 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verify: broadcast the (small) candidate set against
-    # the raw texts so shingles are recomputed ONLY for candidate rows —
-    # the full-corpus shingle arrays are never materialized twice.
+    # exact-Jaccard verify: join the candidate set back to the raw
+    # texts so shingles are recomputed ONLY for candidate rows — the
+    # full-corpus shingle arrays are never materialized twice. AQE
+    # picks broadcast when the candidate side is small and falls back
+    # to a shuffle join when a pathological corpus makes it large
+    # (forcing broadcast here OOMs on near-dup-heavy data).
     # False positives cannot escape the exact check.
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
-    half = texts.join(F.broadcast(cand), texts["_tid"] == cand["id_a"]).select(
+    half = texts.join(cand, texts["_tid"] == cand["id_a"]).select(
         "id_a", "id_b", F.col("_ttext").alias("_text_a")
     )
     verified = (
-        texts.join(F.broadcast(half), texts["_tid"] == half["id_b"])
+        texts.join(half, F.col("_tid") == half["id_b"])
         .select("id_a", "id_b", "_text_a", F.col("_ttext").alias("_text_b"))
         .withColumn(
             "jaccard",
