@@ -81,7 +81,9 @@ def run_checkpointed(
     # dynamic overwrite: a replayed chunk replaces only its own partitions
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    src = source.withColumn(BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets))
+    src = source.withColumn(
+        BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field)
+    )
     total_counts: dict[str, int] = {}
     processed = 0
     for i in range(0, len(todo), chunk_size):
@@ -89,7 +91,10 @@ def run_checkpointed(
         part = src.filter(F.col(BUCKET_COL).isin(chunk))
         routed = transform(part, cfg)
         if BUCKET_COL not in routed.columns:  # transform only stamps it when cfg asks
-            routed = routed.withColumn(BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets))
+            routed = routed.withColumn(
+                BUCKET_COL,
+                bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field),
+            )
         (
             routed.write.mode("overwrite")
             .partitionBy(BUCKET_COL, META_SINK)

@@ -48,6 +48,8 @@ class PipelineConfig:
     dead_letter_tags: list[str] | None = None
     key_field: str = "conv_id"  # salting / bucketing key
     n_buckets: int = 0  # 0 = no explicit bucket column
+    salt: int = 0  # >0: sub-split hot keys across `salt` sub-buckets
+    salt_field: str = "turn_idx"  # deterministic sub-key for salting
     out_root: str | None = None
     write_mode: str = "overwrite"
     ts_col: str = "ts"
@@ -60,11 +62,22 @@ class RunResult:
     out_root: str | None
 
 
-def bucket_expr(key_col: str, n_buckets: int):
+def bucket_expr(key_col: str, n_buckets: int, salt: int = 0, salt_field: str = "turn_idx"):
     """Deterministic key→bucket hash (the FNV-by-fields precedent,
     kafka/partition.go:199-219; xxhash64 here — stable across runs and
-    Spark versions, unlike ``hash``'s seed default)."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    Spark versions, unlike ``hash``'s seed default).
+
+    ``salt`` > 0 sub-splits each key across ``salt`` buckets using a
+    deterministic sub-key (default turn_idx): the cure for a single
+    hot conversation pinning one task. Rows of one conversation then
+    span up to ``salt`` buckets — downstream per-conv ordering goes
+    through the Window (which shuffles on conv_id anyway), while the
+    embarrassingly-parallel parse/route/write path gets an even load."""
+    if salt > 0:
+        h = F.xxhash64(F.col(key_col), F.pmod(F.col(salt_field), F.lit(salt)))
+    else:
+        h = F.xxhash64(F.col(key_col))
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
 def transform(
@@ -86,7 +99,10 @@ def transform(
     if cfg.dead_letter:
         df = redirect_dead_letters(df, cfg.dead_letter_tags)
     if cfg.n_buckets and cfg.key_field in df.columns:
-        df = df.withColumn(BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets))
+        df = df.withColumn(
+            BUCKET_COL,
+            bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field),
+        )
     return df
 
 

@@ -186,3 +186,36 @@ def test_crash_mid_run_then_resume(spark, transcripts, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         a.sort_index(axis=1), b.sort_index(axis=1), check_dtype=False
     )
+
+
+def test_salting_defeats_hot_conversation_skew(spark):
+    """One hot conversation must not pin a single bucket/task: salted
+    bucketing spreads its turns while plain bucketing concentrates
+    them (the kafka hash-by-fields → salting evolution, SURVEY §7.2)."""
+    from beats_spark.plans.pipeline import bucket_expr
+    from beats_spark.sources import synth_transcripts
+
+    # strongly skewed corpus: every 10th conv is 25x
+    df = synth_transcripts(spark, n_convs=500, hot_every=10, hot_factor=25)
+    n_buckets = 16
+
+    def max_bucket(expr):
+        return (
+            df.withColumn("b", expr)
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+
+    total = df.count()
+    plain = max_bucket(bucket_expr("conv_id", n_buckets))
+    salted = max_bucket(bucket_expr("conv_id", n_buckets, salt=8))
+    # salted max load close to ideal total/n_buckets; plain is worse
+    assert salted < plain
+    assert salted < (total / n_buckets) * 1.35
+
+    # determinism: same expression → same assignment
+    a = df.withColumn("b", bucket_expr("conv_id", n_buckets, salt=8)).collect()
+    b = df.withColumn("b", bucket_expr("conv_id", n_buckets, salt=8)).collect()
+    assert a == b
