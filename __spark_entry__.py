@@ -265,7 +265,7 @@ def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DECODE_JSON = """
-SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+SELECT event_type, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
        count(DISTINCT json_extract_string(props, '$.k')::BIGINT) AS distinct_k
 FROM events GROUP BY event_type
 """
@@ -512,7 +512,7 @@ def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ENRICH_BROADCAST = """
 SELECT CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
             WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth' ELSE 'other' END AS category,
-       count(*) AS n, sum(round(value * 100)::BIGINT) AS value_cents
+       count(*) AS n, sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
 FROM events GROUP BY 1
 """
 
@@ -800,7 +800,7 @@ WITH scores AS (
     ELSE 'zh' END AS pred
   FROM scores)
 SELECT pred, count(*) AS n,
-       sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS correct
+       sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS correct
 FROM preds GROUP BY pred
 """
 
