@@ -290,3 +290,151 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 5,
+):
+    """Lloyd's k-means over normalized vectors — the IVF coarse
+    quantizer's training step, as distributed partial sums.
+
+    Init is deterministic: the k lowest-id vectors. Each iteration is
+    one mapInPandas pass emitting per-partition (centroid, sum, count)
+    partials (tiny: k x dim doubles per partition) combined on the
+    driver — the classic tree-aggregation shape; the corpus itself
+    never shuffles. Returns a numpy (k, dim) centroid matrix.
+    """
+    import numpy as np
+
+    from beats_spark.operators.scale import spread
+
+    seed_rows = corpus.orderBy(id_col).limit(k).collect()
+    cents = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    data = spread(corpus.select(vec_col))
+
+    for _ in range(iterations):
+        c = cents  # capture current centroids in the task closure
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                assign = np.argmax(mat @ c.T, axis=1)
+                out_c, out_s, out_n = [], [], []
+                for j in np.unique(assign):
+                    sel = mat[assign == j]
+                    out_c.append(int(j))
+                    out_s.append(sel.sum(axis=0).tolist())
+                    out_n.append(len(sel))
+                yield pd.DataFrame({"c": out_c, "s": out_s, "n": out_n})
+
+        rows = data.mapInPandas(partials, "c int, s array<double>, n long").collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for r in rows:
+            sums[r["c"]] += np.array(r["s"])
+            counts[r["c"]] += r["n"]
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → corpus
+    assigned to nearest cell → each query probes its ``nprobe``
+    nearest cells → exact rerank of candidates.
+
+    vs the hyperplane LSH: cells adapt to the data distribution
+    (trained), so recall at equal candidate counts is higher on
+    clustered corpora; cost is the training passes. Candidate volume ≈
+    corpus x nprobe / n_cells.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from beats_spark.operators.scale import spread
+
+    cents = kmeans_fit(corpus, n_cells, vec_col, corpus_id, iterations)
+
+    def assign_corpus(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            cell = np.argmax(mat @ cents.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[corpus_id].to_numpy(),
+                    "_cv": list(pdf[vec_col]),
+                    "cell": cell.astype("int32"),
+                }
+            )
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    c = spread(corpus.select(corpus_id, vec_col)).mapInPandas(
+        assign_corpus, f"neighbor_id long, _cv {vec_type}, cell int"
+    )
+
+    def probe_queries(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :nprobe]
+            ids = pdf[query_id].to_numpy()
+            vecs = list(pdf[vec_col])
+            out_i, out_v, out_c = [], [], []
+            for row in range(len(ids)):
+                for cell in order[row]:
+                    out_i.append(ids[row])
+                    out_v.append(vecs[row])
+                    out_c.append(int(cell))
+            yield pd.DataFrame({query_id: out_i, vec_col: out_v, "cell": out_c})
+
+    q = queries.select(query_id, vec_col).mapInPandas(
+        probe_queries, f"{query_id} long, {vec_col} {vec_type}, cell int"
+    ).select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"), "cell")
+
+    pairs = q.join(c, "cell").drop("cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    scored = score_pairs_cosine(pairs, "_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

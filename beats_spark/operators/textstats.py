@@ -159,3 +159,35 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": m["punct_ratio"],
         }
     )
+
+
+def contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Train/eval contamination detection: (train_id, eval_id,
+    shared_windows) for every pair sharing ≥1 rolling-window
+    fingerprint — the canonical "did my benchmark leak into the
+    training set" sweep.
+
+    Plan: explode each side to (id, fp), equi-join on fp (uniform
+    md5 keys, no skew), count per pair. Shuffle carries 16-B
+    fingerprints, never text; at 10^10 train docs this is the same
+    shape as the MinHash band join."""
+    def fps(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(rolling_fingerprints(F.col(text_col), window, stride)).alias("fp"),
+        ).dropDuplicates([out_id, "fp"])
+
+    t = fps(train_df, "train_id")
+    e = fps(eval_df, "eval_id")
+    return (
+        t.join(e, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )

@@ -228,3 +228,51 @@ def test_sample_frames(spark):
     rows = multimodal.sample_frames(med, every_n_bytes=16, frame_bytes=8).collect()
     assert all(len(bytes(r.frame)) == 8 for r in rows)
     assert len(rows) > 4
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    from beats_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = emb.limit(10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    approx_rows = ivf_topk(q, emb, k=5, n_cells=8, nprobe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # ranks well-formed per query
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # decent recall with half the cells probed
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_contamination_pairs_cross_corpus(spark, docs):
+    from beats_spark.operators.textstats import contamination_pairs
+
+    # eval set = 20 docs lifted verbatim from "train" + 20 clean ones
+    train = docs
+    leaked = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 500000)
+    import pyspark.sql.functions as SF
+
+    clean = (
+        docs.limit(40)
+        .filter(F.col("doc_id") >= 20)
+        .withColumns(
+            {
+                "doc_id": F.col("doc_id") + 600000,
+                "text": SF.concat(SF.lit("totally novel heldout "), SF.reverse(F.col("text"))),
+            }
+        )
+    )
+    evald = leaked.unionByName(clean)
+    hits = contamination_pairs(train, evald).collect()
+    flagged_evals = {r.eval_id for r in hits}
+    # every leaked doc is flagged against its source
+    assert {(r.eval_id - 500000, r.eval_id) for r in hits if r.eval_id < 600000} >= {
+        (i, i + 500000) for i in range(20)
+    }
+    assert all(e < 600000 for e in flagged_evals), "clean docs falsely flagged"
