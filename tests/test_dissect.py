@@ -94,3 +94,26 @@ def test_unsupported_and_invalid():
         DissectPattern("no keys here")
     with pytest.raises(DissectError):
         DissectPattern("%{?only} %{?skips}")
+
+
+def test_trim_values(spark):
+    """trim_values left/right/all with trim_chars (reference trim.go)."""
+    from beats_spark.operators.base import build_chain
+
+    df = spark.createDataFrame([("k=  v  ;",)], "text string")
+    for mode, expected in [("left", "v  "), ("right", "  v"), ("all", "v"), ("none", "  v  ")]:
+        chain = build_chain(
+            [
+                {
+                    "dissect": {
+                        "tokenizer": "k=%{val};",
+                        "field": "text",
+                        "target_prefix": "",
+                        "trim_values": mode,
+                        "overwrite_keys": True,
+                    }
+                }
+            ]
+        )
+        got = chain(df).first()["val"]
+        assert got == expected, (mode, got)
