@@ -1159,6 +1159,47 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the md5-based 60-bit token hash —
+    engine-portable, so the full signature+hamming computation has a
+    SQL oracle (pigeonhole banding with n_tables = max_hamming+1 keeps
+    recall total, making output = ALL pairs at hamming ≤ 3)."""
+    from beats_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    pairs = simhash_pairs(
+        docs.unionByName(copies), max_hamming=3, bits=60, n_tables=4, hash_fn="md5_60"
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_BITSUMS = ", ".join(f"sum(((h >> {j}) & 1)*2 - 1) AS b{j}" for j in range(60))
+_SIGEXPR = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(60))
+
+_SQL_DEDUP_SIMHASH_MD5 = f"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
+  FROM uni, unnest(string_split_regex(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t(tok)
+), sums AS (
+  SELECT doc_id, {_BITSUMS} FROM tok GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, ({_SIGEXPR})::BIGINT AS s FROM sums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s)::BIT)::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)::BIT) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1194,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_md5": q_dedup_simhash_md5,
         "embed_neardup": q_embed_neardup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -1231,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
+        "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "text_stats": _SQL_TEXT_STATS,

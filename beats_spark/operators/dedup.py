@@ -350,16 +350,34 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return out
 
 
+def token_hash(col: Column, hash_fn: str = "xxhash64") -> Column:
+    """Per-token hash for SimHash. ``xxhash64`` (default, fastest) or
+    ``md5_60`` — 60-bit integer from the md5 hex prefix, chosen because
+    md5 is engine-portable so external SQL oracles can recompute the
+    identical signature (verified bit-equal vs DuckDB)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token hash {hash_fn!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(_id, _sig) SimHash signatures in explode→groupBy form: one row
     per (doc, token), per-bit ±1 contributions as codegen arithmetic,
-    64 SUM aggregates with map-side combine (shuffle = 64 ints/doc).
-    Bit-identical to the ``simhash`` Column expression."""
-    toks = df.select(
+    ``bits`` SUM aggregates with map-side combine (shuffle = bits
+    ints/doc). Bit-identical to the ``simhash`` Column expression."""
+    from beats_spark.operators.scale import spread
+
+    toks = spread(df).select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", token_hash(F.col("_t"), hash_fn))
     sums = toks.groupBy("_id").agg(
         *[
             F.sum(
@@ -392,6 +410,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     n_tables: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with banded blocking.
 
@@ -402,7 +421,7 @@ def simhash_pairs(
     """
     n_tables = max(n_tables, max_hamming + 1)
     band_bits = bits // n_tables
-    base = simhash_signatures(df, text_col, id_col, bits)
+    base = simhash_signatures(df, text_col, id_col, bits, hash_fn)
     entries = base.select(
         "_id",
         "_sig",
