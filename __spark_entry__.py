@@ -1200,6 +1200,47 @@ WHERE bit_count(xor(a.s, b.s)::BIT) <= 3
 """
 
 
+
+
+_SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS total_bytes
+FROM documents
+"""
+
+_SQL_KNN_LSH = """
+WITH bkts AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [-1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END AS p0,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1]::DOUBLE[]) >= 0 THEN 2 ELSE 0 END AS p1,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1]::DOUBLE[]) >= 0 THEN 4 ELSE 0 END AS p2,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1]::DOUBLE[]) >= 0 THEN 8 ELSE 0 END AS p3,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [-1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1]::DOUBLE[]) >= 0 THEN 16 ELSE 0 END AS p4,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1]::DOUBLE[]) >= 0 THEN 32 ELSE 0 END AS p5,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1]::DOUBLE[]) >= 0 THEN 64 ELSE 0 END AS p6,
+         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1]::DOUBLE[]) >= 0 THEN 128 ELSE 0 END AS p7,
+         0 AS _pad
+  FROM embeddings
+), cells AS (
+  SELECT vec_id, embedding, (p0 + p1 + p2 + p3 + p4 + p5 + p6 + p7)::BIGINT AS bkt FROM bkts
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, unnest([bkt, xor(bkt::BIGINT, 1::BIGINT), xor(bkt::BIGINT, 2::BIGINT), xor(bkt::BIGINT, 4::BIGINT), xor(bkt::BIGINT, 8::BIGINT), xor(bkt::BIGINT, 16::BIGINT), xor(bkt::BIGINT, 32::BIGINT), xor(bkt::BIGINT, 64::BIGINT), xor(bkt::BIGINT, 128::BIGINT)]) AS bkt
+  FROM cells WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT p.query_id, p.qv, c.vec_id AS neighbor_id, c.embedding AS cv
+  FROM probes p JOIN cells c USING (bkt)
+  WHERE p.query_id <> c.vec_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]) DESC,
+                    neighbor_id ASC) AS rank
+  FROM cand)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1276,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
+        "knn_lsh": _SQL_KNN_LSH,
+        "media_features": _SQL_MEDIA_FEATURES,
         "text_stats": _SQL_TEXT_STATS,
         "lang_id": _SQL_LANG_ID,
         "quality_score": _SQL_QUALITY_SCORE,
