@@ -1,0 +1,73 @@
+"""Self-contained driver-contract gate: every ``queries()`` entry runs
+at sf0.001 and, where an oracle exists, matches DuckDB on row count,
+column names, and order-insensitive values — the same comparison the
+external correctness gate applies at sf0.01 (scripts/parity.py is the
+standalone form).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else v
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_contract(name, spark, duck):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(srows) > 0, f"{name}: rows-only query returned nothing"
+        return
+    res = duck.execute(oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _normalize(srows, sdf.columns) == _normalize(drows, dcols), name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.schema.simpleString() == "struct<sink:string,n:bigint,users:bigint>"
