@@ -99,12 +99,15 @@ def pipeline_bench(spark, n_convs: int) -> tuple[float, int]:
         default_sink="main",
     )
     n_turns = df.count()  # materialize input size outside the timed window
-    t0 = time.time()
-    routed = transform(df, cfg)
-    counts = (
-        routed.groupBy(META_SINK).agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    dt = time.time() - t0
+    dt = None
+    for _ in range(2):  # first run warms JIT/codegen; report steady state
+        t0 = time.time()
+        routed = transform(df, cfg)
+        counts = (
+            routed.groupBy(META_SINK).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        run = time.time() - t0
+        dt = run if dt is None else min(dt, run)
     assert sum(r["n"] for r in counts) == n_turns
     return dt, n_turns
 
