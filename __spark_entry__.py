@@ -27,6 +27,14 @@ TABLES = (
 )
 
 
+
+def _utc(spark: SparkSession) -> None:
+    """Time-rendering queries (hour/date_format/window) depend on the
+    session timezone; the driver's session may not be UTC — pin it so
+    results match the DuckDB oracle's naive-UTC timestamps."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -81,6 +89,7 @@ def q_pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: dissect parse → timestamp → broadcast enrich →
     drop_event → first-match router → DLQ redirect → per-sink counts.
     Mirrors the full libbeat publisher path (SURVEY.md §3.1)."""
+    _utc(spark)
     from beats_spark.operators.base import build_chain
     from beats_spark.plans.router import META_SINK, route
     from beats_spark.plans.sinks import redirect_dead_letters
@@ -274,6 +283,7 @@ FROM events GROUP BY event_type
 def q_timestamp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timestamp processor: layout-battery parse back to UTC, grouped
     per hour-of-day (the parse→normalize round trip)."""
+    _utc(spark)
     from beats_spark.operators.base import build_chain
 
     ev = _load(spark, sf_dir, "events").withColumn(
@@ -382,6 +392,7 @@ FROM events
 def q_fmtstr_daily_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event format strings with %{+yyyy.MM.dd} timestamp expressions —
     the add_formatted_index / daily-index pattern."""
+    _utc(spark)
     from beats_spark.plans.router import META_SINK, route
 
     ev = _load(spark, sf_dir, "events")
@@ -520,6 +531,7 @@ FROM events GROUP BY 1
 def q_stable_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable per-key ordering (the publish-order ACK guarantee →
     Window over (key, ts, id)): first 3 events per user."""
+    _utc(spark)
     from pyspark.sql import Window
 
     ev = _load(spark, sf_dir, "events")
@@ -1023,6 +1035,7 @@ FROM parsed
 def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rate_limit processor (batch form): first 2 events per user per
     day in stable (ts, event_id) order survive."""
+    _utc(spark)
     from beats_spark.operators.base import build_chain
 
     ev = _load(spark, sf_dir, "events")
