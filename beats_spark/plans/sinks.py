@@ -88,3 +88,29 @@ def read_sink(spark: SparkSession, out_root: str, sink: str, fmt: str = "parquet
         .load(out_root)
         .filter(F.col(META_SINK) == sink)  # partition pruning, not a scan
     )
+
+
+def write_rollup(
+    df: DataFrame,
+    out_path: str,
+    ts_col: str = "ts",
+    period: str = "1 hour",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Persist the per-sink per-period count table — the reference's
+    per-output delivery counters (libbeat/outputs/metrics.go:32-60) as
+    a queryable aggregate table. Partial aggregation map-side; the
+    shuffle carries one row per (sink, window) per task."""
+    rolled = (
+        df.groupBy(
+            F.window(F.col(ts_col), period).alias("win"), F.col(META_SINK)
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(META_SINK).alias("sink"),
+            F.col("n"),
+        )
+    )
+    rolled.write.mode(mode).parquet(out_path)
+    return rolled

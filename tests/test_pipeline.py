@@ -219,3 +219,25 @@ def test_salting_defeats_hot_conversation_skew(spark):
     a = df.withColumn("b", bucket_expr("conv_id", n_buckets, salt=8)).collect()
     b = df.withColumn("b", bucket_expr("conv_id", n_buckets, salt=8)).collect()
     assert a == b
+
+
+def test_write_rollup_matches_recount(spark, transcripts, tmp_path):
+    from beats_spark.plans.sinks import write_rollup
+
+    cfg = pipeline_cfg()
+    routed = transform(transcripts, cfg)
+    out = str(tmp_path / "rollup")
+    write_rollup(routed, out, period="1 hour")
+    back = spark.read.parquet(out)
+    total = back.agg(F.sum("n")).first()[0]
+    assert total == routed.count()
+    # window grain: every ts of a (sink, window) row falls inside it
+    one = back.orderBy(F.desc("n")).first()
+    n_direct = routed.filter(
+        (F.col(META_SINK) == one["sink"])
+        & (F.col("ts") >= one["window_start"])
+        & (F.col("ts") < F.col("ts") + F.expr("interval 1 hour"))
+    ).filter(
+        F.col("ts") < F.lit(one["window_start"]) + F.expr("interval 1 hour")
+    ).count()
+    assert n_direct == one["n"]
