@@ -144,3 +144,35 @@ def test_rate_limit_stream_token_bucket(spark, transcripts, stream_input, tmp_pa
     assert sum(r.total for r in res) == transcripts.count()
     # some conversation must actually hit the limit (hot convs exist)
     assert any(r.total > r.kept for r in res)
+
+
+def test_windowed_counts_execute_and_match_batch(spark, transcripts, stream_input, tmp_path):
+    """Execute the watermarked per-sink windowed aggregate (not just
+    plan-check it) and compare totals against the batch recomputation."""
+    src = read_transcript_stream(spark, stream_input)
+    agg = windowed_sink_counts(src, CFG, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.sink): r.n
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    expected = {
+        (r.window_start, r.sink): r.n
+        for r in (
+            transform(transcripts, CFG)
+            .groupBy(
+                F.window("ts", "1 hour").alias("win"), F.col(META_SINK).alias("sink")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("window_start"), "sink", "n")
+        ).collect()
+    }
+    assert got == expected
