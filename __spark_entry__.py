@@ -1254,6 +1254,56 @@ WHERE rank <= 5
 """
 
 
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event stream: session index
+    per user with a 30-minute inactivity gap."""
+    from beats_spark.operators.sessions import sessionize
+
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    out = sessionize(ev, "user_id", gap_minutes=30, order_cols=("event_id",))
+    return out.select("event_id", "user_id", F.col("session_idx").cast("long").alias("session_idx"))
+
+
+_SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       (sum(CASE WHEN prev_ts IS NULL
+                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+"""
+
+
+def q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn rows → training documents: per-user event texts joined in
+    stable (ts, event_id) order — the transcript→corpus assembly."""
+    from beats_spark.operators.sessions import assemble_documents
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("%s@%d", F.col("event_type"), F.col("event_id"))
+    )
+    out = assemble_documents(
+        ev, key_col="user_id", text_col="line", order_cols=("ts", "event_id"), sep=" | "
+    )
+    return out.select(
+        F.col("user_id"), F.col("document"), F.col("n_turns").cast("long").alias("n_turns")
+    )
+
+
+_SQL_ASSEMBLE_DOCUMENTS = """
+SELECT user_id,
+       string_agg(event_type || '@' || event_id::VARCHAR, ' | ' ORDER BY ts, event_id) AS document,
+       count(*)::BIGINT AS n_turns
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1282,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_conditions": q_network_conditions,
         "enrich_broadcast": q_enrich_broadcast,
         "stable_ordering": q_stable_ordering,
+        "sessionize": q_sessionize,
+        "assemble_documents": q_assemble_documents,
         "decode_battery": q_decode_battery,
         "array_ops": q_array_ops,
         "domain_direction": q_domain_direction,
@@ -1321,6 +1373,8 @@ def oracle_sql() -> dict[str, str]:
         "network_conditions": _SQL_NETWORK_CONDITIONS,
         "enrich_broadcast": _SQL_ENRICH_BROADCAST,
         "stable_ordering": _SQL_STABLE_ORDERING,
+        "sessionize": _SQL_SESSIONIZE,
+        "assemble_documents": _SQL_ASSEMBLE_DOCUMENTS,
         "decode_battery": _SQL_DECODE_BATTERY,
         "array_ops": _SQL_ARRAY_OPS,
         "domain_direction": _SQL_DOMAIN_DIRECTION,

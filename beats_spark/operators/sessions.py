@@ -1,0 +1,88 @@
+"""Session / conversation assembly operators.
+
+The reference guarantees per-client publish-order ACKs
+(libbeat/publisher/pipeline/pipeline.go:49-64) but has no session
+semantics; a transcript pipeline needs them: stable per-conversation
+ordering, gap-based sessionization, and turn→document assembly for
+training corpora. All are Window/groupBy compositions — one shuffle
+keyed on the entity id, skew handled by AQE (a hot key's rows still
+form ONE session stream, that's inherent to the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_order(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Stamp ``turn_rank`` = row_number over (key, order) — the stable
+    turn ordering the per-turn-equality contract compares under."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    return df.withColumn("turn_rank", F.row_number().over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the previous event of the same key exceeds ``gap_minutes``.
+
+    ``session_idx`` is the 0-based running count of session starts per
+    key (lag + conditional cumulative sum over one Window — a single
+    shuffle on the key)."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    is_start = (
+        prev_ts.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+            > gap_minutes * 60
+        )
+    ).cast("long")
+    running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(is_start).over(running) - 1)
+
+
+def assemble_documents(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    sep: str = "\n",
+    role_col: str | None = None,
+) -> DataFrame:
+    """Turn rows → one training document per conversation: texts joined
+    in stable order, optionally prefixed ``role: ``.
+
+    Plan: groupBy(key).agg(sort_array(collect_list(struct(order, text))))
+    → array_join; one shuffle of (key, text) pairs with map-side
+    combine. The struct sort keys make the result independent of
+    partitioning — deterministic at any parallelism."""
+    payload = (
+        F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+        if role_col
+        else F.col(text_col)
+    )
+    packed = F.struct(*[F.col(c) for c in order_cols], payload.alias("_t"))
+    agg = df.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(packed)), lambda s: s.getField("_t")
+            ),
+            sep,
+        ).alias("document"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return agg

@@ -241,3 +241,38 @@ def test_write_rollup_matches_recount(spark, transcripts, tmp_path):
         F.col("ts") < F.lit(one["window_start"]) + F.expr("interval 1 hour")
     ).count()
     assert n_direct == one["n"]
+
+
+def test_sessions_operators(spark, transcripts):
+    from beats_spark.operators.sessions import (
+        assemble_documents,
+        sessionize,
+        stable_order,
+    )
+
+    ordered = stable_order(transcripts)
+    r = (
+        ordered.filter(F.col("conv_id") == "conv-00000000")
+        .orderBy("turn_idx")
+        .select("turn_idx", "turn_rank")
+        .collect()
+    )
+    assert [x.turn_rank for x in r] == list(range(1, len(r) + 1))
+
+    # turns are 7s apart within a conv → one session at 30min gap
+    sess = sessionize(transcripts, "conv_id", gap_minutes=30, order_cols=("turn_idx",))
+    assert sess.agg(F.max("session_idx")).first()[0] == 0
+    # 1-second gap → every turn its own session
+    sess2 = sessionize(transcripts, "conv_id", gap_minutes=0, order_cols=("turn_idx",))
+    one = sess2.filter(F.col("conv_id") == "conv-00000000").orderBy("turn_idx").collect()
+    assert [x.session_idx for x in one] == list(range(len(one)))
+
+    docs = assemble_documents(transcripts, role_col="role")
+    row = docs.filter(F.col("conv_id") == "conv-00000000").first()
+    turns = (
+        transcripts.filter(F.col("conv_id") == "conv-00000000")
+        .orderBy("turn_idx")
+        .collect()
+    )
+    assert row.n_turns == len(turns)
+    assert row.document == "\n".join(f"{t.role}: {t.text}" for t in turns)
