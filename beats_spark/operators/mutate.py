@@ -155,10 +155,17 @@ class DropFields(Processor):
 
     name = "drop_fields"
 
+    # the timestamp cannot be deleted (event.go:64-70) and mandatory
+    # exported fields are silently filtered from the drop list
+    # (drop_fields.go:68-77); ts is this schema's @timestamp
+    PROTECTED = ["ts"]
+
     def updates(self, df: DataFrame) -> Updates:
         drop = []
         for f_ in self.cfg["fields"]:
             c = _flat(f_)
+            if c in self.PROTECTED:
+                continue
             if c not in df.columns:
                 if self.cfg.get("ignore_missing", False):
                     continue

@@ -207,3 +207,13 @@ def test_registered_domain_and_network_direction(spark):
 def test_unknown_processor_rejected():
     with pytest.raises(ProcessorConfigError):
         make_processor({"frobnicate": {}})
+
+
+def test_drop_fields_protects_timestamp(spark):
+    from beats_spark.operators.base import build_chain
+
+    df = spark.createDataFrame(
+        [(1, "x")], "id int, note string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["f"]).current_timestamp())
+    out = build_chain([{"drop_fields": {"fields": ["ts", "note"]}}])(df)
+    assert "ts" in out.columns and "note" not in out.columns
