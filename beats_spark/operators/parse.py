@@ -13,6 +13,8 @@ must tag, not kill the job).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -282,8 +284,6 @@ class DecompressGzipField(Processor):
 
     def updates(self, df: DataFrame) -> Updates:
         import gzip
-
-        import pandas as pd
 
         spec = self.cfg["field"]
         src, dst = _flat(spec["from"]), _flat(spec["to"])
