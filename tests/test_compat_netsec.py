@@ -109,3 +109,40 @@ def test_now_fixed_and_locale_and_host_meta(spark):
     assert str(r.now) == "2026-01-01 00:00:00"
     assert r.event_timezone == "UTC"
     assert (r.host_name, r.host_os) == ("worker-1", "linux")
+
+
+def test_community_id_matches_reference_goldens(spark):
+    """Parity against the reference's OWN golden flowhash outputs
+    (libbeat/common/flowhash/testdata/golden/*.pcap.log:
+    `ts | community_id | src dst proto sport dport`)."""
+    import os
+
+    golden_dir = "/root/reference/libbeat/common/flowhash/testdata/golden"
+    if not os.path.isdir(golden_dir):
+        import pytest as _pytest
+
+        _pytest.skip("reference goldens unavailable")
+    cases = []
+    for fn in ["tcp.pcap.log", "udp.pcap.log", "sctp.pcap.log"]:
+        with open(os.path.join(golden_dir, fn)) as f:
+            for line in f:
+                parts = [p.strip() for p in line.strip().split("|")]
+                if len(parts) != 3 or not parts[1].startswith("1:"):
+                    continue
+                src, dst, proto, sp, dp = parts[2].split()
+                if ":" in src:  # IPv4 only (documented limitation)
+                    continue
+                cases.append((src, dst, int(sp), int(dp), proto, parts[1]))
+    cases = list({c for c in cases})
+    assert len(cases) >= 3
+    df = spark.createDataFrame(
+        [c[:5] for c in cases],
+        "source_ip string, destination_ip string, source_port int, "
+        "destination_port int, transport_protocol string",
+    )
+    got = build_chain([{"community_id": {}}])(df).collect()
+    expected = {c[:5]: c[5] for c in cases}
+    for r in got:
+        key = (r.source_ip, r.destination_ip, r.source_port, r.destination_port,
+               r.transport_protocol)
+        assert r.community_id == expected[key], key
