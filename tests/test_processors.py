@@ -217,3 +217,25 @@ def test_drop_fields_protects_timestamp(spark):
     ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["f"]).current_timestamp())
     out = build_chain([{"drop_fields": {"fields": ["ts", "note"]}}])(df)
     assert "ts" in out.columns and "note" not in out.columns
+
+
+def test_syslog_rfc5424_and_auto(spark):
+    from beats_spark.operators.base import build_chain
+
+    lines = [
+        (1, '<165>1 2026-08-17T05:14:15.000Z web01 evtd 123 ID47 - An application event'),
+        (2, "<34>Jan  7 03:14:15 host1 app[42]: legacy line"),
+        (3, "not syslog at all"),
+    ]
+    df = spark.createDataFrame(lines, "id int, line string")
+    out = build_chain([{"syslog": {"field": "line", "format": "auto"}}])(df)
+    rows = {r.id: r for r in out.collect()}
+    r1 = rows[1]
+    assert (r1.log_syslog_priority, r1.log_syslog_facility, r1.log_syslog_severity) == (165, 20, 5)
+    assert r1.hostname == "web01" and r1.program == "evtd"
+    assert r1.syslog_message == "An application event"
+    r2 = rows[2]
+    assert r2.log_syslog_priority == 34 and r2.hostname == "host1" and r2.program == "app"
+    r3 = rows[3]
+    assert r3.log_syslog_priority is None
+    assert "syslog_parse_error" in (r3.flags or [])
