@@ -276,3 +276,42 @@ def test_sessions_operators(spark, transcripts):
     )
     assert row.n_turns == len(turns)
     assert row.document == "\n".join(f"{t.role}: {t.text}" for t in turns)
+
+
+def test_per_turn_text_equality_through_fanout(spark, transcripts, tmp_path):
+    """THE north-rule invariant: after parse→enrich→route→fan-out write,
+    reading every sink back and stable-ordering by (conv_id, turn_idx)
+    reproduces each turn's text byte-for-byte, with no turn lost or
+    duplicated."""
+    from beats_spark.operators.sessions import stable_order
+    from beats_spark.plans.pipeline import run
+
+    cfg = pipeline_cfg(out_root=str(tmp_path / "sinks"), n_buckets=8, salt=4)
+    run(spark, transcripts, cfg)
+
+    back = spark.read.parquet(str(tmp_path / "sinks"))
+    got = (
+        stable_order(back)
+        .orderBy("conv_id", "turn_rank")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    expected = (
+        transcripts.orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .collect()
+    )
+    # drop_event removed debug rows from the pipeline output by design;
+    # compare the surviving set exactly
+    exp_map = {(r.conv_id, r.turn_idx): r.text for r in expected}
+    assert len(got) == len({(r.conv_id, r.turn_idx) for r in got}), "duplicated turns"
+    for r in got:
+        assert exp_map[(r.conv_id, r.turn_idx)] == r.text
+    # and nothing outside the intended drop is missing
+    dropped = len(expected) - len(got)
+    # only PARSED debug rows drop; malformed debug lines fail dissect
+    # (level stays null) and survive into _dlq — tag-and-continue
+    debug_rows = transcripts.filter(
+        F.col("text").startswith("level=debug") & F.col("text").contains(" caller=")
+    ).count()
+    assert dropped == debug_rows
