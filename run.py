@@ -51,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     from beats_spark.sources import synth_transcripts
 
     with open(args.config) as f:
-        cfg_raw = json.load(f)
+        if args.config.endswith((".yml", ".yaml")):
+            import yaml
+
+            cfg_raw = yaml.safe_load(f)
+        else:
+            cfg_raw = json.load(f)
     cfg = PipelineConfig(**cfg_raw)
     if args.out_root:
         cfg.out_root = args.out_root
