@@ -24,7 +24,7 @@ CONFIGS: dict[str, dict | None] = {
         "internal_networks": ["10.0.0.0/8"],
     },
     "add_data_stream": {},
-    "add_constant_metadata": None,
+    "add_constant_metadata": {"values": {"region": "us-east"}},
     "add_host_metadata": {"fields": {"name": "h1"}},
     "add_agent_metadata": {"fields": {"version": "1"}},
     "add_observer_metadata": {"fields": {"name": "o1"}},
@@ -42,7 +42,7 @@ CONFIGS: dict[str, dict | None] = {
     "decode_duration": {"field": "dur", "format": "seconds"},
     "decode_json_fields": {"fields": ["js"], "schema": "k LONG", "target": ""},
     "decode_xml": {"field": "xml", "target": "doc"},
-    "decompress_gzip_field": None,
+    "decompress_gzip_field": {"field": {"from": "b64", "to": "gz_out"}},
     "detect_mime_type": {"field": "js", "target": "mime"},
     "dissect": {"tokenizer": "v=%{v}", "field": "kv", "target_prefix": ""},
     "dns": {"fields": {"ip": "host"}, "mapping": {"10.1.2.3": "db"}},
