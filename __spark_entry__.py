@@ -65,7 +65,11 @@ _LEVEL_SQL = (
 def _raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → (event_id, user_id, event_type, ts, value, text) where
     text is a dissectable log line; every 47th event is malformed
-    (missing the user= section) to exercise tag-and-continue + DLQ."""
+    (missing the user= section → dissect_parsing_error + DLQ) and every
+    31st has a NON-NUMERIC user (``user=uNN`` against ``%{uid|long}`` →
+    typed-capture conversion failure). The second class is the ANSI
+    job-killer regression fixture: the pipeline must tag
+    dissect_conversion_error and keep the row flowing, never abort."""
     ev = _load(spark, sf_dir, "events")
     level = _level()
     event_ts = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
@@ -73,8 +77,20 @@ def _raw_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         'level=%s ts=%s user=%d msg="%s"', level, event_ts, F.col("user_id"), F.col("event_type")
     )
     bad = F.format_string('level=%s ts=%s msg="%s"', level, event_ts, F.col("event_type"))
-    text = F.when(F.col("event_id") % 47 == 0, bad).otherwise(ok)
+    conv_bad = F.format_string(
+        'level=%s ts=%s user=u%d msg="%s"', level, event_ts, F.col("user_id"), F.col("event_type")
+    )
+    text = (
+        F.when(F.col("event_id") % 47 == 0, bad)
+        .when(F.col("event_id") % 31 == 0, conv_bad)
+        .otherwise(ok)
+    )
     return ev.select("event_id", "user_id", "event_type", "ts", "value", text.alias("text"))
+
+
+# oracle twins for the malformation classes above
+_MALFORMED_SQL = "event_id % 47 = 0"
+_CONVBAD_SQL = "(event_id % 31 = 0 AND event_id % 47 <> 0)"
 
 
 _DISSECT_TOK = 'level=%{level} ts=%{event_ts} user=%{uid|long} msg="%{message}"'
@@ -140,11 +156,12 @@ def q_pipeline_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PIPELINE_FANOUT = f"""
 WITH base AS (
-  SELECT event_id, user_id, {_LEVEL_SQL} AS level, event_id % 47 = 0 AS malformed
+  SELECT event_id, user_id, {_LEVEL_SQL} AS level,
+         {_MALFORMED_SQL} AS malformed, {_CONVBAD_SQL} AS convbad
   FROM events
 ), parsed AS (
   SELECT CASE WHEN malformed THEN NULL ELSE level END AS level,
-         CASE WHEN malformed THEN NULL ELSE user_id END AS uid,
+         CASE WHEN malformed OR convbad THEN NULL ELSE user_id END AS uid,
          malformed
   FROM base
 ), kept AS (
@@ -165,7 +182,9 @@ SELECT sink, count(*) AS n, count(DISTINCT uid) AS users FROM routed GROUP BY si
 
 def q_dissect_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dissect with |long typed capture + failure tagging: per-row
-    parsed fields and the parse-error flag."""
+    parsed fields, the parse-error flag, and the typed-conversion
+    flag (malformed ``user=uNN`` rows must yield uid NULL +
+    dissect_conversion_error, not an ANSI job abort)."""
     from beats_spark.operators.base import build_chain
 
     raw = _raw_lines(spark, sf_dir)
@@ -173,25 +192,127 @@ def q_dissect_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"dissect": {"tokenizer": _DISSECT_TOK, "field": "text", "target_prefix": ""}}]
     )
     df = chain(raw)
+    flags = F.coalesce(F.col("flags"), F.array().cast("array<string>"))
     return df.select(
         "event_id",
         F.col("level").alias("level"),
         F.col("uid").alias("uid"),
         F.col("message").alias("message"),
-        F.array_contains(
-            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
-            "dissect_parsing_error",
-        ).alias("parse_failed"),
+        F.array_contains(flags, "dissect_parsing_error").alias("parse_failed"),
+        F.array_contains(flags, "dissect_conversion_error").alias("conv_failed"),
     )
 
 
 _SQL_DISSECT_TYPED = f"""
 SELECT event_id,
-       CASE WHEN event_id % 47 = 0 THEN NULL ELSE {_LEVEL_SQL} END AS level,
-       CASE WHEN event_id % 47 = 0 THEN NULL ELSE user_id END AS uid,
-       CASE WHEN event_id % 47 = 0 THEN NULL ELSE event_type END AS message,
-       event_id % 47 = 0 AS parse_failed
+       CASE WHEN {_MALFORMED_SQL} THEN NULL ELSE {_LEVEL_SQL} END AS level,
+       CASE WHEN {_MALFORMED_SQL} OR {_CONVBAD_SQL} THEN NULL ELSE user_id END AS uid,
+       CASE WHEN {_MALFORMED_SQL} THEN NULL ELSE event_type END AS message,
+       {_MALFORMED_SQL} AS parse_failed,
+       {_CONVBAD_SQL} AS conv_failed
 FROM events
+"""
+
+
+def q_multiline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline reader (pattern/after mode): events are unrolled into
+    per-file line streams (head + indented continuations, the Java
+    stack-trace shape) and joined back into logical events by the
+    reference's afterMatcher semantics (multiline.go)."""
+    from pyspark.sql import Window
+
+    from beats_spark.sources.lines import multiline_join
+
+    ev = _load(spark, sf_dir, "events")
+    unrolled = ev.select(
+        F.col("user_id").cast("string").alias("file"),
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.col("event_id") % 3)).alias("k"),
+    )
+    line = F.when(
+        F.col("k") == 0, F.format_string("start %d", F.col("event_id"))
+    ).otherwise(F.format_string("  cont %d.%d", F.col("event_id"), F.col("k")))
+    w = Window.partitionBy("file").orderBy("event_id", "k")
+    lines = unrolled.select(
+        "file",
+        (F.row_number().over(w) - 1).alias("line_no"),
+        line.alias("line"),
+    )
+    out = multiline_join(lines, pattern=r"^\s", match="after")
+    return out.select(
+        "file",
+        F.col("line_no").cast("long").alias("line_no"),
+        "message",
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+_SQL_MULTILINE_JOIN = """
+WITH ev AS (
+  SELECT user_id::VARCHAR AS file, event_id, event_id % 3 + 1 AS n_lines
+  FROM events),
+o AS (
+  SELECT file, event_id, n_lines,
+         COALESCE(sum(n_lines) OVER (
+           PARTITION BY file ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_no
+  FROM ev)
+SELECT file, line_no::BIGINT AS line_no,
+       'start ' || event_id::VARCHAR ||
+         COALESCE(array_to_string(
+           list_transform(range(1, n_lines::BIGINT),
+             k -> chr(10) || '  cont ' || event_id::VARCHAR || '.' || k::VARCHAR),
+           ''), '') AS message,
+       n_lines::BIGINT AS n_lines
+FROM o
+"""
+
+
+def q_dissect_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect pointer/indirect fields (%{*k}/%{&k}): row-dependent
+    key names land in the dissect_map MapType overflow column —
+    rendered as a sorted k=v CSV for the cross-engine hash."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "kv",
+        F.format_string(
+            "u%d=%d type_%s=%d",
+            F.col("user_id") % 5,
+            (F.col("event_id") % 9).cast("int"),
+            F.col("event_type"),
+            F.col("user_id"),
+        ),
+    )
+    chain = build_chain(
+        [
+            {
+                "dissect": {
+                    "tokenizer": "%{*a}=%{&a} %{*b}=%{&b}",
+                    "field": "kv",
+                    "target_prefix": "",
+                }
+            }
+        ]
+    )
+    out = chain(ev)
+    entries = F.transform(
+        F.array_sort(F.map_entries(F.col("dissect_map"))),
+        lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+    )
+    return out.select("event_id", F.array_join(entries, ",").alias("kv_csv"))
+
+
+_SQL_DISSECT_MAP = """
+WITH kv AS (
+  SELECT event_id,
+         'u' || (user_id % 5)::VARCHAR AS k1, (event_id % 9)::VARCHAR AS v1,
+         'type_' || event_type AS k2, user_id::VARCHAR AS v2
+  FROM events)
+SELECT event_id,
+       CASE WHEN k1 < k2 THEN k1 || '=' || v1 || ',' || k2 || '=' || v2
+            ELSE k2 || '=' || v2 || ',' || k1 || '=' || v1 END AS kv_csv
+FROM kv
 """
 
 
@@ -230,10 +351,18 @@ FROM events GROUP BY 1
 
 
 def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Condition language: and/or/not/equals/contains/regexp/range."""
+    """Condition language: and/or/not/equals/contains/regexp/range —
+    including typed equals/range over a DIRTY string column (numeric
+    strings mixed with words): a typed mismatch is false, never an
+    ANSI cast error (equals.go:26-113)."""
     from beats_spark.functions.conditions import compile_condition
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "vtext",
+        F.when(F.col("event_id") % 5 == 0, F.col("event_type")).otherwise(
+            (F.col("user_id") % 20).cast("string")
+        ),
+    )
     cond = compile_condition(
         ev,
         {
@@ -241,6 +370,12 @@ def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"or": [{"equals": {"event_type": "click"}}, {"regexp": {"event_type": "^s.*up$"}}]},
                 {"not": {"range": {"value": {"lt": 10.0}}}},
                 {"range": {"user_id": {"gte": 5, "lt": 95}}},
+                {
+                    "or": [
+                        {"range": {"vtext": {"gte": 15}}},
+                        {"equals": {"vtext": 3}},
+                    ]
+                },
             ]
         },
     )
@@ -250,10 +385,17 @@ def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CONDITIONS = """
+WITH ev AS (
+  SELECT *,
+         CASE WHEN event_id % 5 = 0 THEN event_type
+              ELSE (user_id % 20)::VARCHAR END AS vtext
+  FROM events)
 SELECT event_type, count(*) AS n, min(event_id) AS first_id
-FROM events
+FROM ev
 WHERE (event_type = 'click' OR regexp_matches(event_type, '^s.*up$'))
   AND NOT (value < 10.0) AND user_id >= 5 AND user_id < 95
+  AND (COALESCE(TRY_CAST(vtext AS DOUBLE) >= 15, FALSE)
+       OR COALESCE(TRY_CAST(vtext AS DOUBLE) = 3, FALSE))
 GROUP BY event_type
 """
 
@@ -448,27 +590,34 @@ FROM events
 
 def q_network_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """network condition: CIDR + named-range membership on synthesized
-    IPv4s, pure JVM integer math."""
+    IPv4s, pure JVM integer math. Every 13th row is a hostname and
+    every 17th has an out-of-range octet — unparseable addresses must
+    evaluate FALSE (net.ParseIP → nil), never raise under ANSI."""
     from beats_spark.functions.conditions import compile_condition
 
+    good = F.format_string(
+        "%d.%d.%d.%d",
+        F.when(F.col("user_id") % 3 == 0, 10).when(F.col("user_id") % 3 == 1, 127).otherwise(192),
+        (F.col("user_id") % 200).cast("int"),
+        (F.col("event_id") % 250).cast("int"),
+        (F.col("event_id") % 100).cast("int"),
+    )
     ev = _load(spark, sf_dir, "events").withColumn(
         "ip",
-        F.format_string(
-            "%d.%d.%d.%d",
-            F.when(F.col("user_id") % 3 == 0, 10).when(F.col("user_id") % 3 == 1, 127).otherwise(192),
-            (F.col("user_id") % 200).cast("int"),
-            (F.col("event_id") % 250).cast("int"),
-            (F.col("event_id") % 100).cast("int"),
-        ),
+        F.when(F.col("event_id") % 13 == 0, F.format_string("host%d.local", F.col("user_id")))
+        .when(F.col("event_id") % 17 == 0, F.format_string("300.%d.1.1", F.col("user_id")))
+        .otherwise(good),
     )
     is_private = compile_condition(ev, {"network": {"ip": "private"}})
     is_loopback = compile_condition(ev, {"network": {"ip": "loopback"}})
     in_slice = compile_condition(ev, {"network": {"ip": "10.0.0.0/8"}})
+    is_public = compile_condition(ev, {"network": {"ip": "public"}})
     return ev.select(
         "event_id",
         is_private.alias("is_private"),
         is_loopback.alias("is_loopback"),
         in_slice.alias("in_ten_net"),
+        is_public.alias("is_public"),
     )
 
 
@@ -476,12 +625,14 @@ _SQL_NETWORK_CONDITIONS = """
 WITH ips AS (
   SELECT event_id,
          CASE WHEN user_id % 3 = 0 THEN 10 WHEN user_id % 3 = 1 THEN 127 ELSE 192 END AS o1,
-         user_id % 200 AS o2
+         user_id % 200 AS o2,
+         (event_id % 13 = 0) OR (event_id % 17 = 0) AS bad
   FROM events)
 SELECT event_id,
-       (o1 = 10) OR (o1 = 192 AND o2 = 168) AS is_private,
-       o1 = 127 AS is_loopback,
-       o1 = 10 AS in_ten_net
+       NOT bad AND ((o1 = 10) OR (o1 = 192 AND o2 = 168)) AS is_private,
+       NOT bad AND o1 = 127 AS is_loopback,
+       NOT bad AND o1 = 10 AS in_ten_net,
+       NOT bad AND o1 = 192 AND o2 <> 168 AS is_public
 FROM ips
 """
 
@@ -661,10 +812,52 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
 _SQL_DEDUP_JACCARD = _SQL_JACCARD_BODY.format(n=5, t=0.5)
 
 
+def q_dedup_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs in BLOCKED mode (block_col="lang") — the
+    100 TB path: comparison restricted to within a blocking key, so the
+    pair space is per-block quadratic instead of corpus quadratic. The
+    blockless crossJoin mode of q_dedup_jaccard stays as small-scale
+    ground truth. (lang blocks keep 6 of the 25 sf0.01 planted pairs;
+    source blocks would keep only 1.)"""
+    from beats_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.5, block_col="lang")
+
+
+_SQL_DEDUP_JACCARD_BLOCKED = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id, lang,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.grams, b.grams))::DOUBLE
+         / len(list_distinct(a.grams || b.grams))::DOUBLE AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(a.grams || b.grams))::DOUBLE >= 0.5
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (banded signatures → bucket join →
     exact-Jaccard verify). With full recall on the planted pairs the
-    output equals the exact-Jaccard oracle."""
+    output equals the exact-Jaccard oracle.
+
+    Note on the equality gate: LSH recall is probabilistic in general
+    (16 bands × 4 rows ⇒ ~1.2% miss per pair at jaccard exactly 0.7),
+    but every hash here is deterministic, so for the FIXED sf0.001/
+    sf0.01 corpora the outcome is fixed and verified equal — the gate
+    cannot flake round to round. On a new corpus a borderline pair
+    could legitimately be missed; precision is always exact (verify
+    step), so output ⊆ oracle by construction."""
     from beats_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _load(spark, sf_dir, "documents")
@@ -733,8 +926,10 @@ WHERE rank <= 5
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (recall < 1 by design — no SQL
-    oracle; driver rows-only check)."""
+    """Hyperplane-LSH approximate top-k. Approximate vs brute force,
+    but DETERMINISTIC: the oracle replicates the exact bucketing (the
+    same ±1 hyperplanes, generated from similarity._plane_coef below)
+    so spark-vs-oracle equality is exact."""
     from beats_spark.operators.similarity import lsh_topk
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -742,6 +937,49 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(q, emb, k=5, n_planes=8, multiprobe=1).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
     )
+
+
+def _plane_sql(p: int, dim: int = 64, seed: int = 7) -> str:
+    """The p-th Rademacher hyperplane as a DuckDB array literal —
+    generated from the SAME _plane_coef the Spark operators use, so
+    the oracle can never silently diverge if dim/seed change
+    (embeddings are 64-dim in every sf dir; seed=7 is the operators'
+    default)."""
+    from beats_spark.operators.similarity import _plane_coef
+
+    return "[" + ", ".join(str(_plane_coef(p, d, seed)) for d in range(dim)) + "]"
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the hyperplane-LSH SCALE path
+    (n_planes>0: bucket-blocked candidates + exact cosine verify —
+    the branch that survives 100 TB; the n_planes=0 exact mode of
+    q_embed_neardup collects the corpus to the driver and exists only
+    as small-scale ground truth). Deterministic oracle: DuckDB
+    replicates the identical bucketing."""
+    from beats_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4, n_planes=4)
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1000000).cast("long").alias("cos_micro")
+    )
+
+
+_SQL_EMBED_NEARDUP_LSH = f"""
+WITH cells AS (
+  SELECT vec_id, embedding,
+         ({" + ".join(
+             f"CASE WHEN list_inner_product(embedding::DOUBLE[], {{pl{p}}}::DOUBLE[]) >= 0 "
+             f"THEN {1 << p} ELSE 0 END"
+             for p in range(4)
+         )})::BIGINT AS bkt
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000)::BIGINT AS cos_micro
+FROM cells a JOIN cells b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""".format(**{f"pl{p}": _plane_sql(p) for p in range(4)})
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,13 +1247,13 @@ def q_pipeline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_PIPELINE_ROWS = f"""
 WITH base AS (
-  SELECT event_id, user_id, {_LEVEL_SQL} AS lvl, event_id % 47 = 0 AS malformed,
-         event_type
+  SELECT event_id, user_id, {_LEVEL_SQL} AS lvl, {_MALFORMED_SQL} AS malformed,
+         {_CONVBAD_SQL} AS convbad, event_type
   FROM events
 ), parsed AS (
   SELECT event_id,
          CASE WHEN malformed THEN NULL ELSE lvl END AS level,
-         CASE WHEN malformed THEN NULL ELSE user_id END AS uid,
+         CASE WHEN malformed OR convbad THEN NULL ELSE user_id END AS uid,
          CASE WHEN malformed THEN NULL ELSE event_type END AS message,
          CASE WHEN malformed THEN 'other' ELSE
            CASE lvl WHEN 'error' THEN 'alerts' WHEN 'warn' THEN 'alerts'
@@ -1160,6 +1398,72 @@ FROM events
 
 
 
+def q_community_id_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """community_id over a DIRTY flow table: IPv6 literals, hostnames,
+    garbage ports and out-of-range ports are all present. The flow hash
+    must be NULL for those rows (communityid.go:107-121 leaves the
+    event untouched) and the job must not abort under ANSI. The hash
+    VALUE itself is golden-tested against the reference's flowhash
+    corpus (tests/test_netsec.py); this oracle checks the
+    validity/ordering logic, which DuckDB can replicate in integer
+    math (sha1-over-binary is not portable to the oracle engine)."""
+    from beats_spark.functions.conditions import _ip_to_long
+    from beats_spark.operators.base import build_chain
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    a = (uid % 250).cast("int")
+    b = (eid % 250).cast("int")
+    ev = _load(spark, sf_dir, "events").withColumns(
+        {
+            "source_ip": F.when(eid % 11 == 0, F.lit("2001:db8::1"))
+            .when(eid % 23 == 0, F.format_string("host%d", uid))
+            .when(uid % 2 == 0, F.format_string("10.0.%d.%d", a, b))
+            .otherwise(F.format_string("203.0.%d.%d", b, a)),
+            "destination_ip": F.format_string("192.168.%d.%d", b, a),
+            "source_port": F.when(eid % 29 == 0, F.lit("p80")).otherwise(
+                ((uid * 701) % 70000).cast("string")
+            ),
+            "destination_port": F.lit(443).cast("int").cast("string"),
+            "transport_protocol": F.when(eid % 2 == 0, F.lit("tcp")).otherwise(F.lit("17")),
+        }
+    )
+    chain = build_chain([{"community_id": {}}])
+    out = chain(ev)
+    a_key = _ip_to_long(F.col("source_ip")) * F.lit(65536) + F.col("source_port").try_cast(
+        "long"
+    )
+    b_key = _ip_to_long(F.col("destination_ip")) * F.lit(65536) + F.lit(443)
+    return out.select(
+        "event_id",
+        F.col("community_id").isNotNull().alias("cid_ok"),
+        F.coalesce(a_key > b_key, F.lit(False)).alias("flipped"),
+    )
+
+
+_SQL_COMMUNITY_ID_DIRTY = """
+WITH f AS (
+  SELECT event_id,
+         event_id % 11 = 0 AS v6,
+         (event_id % 23 = 0 AND event_id % 11 <> 0) AS hostlike,
+         event_id % 29 = 0 AS badport,
+         user_id % 250 AS a, event_id % 250 AS b,
+         (user_id * 701) % 70000 AS sp,
+         user_id % 2 = 0 AS ten_net
+  FROM events),
+keys AS (
+  SELECT event_id, v6, hostlike, badport, sp,
+         CASE WHEN v6 OR hostlike OR badport THEN NULL
+              WHEN ten_net THEN (10::BIGINT*16777216 + a*256 + b) * 65536 + sp
+              ELSE (203::BIGINT*16777216 + b*256 + a) * 65536 + sp END AS a_key,
+         (192::BIGINT*16777216 + 168*65536 + b*256 + a) * 65536 + 443 AS b_key
+  FROM f)
+SELECT event_id,
+       NOT (v6 OR hostlike OR badport) AND sp <= 65535 AS cid_ok,
+       COALESCE(a_key > b_key, FALSE) AS flipped
+FROM keys
+"""
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (trained coarse quantizer; approximate —
     no SQL oracle, driver rows-only check)."""
@@ -1220,23 +1524,18 @@ SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS total_bytes
 FROM documents
 """
 
-_SQL_KNN_LSH = """
-WITH bkts AS (
+_SQL_KNN_LSH = f"""
+WITH cells AS (
   SELECT vec_id, embedding,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [-1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1]::DOUBLE[]) >= 0 THEN 1 ELSE 0 END AS p0,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1]::DOUBLE[]) >= 0 THEN 2 ELSE 0 END AS p1,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1]::DOUBLE[]) >= 0 THEN 4 ELSE 0 END AS p2,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, -1]::DOUBLE[]) >= 0 THEN 8 ELSE 0 END AS p3,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [-1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1]::DOUBLE[]) >= 0 THEN 16 ELSE 0 END AS p4,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1]::DOUBLE[]) >= 0 THEN 32 ELSE 0 END AS p5,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1]::DOUBLE[]) >= 0 THEN 64 ELSE 0 END AS p6,
-         CASE WHEN list_inner_product(embedding::DOUBLE[], [1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1]::DOUBLE[]) >= 0 THEN 128 ELSE 0 END AS p7,
-         0 AS _pad
+         ({" + ".join(
+             f"CASE WHEN list_inner_product(embedding::DOUBLE[], {{pl{p}}}::DOUBLE[]) >= 0 "
+             f"THEN {1 << p} ELSE 0 END"
+             for p in range(8)
+         )})::BIGINT AS bkt
   FROM embeddings
-), cells AS (
-  SELECT vec_id, embedding, (p0 + p1 + p2 + p3 + p4 + p5 + p6 + p7)::BIGINT AS bkt FROM bkts
 ), probes AS (
-  SELECT vec_id AS query_id, embedding AS qv, unnest([bkt, xor(bkt::BIGINT, 1::BIGINT), xor(bkt::BIGINT, 2::BIGINT), xor(bkt::BIGINT, 4::BIGINT), xor(bkt::BIGINT, 8::BIGINT), xor(bkt::BIGINT, 16::BIGINT), xor(bkt::BIGINT, 32::BIGINT), xor(bkt::BIGINT, 64::BIGINT), xor(bkt::BIGINT, 128::BIGINT)]) AS bkt
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest([bkt, {", ".join(f"xor(bkt::BIGINT, {1 << p}::BIGINT)" for p in range(8))}]) AS bkt
   FROM cells WHERE vec_id < 20
 ), cand AS (
   SELECT DISTINCT p.query_id, p.qv, c.vec_id AS neighbor_id, c.embedding AS cv
@@ -1251,7 +1550,7 @@ SELECT query_id, rank, neighbor_id FROM (
                     neighbor_id ASC) AS rank
   FROM cand)
 WHERE rank <= 5
-"""
+""".format(**{f"pl{p}": _plane_sql(p) for p in range(8)})
 
 
 
@@ -1320,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rows": q_pipeline_rows,
         "rate_limit": q_rate_limit,
         "dissect_typed": q_dissect_typed,
+        "dissect_map": q_dissect_map,
+        "multiline_join": q_multiline_join,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
         "decode_json": q_decode_json,
@@ -1337,12 +1638,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decode_battery": q_decode_battery,
         "array_ops": q_array_ops,
         "domain_direction": q_domain_direction,
+        "community_id_dirty": q_community_id_dirty,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1361,6 +1665,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,
         "dissect_typed": _SQL_DISSECT_TYPED,
+        "dissect_map": _SQL_DISSECT_MAP,
+        "multiline_join": _SQL_MULTILINE_JOIN,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,
@@ -1378,11 +1684,14 @@ def oracle_sql() -> dict[str, str]:
         "decode_battery": _SQL_DECODE_BATTERY,
         "array_ops": _SQL_ARRAY_OPS,
         "domain_direction": _SQL_DOMAIN_DIRECTION,
+        "community_id_dirty": _SQL_COMMUNITY_ID_DIRTY,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
+        "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
         "embed_neardup": _SQL_EMBED_NEARDUP,
+        "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "knn_lsh": _SQL_KNN_LSH,
         "media_features": _SQL_MEDIA_FEATURES,
@@ -1391,6 +1700,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY_SCORE,
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
         "multimodal_meta": _SQL_MULTIMODAL_META,
-        # no oracle (approximate / binary-only): dedup_simhash, knn_lsh,
-        # media_features
+        # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
+        # (xxhash64 token hash is not portable to DuckDB — its md5 twin
+        # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained
+        # float centroids; quality gated instead by the in-suite
+        # recall@k test vs knn_bruteforce).
     }

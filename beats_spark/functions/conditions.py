@@ -65,15 +65,32 @@ def _two_valued(c: Column) -> Column:
     return F.coalesce(c, F.lit(False))
 
 
+# Shape gate for dotted-quad parsing. try_cast keeps Spark 4 ANSI mode
+# from killing the job on hostnames/IPv6/garbage; the reference's
+# net.ParseIP simply returns nil there (network.go) so the condition
+# must evaluate to false, never error.
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
 def _ip_to_long(c: Column) -> Column:
-    """Dotted-quad IPv4 string → int64, JVM-side (no UDF)."""
+    """Dotted-quad IPv4 string → int64, JVM-side (no UDF).
+
+    NULL for anything that is not a valid IPv4 (wrong shape or an
+    octet > 255) — mirroring net.ParseIP returning nil; downstream
+    comparisons then fail two-valued instead of raising
+    CAST_INVALID_INPUT under ANSI mode."""
     parts = F.split(c, r"\.")
-    return (
-        parts.getItem(0).cast("long") * F.lit(16777216)
-        + parts.getItem(1).cast("long") * F.lit(65536)
-        + parts.getItem(2).cast("long") * F.lit(256)
-        + parts.getItem(3).cast("long")
+    octets = [parts.getItem(i).try_cast("long") for i in range(4)]
+    value = (
+        octets[0] * F.lit(16777216)
+        + octets[1] * F.lit(65536)
+        + octets[2] * F.lit(256)
+        + octets[3]
     )
+    valid = c.rlike(_IPV4_RE)
+    for o in octets:
+        valid = valid & (o <= 255)
+    return F.when(valid, value)
 
 
 def _cidr_test(col: Column, cidr: str) -> Column:
@@ -96,11 +113,14 @@ def _network_leaf(df: DataFrame, spec: dict[str, Any]) -> Column:
         for t in targets:
             if t in _NAMED_NETWORKS:
                 if t == "public":
+                    # complement of private+loopback, but only for rows
+                    # that ARE parseable IPs — an unparseable string is
+                    # not "public", it fails the condition outright.
                     priv = [
                         _cidr_test(col, c)
                         for c in _NAMED_NETWORKS["private"] + _NAMED_NETWORKS["loopback"]
                     ]
-                    expr = ~_two_valued(_any(priv))
+                    expr = _ip_to_long(col).isNotNull() & ~_two_valued(_any(priv))
                 else:
                     expr = _any([_cidr_test(col, c) for c in _NAMED_NETWORKS[t]])
             else:
@@ -153,9 +173,11 @@ def compile_condition(df: DataFrame, cond: dict[str, Any]) -> Column:
             if col is None:
                 checks.append(F.lit(False))
             elif isinstance(value, bool):
-                checks.append(_two_valued(col.cast("boolean") == F.lit(value)))
+                # try_cast: a non-boolean string is a typed MISMATCH ⇒
+                # false (equals.go:26-113), not an ANSI cast error.
+                checks.append(_two_valued(col.try_cast("boolean") == F.lit(value)))
             elif isinstance(value, (int, float)):
-                checks.append(_two_valued(col.cast("double") == F.lit(float(value))))
+                checks.append(_two_valued(col.try_cast("double") == F.lit(float(value))))
             else:
                 checks.append(_two_valued(col.cast("string") == F.lit(str(value))))
         return _all(checks)
@@ -185,7 +207,10 @@ def compile_condition(df: DataFrame, cond: dict[str, Any]) -> Column:
             if col is None:
                 checks.append(F.lit(False))
                 continue
-            num = col.cast("double")
+            # try_cast: a non-numeric value fails the range check
+            # (range.go treats a non-numeric field as no-match) instead
+            # of raising CAST_INVALID_INPUT under ANSI mode.
+            num = col.try_cast("double")
             for op, bound in ops.items():
                 if op not in _RANGE_OPS:
                     raise ValueError(f"unknown range op {op!r}")

@@ -34,9 +34,14 @@ Semantics preserved from the reference (cited file:line):
   the raw string in an ``any``-typed map; a relational column has one
   type, so a failed cast yields NULL instead.
 - indirect ``&`` / pointer ``*`` fields produce row-dependent key
-  NAMES — impossible on a fixed relational schema; compiling one
-  raises ``UnsupportedModifier`` (the config is rejected at plan build,
-  mirroring config-time validation in the reference).
+  NAMES (const.go:31-52): ``%{*k}``/``%{?k}`` captures a key name,
+  ``%{&k}`` its value. A fixed relational schema cannot hold dynamic
+  column names, so these land in a ``map<string,string>`` overflow
+  column (``_map`` here, ``dissect_map`` at the processor level) —
+  built JVM-side with ``map_from_arrays``. Only the append-indirect
+  combinations ``&+``/``+&`` remain rejected at plan build
+  (``UnsupportedModifier``; absent from the reference's own golden
+  corpus).
 
 Multi-line messages work: the regex is compiled with DOTALL, matching
 the reference's byte-oriented IndexOf walk.
@@ -84,6 +89,8 @@ class _Key:
     name: str
     skip: bool = False
     append: bool = False
+    pointer: bool = False  # %{*key}: captured value becomes a KEY name
+    indirect: bool = False  # %{&key}: captured value keyed by the pointer
     ordinal: int = 0
     fixed_len: int | None = None
     greedy: bool = False
@@ -125,6 +132,25 @@ class DissectPattern:
             pos = m.end()
         trailing = self.tokenizer[pos:]
 
+        # indirect `&name` keys take their KEY NAME from the capture of
+        # the matching pointer `*name` / named-skip `?name` field
+        # (const.go:31-52; golden corpus "indirect field" cases) — so
+        # those providers must become CAPTURING groups even though they
+        # emit no fixed column; the (key, value) captures land in the
+        # row-dependent map output (map_pairs / the dissect_map column).
+        indirect_names = {k.name for _, k in pairs if k.indirect}
+        provider_names = {k.name for _, k in pairs if k.pointer or k.skip}
+        for _, k in pairs:
+            if k.indirect and k.name not in provider_names:
+                raise DissectError(
+                    f"indirect field %{{&{k.name}}} has no matching "
+                    f"%{{*{k.name}}} or %{{?{k.name}}} provider"
+                )
+            if k.pointer and k.name not in indirect_names:
+                raise DissectError(
+                    f"pointer field %{{*{k.name}}} has no matching %{{&{k.name}}}"
+                )
+
         parts: list[str] = ["^", re.escape(pairs[0][0])]
         group_n = 0
         for i, (_, key) in enumerate(pairs):
@@ -137,12 +163,15 @@ class DissectPattern:
                 body = ".*"  # remainder of string (dissect.go:180-183)
             else:
                 body = ".*?"  # first-occurrence-of-delimiter semantics
-            if key.skip:
-                parts.append(f"(?:{body})")
-            else:
+            capture = (not key.skip and not key.pointer) or (
+                (key.skip or key.pointer) and key.name in indirect_names
+            )
+            if capture:
                 key.group = f"g{group_n}"
                 group_n += 1
                 parts.append(f"(?P<{key.group}>{body})")
+            else:
+                parts.append(f"(?:{body})")
             # the delimiter after the value
             if next_delim:
                 d = re.escape(next_delim)
@@ -155,19 +184,23 @@ class DissectPattern:
             self._compiled = re.compile(self.regex, re.DOTALL)
         except re.error as e:  # pragma: no cover
             raise DissectError(f"tokenizer compiled to bad regex: {e}") from e
-        if not any(not k.skip for k in self._keys):
+        if not any(k.group for k in self._keys):
             raise DissectError("tokenizer defines no saveable keys")
 
     def _parse_key(self, raw: str, seq: int) -> _Key:
         if raw == "":
             return _Key(name=f"_skip{seq}", skip=True, seq=seq)
-        skip = append = False
-        if raw.startswith(("&+", "+&", "&", "*")):
+        skip = append = pointer = indirect = False
+        if raw.startswith(("&+", "+&")):
             raise UnsupportedModifier(
-                f"indirect/pointer field %{{{raw}}} needs row-dependent key names; "
-                "not representable on a fixed relational schema"
+                f"append-indirect field %{{{raw}}} is not supported "
+                "(not present in the reference golden corpus either)"
             )
-        if raw.startswith("?"):
+        if raw.startswith("&"):
+            indirect, raw = True, raw[1:]
+        elif raw.startswith("*"):
+            pointer, raw = True, raw[1:]
+        elif raw.startswith("?"):
             skip, raw = True, raw[1:]
         elif raw.startswith("+"):
             append, raw = True, raw[1:]
@@ -181,6 +214,8 @@ class DissectPattern:
             name=name,
             skip=skip,
             append=append,
+            pointer=pointer,
+            indirect=indirect,
             ordinal=int(ordinal) if ordinal else 0,
             fixed_len=int(fixed) if fixed else None,
             greedy=bool(greedy),
@@ -190,12 +225,29 @@ class DissectPattern:
 
     # -- introspection --------------------------------------------------
     def keys(self) -> list[str]:
-        """Output key names, declaration order, append groups collapsed."""
+        """FIXED output key names, declaration order, append groups
+        collapsed. Pointer/indirect fields are excluded — their
+        row-dependent (key, value) captures surface via map_pairs()."""
         seen: list[str] = []
         for k in self._keys:
-            if not k.skip and k.name not in seen:
+            if not k.skip and not k.pointer and not k.indirect and k.name not in seen:
                 seen.append(k.name)
         return seen
+
+    def map_pairs(self) -> list[tuple[str, str]]:
+        """(key_group, value_group) regex-group pairs for the
+        row-dependent map output: one per indirect `&name` field,
+        keyed by its `*name`/`?name` provider's capture."""
+        providers = {
+            k.name: k.group for k in self._keys if (k.pointer or k.skip) and k.group
+        }
+        return [
+            (providers[k.name], k.group) for k in self._keys if k.indirect
+        ]
+
+    @property
+    def has_map(self) -> bool:
+        return any(k.indirect for k in self._keys)
 
     def spark_type(self, name: str) -> str | None:
         for k in self._keys:
@@ -224,8 +276,10 @@ class DissectPattern:
 
     # -- execution: pandas (Arrow-vectorized) ---------------------------
     def extract_pandas(self, s: pd.Series) -> pd.DataFrame:
-        """One regex pass over a batch; returns str columns per key plus
-        a boolean ``_match`` column. Unmatched rows → all-null."""
+        """One regex pass over a batch; returns str columns per key
+        (plus a ``_map`` dict column when the tokenizer has
+        pointer/indirect fields) plus a boolean ``_match`` column.
+        Unmatched rows → all-null."""
         ext = s.astype("string").str.extract(self._compiled, expand=True)
         out = pd.DataFrame(index=s.index)
         for name in self.keys():
@@ -235,8 +289,22 @@ class DissectPattern:
                 acc = acc + joiner + ext[g]
             out[name] = acc
         # extract yields NaN for every group on unmatched rows; our groups
-        # are non-optional so first-group notna() == row matched.
-        out["_match"] = ext[self._groups_for(self.keys()[0])[0]].notna()
+        # are non-optional so any-group notna() == row matched.
+        first_group = next(k.group for k in self._keys if k.group)
+        matched = ext[first_group].notna()
+        pairs = self.map_pairs()
+        if pairs:
+            keys_df = ext[[kg for kg, _ in pairs]]
+            vals_df = ext[[vg for _, vg in pairs]]
+            out["_map"] = [
+                dict(zip(kr, vr)) if m else None
+                for kr, vr, m in zip(
+                    keys_df.itertuples(index=False),
+                    vals_df.itertuples(index=False),
+                    matched,
+                )
+            ]
+        out["_match"] = matched
         return out
 
     def pandas_udf(self):
@@ -246,6 +314,10 @@ class DissectPattern:
         reference's construction-time specialization
         (dissect/dissect.go:226-237)."""
         fields = [T.StructField(k, T.StringType()) for k in self.keys()]
+        if self.has_map:
+            fields.append(
+                T.StructField("_map", T.MapType(T.StringType(), T.StringType()))
+            )
         fields.append(T.StructField("_match", T.BooleanType()))
         schema = T.StructType(fields)
         pattern = self
@@ -269,7 +341,7 @@ class DissectPattern:
         idx = {}
         n = 0
         for k in self._keys:
-            if not k.skip:
+            if k.group:
                 n += 1
                 idx[k.group] = n
         matched = col.rlike(java_regex)
@@ -281,12 +353,38 @@ class DissectPattern:
                 pieces += [F.lit(joiner), F.regexp_extract(col, java_regex, idx[g])]
             v = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
             out[name] = F.when(matched, v)
+        pairs = self.map_pairs()
+        if pairs:
+            # row-dependent key names → MapType overflow column, still
+            # fully JVM-side: map_from_arrays over regexp_extract pairs.
+            keys_arr = F.array(
+                *[F.regexp_extract(col, java_regex, idx[kg]) for kg, _ in pairs]
+            )
+            vals_arr = F.array(
+                *[F.regexp_extract(col, java_regex, idx[vg]) for _, vg in pairs]
+            )
+            out["_map"] = F.when(matched, F.map_from_arrays(keys_arr, vals_arr))
         out["_match"] = matched
         return out
 
     # -- typed cast helper ----------------------------------------------
     def cast(self, name: str, col: Column) -> Column:
+        """Right-trim then parse (dissect.go:249). try_cast: under
+        Spark 4 ANSI a bare cast on a non-numeric capture aborts the
+        whole job; the reference instead keeps the event flowing
+        (conversion failure leaves the raw string, dissect.go:248-252).
+        A relational column has one type, so failure yields NULL here —
+        the processor tags ``dissect_conversion_error`` via
+        ``conversion_failed`` so the signal is not lost."""
         t = self.spark_type(name)
         if t is None or t == "string":
             return col
-        return F.rtrim(col).cast(t)  # right-trim then parse (dissect.go:249)
+        return F.rtrim(col).try_cast(t)
+
+    def conversion_failed(self, name: str, col: Column) -> Column | None:
+        """True where the capture matched (non-null) but the typed cast
+        failed; None for untyped keys."""
+        t = self.spark_type(name)
+        if t is None or t == "string":
+            return None
+        return col.isNotNull() & F.rtrim(col).try_cast(t).isNull()

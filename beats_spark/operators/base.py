@@ -64,16 +64,29 @@ class Updates:
     remove_rows: Column | None = None
 
 
-def add_flag(df: DataFrame, tag: str, cond: Column) -> Column:
-    """flags := flags + [tag] where cond (append, reference appends to
-    the `log.flags` array — dissect/processor.go:106-118)."""
-    existing = (
+def flags_base(df: DataFrame) -> Column:
+    """The current flags column expression (NULL literal if absent)."""
+    return (
         F.col(FLAGS_COL)
         if FLAGS_COL in df.columns
         else F.lit(None).cast("array<string>")
     )
+
+
+def append_flag(existing: Column, tag: str, cond: Column) -> Column:
+    """flags := flags + [tag] where cond, building on an arbitrary
+    flags expression — chainable so one processor can tag several
+    failure modes in a single column expression."""
     base = F.coalesce(existing, F.array().cast("array<string>"))
-    return F.when(cond, F.array_union(base, F.array(F.lit(tag)))).otherwise(existing)
+    return F.when(
+        F.coalesce(cond, F.lit(False)), F.array_union(base, F.array(F.lit(tag)))
+    ).otherwise(existing)
+
+
+def add_flag(df: DataFrame, tag: str, cond: Column) -> Column:
+    """flags := flags + [tag] where cond (append, reference appends to
+    the `log.flags` array — dissect/processor.go:106-118)."""
+    return append_flag(flags_base(df), tag, cond)
 
 
 class Processor:

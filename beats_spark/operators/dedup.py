@@ -117,13 +117,21 @@ def exact_dedup(
     """Exact content dedup: one row per distinct (normalized) text, the
     keeper being the minimum id — deterministic at any parallelism.
 
-    Plan shape: hash the text to a 64-bit group key (shuffling a long,
-    not multi-KB text bodies), ``groupBy`` with map-side partial
-    aggregation, keep ``min(id)``. One shuffle, no window sort.
+    Plan shape: hash the text to a 128-bit group key (two independent
+    xxhash64 values — 16 bytes shuffled, not multi-KB text bodies),
+    ``groupBy`` with map-side partial aggregation, keep ``min(id)``.
+    One shuffle, no window sort. 128 bits because at the multi-billion-
+    doc design scale a single 64-bit key has non-negligible birthday
+    collisions (~50% at ~5B distinct texts), which would silently drop
+    distinct documents; at 128 bits the risk is ~1e-20.
     """
     norm = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
-    keyed = df.withColumn("_ck", F.xxhash64(norm))
-    keepers = keyed.groupBy("_ck").agg(F.min(id_col).alias(id_col)).drop("_ck")
+    keyed = df.withColumn("_ck", F.xxhash64(norm)).withColumn(
+        "_ck2", F.xxhash64(norm, F.lit(1))
+    )
+    keepers = keyed.groupBy("_ck", "_ck2").agg(F.min(id_col).alias(id_col)).drop(
+        "_ck", "_ck2"
+    )
     # semi join back to recover full rows; broadcast-eligible when the
     # keeper set is small, AQE decides otherwise.
     return df.join(keepers, id_col, "semi")
@@ -133,13 +141,19 @@ def exact_dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Duplicate-group summary: (group_key, n_dups, keeper_id) for
-    groups with >1 member."""
+    groups with >1 member. Grouped on a 128-bit key (see exact_dedup);
+    ``group_key`` exposes the first 64 bits for display/joining."""
     norm = normalize_text(F.col(text_col))
     return (
-        df.select(F.xxhash64(norm).alias("group_key"), F.col(id_col))
-        .groupBy("group_key")
+        df.select(
+            F.xxhash64(norm).alias("group_key"),
+            F.xxhash64(norm, F.lit(1)).alias("_gk2"),
+            F.col(id_col),
+        )
+        .groupBy("group_key", "_gk2")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_dups") > 1)
+        .drop("_gk2")
     )
 
 

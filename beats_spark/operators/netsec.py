@@ -22,17 +22,21 @@ _PROTO_NUM = {"icmp": 1, "tcp": 6, "udp": 17, "sctp": 132}
 
 
 def _ip_hex(col: Column) -> Column:
-    """Dotted-quad IPv4 string → 8 hex chars (big-endian bytes)."""
+    """Dotted-quad IPv4 string → 8 hex chars (big-endian bytes).
+
+    try_cast so hostnames/IPv6/garbage yield NULL hex (→ NULL id)
+    instead of an ANSI CAST_INVALID_INPUT that kills the job; shape
+    and octet-range validity are enforced by the caller's guard."""
     parts = F.split(col, r"\.")
     out = None
     for i in range(4):
-        h = F.lpad(F.lower(F.hex(parts.getItem(i).cast("int"))), 2, "0")
+        h = F.lpad(F.lower(F.hex(parts.getItem(i).try_cast("int"))), 2, "0")
         out = h if out is None else F.concat(out, h)
     return out
 
 
 def _u16_hex(col: Column) -> Column:
-    return F.lpad(F.lower(F.hex(col.cast("int"))), 4, "0")
+    return F.lpad(F.lower(F.hex(col.try_cast("int"))), 4, "0")
 
 
 def community_id_v1(
@@ -43,12 +47,21 @@ def community_id_v1(
     proto_num: Column,
     seed: int = 0,
 ) -> Column:
-    """Community ID v1 as one Column expression."""
+    """Community ID v1 as one Column expression.
+
+    NULL on any unparseable/out-of-range input (non-IPv4 address,
+    port outside 0..65535, unknown protocol) — the reference leaves
+    the event untouched there (communityid.go:107-121); it never
+    errors, so neither may we (Spark 4 ANSI would otherwise abort
+    the whole job on the first bad row)."""
     from beats_spark.functions.conditions import _ip_to_long
 
-    # canonical ordering: smaller (ip, port) endpoint first
-    a_key = _ip_to_long(src_ip) * F.lit(65536) + src_port.cast("long")
-    b_key = _ip_to_long(dst_ip) * F.lit(65536) + dst_port.cast("long")
+    # canonical ordering: smaller (ip, port) endpoint first.
+    # _ip_to_long/try_cast yield NULL on garbage, making the keys NULL.
+    sp = src_port.try_cast("long")
+    dp = dst_port.try_cast("long")
+    a_key = _ip_to_long(src_ip) * F.lit(65536) + sp
+    b_key = _ip_to_long(dst_ip) * F.lit(65536) + dp
     flipped = a_key > b_key
     ip1 = F.when(flipped, dst_ip).otherwise(src_ip)
     ip2 = F.when(flipped, src_ip).otherwise(dst_ip)
@@ -66,8 +79,15 @@ def community_id_v1(
         _u16_hex(p1),
         _u16_hex(p2),
     )
+    valid = (
+        a_key.isNotNull()
+        & b_key.isNotNull()
+        & sp.between(0, 65535)
+        & dp.between(0, 65535)
+        & proto_num.between(0, 255)
+    )
     digest_hex = F.sha1(F.unhex(material))
-    return F.concat(F.lit("1:"), F.base64(F.unhex(digest_hex)))
+    return F.when(valid, F.concat(F.lit("1:"), F.base64(F.unhex(digest_hex))))
 
 
 @register

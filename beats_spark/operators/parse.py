@@ -54,6 +54,7 @@ class Dissect(Processor):
     name = "dissect"
 
     FLAG = "dissect_parsing_error"
+    CONVERT_FLAG = "dissect_conversion_error"
 
     def __init__(self, cfg):
         super().__init__(cfg)
@@ -69,25 +70,37 @@ class Dissect(Processor):
     def _out_name(self, key: str) -> str:
         return self.prefix + _flat(key)
 
+    def _map_out_name(self) -> str:
+        """Name of the map overflow column: ``<prefix>map`` under a
+        target_prefix, ``dissect_map`` at the root."""
+        return (self.prefix + "map") if self.prefix else "dissect_map"
+
     def updates(self, df: DataFrame) -> Updates:
         if self.field not in df.columns:
             raise ProcessorConfigError(f"dissect: field {self.field!r} missing")
         if not self.cfg.get("overwrite_keys", False):
-            for k in self.pattern.keys():
-                if self._out_name(k) in df.columns:
+            targets = [self._out_name(k) for k in self.pattern.keys()]
+            if self.pattern.has_map:
+                targets.append(self._map_out_name())
+            for t in targets:
+                if t in df.columns:
                     raise ProcessorConfigError(
-                        f"dissect: target column {self._out_name(k)!r} exists "
+                        f"dissect: target column {t!r} exists "
                         "and overwrite_keys is false"
                     )
 
         src = F.col(self.field)
+        map_col: Column | None = None
         if self.mode == "native":
             raw = self.pattern.native_columns(src)
             matched = raw.pop("_match")
+            map_col = raw.pop("_map", None)
             extracted = {k: raw[k] for k in self.pattern.keys()}
         else:
             struct = self.pattern.pandas_udf()(src)
             matched = struct.getField("_match")
+            if self.pattern.has_map:
+                map_col = struct.getField("_map")
             extracted = {k: struct.getField(k) for k in self.pattern.keys()}
 
         trim = self.cfg.get("trim_values", "none")
@@ -96,15 +109,34 @@ class Dissect(Processor):
 
         char_class = f"[{_re.escape(trim_chars)}]"
         out: dict[str, Column] = {}
+        conv_failed: Column | None = None
         for key, col in extracted.items():
             if trim in ("left", "all"):
                 col = F.regexp_replace(col, f"^{char_class}+", "")
             if trim in ("right", "all"):
                 col = F.regexp_replace(col, f"{char_class}+$", "")
             out[self._out_name(key)] = self.pattern.cast(key, col)
+            cf = self.pattern.conversion_failed(key, col)
+            if cf is not None:
+                conv_failed = cf if conv_failed is None else (conv_failed | cf)
+        if map_col is not None:
+            # row-dependent key names (%{*k}/%{&k}) → the MapType
+            # overflow column reserved in SURVEY §1.4
+            out[self._map_out_name()] = map_col
 
         if not self.cfg.get("ignore_failure", False):
-            out["flags"] = add_flag(df, self.FLAG, ~F.coalesce(matched, F.lit(False)))
+            from beats_spark.operators.base import append_flag, flags_base
+
+            # tag-and-continue on BOTH failure modes: unmatched rows
+            # (dissect_parsing_error) and matched rows whose |type cast
+            # failed (dissect_conversion_error) — never abort the job
+            # (dissect.go:248-252; processors.go:140-148).
+            flags = append_flag(
+                flags_base(df), self.FLAG, ~F.coalesce(matched, F.lit(False))
+            )
+            if conv_failed is not None:
+                flags = append_flag(flags, self.CONVERT_FLAG, conv_failed)
+            out["flags"] = flags
         return Updates(set=out)
 
 

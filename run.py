@@ -34,7 +34,15 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="beats_spark pipeline job")
     p.add_argument("--config", required=True, help="pipeline config JSON file")
-    p.add_argument("--source", help="input parquet path / Iceberg table")
+    p.add_argument("--source", help="input parquet path / Iceberg table / log dir")
+    p.add_argument(
+        "--source-format",
+        default=None,
+        choices=["parquet", "text"],
+        help="'text' reads raw log files (one harvester-task per file) "
+        "through the multiline reader; config key 'input: {multiline: "
+        "{...}}' carries the Beats parsers block",
+    )
     p.add_argument("--synth", type=int, default=0, help="generate N synthetic conversations")
     p.add_argument("--out-root", help="sink root (parquet dir or Iceberg prefix)")
     p.add_argument("--lineage", help="lineage/checkpoint table path (enables resume)")
@@ -57,9 +65,14 @@ def main(argv: list[str] | None = None) -> int:
             cfg_raw = yaml.safe_load(f)
         else:
             cfg_raw = json.load(f)
+    # optional Beats-style input block: {"type": "text", "path": ...,
+    # "multiline": {...}} — CLI --source/--source-format override it
+    input_cfg = cfg_raw.pop("input", {}) or {}
     cfg = PipelineConfig(**cfg_raw)
     if args.out_root:
         cfg.out_root = args.out_root
+    source_format = args.source_format or input_cfg.get("type") or "parquet"
+    source_path = args.source or input_cfg.get("path")
 
     # under spark-submit the master/deploy-mode is already decided;
     # standalone execution gets a local session with the same tuning
@@ -74,8 +87,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.synth:
         source = synth_transcripts(spark, n_convs=args.synth)
-    elif args.source:
-        source = spark.read.parquet(args.source)
+    elif source_path and source_format == "text":
+        from beats_spark.sources.lines import read_multiline
+
+        source = read_multiline(spark, source_path, input_cfg.get("multiline"))
+    elif source_path:
+        source = spark.read.parquet(source_path)
     else:
         print("need --source or --synth", file=sys.stderr)
         return 2

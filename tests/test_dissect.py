@@ -88,12 +88,30 @@ def test_native_matches_pandas(spark):
 
 
 def test_unsupported_and_invalid():
+    # pointer/indirect now compile (map overflow column); only the
+    # append-indirect combinations stay rejected
     with pytest.raises(UnsupportedModifier):
-        DissectPattern("%{*k} %{&k}")
+        DissectPattern("%{&+k} %{rest}")
+    with pytest.raises(UnsupportedModifier):
+        DissectPattern("%{+&k} %{rest}")
     with pytest.raises(DissectError):
         DissectPattern("no keys here")
     with pytest.raises(DissectError):
         DissectPattern("%{?only} %{?skips}")
+    # dangling pointer / indirect without its twin is a config error
+    with pytest.raises(DissectError):
+        DissectPattern("%{*k} %{v}")
+    with pytest.raises(DissectError):
+        DissectPattern("%{&k} %{v}")
+
+
+def test_pointer_indirect_map():
+    pat = DissectPattern("%{*k1}=%{&k1} %{*k2}=%{&k2}")
+    assert pat.keys() == []
+    assert pat.has_map
+    res = pat.extract_pandas(pd.Series(["a=1 b=2", "nope"])).to_dict("records")
+    assert res[0]["_map"] == {"a": "1", "b": "2"} and res[0]["_match"]
+    assert res[1]["_map"] is None and not res[1]["_match"]
 
 
 def test_trim_values(spark):

@@ -3,11 +3,11 @@
 The corpus (libbeat/processors/dissect/testdata/dissect_tests.json,
 27 records of {name, tok, msg, expected/fail}) is the reference's own
 oracle for its tokenizer; we load it IN PLACE from /root/reference as
-test data and require our compiler to reproduce every case — in both
-execution modes. Cases using modifiers this engine deliberately does
-not support (indirect `&` / pointer `*`, row-dependent key names —
-SURVEY.md §2.5) are expected to raise UnsupportedModifier at compile
-time and are counted, not silently skipped.
+test data and require our compiler to reproduce EVERY case (27/27) —
+in both execution modes. Indirect `&` / pointer `*` fields produce
+row-dependent key names, which surface in the `_map` overflow column;
+for comparison the map is merged into the captured dict, matching the
+reference's flat event-map output.
 """
 
 from __future__ import annotations
@@ -37,17 +37,13 @@ def _cases():
 )
 def test_reference_corpus_case(case):
     tok, msg = case["tok"], case["msg"]
-    try:
-        pattern = DissectPattern(tok)
-    except UnsupportedModifier:
-        assert any(m in tok for m in ("%{&", "%{*")), (
-            f"UnsupportedModifier raised for a tokenizer without "
-            f"indirect/pointer fields: {tok!r}"
-        )
-        return
+    pattern = DissectPattern(tok)
 
     res = pattern.extract_pandas(pd.Series([msg])).iloc[0].to_dict()
     matched = res.pop("_match")
+    dyn = res.pop("_map", None)
+    if dyn:
+        res.update(dyn)
     if case.get("fail"):
         assert not matched, f"expected failure, got {res}"
         return
@@ -56,17 +52,16 @@ def test_reference_corpus_case(case):
     assert res == expected, f"{case['name']}: {res} != {expected}"
 
 
-def test_corpus_unsupported_share():
-    """Document how much of the corpus the engine supports: the only
-    rejected cases must be indirect/pointer ones."""
-    unsupported = 0
+def test_corpus_fully_supported():
+    """Every corpus tokenizer compiles — 27/27, zero rejections (the
+    4 indirect/pointer cases compile to the map overflow column)."""
     for c in _cases():
-        try:
-            DissectPattern(c["tok"])
-        except UnsupportedModifier:
-            unsupported += 1
-    # exactly the 4 indirect/pointer cases; 23/27 fully supported
-    assert unsupported == 4
+        DissectPattern(c["tok"])  # must not raise
+
+
+def test_append_indirect_still_rejected():
+    with pytest.raises(UnsupportedModifier):
+        DissectPattern("%{&+key} %{rest}")
 
 
 def test_corpus_native_mode_agrees_with_pandas(spark):
@@ -75,10 +70,7 @@ def test_corpus_native_mode_agrees_with_pandas(spark):
     from pyspark.sql import functions as F
 
     for c in _cases():
-        try:
-            pattern = DissectPattern(c["tok"])
-        except UnsupportedModifier:
-            continue
+        pattern = DissectPattern(c["tok"])
         df = spark.createDataFrame([(c["msg"],)], "text string")
         native = pattern.native_columns(F.col("text"))
         native_row = df.select(

@@ -1,0 +1,285 @@
+"""Multiline reader parity.
+
+Each case transliterates a reference test from
+libbeat/reader/multiline/multiline_test.go (cited per case): the same
+pattern/negate/match/flush/count/while configs, the same input lines,
+the same expected events. The input rides through read_lines (real
+files on disk) for the first case and synthesized (file, line_no,
+line) frames for the rest — the join is the unit under test, the
+file scan is covered once.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.sources.lines import multiline_join, read_lines, read_multiline
+
+
+def _lines_df(spark, texts: list[str], file: str = "f"):
+    rows = [(file, i, ln) for i, ln in enumerate(texts)]
+    return spark.createDataFrame(rows, "file string, line_no int, line string")
+
+
+def _events(df):
+    return [
+        (r["message"], r["n_lines"], r["truncated"])
+        for r in df.orderBy("file", "line_no").collect()
+    ]
+
+
+def _messages(df):
+    return [e[0] for e in _events(df)]
+
+
+def test_after_ok_via_files(spark, tmp_path):
+    """multiline_test.go:49 (AfterOK) — indented continuations, through
+    real files incl. CRLF + trailing-newline handling."""
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("line1\n  line1.1\n  line1.2\nline2\n  line2.1\n  line2.2\n")
+    (d / "b.log").write_text("only1\r\n  only1.1\r\n")
+    out = multiline_join(
+        read_lines(spark, str(d)), pattern=r"^[ \t] +", match="after"
+    )
+    by_file = {}
+    for r in out.collect():
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+            (r["line_no"], r["message"])
+        )
+    assert sorted(by_file["a.log"]) == [
+        (0, "line1\n  line1.1\n  line1.2"),
+        (3, "line2\n  line2.1\n  line2.2"),
+    ]
+    assert sorted(by_file["b.log"]) == [(0, "only1\n  only1.1")]
+
+
+def test_before_ok(spark):
+    """multiline_test.go:63 (BeforeOK) — trailing backslash binds the
+    next line."""
+    out = multiline_join(
+        _lines_df(
+            spark,
+            ["line1 \\", "line1.1 \\", "line1.2", "line2 \\", "line2.1 \\", "line2.2"],
+        ),
+        pattern=r"\\$",
+        match="before",
+    )
+    assert _messages(out) == [
+        "line1 \\\nline1.1 \\\nline1.2",
+        "line2 \\\nline2.1 \\\nline2.2",
+    ]
+
+
+def test_after_negate_ok(spark):
+    """multiline_test.go:78 (AfterNegateOK) — '-'-prefixed heads."""
+    out = multiline_join(
+        _lines_df(spark, ["-line1", "  - line1.1", "  - line1.2", "-line2", "  - line2.1", "  - line2.2"]),
+        pattern=r"^-",
+        negate=True,
+        match="after",
+    )
+    assert _messages(out) == [
+        "-line1\n  - line1.1\n  - line1.2",
+        "-line2\n  - line2.1\n  - line2.2",
+    ]
+
+
+def test_before_negate_ok(spark):
+    """multiline_test.go:94 (BeforeNegateOK) — ';'-terminated events."""
+    out = multiline_join(
+        _lines_df(spark, ["line1", "line1.1", "line1.2;", "line2", "line2.1", "line2.2;"]),
+        pattern=r";$",
+        negate=True,
+        match="before",
+    )
+    assert _messages(out) == [
+        "line1\nline1.1\nline1.2;",
+        "line2\nline2.1\nline2.2;",
+    ]
+
+
+def test_before_negate_with_empty_lines(spark):
+    """multiline_test.go:147 (BeforeNegateOKWithEmptyLine)."""
+    out = multiline_join(
+        _lines_df(spark, ["line1", "", "", "line1.2;", "line2", "line2.1", "line2.2;"]),
+        pattern=r";$",
+        negate=True,
+        match="before",
+    )
+    assert _messages(out) == [
+        "line1\n\n\nline1.2;",
+        "line2\nline2.1\nline2.2;",
+    ]
+
+
+def test_after_negate_flush_pattern(spark):
+    """multiline_test.go:110 (AfterNegateOKFlushPattern) — EventEnd
+    forces a boundary; the in-between line is its own event."""
+    lines = [
+        "EventStart", "EventId: 1", "EventEnd",
+        "OtherThingInBetween",
+        "EventStart", "EventId: 2", "EventEnd",
+    ]
+    out = multiline_join(
+        _lines_df(spark, lines),
+        pattern="EventStart",
+        negate=True,
+        match="after",
+        flush_pattern="EventEnd",
+    )
+    assert _messages(out) == [
+        "EventStart\nEventId: 1\nEventEnd",
+        "OtherThingInBetween",
+        "EventStart\nEventId: 2\nEventEnd",
+    ]
+
+
+def test_after_negate_flush_pattern_first_lines_dont_match(spark):
+    """multiline_test.go:128 — leading non-matching lines merge into
+    one event before the first EventStart."""
+    lines = [
+        "StartLineThatDosentMatchTheEvent", "OtherThingInBetween",
+        "EventStart", "EventId: 2", "EventEnd",
+        "EventStart", "EventId: 3", "EventEnd",
+    ]
+    out = multiline_join(
+        _lines_df(spark, lines),
+        pattern="EventStart",
+        negate=True,
+        match="after",
+        flush_pattern="EventEnd",
+    )
+    assert _messages(out) == [
+        "StartLineThatDosentMatchTheEvent\nOtherThingInBetween",
+        "EventStart\nEventId: 2\nEventEnd",
+        "EventStart\nEventId: 3\nEventEnd",
+    ]
+
+
+def test_after_truncated(spark):
+    """multiline_test.go:162 (AfterTruncated) — max_lines keeps the
+    first lines, event marked truncated, extra lines consumed."""
+    out = multiline_join(
+        _lines_df(spark, ["line1", " line1.1", " line1.2", "line2", " line2.1", " line2.2"]),
+        pattern=r"^[ ]",
+        match="after",
+        max_lines=2,
+    )
+    assert _events(out) == [
+        ("line1\n line1.1", 3, True),
+        ("line2\n line2.1", 3, True),
+    ]
+
+
+def test_count_mode(spark):
+    """multiline_test.go:198 (Count) — fixed-size framing."""
+    out = multiline_join(
+        _lines_df(spark, ["line1", " line1.1", "line2", " line2.1"]),
+        mode="count",
+        count_lines=2,
+    )
+    assert _messages(out) == ["line1\n line1.1", "line2\n line2.1"]
+    out1 = multiline_join(
+        _lines_df(spark, ["a", "b", "c"]), mode="count", count_lines=1
+    )
+    assert _messages(out1) == ["a", "b", "c"]
+
+
+def test_while_pattern(spark):
+    """multiline_test.go:245 (WhilePattern) — runs of '{'-prefixed
+    lines collapse; non-matching lines stand alone."""
+    out = multiline_join(
+        _lines_df(spark, ["{line1", "{line1.1", "not matched line", "{line2", "{line2.1"]),
+        mode="while_pattern",
+        pattern=r"^\{",  # rlike is Java regex: bare { is illegal, RE2 allows it
+    )
+    assert _messages(out) == [
+        "{line1\n{line1.1",
+        "not matched line",
+        "{line2\n{line2.1",
+    ]
+
+
+def test_read_multiline_and_validation(spark, tmp_path):
+    f = tmp_path / "x.log"
+    f.write_text("a\n b\nc\n")
+    out = read_multiline(
+        spark, str(tmp_path), {"type": "pattern", "pattern": r"^ ", "match": "after"}
+    )
+    assert _messages(out) == ["a\n b", "c"]
+    plain = read_multiline(spark, str(tmp_path))
+    assert plain.count() == 3
+    with pytest.raises(ValueError):
+        multiline_join(_lines_df(spark, ["x"]), mode="pattern", pattern=None)
+    with pytest.raises(ValueError):
+        multiline_join(_lines_df(spark, ["x"]), mode="pattern", pattern="x", match="sideways")
+    with pytest.raises(ValueError):
+        multiline_join(_lines_df(spark, ["x"]), mode="count")
+
+
+def test_multiline_plan_single_shuffle(spark):
+    """Scale shape: the whole join is ONE Exchange (hash by file) —
+    the two window passes and the groupBy reuse the partitioning."""
+    out = multiline_join(_lines_df(spark, ["a", " b"]), pattern=r"^ ", match="after")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # file-hash exchange (+AQE read)
+
+
+def test_run_py_text_input_end_to_end(spark, tmp_path):
+    """A Beats-style file-input YAML ports end-to-end: log dir →
+    multiline join → dissect → route → fan-out sinks, via run.py's
+    main() (the spark-submit surface)."""
+    import json
+
+    import run as run_mod
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text(
+        "level=error msg=boom\n"
+        "  at Foo.java:1\n"
+        "  at Bar.java:2\n"
+        "level=info msg=ok\n"
+    )
+    (logs / "b.log").write_text("level=info msg=fine\n")
+    cfg = tmp_path / "job.yml"
+    cfg.write_text(
+        """
+input:
+  type: text
+  path: {path}
+  multiline:
+    type: pattern
+    pattern: '^\\s'
+    match: after
+processors:
+  - dissect:
+      tokenizer: 'level=%{{level}} msg=%{{msg}}'
+      field: message
+      target_prefix: ''
+router_rules:
+  - when: {{equals: {{level: error}}}}
+    index: errors
+default_sink: main
+key_field: file
+n_buckets: 4
+""".format(path=logs)
+    )
+    metrics_out = tmp_path / "metrics.json"
+    rc = run_mod.main(
+        [
+            "--config", str(cfg),
+            "--out-root", str(tmp_path / "sinks"),
+            "--metrics-out", str(metrics_out),
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(metrics_out.read_text())
+    assert payload["sink_counts"] == {"errors": 1, "main": 2}
+    # the joined multiline body survived parsing intact
+    err = spark.read.parquet(str(tmp_path / "sinks")).filter(
+        F.col("_meta_sink") == "errors"
+    ).first()
+    assert err["msg"] == "boom\n  at Foo.java:1\n  at Bar.java:2"
