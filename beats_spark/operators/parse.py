@@ -421,30 +421,77 @@ class ExtractField(Processor):
 
 @register
 class DetectMimeType(Processor):
-    """detect_mime_type: magic-bytes sniff of a binary/string column —
-    a closed table of signatures compiled to a when-chain (the full
-    libmagic behavior is out of scope; cited:
-    libbeat/processors/actions/detect_mime_type.go:58)."""
+    """detect_mime_type: magic-bytes sniff of a binary/string column.
+
+    The reference delegates to Go's ``http.DetectContentType`` (the
+    WHATWG MIME-sniffing signature table;
+    libbeat/processors/actions/detect_mime_type.go:58 via
+    libbeat/mime/byte.go:48). This implements that table's
+    exact-signature rows as a when-chain over the hex prefix, plus the
+    two positional families (RIFF container subtype at offset 8, ISO
+    BMFF ``ftyp`` at offset 4). The content-scoring heuristics for
+    bare text/html vs text/plain are approximated by the leading-``<``
+    rule; a closed table, documented in COVERAGE.md."""
 
     name = "detect_mime_type"
 
+    # prefix-hex → mime, first match wins (longest/most specific first)
     _MAGIC = [
-        ("1F8B", "application/gzip"),
-        ("25504446", "application/pdf"),
-        ("89504E47", "image/png"),
+        # images
+        ("89504E470D0A1A0A", "image/png"),
         ("FFD8FF", "image/jpeg"),
+        ("474946383761", "image/gif"),
+        ("474946383961", "image/gif"),
+        ("424D", "image/bmp"),
+        ("00000100", "image/x-icon"),
+        # audio / video
+        ("4D546864", "audio/midi"),
+        ("494433", "audio/mpeg"),
+        ("FFFB", "audio/mpeg"),
+        ("4F676753", "application/ogg"),
+        ("1A45DFA3", "video/webm"),
+        # fonts
+        ("774F4646", "font/woff"),
+        ("774F4632", "font/woff2"),
+        ("00010000", "font/ttf"),
+        ("4F54544F", "font/otf"),
+        ("74746366", "font/collection"),
+        # archives / documents
+        ("1F8B", "application/gzip"),
         ("504B0304", "application/zip"),
-        ("7B", "application/json"),  # '{'
-        ("3C", "text/html"),  # '<'
+        ("526172201A07", "application/x-rar-compressed"),
+        ("25504446", "application/pdf"),
+        ("25215053", "application/postscript"),
+        ("0061736D", "application/wasm"),
+        # text with BOM
+        ("EFBBBF", "text/plain; charset=utf-8"),
+        ("FEFF", "text/plain; charset=utf-16be"),
+        ("FFFE", "text/plain; charset=utf-16le"),
+        # markup heuristic (WHATWG scores tag names; '<' approximates)
+        ("3C3F786D6C", "text/xml"),  # '<?xml'
+        ("3C", "text/html"),
+        ("7B", "application/json"),  # '{' — engine extension for logs
     ]
+
+    # RIFF container: bytes 8..11 select the subtype
+    _RIFF = [("57415645", "audio/wave"), ("41564920", "video/avi"), ("57454250", "image/webp")]
 
     def updates(self, df: DataFrame) -> Updates:
         field = _flat(self.cfg["field"])
         target = _flat(self.cfg.get("target", "mime_type"))
-        hexed = F.upper(F.hex(F.col(field).cast("binary")))
+        raw = F.col(field).cast("binary")
+        hexed = F.upper(F.hex(raw))
         expr: Column = F.lit("application/octet-stream")
         for sig, mime in reversed(self._MAGIC):
             expr = F.when(hexed.startswith(sig), F.lit(mime)).otherwise(expr)
+        # positional families override the generic prefixes
+        riff_sub = F.upper(F.hex(F.substring(raw, 9, 4)))
+        for sub, mime in self._RIFF:
+            expr = F.when(
+                hexed.startswith("52494646") & (riff_sub == sub), F.lit(mime)
+            ).otherwise(expr)
+        ftyp = F.upper(F.hex(F.substring(raw, 5, 4)))
+        expr = F.when(ftyp == "66747970", F.lit("video/mp4")).otherwise(expr)
         return Updates(set={target: expr})
 
 

@@ -84,38 +84,68 @@ def run_checkpointed(
     src = source.withColumn(
         BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field)
     )
+    sinks_static = expected_sinks(cfg)
     total_counts: dict[str, int] = {}
     processed = 0
     for i in range(0, len(todo), chunk_size):
         chunk = todo[i : i + chunk_size]
         part = src.filter(F.col(BUCKET_COL).isin(chunk))
-        routed = transform(part, cfg)
+
+        # Accounting rides the chunk's WRITE action as Observations —
+        # in/out per bucket and per sink with zero extra jobs (the
+        # previous version re-read the committed files AND re-counted
+        # the source, i.e. two more passes per chunk — at 100 TB that
+        # triples the read volume). events_in observes the pre-chain
+        # frame, events_out the routed frame, same action.
+        from pyspark.sql import Observation
+
+        obs_in, obs_out = Observation(), Observation()
+        part_obs = part.observe(
+            obs_in,
+            *[
+                F.sum((F.col(BUCKET_COL) == b).cast("long")).alias(f"b{b}")
+                for b in chunk
+            ],
+        )
+        routed = transform(part_obs, cfg)
         if BUCKET_COL not in routed.columns:  # transform only stamps it when cfg asks
             routed = routed.withColumn(
                 BUCKET_COL,
                 bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field),
             )
+        out_aggs = [
+            F.sum((F.col(BUCKET_COL) == b).cast("long")).alias(f"b{b}") for b in chunk
+        ]
+        if sinks_static:
+            out_aggs += [
+                F.sum((F.col(META_SINK) == s).cast("long")).alias(f"s{j}")
+                for j, s in enumerate(sinks_static)
+            ]
+        routed = routed.observe(obs_out, *out_aggs)
         (
             routed.write.mode("overwrite")
             .partitionBy(BUCKET_COL, META_SINK)
             .parquet(cfg.out_root)
         )
-        # per-bucket accounting from the committed files (footer metadata)
-        written = (
-            spark.read.parquet(cfg.out_root)
-            .filter(F.col(BUCKET_COL).isin(chunk))
-            .groupBy(BUCKET_COL, META_SINK)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        per_bucket: dict[int, int] = {b: 0 for b in chunk}
-        for r in written:
-            per_bucket[r[BUCKET_COL]] = per_bucket.get(r[BUCKET_COL], 0) + r["n"]
-            total_counts[r[META_SINK]] = total_counts.get(r[META_SINK], 0) + r["n"]
-        ins = {
-            r[BUCKET_COL]: r["n"]
-            for r in part.groupBy(BUCKET_COL).agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        got_in, got_out = obs_in.get, obs_out.get
+        ins = {b: int(got_in[f"b{b}"] or 0) for b in chunk}
+        per_bucket = {b: int(got_out[f"b{b}"] or 0) for b in chunk}
+        if sinks_static:
+            for j, s in enumerate(sinks_static):
+                n = int(got_out[f"s{j}"] or 0)
+                if n:
+                    total_counts[s] = total_counts.get(s, 0) + n
+        else:
+            # dynamic sink names: fall back to the partition-pruned
+            # footer read of just this chunk's partitions
+            for r in (
+                spark.read.parquet(cfg.out_root)
+                .filter(F.col(BUCKET_COL).isin(chunk))
+                .groupBy(META_SINK)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                total_counts[r[META_SINK]] = total_counts.get(r[META_SINK], 0) + r["n"]
         lineage_rows = [
             (run_id, int(b), "committed", int(ins.get(b, 0)), int(per_bucket.get(b, 0)))
             for b in chunk

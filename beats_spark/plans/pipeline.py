@@ -127,6 +127,7 @@ def run(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> RunResul
             cfg.out_root,
             mode=cfg.write_mode,
             extra_partition_cols=[BUCKET_COL] if cfg.n_buckets else None,
+            known_sinks=expected_sinks(cfg),
         )
         counts = fan.sink_counts
     else:

@@ -63,16 +63,41 @@ def write_fanout(
     mode: str = "overwrite",
     extra_partition_cols: list[str] | None = None,
     fmt: str = "parquet",
+    known_sinks: list[str] | None = None,
 ) -> FanoutResult:
     """Single-pass partitioned fan-out write + per-sink counts.
 
-    Counts ride the write action via ``groupBy`` on the already-routed
-    frame read back from the committed files' footers — cheap (parquet
-    row-group metadata, no data scan) and exactly-the-written-rows,
-    mirroring per-output ``events.acked`` accounting
-    (libbeat/outputs/metrics.go:32-60)."""
+    With ``known_sinks`` (the router's static sink set,
+    plans.pipeline.expected_sinks) the counts ride the WRITE action
+    itself as an ``Observation`` — zero extra jobs, the per-output
+    ``events.acked`` accounting of libbeat/outputs/metrics.go:32-60.
+    At 100 TB this matters: the previous read-back ``groupBy`` listed
+    and opened every written file's footer, a second pass over the
+    sink. If an unexpected sink value appears (a dynamic fmtstr rule
+    not in the static set), the observed total won't reconcile and the
+    read-back runs as the fallback — counts are always exact."""
     part_cols = [META_SINK] + (extra_partition_cols or [])
+    obs = None
+    if known_sinks:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = [F.count(F.lit(1)).alias("n")] + [
+            F.sum((F.col(META_SINK) == s).cast("long")).alias(f"s{i}")
+            for i, s in enumerate(known_sinks)
+        ]
+        df = df.observe(obs, *aggs)
     (df.write.mode(mode).partitionBy(*part_cols).format(fmt).save(out_root))
+    if obs is not None:
+        got = obs.get
+        counts = {
+            s: int(got[f"s{i}"] or 0)
+            for i, s in enumerate(known_sinks)
+            if got[f"s{i}"]
+        }
+        if sum(counts.values()) == int(got["n"]):
+            return FanoutResult(out_root=out_root, sink_counts=counts)
+        # unexpected sink value escaped the static set — reconcile
     spark = df.sparkSession
     written = spark.read.format(fmt).load(out_root)
     counts = {

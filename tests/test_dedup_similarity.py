@@ -238,16 +238,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark, emb):
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(q, emb, k=5).collect()
     }
-    approx_rows = ivf_topk(q, emb, k=5, n_cells=8, nprobe=4).collect()
+    approx_rows = ivf_topk(q, emb, k=5, n_cells=8, nprobe=3).collect()
     approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
     # ranks well-formed per query
     by_q = {}
     for r in approx_rows:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
-    # decent recall with half the cells probed
+    # the QUALITY gate for the one op with no SQL oracle: deterministic
+    # k-means (min-id seeding, fixed iterations) makes this exact —
+    # measured 0.92 on this fixture at nprobe=3; a regression in the
+    # quantizer, assignment, or probe ordering lands below 0.9.
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.9, recall
 
 
 def test_contamination_pairs_cross_corpus(spark, docs):

@@ -134,3 +134,51 @@ def test_rate_limit_single_shuffle_on_key(spark):
     )(ev)
     plan = plan_of(out)
     assert plan.count("Exchange") == 1  # exactly the rate-limit key shuffle
+
+
+def test_fanout_counts_ride_the_write_single_job(spark, transcripts, tmp_path):
+    """With a static router sink set, write_fanout's per-sink counts
+    come from an Observation riding the write — ONE Spark job total,
+    no read-back of committed files (the 100 TB second-pass trap)."""
+    from beats_spark.plans.pipeline import expected_sinks
+    from beats_spark.plans.sinks import write_fanout
+
+    cfg = PipelineConfig(
+        processors=[],
+        router_rules=[
+            {"when": {"equals": {"role": "user"}}, "index": "users"},
+        ],
+        default_sink="rest",
+        dead_letter=False,
+    )
+    routed = transform(transcripts, cfg)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    res = write_fanout(
+        routed, str(tmp_path / "sinks"), known_sinks=expected_sinks(cfg)
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert len(after - before) == 1, "fan-out write + counts must be one job"
+    # counts exact vs an independent recount
+    expect = {
+        r["_meta_sink"]: r["n"]
+        for r in routed.groupBy("_meta_sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert res.sink_counts == expect
+
+
+def test_fanout_counts_fallback_reconciles_dynamic_sinks(spark, transcripts, tmp_path):
+    """An incomplete known_sinks list cannot produce wrong counts: the
+    observed total fails to reconcile and the footer read-back runs."""
+    from beats_spark.plans.sinks import write_fanout
+
+    cfg = PipelineConfig(
+        processors=[], router_rules=[{"index": "%{[role]}"}], dead_letter=False
+    )
+    routed = transform(transcripts, cfg)
+    res = write_fanout(routed, str(tmp_path / "sinks"), known_sinks=["user"])
+    expect = {
+        r["_meta_sink"]: r["n"]
+        for r in routed.groupBy("_meta_sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert res.sink_counts == expect

@@ -37,6 +37,47 @@ def test_detect_mime_type(spark):
     assert rows[2] == "text/html"
 
 
+def test_detect_mime_type_whatwg_table(spark):
+    """The widened signature battery mirrors Go's http.DetectContentType
+    table (libbeat/mime/byte.go:48) incl. the positional RIFF-subtype
+    and ISO-BMFF ftyp families."""
+    cases = [
+        (b"\x89PNG\r\n\x1a\n...", "image/png"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"GIF89a.....", "image/gif"),
+        (b"RIFF\x00\x00\x00\x00WAVEfmt", "audio/wave"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8", "image/webp"),
+        (b"RIFF\x00\x00\x00\x00AVI LIST", "video/avi"),
+        (b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (b"\x1f\x8b\x08\x00", "application/gzip"),
+        (b"PK\x03\x04", "application/zip"),
+        (b"Rar \x1a\x07\x00", "application/x-rar-compressed"),
+        (b"%PDF-1.7", "application/pdf"),
+        (b"%!PS-Adobe", "application/postscript"),
+        (b"OggS\x00", "application/ogg"),
+        (b"ID3\x03", "audio/mpeg"),
+        (b"MThd\x00", "audio/midi"),
+        (b"\x1aE\xdf\xa3webm", "video/webm"),
+        (b"wOFF\x00", "font/woff"),
+        (b"wOF2\x00", "font/woff2"),
+        (b"OTTO\x00", "font/otf"),
+        (b"\x00asm\x01", "application/wasm"),
+        (b"<?xml version", "text/xml"),
+        (b"\xef\xbb\xbfhello", "text/plain; charset=utf-8"),
+        (b"\x00\x12\x34\x56", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(cases)],
+        "id int, payload binary",
+    )
+    out = build_chain(
+        [{"detect_mime_type": {"field": "payload", "target": "mime"}}]
+    )(df)
+    got = {r["id"]: r["mime"] for r in out.collect()}
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, (i, got[i], expected)
+
+
 def test_timeseries_instance_hash(spark):
     df = spark.createDataFrame(
         [("hostA", "cpu", 1.0), ("hostA", "cpu", 2.0), ("hostB", "cpu", 3.0)],
