@@ -422,6 +422,52 @@ FROM events GROUP BY event_type
 """
 
 
+def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_xml with an explicit schema: NESTED decode via the JVM
+    from_xml (typed fields, depth 2 here). Every 19th row is truncated
+    XML — it must tag decode_xml_error and keep flowing (the oracle
+    recomputes expected fields from the source columns)."""
+    from beats_spark.operators.base import build_chain
+
+    ok = F.format_string(
+        "<ev><t>%s</t><u><id>%d</id></u></ev>", F.col("event_type"), F.col("user_id")
+    )
+    bad = F.format_string("<ev><t>%s</t><u><id", F.col("event_type"))
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "xml", F.when(F.col("event_id") % 19 == 0, bad).otherwise(ok)
+    )
+    chain = build_chain(
+        [
+            {
+                "decode_xml": {
+                    "field": "xml",
+                    "target": "x",
+                    "schema": "t STRING, u STRUCT<id: BIGINT>",
+                }
+            }
+        ]
+    )
+    out = chain(ev)
+    return out.select(
+        "event_id",
+        F.col("x_t").alias("x_t"),
+        F.col("x_u").getField("id").alias("x_uid"),
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "decode_xml_error",
+        ).alias("xml_failed"),
+    )
+
+
+_SQL_DECODE_XML = """
+SELECT event_id,
+       CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS x_t,
+       CASE WHEN event_id % 19 = 0 THEN NULL ELSE user_id END AS x_uid,
+       event_id % 19 = 0 AS xml_failed
+FROM events
+"""
+
+
 def q_timestamp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timestamp processor: layout-battery parse back to UTC, grouped
     per hour-of-day (the parse→normalize round trip)."""
@@ -715,6 +761,9 @@ def q_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dur": F.format_string(
                 "%dh%dm", (F.col("user_id") % 5).cast("int"), (F.col("event_id") % 60).cast("int")
             ),
+            "csvline": F.format_string(
+                '%s,"%d,%d",tail', F.col("event_type"), F.col("user_id"), F.col("event_id")
+            ),
         }
     )
     chain = build_chain(
@@ -723,6 +772,7 @@ def q_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"urldecode": {"fields": [{"from": "urlenc", "to": "url_dec"}]}},
             {"extract_field": {"field": "csvish", "separator": ":", "index": 1, "target": "mid"}},
             {"decode_duration": {"field": "dur", "format": "seconds", "target_field": "dur_s"}},
+            {"decode_csv_fields": {"fields": {"csvline": "csv_arr"}, "n_columns": 3}},
         ]
     )
     return chain(ev).select(
@@ -731,6 +781,9 @@ def q_decode_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_dec",
         "mid",
         F.col("dur_s").cast("long").alias("dur_s"),
+        # RFC-4180: the quoted middle field keeps its embedded comma
+        F.element_at("csv_arr", 2).alias("csv_quoted"),
+        F.size("csv_arr").cast("long").alias("csv_n"),
     )
 
 
@@ -739,7 +792,9 @@ SELECT event_id,
        event_type AS b64_dec,
        event_type || ' ' || user_id::VARCHAR AS url_dec,
        user_id::VARCHAR AS mid,
-       (user_id % 5) * 3600 + (event_id % 60) * 60 AS dur_s
+       (user_id % 5) * 3600 + (event_id % 60) * 60 AS dur_s,
+       user_id::VARCHAR || ',' || event_id::VARCHAR AS csv_quoted,
+       3::BIGINT AS csv_n
 FROM events
 """
 
@@ -1624,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
         "decode_json": q_decode_json,
+        "decode_xml": q_decode_xml,
         "timestamp_layouts": q_timestamp_layouts,
         "convert_tagging": q_convert_tagging,
         "mutate_chain": q_mutate_chain,
@@ -1670,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,
+        "decode_xml": _SQL_DECODE_XML,
         "timestamp_layouts": _SQL_TIMESTAMP_LAYOUTS,
         "convert_tagging": _SQL_CONVERT_TAGGING,
         "mutate_chain": _SQL_MUTATE_CHAIN,

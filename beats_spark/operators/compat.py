@@ -15,7 +15,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from beats_spark.operators.base import (
@@ -126,12 +126,19 @@ class TranslateLdap(Processor):
 
 @register
 class DecodeXml(Processor):
-    """decode_xml: XML string → map<string,string> of child-element
-    text (depth-1 closed form of the reference's nested decode,
-    libbeat/processors/decode_xml/decode_xml.go:48-62,88). Runs as an
-    Arrow pandas UDF over stdlib xml.etree — batch-at-a-time, no
-    per-row Python interpreter round trips. Parse failures tag
-    ``decode_xml_error`` and yield null (tag-and-continue)."""
+    """decode_xml: XML string → structured fields.
+
+    Two forms, mirroring the reference's nested decode
+    (libbeat/processors/decode_xml/decode_xml.go:48-62,88):
+
+    - ``schema`` given (DDL string): full NESTED decode via the JVM
+      ``from_xml`` — arbitrary depth, typed fields, whole-stage
+      codegen, zero Python. Failures surface via Spark's
+      corrupt-record column and tag ``decode_xml_error``.
+    - no schema: depth-1 ``map<string,string>`` of child-element text,
+      as an Arrow pandas UDF over stdlib xml.etree (schemaless input
+      cannot have a fixed relational shape — SURVEY §1.4's overflow
+      rule). Parse failures tag and yield null (tag-and-continue)."""
 
     name = "decode_xml"
 
@@ -142,6 +149,23 @@ class DecodeXml(Processor):
         target = self.cfg.get("target", field + "_xml")
         if field not in df.columns:
             raise ProcessorConfigError(f"decode_xml: field {field!r} missing")
+
+        schema = self.cfg.get("schema")
+        if schema:
+            from beats_spark.operators.mutate import _flat
+
+            prefix = (_flat(target) + "_") if target else ""
+            full = schema + ", _corrupt STRING"
+            parsed = F.from_xml(
+                F.col(field), full, {"columnNameOfCorruptRecord": "_corrupt"}
+            )
+            out: dict[str, Column] = {}
+            for sf in T._parse_datatype_string(schema).fields:
+                out[prefix + sf.name] = parsed.getField(sf.name)
+            if not self.cfg.get("ignore_failure", False):
+                bad = F.col(field).isNotNull() & parsed.getField("_corrupt").isNotNull()
+                out["flags"] = add_flag(df, "decode_xml_error", bad)
+            return Updates(set=out)
 
         @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
         def _decode(s: pd.Series) -> pd.Series:

@@ -179,19 +179,26 @@ def ngram_jaccard_pairs(
     this runs at 100 TB. Without a block col it degrades to a full
     cross join — only for small verification sets.
     """
+    from pyspark import StorageLevel
+
     from beats_spark.operators.scale import spread
 
-    sh = shingles(F.col(text_col), n)
-    df = spread(df)
-    left = df.select(
-        F.col(id_col).alias("id_a"),
-        sh.alias("sh_a"),
+    # shingle ONCE, persist, rename per side — the self-join would
+    # otherwise recompute the shingle arrays for both sides.
+    shingled = spread(df).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = shingled.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        *([F.col("_blk")] if block_col else []),
     )
-    right = df.select(
-        F.col(id_col).alias("id_b"),
-        sh.alias("sh_b"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
+    right = shingled.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        *([F.col("_blk")] if block_col else []),
     )
     joined = (
         left.join(right, on="_blk") if block_col else left.crossJoin(right)
@@ -490,8 +497,15 @@ def embedding_neardup_pairs(
     from beats_spark.operators.scale import spread
 
     if n_planes:
-        # scale path: bucket-blocked candidates, exact rerank
-        bkts = bucketize(df, id_col, vec_col, n_planes, seed)
+        # scale path: bucket-blocked candidates, exact rerank. The
+        # bucketized frame feeds BOTH self-join sides — persist it so
+        # the scan + numpy bucketize pass runs once, not twice (same
+        # rule as the minhash band index).
+        from pyspark import StorageLevel
+
+        bkts = bucketize(df, id_col, vec_col, n_planes, seed).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         a = bkts.select("bkt", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = bkts.select("bkt", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.join(b, "bkt").drop("bkt").filter(F.col("id_a") < F.col("id_b"))

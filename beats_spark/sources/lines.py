@@ -62,9 +62,14 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     line reader emits a line per terminator). ``\\r`` of CRLF line
     endings is removed per line.
     """
-    raw = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("file"), F.col("value")
-    )
+    raw = spark.read.text(path, wholetext=True)
+    return lines_from_wholetext(raw)
+
+
+def lines_from_wholetext(raw: DataFrame) -> DataFrame:
+    """wholetext frame (``value`` = entire file body) → ordered
+    (file, line_no, line). Shared by the batch and streaming readers."""
+    raw = raw.select(F.input_file_name().alias("file"), F.col("value"))
     body = F.regexp_replace(F.col("value"), r"\n$", "")
     lines = raw.select(
         "file",

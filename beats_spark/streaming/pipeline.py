@@ -230,3 +230,64 @@ def rate_limit_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def run_text_stream(
+    spark: SparkSession,
+    path: str,
+    cfg: PipelineConfig,
+    out_root: str,
+    checkpoint_dir: str,
+    multiline: dict | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming tail of a log DIRECTORY — the filestream harvester's
+    micro-batch twin. The text source delivers each new file WHOLE
+    (wholetext), so the multiline join inside ``foreachBatch`` is exact
+    per file, mirroring the reference's harvester-per-file flushing
+    (a file never splits across batches; Beats likewise treats the
+    harvester as the multiline scope). Checkpointing the file-source
+    offsets gives exactly-once per file across restarts.
+
+    foreachBatch (not a plain streaming plan) because the per-file
+    Window of the multiline join needs complete files, not an
+    append-mode watermark. The streaming text source ignores the
+    ``wholetext`` option, so each batch collects its (small) FILE LIST
+    and re-reads those files whole in batch mode — the stream source
+    still owns offset tracking, the re-read is just the ordered view
+    of the same files. Returns the started StreamingQuery."""
+    from beats_spark.sources.lines import lines_from_wholetext, multiline_join
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(path)
+
+    ml = dict(multiline) if multiline else None
+    if ml:
+        ml.setdefault("mode", ml.pop("type", "pattern"))
+
+    def handle(batch_df, _batch_id: int) -> None:
+        files = [
+            r["f"]
+            for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+        if not files:
+            return
+        lines = lines_from_wholetext(spark.read.text(files, wholetext=True))
+        if ml:
+            events = multiline_join(lines, **ml)
+        else:
+            events = lines.withColumnRenamed("line", "message").withColumns(
+                {"n_lines": F.lit(1).cast("long"), "truncated": F.lit(False)}
+            )
+        routed = transform(events, cfg)
+        routed.write.mode("append").partitionBy(META_SINK).parquet(out_root)
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

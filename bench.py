@@ -115,6 +115,9 @@ def pipeline_bench(spark, n_convs: int) -> tuple[float, int]:
 # Heaviest representative contract queries (full materialization via
 # count(); results themselves are checked by the correctness gate).
 BENCH_QUERIES = [
+    # round-1 set — FROZEN so per-query deltas stay comparable across
+    # rounds (pipeline_fanout/dissect_typed now carry the malformed-row
+    # fixtures; same query names, same shapes)
     "pipeline_fanout",
     "dissect_typed",
     "syslog_parse",
@@ -129,6 +132,12 @@ BENCH_QUERIES = [
     "text_stats",
     "quality_score",
     "rolling_fingerprint",
+    # added round 2: the scale-path twins + new operator families
+    "embed_neardup_lsh",
+    "dedup_jaccard_blocked",
+    "multiline_join",
+    "dissect_map",
+    "community_id_dirty",
 ]
 
 

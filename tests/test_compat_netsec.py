@@ -96,6 +96,26 @@ def test_decode_xml(spark):
     assert rows[3].doc is None and not (rows[3].flags or [])
 
 
+def test_decode_xml_nested_schema(spark):
+    """Schema form: nested typed decode, JVM-side, corrupt rows tag."""
+    df = spark.createDataFrame(
+        [
+            (1, "<ev><t>click</t><u><id>7</id></u></ev>"),
+            (2, "<ev><t>busted"),
+            (3, None),
+        ],
+        "id int, xml string",
+    )
+    out = build_chain(
+        [{"decode_xml": {"field": "xml", "target": "x",
+                         "schema": "t STRING, u STRUCT<id: BIGINT>"}}]
+    )(df)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].x_t == "click" and rows[1].x_u.id == 7 and rows[1].flags is None
+    assert rows[2].x_t is None and "decode_xml_error" in rows[2].flags
+    assert rows[3].flags is None  # null input is not a failure
+
+
 def test_now_fixed_and_locale_and_host_meta(spark):
     df = spark.createDataFrame([(1,)], "id int")
     chain = build_chain(

@@ -283,3 +283,43 @@ n_buckets: 4
         F.col("_meta_sink") == "errors"
     ).first()
     assert err["msg"] == "boom\n  at Foo.java:1\n  at Bar.java:2"
+
+
+def test_streaming_text_tail_multiline(spark, tmp_path):
+    """Streaming twin: files tailed whole per micro-batch, multiline
+    joined, routed, written append; a file added between batches is
+    picked up exactly once (checkpointed source offsets)."""
+    from beats_spark.plans.pipeline import PipelineConfig
+    from beats_spark.streaming.pipeline import run_text_stream
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("level=error msg=a\n  at X.java:1\nlevel=info msg=b\n")
+    cfg = PipelineConfig(
+        processors=[
+            {"dissect": {"tokenizer": "level=%{level} msg=%{msg}", "field": "message",
+                          "target_prefix": ""}}
+        ],
+        router_rules=[{"when": {"equals": {"level": "error"}}, "index": "errors"}],
+    )
+    out = tmp_path / "sinks"
+    ck = tmp_path / "ck"
+    q = run_text_stream(
+        spark, str(logs), cfg, str(out), str(ck),
+        multiline={"type": "pattern", "pattern": r"^\s", "match": "after"},
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out))
+    assert first.count() == 2
+    err = first.filter(F.col("_meta_sink") == "errors").first()
+    assert err["msg"] == "a\n  at X.java:1"
+
+    # second batch: a new file arrives; the old one is NOT reprocessed
+    (logs / "b.log").write_text("level=info msg=c\n")
+    q2 = run_text_stream(
+        spark, str(logs), cfg, str(out), str(ck),
+        multiline={"type": "pattern", "pattern": r"^\s", "match": "after"},
+    )
+    q2.awaitTermination(120)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 3  # 2 + 1, no duplicates
