@@ -308,3 +308,103 @@ for _name, _prefix in [
         {"name": _name, "prefix": _prefix},
     )
     register(_cls)
+
+
+@register
+class DecodeXmlWineventlog(Processor):
+    """decode_xml_wineventlog: Windows Event Log XML → flat winlog_*/
+    ECS columns (libbeat/processors/decode_xml_wineventlog/decoder.go;
+    expected mapping pinned by the reference's processor_test.go:44-96).
+
+    JVM-side ``from_xml`` with the canonical Event schema — attributes
+    surface as ``_Name``-style struct fields, ``<Data Name=..>v</Data>``
+    entries become the ``winlog_event_data`` map via map_from_entries.
+    A relational schema keeps the output FLAT (winlog_provider_name,
+    not a nested winlog.provider.name), matching this engine's column
+    convention. Unparseable XML tags ``decode_xml_wineventlog_error``
+    and keeps the row flowing."""
+
+    name = "decode_xml_wineventlog"
+
+    _SCHEMA = (
+        "System STRUCT<"
+        "Provider: STRUCT<_Name: STRING, _Guid: STRING>, "
+        "EventID: STRING, Version: STRING, Level: STRING, Task: STRING, "
+        "Opcode: STRING, Keywords: STRING, "
+        "TimeCreated: STRUCT<_SystemTime: STRING>, "
+        "EventRecordID: BIGINT, "
+        "Correlation: STRUCT<_ActivityID: STRING, _RelatedActivityID: STRING>, "
+        "Execution: STRUCT<_ProcessID: INT, _ThreadID: INT>, "
+        "Channel: STRING, Computer: STRING>, "
+        "EventData STRUCT<Data: ARRAY<STRUCT<_Name: STRING, _VALUE: STRING>>>, "
+        "RenderingInfo STRUCT<Message: STRING, Level: STRING, Task: STRING, "
+        "Opcode: STRING, Provider: STRING, "
+        "Keywords: STRUCT<Keyword: ARRAY<STRING>>>, "
+        "_corrupt STRING"
+    )
+
+    # System.Level code → name (winevent level table, decoder.go)
+    _LEVELS = {0: "information", 1: "critical", 2: "error", 3: "warning",
+               4: "information", 5: "verbose"}
+
+    def updates(self, df: DataFrame) -> Updates:
+        field = self.cfg.get("field", "message")
+        if field not in df.columns:
+            raise ProcessorConfigError(f"decode_xml_wineventlog: {field!r} missing")
+        prefix = self.cfg.get("target", "winlog") + "_"
+
+        ev = F.from_xml(F.col(field), self._SCHEMA,
+                        {"columnNameOfCorruptRecord": "_corrupt"})
+        sys_, ed, ri = ev.getField("System"), ev.getField("EventData"), ev.getField("RenderingInfo")
+
+        level_code = sys_.getField("Level").try_cast("int")
+        code_level = F.lit(None).cast("string")
+        for code, name in self._LEVELS.items():
+            code_level = F.when(level_code == code, F.lit(name)).otherwise(code_level)
+        level = F.coalesce(F.lower(ri.getField("Level")), code_level)
+
+        keywords = ri.getField("Keywords").getField("Keyword")
+        outcome = (
+            F.when(F.array_contains(keywords, "Audit Success"), "success")
+            .when(F.array_contains(keywords, "Audit Failure"), "failure")
+        )
+        data = ed.getField("Data")
+        event_data = F.map_from_entries(
+            F.transform(data, lambda d: F.struct(d.getField("_Name"), d.getField("_VALUE")))
+        )
+        task = F.coalesce(ri.getField("Task"), sys_.getField("Task"))
+
+        out = {
+            prefix + "provider_name": sys_.getField("Provider").getField("_Name"),
+            prefix + "provider_guid": sys_.getField("Provider").getField("_Guid"),
+            prefix + "event_id": sys_.getField("EventID"),
+            prefix + "version": sys_.getField("Version").try_cast("int"),
+            prefix + "record_id": sys_.getField("EventRecordID"),
+            prefix + "computer_name": sys_.getField("Computer"),
+            prefix + "channel": sys_.getField("Channel"),
+            prefix + "time_created": F.try_to_timestamp(
+                sys_.getField("TimeCreated").getField("_SystemTime")
+            ),
+            prefix + "activity_id": sys_.getField("Correlation").getField("_ActivityID"),
+            prefix + "process_pid": sys_.getField("Execution").getField("_ProcessID"),
+            prefix + "process_thread_id": sys_.getField("Execution").getField("_ThreadID"),
+            prefix + "opcode": F.coalesce(ri.getField("Opcode"), sys_.getField("Opcode")),
+            prefix + "task": task,
+            prefix + "level": level,
+            prefix + "keywords": keywords,
+            prefix + "outcome": outcome,
+            prefix + "message": ri.getField("Message"),
+            prefix + "event_data": event_data,
+            # ECS projections (decoder.go fields() → event.*/log.*/host.*)
+            "event_code": sys_.getField("EventID"),
+            "event_provider": sys_.getField("Provider").getField("_Name"),
+            "event_kind": F.when(ev.isNotNull(), F.lit("event")),
+            "event_action": task,
+            "event_outcome": outcome,
+            "log_level": level,
+            "host_name": sys_.getField("Computer"),
+        }
+        if not self.cfg.get("ignore_failure", False):
+            bad = F.col(field).isNotNull() & ev.getField("_corrupt").isNotNull()
+            out["flags"] = add_flag(df, "decode_xml_wineventlog_error", bad)
+        return Updates(set=out)

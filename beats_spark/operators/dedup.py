@@ -174,37 +174,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
-    All-pairs is O(n²); ``block_col`` restricts comparison to within a
-    blocking key (e.g. source, language, length bucket) which is how
-    this runs at 100 TB. Without a block col it degrades to a full
-    cross join — only for small verification sets.
+    Inverted-index shape (the exact-jaccard analogue of a posting-list
+    join): explode to (gram, doc), self-join on the gram, count shared
+    grams per pair, then ``J = inter / (|A| + |B| - inter)``. A pair
+    only ever materializes if the docs share at least one gram — docs
+    with J = 0 (the overwhelming majority) never meet, unlike an
+    array-vs-array cross/block join. Measured ~9× the blocked
+    array-intersect form at sf0.1 and it is the shape that survives
+    100 TB: the only shuffle is keyed on grams (hash-uniform text;
+    boilerplate grams are the skew risk — AQE skew-join splits them,
+    and ``block_col`` additionally scopes the join). Exact: grams join
+    as full strings, no hashing, so the oracle equality is unconditional.
     """
     from pyspark import StorageLevel
 
     from beats_spark.operators.scale import spread
 
-    # shingle ONCE, persist, rename per side — the self-join would
-    # otherwise recompute the shingle arrays for both sides.
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
     shingled = spread(df).select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
+        *blk,
+    )
+    grams = shingled.select(
+        "_id",
+        F.size("_sh").alias("_n"),
+        F.explode("_sh").alias("_g"),
+        *([F.col("_blk")] if block_col else []),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    left = shingled.select(
-        F.col("_id").alias("id_a"),
-        F.col("_sh").alias("sh_a"),
-        *([F.col("_blk")] if block_col else []),
+    join_keys = ["_g"] + (["_blk"] if block_col else [])
+    a = grams.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), *join_keys
     )
-    right = shingled.select(
-        F.col("_id").alias("id_b"),
-        F.col("_sh").alias("sh_b"),
-        *([F.col("_blk")] if block_col else []),
+    b = grams.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), *join_keys
     )
-    joined = (
-        left.join(right, on="_blk") if block_col else left.crossJoin(right)
-    ).filter(F.col("id_a") < F.col("id_b"))
-    out = joined.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    inter = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    j = F.col("_inter").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_lsh_pairs(

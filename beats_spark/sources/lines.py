@@ -159,16 +159,39 @@ def multiline_join(
 
 
 def read_multiline(
-    spark: SparkSession, path: str, multiline: dict | None = None
+    spark: SparkSession,
+    path: str,
+    multiline: dict | None = None,
+    include_lines: list[str] | None = None,
+    exclude_lines: list[str] | None = None,
 ) -> DataFrame:
-    """File input end-to-end: lines → (optional) multiline join. The
-    entry point a Beats ``filestream`` + ``parsers: [multiline]`` YAML
-    maps onto (run.py --source-format text)."""
+    """File input end-to-end: lines → (optional) multiline join →
+    include/exclude filters. The entry point a Beats ``filestream`` +
+    ``parsers: [multiline]`` YAML maps onto (run.py --source-format
+    text).
+
+    ``include_lines``/``exclude_lines`` follow the reference's
+    documented order: each multiline message is combined FIRST, then
+    include_lines keeps matching events, then exclude_lines drops
+    matching ones (filebeat filestream options)."""
     lines = read_lines(spark, path)
     if not multiline:
-        return lines.withColumnRenamed("line", "message").withColumn(
+        out = lines.withColumnRenamed("line", "message").withColumn(
             "n_lines", F.lit(1).cast("long")
         ).withColumn("truncated", F.lit(False))
-    cfg = dict(multiline)
-    cfg.setdefault("mode", cfg.pop("type", "pattern"))
-    return multiline_join(lines, **cfg)
+    else:
+        cfg = dict(multiline)
+        cfg.setdefault("mode", cfg.pop("type", "pattern"))
+        out = multiline_join(lines, **cfg)
+    msg = F.col("message")
+    if include_lines:
+        keep = msg.rlike(include_lines[0])
+        for p in include_lines[1:]:
+            keep = keep | msg.rlike(p)
+        out = out.filter(keep)
+    if exclude_lines:
+        drop = msg.rlike(exclude_lines[0])
+        for p in exclude_lines[1:]:
+            drop = drop | msg.rlike(p)
+        out = out.filter(~drop)
+    return out

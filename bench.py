@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "rolling_fingerprint",
     # added round 2: the scale-path twins + new operator families
     "embed_neardup_lsh",
+    "dedup_jaccard",
     "dedup_jaccard_blocked",
     "multiline_join",
     "dissect_map",

@@ -90,7 +90,13 @@ def main(argv: list[str] | None = None) -> int:
     elif source_path and source_format == "text":
         from beats_spark.sources.lines import read_multiline
 
-        source = read_multiline(spark, source_path, input_cfg.get("multiline"))
+        source = read_multiline(
+            spark,
+            source_path,
+            input_cfg.get("multiline"),
+            include_lines=input_cfg.get("include_lines"),
+            exclude_lines=input_cfg.get("exclude_lines"),
+        )
     elif source_path:
         source = spark.read.parquet(source_path)
     else:

@@ -166,3 +166,53 @@ def test_community_id_matches_reference_goldens(spark):
         key = (r.source_ip, r.destination_ip, r.source_port, r.destination_port,
                r.transport_protocol)
         assert r.community_id == expected[key], key
+
+
+def test_decode_xml_wineventlog_reference_golden(spark):
+    """Parity against the reference's OWN test event: testMessage from
+    decode_xml_wineventlog/processor_test.go:32-41 is loaded in place
+    (Go string-literal concatenation parsed), and the assertions mirror
+    testMessageOutput (processor_test.go:44-96)."""
+    import os
+    import re
+
+    src_path = (
+        "/root/reference/libbeat/processors/decode_xml_wineventlog/processor_test.go"
+    )
+    if not os.path.exists(src_path):
+        pytest.skip("reference not available")
+    go = open(src_path).read()
+    block = go.split("var testMessage = ", 1)[1]
+    block = block.split("\nvar ", 1)[0]
+    parts = re.findall(r'"((?:[^"\\]|\\.)*)"', block)
+    xml = "".join(parts).encode().decode("unicode_escape")
+    assert xml.startswith("<Event") and xml.endswith("</Event>")
+
+    df = spark.createDataFrame([(1, xml)], "id int, message string")
+    out = build_chain([{"decode_xml_wineventlog": {}}])(df)
+    r = out.first()
+    # winlog.* (testMessageOutput, processor_test.go:57-92)
+    assert r["winlog_provider_name"] == "Microsoft-Windows-Security-Auditing"
+    assert r["winlog_provider_guid"] == "{54849625-5478-4994-a5ba-3e3b0328c30d}"
+    assert r["winlog_event_id"] == "4672"
+    assert r["winlog_record_id"] == 11303
+    assert r["winlog_computer_name"] == "vagrant"
+    assert r["winlog_channel"] == "Security"
+    assert r["winlog_level"] == "information"
+    assert r["winlog_outcome"] == "success"
+    assert r["winlog_opcode"] == "Info"
+    assert r["winlog_task"] == "Special Logon"
+    assert r["winlog_activity_id"] == "{ffb23523-1f32-0000-c335-b2ff321fd701}"
+    assert r["winlog_process_pid"] == 652
+    assert r["winlog_process_thread_id"] == 4660
+    assert r["winlog_keywords"] == ["Audit Success"]
+    assert r["winlog_event_data"]["SubjectUserName"] == "SYSTEM"
+    assert r["winlog_event_data"]["SubjectUserSid"] == "S-1-5-18"
+    assert r["winlog_event_data"]["SubjectLogonId"] == "0x3e7"
+    assert r["winlog_message"].startswith("Special privileges assigned")
+    assert str(r["winlog_time_created"]).startswith("2021-03-23 09:56:13.137310")
+    # ECS projections (event.*/log.*/host.*)
+    assert r["event_code"] == "4672" and r["event_kind"] == "event"
+    assert r["event_action"] == "Special Logon" and r["event_outcome"] == "success"
+    assert r["event_provider"] == "Microsoft-Windows-Security-Auditing"
+    assert r["log_level"] == "information" and r["host_name"] == "vagrant"

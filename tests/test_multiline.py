@@ -323,3 +323,18 @@ def test_streaming_text_tail_multiline(spark, tmp_path):
     q2.awaitTermination(120)
     back = spark.read.parquet(str(out))
     assert back.count() == 3  # 2 + 1, no duplicates
+
+
+def test_include_exclude_lines(spark, tmp_path):
+    """filestream include_lines/exclude_lines: applied to the JOINED
+    event (reference order: combine multiline first, include, then
+    exclude)."""
+    f = tmp_path / "x.log"
+    f.write_text("ERR boom\n  at A\nINFO fine\nERR noisy-known\nWARN meh\n")
+    out = read_multiline(
+        spark, str(tmp_path),
+        {"type": "pattern", "pattern": r"^\s", "match": "after"},
+        include_lines=[r"^ERR", r"^WARN"],
+        exclude_lines=[r"noisy-known"],
+    )
+    assert _messages(out) == ["ERR boom\n  at A", "WARN meh"]

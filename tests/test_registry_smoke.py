@@ -42,6 +42,7 @@ CONFIGS: dict[str, dict | None] = {
     "decode_duration": {"field": "dur", "format": "seconds"},
     "decode_json_fields": {"fields": ["js"], "schema": "k LONG", "target": ""},
     "decode_xml": {"field": "xml", "target": "doc"},
+    "decode_xml_wineventlog": {"field": "xml", "ignore_failure": True},
     "decompress_gzip_field": {"field": {"from": "b64", "to": "gz_out"}},
     "detect_mime_type": {"field": "js", "target": "mime"},
     "dissect": {"tokenizer": "v=%{v}", "field": "kv", "target_prefix": ""},
