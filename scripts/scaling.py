@@ -48,7 +48,11 @@ def _pin(cores: int, cmd: list[str]) -> list[str]:
     return cmd
 
 
-def run_worker(cores: int, convs: int) -> dict:
+def run_worker(cores: int, convs: int, repeats: int = 4) -> dict:
+    # best-of-N per leg: the host is a shared VM with visible
+    # run-to-run noise; min wall-clock is the capability measurement
+    # (identical input, identical plan — only scheduler/GC/co-tenant
+    # interference varies between iterations).
     cmd = _pin(
         cores,
         [
@@ -58,6 +62,8 @@ def run_worker(cores: int, convs: int) -> dict:
             str(cores),
             "--convs",
             str(convs),
+            "--repeats",
+            str(repeats),
         ],
     )
     out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=ROOT)
