@@ -48,8 +48,8 @@ def _pin(cores: int, cmd: list[str]) -> list[str]:
     return cmd
 
 
-def run_worker(cores: int, convs: int, repeats: int = 4) -> dict:
-    # best-of-N per leg: the host is a shared VM with visible
+def run_worker(cores: int, convs: int, repeats: int = 3) -> dict:
+    # best-of-3 per leg: the host is a shared VM with visible
     # run-to-run noise; min wall-clock is the capability measurement
     # (identical input, identical plan — only scheduler/GC/co-tenant
     # interference varies between iterations).
@@ -113,9 +113,10 @@ levels (parallelism does not change results).
 
 Job: deterministic synth transcripts → dissect (native JVM regex
 battery) → timestamp normalize → 2× broadcast-map enrich →
-first-match router → per-sink counts. Measured run is the second
-iteration (steady state — first warms JIT/codegen, as any
-long-running cluster job is warm).
+first-match router → per-sink counts. Each leg reports BEST-OF-3
+iterations after a JIT/codegen warm-up run — the host is a shared
+VM with visible run-to-run interference, and min wall-clock is the
+capability measurement (identical input and plan per iteration).
 
 ## Primary pair: N=2 → 4N=8 ({r2["turns"]:,} turns)
 
