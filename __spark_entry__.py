@@ -1519,6 +1519,55 @@ FROM keys
 """
 
 
+_JS_SOURCE = """
+function process(event) {
+  var u = event.Get("user_id");
+  event.Put("uid2", u * 2);
+  event.Put("kind", event.Get("event_type").toUpperCase());
+  event.Put("label", "u:" + u);
+  if (u % 7 == 0) { event.Tag("lucky"); }
+  else { event.Put("kind", event.Get("kind").toLowerCase()); }
+  if (event.Get("event_type") == "view" && u % 2 == 1) { event.Cancel(); }
+  event.Put("big", event.Get("value") > 10 ? "yes" : "no");
+  return event;
+}
+"""
+
+
+def q_script_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script processor, lang=javascript: the reference's process()
+    grammar (Put/Get/Tag/Cancel, var, if/else, ternary, string ops)
+    transpiled to Catalyst at plan build — no JS engine, whole-stage
+    codegen. The oracle recomputes the same semantics in SQL."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    chain = build_chain([{"script": {"lang": "javascript", "source": _JS_SOURCE}}])
+    out = chain(ev)
+    return out.select(
+        "event_id",
+        "uid2",
+        "kind",
+        "label",
+        "big",
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")), "lucky"
+        ).alias("lucky"),
+    )
+
+
+_SQL_SCRIPT_JS = """
+SELECT event_id,
+       user_id * 2 AS uid2,
+       CASE WHEN user_id % 7 = 0 THEN upper(event_type) ELSE lower(upper(event_type)) END AS kind,
+       'u:' || user_id::VARCHAR AS label,
+       CASE WHEN value > 10 THEN 'yes' ELSE 'no' END AS big,
+       user_id % 7 = 0 AS lucky
+FROM events
+WHERE NOT (event_type = 'view' AND user_id % 2 = 1)
+"""
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (trained coarse quantizer; approximate —
     no SQL oracle, driver rows-only check)."""
@@ -1695,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops": q_array_ops,
         "domain_direction": q_domain_direction,
         "community_id_dirty": q_community_id_dirty,
+        "script_js": q_script_js,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
@@ -1742,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
         "array_ops": _SQL_ARRAY_OPS,
         "domain_direction": _SQL_DOMAIN_DIRECTION,
         "community_id_dirty": _SQL_COMMUNITY_ID_DIRTY,
+        "script_js": _SQL_SCRIPT_JS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,

@@ -196,26 +196,69 @@ class DecodeXml(Processor):
 
 @register
 class Script(Processor):
-    """script: user-defined transformation. The reference embeds a
-    JavaScript engine (libbeat/processors/script/javascript.go:51);
-    this engine's extension surface is declarative Spark SQL
-    expressions (plan-compiled, codegen'd) and registered pandas UDFs —
-    per input_hint, no per-row Python.
+    """script: user-defined transformation, two plan-time surfaces.
+
+    - ``lang: sql`` — columns as Spark SQL expressions (the general
+      extension surface).
+    - ``lang: javascript`` + ``source:`` — the reference's
+      ``function process(event) {...}`` scripts
+      (libbeat/processors/script/javascript/javascript.go:51, event
+      API beatevent_v0.go) TRANSPILED to Catalyst at plan build:
+      Put/Get/Delete/Rename/Tag/AppendTo/Cancel, var aliases, nested
+      if/else, arithmetic/string/comparison expressions — see
+      functions/jsexpr.py for the exact grammar. No JS engine, no
+      per-row interpretation: the compiled plan runs inside
+      whole-stage codegen. Scripts outside the subset are rejected at
+      build with the offending token (the reference likewise fails at
+      processor construction on a bad script).
 
     Config::
 
-        {"lang": "sql", "columns": {"speed": "distance / time",
-                                    "flag": "value > 10"}}
+        {"lang": "sql", "columns": {"speed": "distance / time"}}
+        {"lang": "javascript",
+         "source": "function process(event) { event.Put('x', 1); }"}
     """
 
     name = "script"
 
     def updates(self, df: DataFrame) -> Updates:
         lang = self.cfg.get("lang", "sql")
+        if lang == "javascript":
+            from beats_spark.functions.jsexpr import JsSubsetError, compile_js
+
+            source = self.cfg.get("source")
+            if not source and self.cfg.get("file"):
+                with open(self.cfg["file"]) as f:
+                    source = f.read()
+            if not source:
+                raise ProcessorConfigError("script: javascript needs source/file")
+            try:
+                comp = compile_js(df, source)
+            except JsSubsetError as e:
+                raise ProcessorConfigError(
+                    f"script: javascript outside the transpilable subset: {e}"
+                ) from e
+            out = {name: val.col for name, val in comp.env.items()}
+            if comp.tags:
+                from beats_spark.operators.base import (
+                    FLAGS_COL,
+                    append_flag,
+                    flags_base,
+                )
+
+                flags = flags_base(df)
+                for tag, cond in comp.tags:
+                    flags = append_flag(
+                        flags, tag, F.lit(True) if cond is None else cond
+                    )
+                out[FLAGS_COL] = flags
+            return Updates(
+                set=out, drop=comp.drops, remove_rows=comp.cancel
+            )
         if lang != "sql":
             raise ProcessorConfigError(
-                f"script: lang {lang!r} unsupported — the Spark-native script "
-                "surface is SQL expressions ('sql') or a registered pandas UDF"
+                f"script: lang {lang!r} unsupported — 'sql' expressions or the "
+                "transpilable 'javascript' subset"
             )
         cols = self.cfg.get("columns", {})
         if not cols:

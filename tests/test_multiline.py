@@ -338,3 +338,37 @@ def test_include_exclude_lines(spark, tmp_path):
         exclude_lines=[r"noisy-known"],
     )
     assert _messages(out) == ["ERR boom\n  at A", "WARN meh"]
+
+
+def test_multiline_property_roundtrip(spark):
+    """Property: for ANY stream where continuation lines are exactly
+    the indented ones, joining then re-splitting on newline recovers
+    the original line sequence, and event boundaries sit exactly on
+    the non-indented lines (derived from hypothesis-generated seeds,
+    materialized deterministic here for Spark-session cost reasons)."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        lines = []
+        heads = []
+        n = rng.randint(1, 40)
+        for _ in range(n):
+            if not lines or rng.random() < 0.4:
+                heads.append(len(lines))
+                lines.append(f"head-{rng.randint(0, 999)}")
+            else:
+                lines.append(f"  cont-{rng.randint(0, 999)}")
+        # stream must start with a head
+        out = multiline_join(
+            _lines_df(spark, lines), pattern=r"^\s", match="after"
+        ).orderBy("line_no").collect()
+        # boundaries == head positions
+        assert [r["line_no"] for r in out] == heads, (trial, lines)
+        # join → split == original
+        rejoined = []
+        for r in out:
+            rejoined.extend(r["message"].split("\n"))
+        assert rejoined == lines, trial
+        # line accounting exact
+        assert sum(r["n_lines"] for r in out) == len(lines)
