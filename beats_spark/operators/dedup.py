@@ -171,24 +171,39 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    method: str = "inverted",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
-    Inverted-index shape (the exact-jaccard analogue of a posting-list
-    join): explode to (gram, doc), self-join on the gram, count shared
-    grams per pair, then ``J = inter / (|A| + |B| - inter)``. A pair
-    only ever materializes if the docs share at least one gram — docs
-    with J = 0 (the overwhelming majority) never meet, unlike an
-    array-vs-array cross/block join. Measured ~9× the blocked
-    array-intersect form at sf0.1 and it is the shape that survives
-    100 TB: the only shuffle is keyed on grams (hash-uniform text;
-    boilerplate grams are the skew risk — AQE skew-join splits them,
-    and ``block_col`` additionally scopes the join). Exact: grams join
-    as full strings, no hashing, so the oracle equality is unconditional.
+    ``method="inverted"`` (default) — inverted-index shape (the
+    exact-jaccard analogue of a posting-list join): explode to
+    (gram, doc), self-join on the gram, count shared grams per pair,
+    then ``J = inter / (|A| + |B| - inter)``. A pair only ever
+    materializes if the docs share at least one gram — docs with
+    J = 0 (the overwhelming majority) never meet. Measured ~9× the
+    blocked array-intersect form at sf0.1; the only shuffle is keyed
+    on grams (hash-uniform text; boilerplate grams are the skew risk —
+    AQE skew-join splits them, ``block_col`` additionally scopes the
+    join). Exact: grams join as full strings, no hashing.
+
+    ``method="block"`` — array-vs-array intersect inside block_col
+    groups (cross join when blockless). One row per candidate PAIR
+    instead of one per (pair × shared gram), which wins on
+    DUPLICATE-HEAVY corpora: k exact copies of a doc cost the
+    inverted index k²·|grams| join rows but the block join only k².
+    The standard pipeline order avoids the issue entirely — run
+    exact_dedup FIRST, near-dup the unique survivors (docs/SCALE.md).
+
+    Both methods return identical results (tests assert it).
     """
     from pyspark import StorageLevel
 
     from beats_spark.operators.scale import spread
+
+    if method == "block":
+        return _jaccard_pairs_block(df, text_col, id_col, n, threshold, block_col)
+    if method != "inverted":
+        raise ValueError(f"unknown jaccard method {method!r}")
 
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     shingled = spread(df).select(
@@ -223,6 +238,49 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _jaccard_pairs_block(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    block_col: str | None,
+) -> DataFrame:
+    """Array-intersect variant (see ngram_jaccard_pairs method="block"):
+    shingle once + persist, self-join per block (cross join blockless),
+    size-ratio prune (J ≤ min/max of set sizes), exact intersect."""
+    from pyspark import StorageLevel
+
+    from beats_spark.operators.scale import spread
+
+    shingled = spread(df).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    left = shingled.select(
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.size("_sh").alias("_na"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    right = shingled.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.size("_sh").alias("_nb"),
+        *([F.col("_blk")] if block_col else []),
+    )
+    joined = (
+        left.join(right, on="_blk") if block_col else left.crossJoin(right)
+    ).filter(F.col("id_a") < F.col("id_b"))
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    joined = joined.filter(
+        F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb)
+    )
+    out = joined.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
 def minhash_lsh_pairs(

@@ -279,3 +279,18 @@ def test_contamination_pairs_cross_corpus(spark, docs):
         (i, i + 500000) for i in range(20)
     }
     assert all(e < 600000 for e in flagged_evals), "clean docs falsely flagged"
+
+
+def test_jaccard_methods_agree(spark, docs):
+    """inverted-index and block methods return identical pair sets."""
+    inv = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    blk = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.5, method="block"
+        ).collect()
+    }
+    assert inv == blk and inv
