@@ -422,6 +422,77 @@ FROM events GROUP BY event_type
 """
 
 
+def q_grok_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grok (the north-star parse stage's grok half): Apache
+    common-log-format lines synthesized from events, parsed with the
+    pattern library (%{IPORHOST}/%{HTTPDATE}/%{INT:..:int} typed
+    captures). Every 41st line is garbage — it must tag
+    _grokparsefailure and keep flowing."""
+    from beats_spark.operators.base import build_chain
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    line = F.format_string(
+        '10.%d.%d.%d - u%d [%02d/Oct/2024:%02d:%02d:%02d +0000] "GET /p/%s HTTP/1.1" %d %d',
+        (uid % 200).cast("int"),
+        (eid % 250).cast("int"),
+        (eid % 100).cast("int"),
+        uid,
+        (eid % 28 + 1).cast("int"),
+        (eid % 24).cast("int"),
+        (uid % 60).cast("int"),
+        (eid % 60).cast("int"),
+        F.col("event_type"),
+        F.when(eid % 5 == 0, 404).otherwise(200),
+        (eid % 9000 + 100).cast("int"),
+    )
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "message", F.when(eid % 41 == 0, F.lit("-- malformed --")).otherwise(line)
+    )
+    clf = (
+        "%{IPORHOST:client_ip} %{NOTSPACE:ident} %{NOTSPACE:auth} "
+        r"\[%{HTTPDATE:ts}\] \"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}\" "
+        "%{INT:status:int} %{INT:bytes:int}"
+    )
+    out = build_chain([{"grok": {"field": "message", "match": clf}}])(ev)
+    return out.select(
+        "event_id",
+        "client_ip",
+        "ts",
+        "verb",
+        "request",
+        "status",
+        "bytes",
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "_grokparsefailure",
+        ).alias("parse_failed"),
+    )
+
+
+_SQL_GROK_CLF = """
+WITH f AS (
+  SELECT event_id, user_id, event_type,
+         event_id % 41 = 0 AS bad,
+         user_id % 200 AS o2, event_id % 250 AS o3, event_id % 100 AS o4,
+         event_id % 28 + 1 AS dd, event_id % 24 AS hh,
+         user_id % 60 AS mi, event_id % 60 AS ss
+  FROM events)
+SELECT event_id,
+       CASE WHEN bad THEN NULL ELSE '10.' || o2 || '.' || o3 || '.' || o4 END AS client_ip,
+       CASE WHEN bad THEN NULL ELSE
+         lpad(dd::VARCHAR, 2, '0') || '/Oct/2024:' || lpad(hh::VARCHAR, 2, '0') || ':'
+           || lpad(mi::VARCHAR, 2, '0') || ':' || lpad(ss::VARCHAR, 2, '0') || ' +0000'
+       END AS ts,
+       CASE WHEN bad THEN NULL ELSE 'GET' END AS verb,
+       CASE WHEN bad THEN NULL ELSE '/p/' || event_type END AS request,
+       CASE WHEN bad THEN NULL
+            WHEN event_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+       CASE WHEN bad THEN NULL ELSE event_id % 9000 + 100 END AS bytes,
+       bad AS parse_failed
+FROM f
+"""
+
+
 def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_xml with an explicit schema: NESTED decode via the JVM
     from_xml (typed fields, depth 2 here). Every 19th row is truncated
@@ -1729,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditions": q_conditions,
         "decode_json": q_decode_json,
         "decode_xml": q_decode_xml,
+        "grok_clf": q_grok_clf,
         "timestamp_layouts": q_timestamp_layouts,
         "convert_tagging": q_convert_tagging,
         "mutate_chain": q_mutate_chain,
@@ -1777,6 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,
         "decode_xml": _SQL_DECODE_XML,
+        "grok_clf": _SQL_GROK_CLF,
         "timestamp_layouts": _SQL_TIMESTAMP_LAYOUTS,
         "convert_tagging": _SQL_CONVERT_TAGGING,
         "mutate_chain": _SQL_MUTATE_CHAIN,

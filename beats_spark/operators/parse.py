@@ -141,6 +141,102 @@ class Dissect(Processor):
 
 
 @register
+class Grok(Processor):
+    """grok: pattern-library parse of one text field (the north-star
+    "grok/dissect" stage's grok half). libbeat has no grok; the public
+    semantics implemented are the Elasticsearch-ingest/Logstash grok
+    filter's (functions/grok.py): ``%{SYNTAX:field:type}``, recursive
+    ``pattern_definitions``, ``patterns`` list with first-match-wins,
+    ``_grokparsefailure`` tag on no-match, typed captures try_cast +
+    ``grok_conversion_error`` (tag-and-continue, never an ANSI abort).
+
+    Engine modes mirror dissect: ``native`` (JVM regexp_extract
+    battery inside whole-stage codegen — default) or ``pandas``
+    (single compiled-regex pass per Arrow batch).
+    """
+
+    name = "grok"
+
+    FLAG = "_grokparsefailure"
+    CONVERT_FLAG = "grok_conversion_error"
+
+    def __init__(self, cfg):
+        super().__init__(cfg)
+        from beats_spark.functions.grok import GrokPattern
+
+        raw_patterns = self.cfg.get("patterns") or (
+            [self.cfg["match"]] if self.cfg.get("match") else None
+        )
+        if not raw_patterns:
+            raise ProcessorConfigError("grok: needs patterns (or match)")
+        defs = self.cfg.get("pattern_definitions")
+        # anchor=True (default): the pattern must cover the whole value
+        # — the predictable full-line-parse norm of a log pipeline.
+        # anchor=False: Elasticsearch-grok search semantics (match
+        # anywhere in the string).
+        anchor = bool(self.cfg.get("anchor", True))
+        self.patterns = [GrokPattern(p, defs, anchor=anchor) for p in raw_patterns]
+        self.field = _flat(self.cfg.get("field", "message"))
+        prefix = self.cfg.get("target_prefix", "")
+        self.prefix = _flat(prefix) + "_" if prefix else ""
+        self.mode = self.cfg.get("mode", "native")
+
+    def updates(self, df: DataFrame) -> Updates:
+        if self.field not in df.columns:
+            raise ProcessorConfigError(f"grok: field {self.field!r} missing")
+        src = F.col(self.field)
+
+        per_pattern: list[dict[str, Column]] = []
+        for p in self.patterns:
+            if self.mode == "native":
+                per_pattern.append(p.native_columns(src))
+            else:
+                struct = p.pandas_udf()(src)
+                cols = {f_: struct.getField(f_) for f_ in p.field_names()}
+                cols["_match"] = struct.getField("_match")
+                per_pattern.append(cols)
+
+        # first-match-wins across the patterns list: a field takes its
+        # value from the FIRST pattern that both defines and matched it
+        all_fields: list[str] = []
+        for p in self.patterns:
+            for f_ in p.field_names():
+                if f_ not in all_fields:
+                    all_fields.append(f_)
+        matched_any = F.lit(False)
+        for cols in per_pattern:
+            matched_any = matched_any | F.coalesce(cols["_match"], F.lit(False))
+
+        out: dict[str, Column] = {}
+        conv_failed: Column | None = None
+        for f_ in all_fields:
+            # fold patterns LAST→FIRST so the first matching pattern's
+            # value ends up outermost (first-match-wins)
+            expr: Column | None = None
+            for p, cols in zip(reversed(self.patterns), reversed(per_pattern)):
+                if f_ not in p.field_names():
+                    continue
+                raw = cols[f_]
+                typed = p.cast(f_, raw)
+                take = F.coalesce(cols["_match"], F.lit(False))
+                expr = typed if expr is None else F.when(take, typed).otherwise(expr)
+                cf = p.conversion_failed(f_, raw)
+                if cf is not None:
+                    cf = take & cf
+                    conv_failed = cf if conv_failed is None else (conv_failed | cf)
+            out[self.prefix + _flat(f_)] = expr
+
+        if not self.cfg.get("ignore_failure", False):
+            from beats_spark.operators.base import append_flag, flags_base
+
+            flags = append_flag(flags_base(df), self.FLAG, ~matched_any)
+            if conv_failed is not None:
+                flags = append_flag(flags, self.CONVERT_FLAG, conv_failed)
+            out["flags"] = flags
+        return Updates(set=out)
+
+
+@register
 class Convert(Processor):
     """convert: typed cast list {from, to?, type}; mode copy|rename.
     Ref: libbeat/processors/convert/convert.go:45-74, config.go:26-59.

@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "multiline_join",
     "dissect_map",
     "community_id_dirty",
+    "script_js",
+    "grok_clf",
+    "decode_xml",
 ]
 
 

@@ -1,0 +1,121 @@
+"""Grok compiler + processor tests.
+
+Semantics follow the publicly documented Elasticsearch-ingest/Logstash
+grok filter: %{SYNTAX:field:type}, recursive pattern definitions,
+custom pattern_definitions, first-match-wins across patterns,
+_grokparsefailure tagging. Cases are written fresh for this engine.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.functions.grok import BUILTIN_PATTERNS, GrokError, GrokPattern
+from beats_spark.operators.base import ProcessorConfigError, build_chain
+
+CLF = (
+    "%{IPORHOST:client_ip} %{NOTSPACE:ident} %{NOTSPACE:auth} "
+    r"\[%{HTTPDATE:ts}\] \"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}\" "
+    "%{INT:status:int} %{INT:bytes:int}"
+)
+CLF_LINE = '192.168.0.7 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326'
+
+
+def test_compile_and_pandas_extract():
+    p = GrokPattern(CLF)
+    assert [f for f, _ in p.fields] == [
+        "client_ip", "ident", "auth", "ts", "verb", "request",
+        "httpversion", "status", "bytes",
+    ]
+    row = p.extract_pandas(pd.Series([CLF_LINE, "junk"])).to_dict("records")
+    assert row[0]["client_ip"] == "192.168.0.7" and row[0]["verb"] == "GET"
+    assert row[0]["ts"] == "10/Oct/2000:13:55:36 -0700"
+    assert row[0]["_match"] and not row[1]["_match"]
+
+
+def test_native_matches_pandas(spark):
+    lines = [CLF_LINE, "not a log line", None,
+             '10.1.2.3 - - [01/Jan/2021:00:00:00 +0000] "POST /x HTTP/1.1" 404 17']
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "id int, message string")
+    p = GrokPattern(CLF)
+    nat = p.native_columns(F.col("message"))
+    a = df.select("id", *[v.alias(k) for k, v in nat.items()]).orderBy("id").collect()
+    struct = p.pandas_udf()(F.col("message"))
+    b = df.select(
+        "id", *[struct.getField(f).alias(f) for f in p.field_names()],
+        struct.getField("_match").alias("_match"),
+    ).orderBy("id").collect()
+    for ra, rb in zip(a, b):
+        assert bool(ra["_match"]) == bool(rb["_match"])
+        for f in p.field_names():
+            assert ra[f] == rb[f], f
+
+
+def test_user_inline_groups_compose():
+    # a user-supplied capturing group before a grok capture must not
+    # shift field resolution (index map is built from the final regex)
+    p = GrokPattern(r"(a|b)=%{WORD:val}")
+    out = p.extract_pandas(pd.Series(["a=hello"])).iloc[0]
+    assert out["val"] == "hello" and out["_match"]
+
+
+def test_custom_definitions_and_recursion():
+    p = GrokPattern(
+        "%{KV:pair}", pattern_definitions={"KV": r"%{WORD}=%{WORD}"}
+    )
+    assert p.extract_pandas(pd.Series(["x=1"])).iloc[0]["pair"] == "x=1"
+    with pytest.raises(GrokError):
+        GrokPattern("%{NOPE:x}")
+    with pytest.raises(GrokError):
+        GrokPattern("%{A:x}", pattern_definitions={"A": "%{B}", "B": "%{A}"})
+
+
+def test_builtin_patterns_all_compile():
+    for name in BUILTIN_PATTERNS:
+        GrokPattern(f"%{{{name}:v}}")  # must expand + compile
+
+
+def test_processor_typed_and_tagging(spark):
+    df = spark.createDataFrame(
+        [(1, "st=200 b=12"), (2, "st=abc b=5"), (3, "junk")],
+        "id int, message string",
+    )
+    out = build_chain(
+        [{"grok": {"field": "message",
+                   "match": "st=%{WORD:status:int} b=%{INT:bytes:int}"}}]
+    )(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["status"] == 200 and r[1]["bytes"] == 12 and r[1]["flags"] is None
+    assert r[2]["status"] is None and "grok_conversion_error" in r[2]["flags"]
+    assert r[3]["flags"] == ["_grokparsefailure"]
+
+
+def test_processor_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "u=bob n=5"), (2, "u=amy")], "id int, message string"
+    )
+    out = build_chain(
+        [{"grok": {"field": "message",
+                   "patterns": ["u=%{WORD:user} n=%{INT:n:int}", "u=%{WORD:user}"]}}]
+    )(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["user"] == "bob" and r[1]["n"] == 5
+    assert r[2]["user"] == "amy" and r[2]["n"] is None and r[2]["flags"] is None
+
+
+def test_anchor_false_searches(spark):
+    df = spark.createDataFrame([(1, "prefix ip=1.2.3.4 suffix")], "id int, message string")
+    out = build_chain(
+        [{"grok": {"field": "message", "match": "ip=%{IPV4:ip}", "anchor": False}}]
+    )(df)
+    assert out.first()["ip"] == "1.2.3.4"
+
+
+def test_config_errors(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, message string")
+    with pytest.raises(ProcessorConfigError):
+        build_chain([{"grok": {"field": "message"}}])(df)
+    with pytest.raises(ProcessorConfigError):
+        build_chain([{"grok": {"field": "missing", "match": "%{WORD:w}"}}])(df)

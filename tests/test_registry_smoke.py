@@ -46,6 +46,7 @@ CONFIGS: dict[str, dict | None] = {
     "decompress_gzip_field": {"field": {"from": "b64", "to": "gz_out"}},
     "detect_mime_type": {"field": "js", "target": "mime"},
     "dissect": {"tokenizer": "v=%{v}", "field": "kv", "target_prefix": ""},
+    "grok": {"field": "kv", "match": "v=%{WORD:gv}"},
     "dns": {"fields": {"ip": "host"}, "mapping": {"10.1.2.3": "db"}},
     "drop_event": {"when": {"equals": {"name": "nope"}}},
     "drop_fields": {"fields": ["spare"]},
