@@ -875,6 +875,44 @@ FROM events
 # ---------------------------------------------------------------------------
 
 
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling battery: hash-Bernoulli sample +
+    disjoint train/eval split + per-language stratified quota — the
+    data-mixing primitives, every one reproducing EXACT row sets in
+    the oracle (md5-hash order is engine-portable)."""
+    from beats_spark.operators.sampling import (
+        hash_sample,
+        split_train_eval,
+        stratified_quota,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, 0.25, "doc_id", seed=3)
+    split = split_train_eval(sampled, "doc_id", eval_fraction=0.1, seed=5)
+    quota = stratified_quota(split, "lang", 40, "doc_id", seed=7)
+    return quota.select("doc_id", "lang", "split")
+
+
+_SQL_CORPUS_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('s3|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h_samp,
+         ('0x' || substr(md5('s5|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h_split,
+         ('0x' || substr(md5('s7|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h_quota
+  FROM documents),
+sampled AS (
+  SELECT doc_id, lang,
+         CASE WHEN h_split < {int(0.1 * (1 << 60))} THEN 'eval' ELSE 'train' END AS split,
+         h_quota
+  FROM h WHERE h_samp < {int(0.25 * (1 << 60))}),
+ranked AS (
+  SELECT doc_id, lang, split,
+         row_number() OVER (PARTITION BY lang ORDER BY h_quota, doc_id) AS rnk
+  FROM sampled)
+SELECT doc_id, lang, split FROM ranked WHERE rnk <= 40
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: corpus unioned with 100 renumbered+noised copies →
     keeper set must equal the original ids (min-id wins)."""
@@ -1817,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_direction": q_domain_direction,
         "community_id_dirty": q_community_id_dirty,
         "script_js": q_script_js,
+        "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
@@ -1866,6 +1905,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_direction": _SQL_DOMAIN_DIRECTION,
         "community_id_dirty": _SQL_COMMUNITY_ID_DIRTY,
         "script_js": _SQL_SCRIPT_JS,
+        "corpus_sample": _SQL_CORPUS_SAMPLE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,

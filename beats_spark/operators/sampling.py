@@ -1,0 +1,94 @@
+"""Deterministic corpus sampling / splitting / stratified quotas.
+
+Training-data pipelines sample, mix and split corpora constantly; at
+100 TB the only acceptable mechanisms are DETERMINISTIC (re-runs and
+resumed runs must pick identical rows — `F.rand` is out) and
+DRIVER-LIGHT (no global sorts, no collects). Everything here keys on a
+hash of a stable id:
+
+- ``hash_sample``: Bernoulli-style keep iff hash(key) < fraction —
+  one narrow filter, exact in expectation, reproducible, and
+  composable (a sample of a sample nests by hashing with different
+  seeds).
+- ``split_train_eval``: disjoint train/eval assignment from one hash —
+  the same row lands on the same side on every run and every cluster
+  size; eval contamination is structurally impossible.
+- ``stratified_quota``: at most n rows per stratum, chosen in hash
+  order (a deterministic "random" order) — per-stratum shuffle only,
+  quota applied by row_number inside the stratum window. The standard
+  data-mixing primitive: cap each source/language at its budget.
+
+Hash choice: the 60-bit integer prefix of md5(key) — md5 is
+engine-portable, so every operator here has an exact DuckDB oracle
+(the same rows, not just the same counts). xxhash64 would be ~2×
+faster but non-portable; sampling is never the bottleneck next to the
+parse/dedup stages, portability of the GATE wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1 << 60
+
+
+def sample_hash(key: Column, seed: int = 0) -> Column:
+    """Uniform-ish 60-bit integer from md5(seed || key) — deterministic,
+    engine-portable (DuckDB: ('0x' || substr(md5(...), 1, 15))::BIGINT)."""
+    material = F.concat(F.lit(f"s{seed}|"), key.cast("string"))
+    return F.conv(F.substring(F.md5(material), 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep rows whose hash falls below ``fraction`` of the hash space.
+    Exact-in-expectation Bernoulli sampling, reproducible at any
+    parallelism; a narrow filter (pushdown-friendly, no shuffle)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(fraction * _SCALE)
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(threshold))
+
+
+def split_train_eval(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float = 0.01,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Stamp each row 'train' or 'eval' from one hash — disjoint by
+    construction, stable across runs/cluster sizes. Filter on the
+    column (or write partitioned by it) downstream."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(f"eval_fraction must be in [0, 1], got {eval_fraction}")
+    threshold = int(eval_fraction * _SCALE)
+    h = sample_hash(F.col(key_col), seed)
+    return df.withColumn(
+        split_col, F.when(h < F.lit(threshold), F.lit("eval")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_quota(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, selected in hash
+    order (deterministic pseudo-random, id-tie-broken). One shuffle
+    keyed on the stratum; skewed strata are bounded by the quota
+    itself — the window only has to RANK, never materialize, beyond
+    n rows per partition after the limit pushdown."""
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    h = sample_hash(F.col(key_col), seed)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= n_per_stratum)
+        .drop("_rank")
+    )

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "script_js",
     "grok_clf",
     "decode_xml",
+    "corpus_sample",
 ]
 
 

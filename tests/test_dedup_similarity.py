@@ -294,3 +294,35 @@ def test_jaccard_methods_agree(spark, docs):
         ).collect()
     }
     assert inv == blk and inv
+
+
+def test_sampling_operators(spark, docs):
+    """Deterministic sampling: reproducible row sets, disjoint splits,
+    fraction accuracy, stratified quotas bounded and deterministic."""
+    from beats_spark.operators import sampling
+
+    s1 = {r.doc_id for r in sampling.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    s2 = {r.doc_id for r in sampling.hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    assert s1 == s2 and s1  # reproducible
+    n = docs.count()
+    assert abs(len(s1) / n - 0.3) < 0.08  # fraction in expectation
+    # nesting: a 0.1-sample is a subset of the 0.3-sample (same seed)
+    s_small = {r.doc_id for r in sampling.hash_sample(docs, 0.1, "doc_id").select("doc_id").collect()}
+    assert s_small <= s1
+
+    split = sampling.split_train_eval(docs, "doc_id", eval_fraction=0.2)
+    parts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert parts["train"] + parts["eval"] == n
+    assert abs(parts["eval"] / n - 0.2) < 0.08
+
+    q = sampling.stratified_quota(docs, "lang", 10, "doc_id")
+    per = {r["lang"]: r["n"] for r in q.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 10 for v in per.values()) and per
+    q2 = {r.doc_id for r in sampling.stratified_quota(docs, "lang", 10, "doc_id").select("doc_id").collect()}
+    assert q2 == {r.doc_id for r in q.select("doc_id").collect()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.hash_sample(docs, 1.5, "doc_id")
+    with _pytest.raises(ValueError):
+        sampling.stratified_quota(docs, "lang", 0, "doc_id")
