@@ -333,11 +333,27 @@ class DissectPattern:
     def supports_split_chain(self) -> bool:
         """True when the tokenizer is a plain literal-delimited walk —
         no greedy padding, fixed lengths, appends or pointer/indirect
-        fields, and every inter-key delimiter non-empty — so it can
-        run as a substring_index chain instead of K regex passes."""
+        fields, every inter-key delimiter non-empty, and NO typed
+        captures — so it can run as a substring_index chain instead of
+        K regex passes (~1.2× end-to-end on the untyped pipeline).
+
+        Typed captures are excluded on measurement, not semantics: a
+        ``|type`` key's value expression gets referenced many times
+        downstream (try_cast, the conversion-failure flag, user
+        predicates/aggregates on the typed column), and each reference
+        re-inlines the DEEP nested remainder chain — the generated
+        code blows past the JVM's JIT-compilation threshold and the
+        query runs interpreted (measured 3.6× SLOWER on the fanout
+        contract query). The regex battery's per-key expressions are
+        flat, so they tolerate downstream duplication."""
         ks = self._keys
         if any(
-            k.greedy or k.append or k.pointer or k.indirect or k.fixed_len is not None
+            k.greedy
+            or k.append
+            or k.pointer
+            or k.indirect
+            or k.fixed_len is not None
+            or (k.dtype not in (None, "string"))
             for k in ks
         ):
             return False
