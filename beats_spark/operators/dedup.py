@@ -591,8 +591,20 @@ def embedding_neardup_pairs(
     # exact mode (verification scale): the full normalized corpus rides
     # in the task closure; each Arrow batch GEMMs against it and emits
     # only pairs above threshold — no pair frame is ever materialized.
+    # Guarded: this branch collect()s the corpus to the driver, so it
+    # refuses anything beyond ground-truth scale instead of OOMing a
+    # production run — the n_planes>0 LSH branch above is the path
+    # that survives 100 TB.
     import numpy as np
 
+    n_rows = df.count()
+    max_exact = 200_000
+    if n_rows > max_exact:
+        raise ValueError(
+            f"embedding_neardup_pairs exact mode (n_planes=0) collects the "
+            f"corpus to the driver and is capped at {max_exact} rows "
+            f"(got {n_rows}); pass n_planes>0 for the bucketed scale path"
+        )
     rows = df.select(id_col, vec_col).collect()
     all_ids = np.array([r[0] for r in rows], dtype=np.int64)
     all_mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
