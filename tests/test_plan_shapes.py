@@ -182,3 +182,24 @@ def test_fanout_counts_fallback_reconciles_dynamic_sinks(spark, transcripts, tmp
         for r in routed.groupBy("_meta_sink").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert res.sink_counts == expect
+
+
+def test_grok_and_js_script_stay_narrow(spark, transcripts):
+    """The round-2 parse surfaces (grok battery, transpiled JS script)
+    are pure column expressions: chained with router + DLQ they must
+    still compile to a zero-Exchange narrow stage."""
+    cfg = PipelineConfig(
+        processors=[
+            {"grok": {"field": "text",
+                      "match": "%{NOTSPACE:head} %{GREEDYDATA:rest}"}},
+            {"script": {"lang": "javascript",
+                        "source": 'function process(event) {'
+                                  ' event.Put("hl", event.Get("head").length);'
+                                  ' if (event.Get("hl") > 40) { event.Tag("long"); }'
+                                  ' }'}},
+        ],
+        router_rules=[{"when": {"has_fields": ["head"]}, "index": "parsed"}],
+    )
+    plan = plan_of(transform(transcripts, cfg))
+    assert "Exchange" not in plan
+    assert plan.count("WholeStageCodegen") <= 2
