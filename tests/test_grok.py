@@ -119,3 +119,29 @@ def test_config_errors(spark):
         build_chain([{"grok": {"field": "message"}}])(df)
     with pytest.raises(ProcessorConfigError):
         build_chain([{"grok": {"field": "missing", "match": "%{WORD:w}"}}])(df)
+
+
+def test_grok_agrees_with_syslog_processor(spark):
+    """Cross-validation: a grok RFC3164-ish pattern and the dedicated
+    syslog processor parse the same lines to the same hostname/program/
+    message — two independent compilers, one semantic."""
+    lines = [
+        "<34>Jan  5 03:14:07 web01 nginx[4321]: upstream timed out",
+        "<13>Feb 28 23:59:59 db-7 postgres[99]: checkpoint complete",
+    ]
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)], "id int, line string")
+    g = build_chain(
+        [{"grok": {"field": "line",
+                   "match": r"<%{NONNEGINT:pri:int}>%{SYSLOGTIMESTAMP:ts} "
+                            r"%{NOTSPACE:hostname} %{NOTSPACE:prog}\[%{NONNEGINT:pid:int}\]: "
+                            r"%{GREEDYDATA:msg}"}}]
+    )(df)
+    s = build_chain([{"syslog": {"field": "line", "format": "rfc3164"}}])(df)
+    grows = {r["id"]: r for r in g.collect()}
+    srows = {r["id"]: r for r in s.collect()}
+    for i in range(len(lines)):
+        assert grows[i]["hostname"] == srows[i]["hostname"]
+        assert grows[i]["prog"] == srows[i]["program"]
+        assert grows[i]["msg"] == srows[i]["syslog_message"]
+        assert grows[i]["pri"] == srows[i]["log_syslog_priority"]
+        assert grows[i]["flags"] is None
