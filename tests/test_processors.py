@@ -78,6 +78,20 @@ def test_timestamp_battery(df):
     assert rows[2]["when_ts"] is None and "timestamp_parse_error" in rows[2]["flags"]
 
 
+def test_timestamp_timezone_shift(spark):
+    """timezone config: naive inputs interpreted in that zone → UTC
+    (the reference's IANA-timezone parse option, timestamp config.go)."""
+    d = spark.createDataFrame([(1, "2024-06-01 12:00:00")], "id int, t string")
+    out = build_chain(
+        [{"timestamp": {"field": "t", "target_field": "ts",
+                         "layouts": ["yyyy-MM-dd HH:mm:ss"],
+                         "timezone": "America/New_York"}}]
+    )(d)
+    got = out.first()["ts"]
+    # noon EDT (UTC-4 in June) == 16:00 UTC; session tz is UTC
+    assert got.hour == 16 and got.day == 1
+
+
 def test_decode_json_fields(df):
     out = one(df, {"decode_json_fields": {"fields": ["props"], "target": "p",
                                             "schema": "k INT, name STRING", "add_error_key": True}})
