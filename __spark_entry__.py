@@ -705,6 +705,60 @@ FROM events
 """
 
 
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog processor, RFC5424 path (the 3164 path has its own
+    query): versioned header, ISO timestamp, nil structured-data;
+    every 37th line is not syslog at all → tag-and-continue."""
+    from beats_spark.operators.base import build_chain
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    pri = (uid % 192).cast("int")
+    line = F.format_string(
+        "<%d>1 2024-03-%02dT%02d:%02d:%02dZ host%d app%d %d - - %s done",
+        pri,
+        (eid % 28 + 1).cast("int"),
+        (eid % 24).cast("int"),
+        (uid % 60).cast("int"),
+        (eid % 60).cast("int"),
+        uid,
+        uid % 7,
+        eid % 9999,
+        F.col("event_type"),
+    )
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "line", F.when(eid % 37 == 0, F.lit("plain text, not syslog")).otherwise(line)
+    )
+    chain = build_chain([{"syslog": {"field": "line", "format": "rfc5424"}}])
+    out = chain(ev)
+    return out.select(
+        "event_id",
+        "log_syslog_priority",
+        "log_syslog_severity",
+        F.col("hostname").alias("hostname"),
+        F.col("program").alias("program"),
+        F.col("procid").alias("procid"),
+        F.col("syslog_message").alias("syslog_message"),
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "syslog_parse_error",
+        ).alias("parse_failed"),
+    )
+
+
+_SQL_SYSLOG_RFC5424 = """
+WITH f AS (SELECT event_id, user_id, event_type, event_id % 37 = 0 AS bad FROM events)
+SELECT event_id,
+       CASE WHEN bad THEN NULL ELSE (user_id % 192)::INT END AS log_syslog_priority,
+       CASE WHEN bad THEN NULL ELSE (user_id % 192)::INT % 8 END AS log_syslog_severity,
+       CASE WHEN bad THEN NULL ELSE 'host' || user_id::VARCHAR END AS hostname,
+       CASE WHEN bad THEN NULL ELSE 'app' || (user_id % 7)::VARCHAR END AS program,
+       CASE WHEN bad THEN NULL ELSE (event_id % 9999)::VARCHAR END AS procid,
+       CASE WHEN bad THEN NULL ELSE event_type || ' done' END AS syslog_message,
+       bad AS parse_failed
+FROM f
+"""
+
+
 def q_network_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """network condition: CIDR + named-range membership on synthesized
     IPv4s, pure JVM integer math. Every 13th row is a hostname and
@@ -1845,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "fmtstr_daily_sinks": q_fmtstr_daily_sinks,
         "syslog_parse": q_syslog_parse,
+        "syslog_rfc5424": q_syslog_rfc5424,
         "network_conditions": q_network_conditions,
         "enrich_broadcast": q_enrich_broadcast,
         "stable_ordering": q_stable_ordering,
@@ -1895,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _SQL_FINGERPRINT,
         "fmtstr_daily_sinks": _SQL_FMTSTR_DAILY_SINKS,
         "syslog_parse": _SQL_SYSLOG_PARSE,
+        "syslog_rfc5424": _SQL_SYSLOG_RFC5424,
         "network_conditions": _SQL_NETWORK_CONDITIONS,
         "enrich_broadcast": _SQL_ENRICH_BROADCAST,
         "stable_ordering": _SQL_STABLE_ORDERING,
