@@ -850,6 +850,58 @@ FROM events GROUP BY 1
 """
 
 
+def q_lookup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful/IO-bound reference processors (cache get, dns,
+    translate_sid) as chained broadcast lookups — one physical
+    operator family, three config names, misses fall to defaults."""
+    from beats_spark.operators.base import build_chain
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ev = _load(spark, sf_dir, "events").withColumns(
+        {
+            "ip": F.format_string("10.0.0.%d", (uid % 4).cast("int")),
+            "sid": F.format_string("S-1-5-%d", (eid % 3).cast("int")),
+        }
+    )
+    chain = build_chain(
+        [
+            {
+                "cache": {
+                    "get": {"key_field": "event_type", "target_field": "cached"},
+                    "mapping": {"click": "hot", "view": "warm"},
+                    "default": "cold",
+                }
+            },
+            {
+                "dns": {
+                    "fields": {"ip": "host"},
+                    "mapping": {"10.0.0.0": "gw", "10.0.0.1": "db1"},
+                    "default": "unknown",
+                }
+            },
+            {
+                "translate_sid": {
+                    "field": "sid",
+                    "account_name_target": "account",
+                    "mapping": {"S-1-5-0": "SYSTEM", "S-1-5-1": "LOCAL"},
+                    "default": "nobody",
+                }
+            },
+        ]
+    )
+    return chain(ev).select("event_id", "cached", "host", "account")
+
+
+_SQL_LOOKUP_CHAIN = """
+SELECT event_id,
+       CASE event_type WHEN 'click' THEN 'hot' WHEN 'view' THEN 'warm'
+            ELSE 'cold' END AS cached,
+       CASE user_id % 4 WHEN 0 THEN 'gw' WHEN 1 THEN 'db1' ELSE 'unknown' END AS host,
+       CASE event_id % 3 WHEN 0 THEN 'SYSTEM' WHEN 1 THEN 'LOCAL' ELSE 'nobody' END AS account
+FROM events
+"""
+
+
 def q_stable_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable per-key ordering (the publish-order ACK guarantee →
     Window over (key, ts, id)): first 3 events per user."""
@@ -1902,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "syslog_rfc5424": q_syslog_rfc5424,
         "network_conditions": q_network_conditions,
         "enrich_broadcast": q_enrich_broadcast,
+        "lookup_chain": q_lookup_chain,
         "stable_ordering": q_stable_ordering,
         "sessionize": q_sessionize,
         "assemble_documents": q_assemble_documents,
@@ -1953,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "syslog_rfc5424": _SQL_SYSLOG_RFC5424,
         "network_conditions": _SQL_NETWORK_CONDITIONS,
         "enrich_broadcast": _SQL_ENRICH_BROADCAST,
+        "lookup_chain": _SQL_LOOKUP_CHAIN,
         "stable_ordering": _SQL_STABLE_ORDERING,
         "sessionize": _SQL_SESSIONIZE,
         "assemble_documents": _SQL_ASSEMBLE_DOCUMENTS,
