@@ -172,6 +172,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     method: str = "inverted",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
 
@@ -194,7 +195,17 @@ def ngram_jaccard_pairs(
     The standard pipeline order avoids the issue entirely — run
     exact_dedup FIRST, near-dup the unique survivors (docs/SCALE.md).
 
-    Both methods return identical results (tests assert it).
+    ``max_doc_freq`` (inverted mode only): drop grams present in more
+    than that many docs from the index — the Σ c_g² candidate blowup
+    of boilerplate grams (measured: a heavy-hitter phrase pool turned
+    50k docs into a 333 s query) is bounded at cap²·n_heavy. APPROXIMATE
+    and one-sided: the reported jaccard becomes a LOWER bound (shared
+    heavy grams are uncounted, set sizes stay full), so the threshold
+    filter can only lose borderline pairs, never fabricate one. Leave
+    None for exact results (every oracle-checked query does).
+
+    Both methods return identical results when ``max_doc_freq`` is
+    None (tests assert it).
     """
     from pyspark import StorageLevel
 
@@ -218,6 +229,14 @@ def ngram_jaccard_pairs(
         *([F.col("_blk")] if block_col else []),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     join_keys = ["_g"] + (["_blk"] if block_col else [])
+    if max_doc_freq is not None:
+        heavy = (
+            grams.groupBy(*join_keys)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select(*join_keys)
+        )
+        grams = grams.join(heavy, join_keys, "left_anti")
     a = grams.select(
         F.col("_id").alias("id_a"), F.col("_n").alias("_na"), *join_keys
     )

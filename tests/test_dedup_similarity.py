@@ -326,3 +326,27 @@ def test_sampling_operators(spark, docs):
         sampling.hash_sample(docs, 1.5, "doc_id")
     with _pytest.raises(ValueError):
         sampling.stratified_quota(docs, "lang", 0, "doc_id")
+
+
+def test_jaccard_max_doc_freq_lower_bound(spark, docs):
+    """max_doc_freq drops heavy grams: output is a SUBSET of the exact
+    pairs (lower-bound jaccard, one-sided error), and with a generous
+    cap the result is identical."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.5, max_doc_freq=3
+        ).collect()
+    }
+    assert capped <= exact
+    generous = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.5, max_doc_freq=10**9
+        ).collect()
+    }
+    assert generous == exact
