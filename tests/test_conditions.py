@@ -62,3 +62,66 @@ def test_combinators(df):
     assert ids(df, cond) == [1, 2]
     # not over a null-valued leaf: two-valued, row 3 (null message) included
     assert ids(df, {"not": {"contains": {"message": "deploy"}}}) == [2, 3]
+
+
+def test_reference_secd_event_cases(spark):
+    """Transliterated from the reference's own condition tests
+    (libbeat/conditions/conditions_test.go:54-77 secdTestEvent;
+    equals_test.go:41-64; has_fields_test.go) — nested struct fields
+    accessed by dotted path, typed equality, boolean mismatch."""
+    from pyspark.sql import Row
+
+    ev = spark.createDataFrame(
+        [
+            Row(
+                proc=Row(
+                    cmdline="/usr/libexec/secd",
+                    name="secd",
+                    pid=305,
+                    ppid=1,
+                    state="running",
+                    username="monica",
+                ),
+                type="process",
+                final=False,
+            )
+        ]
+    )
+
+    def check(cond):
+        return ev.select(compile_condition(ev, cond).alias("c")).first()["c"]
+
+    # equals_test.go:41 single-field positive
+    assert check({"equals": {"type": "process"}}) is True
+    # equals_test.go:49 boolean negative
+    assert check({"equals": {"final": True}}) is False
+    # equals_test.go:57 multi-field AND typed
+    assert check({"equals": {"type": "process", "proc.pid": 305}}) is True
+    assert check({"equals": {"type": "process", "proc.pid": 306}}) is False
+    # has_fields_test.go multi-field
+    assert check({"has_fields": ["proc.name", "type"]}) is True
+    assert check({"has_fields": ["proc.name", "nope"]}) is False
+    # contains on nested string (contains_test.go analogues)
+    assert check({"contains": {"proc.cmdline": "libexec"}}) is True
+
+
+def test_reference_combined_condition(spark):
+    """conditions_test.go:139 (TestCombinedCondition) over the
+    httpResponseTestEvent shape: OR(range(http.code in [100,300)),
+    AND(equals status=200, equals type=http)) must hold."""
+    from pyspark.sql import Row
+
+    ev = spark.createDataFrame(
+        [Row(http=Row(code=200, phrase="OK"), status=200, type="http",
+             bytes_in=126, bytes_out=28033, client_ip="127.0.0.1")]
+    )
+    cond = compile_condition(
+        ev,
+        {
+            "or": [
+                {"range": {"http.code": {"gte": 100, "lt": 300}}},
+                {"and": [{"equals": {"status": 200}}, {"equals": {"type": "http"}}]},
+            ]
+        },
+    )
+    assert ev.select(cond.alias("c")).first()["c"] is True
