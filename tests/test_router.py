@@ -73,3 +73,51 @@ def test_fmtstr_default_value(spark):
     col = compile_fmtstr(df, "pre-%{[k]:fallback}")
     vals = [r[0] for r in df.select(col).collect()]
     assert vals == ["pre-a", "pre-fallback"]
+
+
+def test_fmtstr_reference_cases(spark):
+    """Transliterated from the reference's own format-string tests
+    (libbeat/common/fmtstr/formatevents_test.go:36-131): literal
+    passthrough, field expansion, defaults, nested fields (both
+    syntaxes), repeated fields, and the timestamp formatter. Date
+    patterns are Spark/Java (yyyy vs Joda's YYYY alias — same
+    rendering for these dates)."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from beats_spark.functions.fmtstr import compile_fmtstr
+
+    ev = spark.createDataFrame(
+        [
+            Row(
+                key="value",
+                key1="v1",
+                key2="v2",
+                nested=Row(key="value"),
+                missing=None,
+                ts=datetime.datetime(2015, 5, 1, 20, 12, 34),
+            )
+        ],
+        "key string, key1 string, key2 string, nested struct<key:string>, "
+        "missing string, ts timestamp",
+    )
+
+    def run(fmt):
+        return ev.select(compile_fmtstr(ev, fmt).alias("v")).first()["v"]
+
+    assert run("") == ""
+    assert run("format string") == "format string"
+    assert run("%{[key]}") == "value"
+    assert run("%{[nokey]:default}") == "default"
+    assert run("%{[nested.key]}") == "value"
+    assert run("%{[nested][key]}") == "value"
+    assert run("%{[key1]} - %{[key2]}") == "v1 - v2"
+    assert run("%{[key]} - %{[key]}") == "value - value"
+    assert run("%{[key]:default} - %{[key]}") == "value - value"
+    assert run("%{[key]} - %{[key]:default}") == "value - value"
+    assert run("%{[key]}: %{+yyyy.MM.dd}") == "value: 2015.05.01"
+    # a required (default-less) missing field nulls the WHOLE rule —
+    # the next-selector-tried semantic (select.go:367-373)
+    assert run("x-%{[nokey]}") is None
+    assert run("x-%{[missing]}") is None
