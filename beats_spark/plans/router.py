@@ -48,11 +48,21 @@ def compile_rule(df: DataFrame, rule: dict[str, Any], ts_col: str = "ts") -> Col
         for k, v in rule["mappings"].items():
             pairs += [F.lit(str(k)), F.lit(str(v))]
         mapped = F.element_at(F.create_map(*pairs), key)
+        # an empty LOOKED-UP value counts as a miss before the default
+        # applies (select_test.go "apply mapping with default on empty
+        # lookup"; empty==missing per select.go:367-373)
+        mapped = F.when(mapped == "", F.lit(None)).otherwise(mapped)
         if "default" in rule:
             mapped = F.coalesce(mapped, F.lit(str(rule["default"])))
-        key = mapped
-    # empty string == missing (select.go:367-373 treats empty as no-match)
-    key = F.when(key == "", F.lit(None)).otherwise(key)
+        key = F.when(mapped == "", F.lit(None)).otherwise(mapped)
+    else:
+        # empty string == missing; a rule-level default (without
+        # mappings) then catches a failed/empty format string INSIDE
+        # the rule — fmtSelector's otherwise (select_test.go
+        # "missing format string key with default in rule")
+        key = F.when(key == "", F.lit(None)).otherwise(key)
+        if "default" in rule:
+            key = F.coalesce(key, F.lit(str(rule["default"])))
     if rule.get("when") is not None:
         key = F.when(compile_condition(df, rule["when"]), key)
     return key

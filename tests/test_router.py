@@ -121,3 +121,56 @@ def test_fmtstr_reference_cases(spark):
     # the next-selector-tried semantic (select.go:367-373)
     assert run("x-%{[nokey]}") is None
     assert run("x-%{[missing]}") is None
+
+
+def test_selector_reference_table(spark):
+    """Transliterated from the reference's output-selector table
+    (libbeat/outputs/outil/select_test.go:44-260): constant keys,
+    format-string keys, rule defaults on missing AND empty values,
+    fall-through to the next rule, mappings with defaults on empty
+    key and empty lookup, mapping without match. (lowercase-setting
+    variants are an output-client option, not router semantics —
+    compose F.lower downstream.)"""
+    from beats_spark.plans.router import META_SINK, route
+
+    def sel(rules, row: dict, schema: str, default="NONE"):
+        df = spark.createDataFrame([tuple(row.values())], schema)
+        out = route(df, rules, default=default)
+        return out.first()[META_SINK]
+
+    one = {"key": "value"}
+    s = "key string"
+    # constant key
+    assert sel([{"index": "value"}], one, s) == "value"
+    assert sel([{"index": "VaLuE"}], one, s) == "VaLuE"  # no implicit lowercase
+    # format string key
+    assert sel([{"index": "%{[key]}"}], one, s) == "value"
+    # missing format string key with default in rule
+    assert sel([{"index": "%{[nokey]}", "default": "value"}], one, s) == "value"
+    # empty format string key with default in rule
+    assert sel([{"index": "%{[key]}", "default": "value"}], {"key": ""}, s) == "value"
+    # missing format string key with constant in next rule
+    assert sel([{"index": "%{[nokey]}"}, {"index": "value"}], one, s) == "value"
+    # apply mapping
+    assert sel(
+        [{"index": "%{[key]}", "mappings": {"v": "value"}}], {"key": "v"}, s
+    ) == "value"
+    # apply mapping with default on empty key
+    assert sel(
+        [{"index": "%{[key]}", "mappings": {"v": "value"}, "default": "value"}],
+        {"key": ""}, s,
+    ) == "value"
+    # apply mapping with default on empty lookup (mapping maps v -> "")
+    assert sel(
+        [{"index": "%{[key]}", "mappings": {"v": ""}, "default": "value"}],
+        {"key": "v"}, s,
+    ) == "value"
+    # apply mapping without match -> rule default
+    assert sel(
+        [{"index": "%{[key]}", "mappings": {"v": "value"}, "default": "value"}],
+        {"key": "x"}, s,
+    ) == "value"
+    # mapping misses with NO default -> falls through to router default
+    assert sel(
+        [{"index": "%{[key]}", "mappings": {"v": "value"}}], {"key": "x"}, s
+    ) == "NONE"
