@@ -124,3 +124,31 @@ def test_add_formatted_index_routes_first(spark, transcripts):
     sinks = {r[META_SINK] for r in routed.select(META_SINK).distinct().collect()}
     # the stamped raw_index wins over every rule (events/util.go:34-36)
     assert all(s.startswith("fixed-") for s in sinks)
+
+
+def test_registered_domain_reference_table(spark):
+    """Transliterated from registered_domain_test.go:39-49 — the
+    non-error rows (our engine ships a compact suffix subset, not the
+    full PSL; every case in the reference's own table is covered) and
+    the single-label/empty error rows, which must yield null rather
+    than error (tag-and-continue on a relational engine)."""
+    cases = [
+        ("www.google.com", "google.com"),
+        ("www.google.co.uk", "google.co.uk"),
+        ("www.mail.google.co.uk", "google.co.uk"),
+        ("google.com", "google.com"),
+        ("www.ak.local", "ak.local"),
+        ("www.navy.mil", "navy.mil"),
+        ("com", None),
+        ("localhost", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, (d, _) in enumerate(cases)], "id int, domain string"
+    )
+    out = build_chain(
+        [{"registered_domain": {"field": "domain", "target_field": "rd"}}]
+    )(df)
+    got = {r["id"]: r["rd"] for r in out.collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
