@@ -271,7 +271,28 @@ class Convert(Processor):
                 if self.cfg.get("ignore_missing", False):
                     continue
                 raise ProcessorConfigError(f"convert: field {src!r} missing")
-            casted = F.col(src).try_cast(typ)
+            if spec.get("type") == "ip":
+                # the reference VALIDATES ip conversions (net.ParseIP,
+                # convert.go:347) — an unparseable address nulls + tags.
+                # Shape-level check here: exact IPv4 (octets ≤ 255) or
+                # colon-hex IPv6.
+                from beats_spark.functions.conditions import _ip_to_long
+
+                v4 = _ip_to_long(F.col(src)).isNotNull()
+                v6 = F.col(src).rlike(
+                    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+                    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+                    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+                    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+                    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+                    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+                    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+                    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
+                    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+                )
+                casted = F.when(v4 | v6, F.col(src).cast("string"))
+            else:
+                casted = F.col(src).try_cast(typ)
             err = err | (F.col(src).isNotNull() & casted.isNull())
             out[dst] = casted
             if mode == "rename" and dst != src:

@@ -78,6 +78,25 @@ def test_timestamp_battery(df):
     assert rows[2]["when_ts"] is None and "timestamp_parse_error" in rows[2]["flags"]
 
 
+def test_convert_ip_validation(spark):
+    """Reference convert type=ip validates (net.ParseIP, convert.go:347):
+    unparseable addresses null + tag convert_error; v4 and v6 pass."""
+    d = spark.createDataFrame(
+        [(1, "192.168.0.1"), (2, "2001:db8::1"), (3, "not-an-ip"),
+         (4, "300.1.1.1"), (5, "::1")],
+        "id int, addr string",
+    )
+    out = build_chain(
+        [{"convert": {"fields": [{"from": "addr", "to": "ip", "type": "ip"}]}}]
+    )(d)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["ip"] == "192.168.0.1" and r[1]["flags"] is None
+    assert r[2]["ip"] == "2001:db8::1" and r[2]["flags"] is None
+    assert r[5]["ip"] == "::1"
+    assert r[3]["ip"] is None and "convert_error" in r[3]["flags"]
+    assert r[4]["ip"] is None and "convert_error" in r[4]["flags"]
+
+
 def test_timestamp_timezone_shift(spark):
     """timezone config: naive inputs interpreted in that zone → UTC
     (the reference's IANA-timezone parse option, timestamp config.go)."""
