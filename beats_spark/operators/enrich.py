@@ -130,6 +130,14 @@ class Fingerprint(Processor):
             hashed = F.md5(payload)
         else:
             raise ProcessorConfigError(f"fingerprint: unknown method {method!r}")
+        encoding = self.cfg.get("encoding", "hex")
+        if encoding == "base64":
+            # reference config.go:27 — re-encode the digest bytes
+            hashed = F.base64(F.unhex(hashed))
+        elif encoding != "hex":
+            raise ProcessorConfigError(
+                f"fingerprint: unsupported encoding {encoding!r} (hex/base64)"
+            )
         return Updates(set={target: hashed})
 
 
