@@ -195,15 +195,18 @@ class IncludeFields(Processor):
 
 @register
 class TruncateFields(Processor):
-    """truncate_fields: cut to max_characters (or max_bytes ≈ chars for
-    ASCII payloads — documented difference: we count characters), flag
-    ``truncated``. Ref: libbeat/processors/actions/truncate_fields.go:84."""
+    """truncate_fields: cut to max_characters (codepoints) or
+    max_bytes (UTF-8 octets — true byte slice, may split a multibyte
+    rune exactly like the reference's truncateBytes), flag
+    ``truncated``. Ref: libbeat/processors/actions/truncate_fields.go:84,
+    semantics table truncate_fields_test.go:41-120."""
 
     name = "truncate_fields"
 
     def updates(self, df: DataFrame) -> Updates:
-        n = self.cfg.get("max_characters") or self.cfg.get("max_bytes")
-        if not n:
+        chars = self.cfg.get("max_characters")
+        nbytes = self.cfg.get("max_bytes")
+        if not chars and not nbytes:
             raise ProcessorConfigError("truncate_fields needs max_characters/max_bytes")
         out = {}
         truncated_any = F.lit(False)
@@ -211,8 +214,16 @@ class TruncateFields(Processor):
             c = _flat(f_)
             if c not in df.columns:
                 continue
-            truncated_any = truncated_any | (F.length(F.col(c)) > n)
-            out[c] = F.substring(F.col(c), 1, int(n))
+            if chars:
+                over = F.length(F.col(c)) > int(chars)
+                cut = F.substring(F.col(c), 1, int(chars))
+            else:
+                over = F.octet_length(F.col(c)) > int(nbytes)
+                cut = F.substring(F.col(c).cast("binary"), 1, int(nbytes)).cast(
+                    "string"
+                )
+            truncated_any = truncated_any | F.coalesce(over, F.lit(False))
+            out[c] = F.when(F.coalesce(over, F.lit(False)), cut).otherwise(F.col(c))
         out["flags"] = add_flag(df, "truncated", truncated_any)
         return Updates(set=out)
 

@@ -78,6 +78,27 @@ def test_timestamp_battery(df):
     assert rows[2]["when_ts"] is None and "timestamp_parse_error" in rows[2]["flags"]
 
 
+def test_truncate_bytes_vs_chars(spark):
+    """truncate_fields_test.go:41-120: max_bytes is a true UTF-8 byte
+    slice (multibyte 'ez jó' = 5 chars / 6 bytes survives max_bytes=6),
+    max_characters counts codepoints; too-long values flag truncated."""
+    d = spark.createDataFrame(
+        [(1, "too long line"), (2, "ez jó")], "id int, message string"
+    )
+    r = {x["id"]: x for x in build_chain(
+        [{"truncate_fields": {"fields": ["message"], "max_bytes": 3}}]
+    )(d).collect()}
+    assert r[1]["message"] == "too" and "truncated" in r[1]["flags"]
+    r = {x["id"]: x for x in build_chain(
+        [{"truncate_fields": {"fields": ["message"], "max_bytes": 6}}]
+    )(d).collect()}
+    assert r[2]["message"] == "ez jó" and r[2]["flags"] is None
+    r = {x["id"]: x for x in build_chain(
+        [{"truncate_fields": {"fields": ["message"], "max_characters": 5}}]
+    )(d).collect()}
+    assert r[2]["message"] == "ez jó" and r[2]["flags"] is None
+
+
 def test_convert_ip_validation(spark):
     """Reference convert type=ip validates (net.ParseIP, convert.go:347):
     unparseable addresses null + tag convert_error; v4 and v6 pass."""
