@@ -490,15 +490,22 @@ class DecodeDuration(Processor):
 
 @register
 class UrlDecode(Processor):
-    """urldecode: %-unescape. Ref: libbeat/processors/urldecode/urldecode.go:75."""
+    """urldecode: %-unescape; malformed escapes null + tag
+    ``urldecode_error`` (the reference's fail_on_error path errors the
+    event, urldecode.go:75 — tag-and-continue is this engine's form)."""
 
     name = "urldecode"
 
     def updates(self, df: DataFrame) -> Updates:
-        out = {}
+        out: dict[str, Column] = {}
+        err = F.lit(False)
         for spec in self.cfg["fields"]:
             src, dst = _flat(spec["from"]), _flat(spec.get("to", spec["from"]))
-            out[dst] = F.expr(f"try_url_decode({src})")
+            decoded = F.expr(f"try_url_decode({src})")
+            err = err | (F.col(src).isNotNull() & decoded.isNull())
+            out[dst] = decoded
+        if not self.cfg.get("ignore_failure", False):
+            out["flags"] = add_flag(df, "urldecode_error", err)
         return Updates(set=out)
 
 
