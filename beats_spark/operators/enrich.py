@@ -212,27 +212,59 @@ class RegisteredDomain(Processor):
 class AddNetworkDirection(Processor):
     """add_network_direction: classify flow by source/destination IP
     membership in internal networks.
-    Ref: libbeat/processors/actions/add_network_direction.go:65."""
+    Ref: libbeat/processors/actions/add_network_direction.go:65;
+    semantics table add_network_direction_test.go:33-50 — named
+    ranges ("private", "loopback", ...) accepted alongside CIDRs
+    (unknown names rejected at build, like the reference's config
+    error), and an empty/unparseable source or destination yields NO
+    direction (null), never a misclassification."""
 
     name = "add_network_direction"
 
     def updates(self, df: DataFrame) -> Updates:
-        from beats_spark.functions.conditions import _cidr_test, _any
+        from beats_spark.functions.conditions import (
+            _NAMED_NETWORKS,
+            _any,
+            _cidr_test,
+            _ip_to_long,
+        )
 
         src = _flat(self.cfg.get("source", "source_ip"))
         dst = _flat(self.cfg.get("destination", "destination_ip"))
         target = _flat(self.cfg.get("target", "network_direction"))
-        nets = self.cfg["internal_networks"]
+        nets_cfg = self.cfg["internal_networks"]
+        if isinstance(nets_cfg, str):
+            nets_cfg = [nets_cfg]
+        nets: list[str] = []
+        for n in nets_cfg:
+            if n in _NAMED_NETWORKS:
+                expanded = _NAMED_NETWORKS[n]
+                if not expanded:
+                    raise ProcessorConfigError(
+                        f"add_network_direction: named range {n!r} has no "
+                        "closed CIDR form"
+                    )
+                nets += expanded
+            elif "/" in n or n.count(".") == 3:
+                nets.append(n)
+            else:
+                raise ProcessorConfigError(
+                    f"add_network_direction: unknown network {n!r}"
+                )
 
         def internal(c: str) -> Column:
             return F.coalesce(_any([_cidr_test(F.col(c), n) for n in nets]), F.lit(False))
 
         s_in, d_in = internal(src), internal(dst)
-        out = (
+        parseable = _ip_to_long(F.col(src)).isNotNull() & _ip_to_long(
+            F.col(dst)
+        ).isNotNull()
+        out = F.when(
+            parseable,
             F.when(s_in & d_in, "internal")
             .when(s_in, "outbound")
             .when(d_in, "inbound")
-            .otherwise("external")
+            .otherwise("external"),
         )
         return Updates(set={target: out})
 

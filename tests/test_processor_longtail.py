@@ -152,3 +152,38 @@ def test_registered_domain_reference_table(spark):
     got = {r["id"]: r["rd"] for r in out.collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_network_direction_reference_table(spark):
+    """Transliterated from add_network_direction_test.go:33-50: named
+    'private' range, all four directions, and the unparseable/empty
+    rows which must yield NO direction."""
+    cases = [
+        ("1.1.1.1", "8.8.8.8", "external"),
+        ("1.1.1.1", "192.168.1.218", "inbound"),
+        ("192.168.1.218", "8.8.8.8", "outbound"),
+        ("192.168.1.218", "192.168.1.219", "internal"),
+        ("", "192.168.1.219", None),
+        ("foo", "192.168.1.219", None),
+        ("192.168.1.218", "foo", None),
+        ("192.168.1.218", "", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, d) for i, (s, d, _) in enumerate(cases)],
+        "id int, src string, dst string",
+    )
+    out = build_chain(
+        [{"add_network_direction": {"source": "src", "destination": "dst",
+                                     "internal_networks": ["private"]}}]
+    )(df)
+    got = {r["id"]: r["network_direction"] for r in out.collect()}
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+    # unknown named network is a config error (the 'foo' error row)
+    import pytest as _pytest
+    from beats_spark.operators.base import ProcessorConfigError
+    with _pytest.raises(ProcessorConfigError):
+        build_chain(
+            [{"add_network_direction": {"source": "src", "destination": "dst",
+                                         "internal_networks": ["foo"]}}]
+        )(df)
