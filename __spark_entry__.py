@@ -1025,7 +1025,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.limit(100).withColumns(
+    copies = docs.orderBy("doc_id").limit(100).withColumns(
         {
             "doc_id": F.col("doc_id") + 1000000,
             "text": F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")),
@@ -1145,7 +1145,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.orderBy("doc_id").limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
     return simhash_pairs(docs.unionByName(copies), max_hamming=3)
 
 
@@ -1371,7 +1371,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.textstats import rolling_fingerprints
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.orderBy("doc_id").limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
     uni = docs.unionByName(copies)
     fp = uni.select(
         "doc_id", F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
@@ -1805,7 +1805,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.orderBy("doc_id").limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
     pairs = simhash_pairs(
         docs.unionByName(copies), max_hamming=3, bits=60, n_tables=4, hash_fn="md5_60"
     )

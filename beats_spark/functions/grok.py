@@ -196,12 +196,21 @@ class GrokPattern:
 
     # -- execution: Arrow pandas single pass ----------------------------
     def extract_pandas(self, s: pd.Series) -> pd.DataFrame:
-        ext = s.astype("string").str.extract(self._compiled, expand=True)
+        st = s.astype("string")
+        ext = st.str.extract(self._compiled, expand=True)
         out = pd.DataFrame(index=s.index)
         for field in self.field_names():
             out[field] = ext[self._group_of(field)]
-        first = self._group_names[0] if self._group_names else None
-        out["_match"] = ext[first].notna() if first else s.notna()
+        # Match from the pattern itself (anchors are baked into
+        # self.regex), NOT from the first capture's NaN: a capture
+        # inside an optional group is legitimately absent on matching
+        # rows. contains(search) + in-regex ^$ ≡ native rlike; NA input
+        # stays NA, mirroring rlike(NULL) = NULL.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)  # "has match groups"
+            out["_match"] = st.str.contains(self._compiled, regex=True)
         return out
 
     def pandas_udf(self):

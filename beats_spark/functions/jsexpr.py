@@ -91,6 +91,18 @@ def _unquote(s: str) -> str:
 class _Val:
     col: Column
     is_str: bool
+    is_null: bool = False  # the `null` literal (for ==/!= null guards)
+
+
+def _num(v: _Val) -> Column:
+    """Numeric view of an operand for arithmetic / mixed comparisons.
+
+    String-typed values are ``try_cast`` to double so malformed input
+    yields NULL instead of an ANSI CAST_INVALID_INPUT job abort — the
+    JS semantics are ``Number('abc') === NaN`` and NaN-poisoned
+    arithmetic, which NULL models faithfully under tag-and-continue.
+    """
+    return v.col.try_cast("double") if v.is_str else v.col
 
 
 # -- parser / compiler ------------------------------------------------------
@@ -280,7 +292,23 @@ class _Compiler:
         if op in ("==", "===", "!=", "!==", "<", "<=", ">", ">="):
             self._next()
             right = self._add()
-            a, b = left.col, right.col
+            # `x == null` in JS is the idiomatic missing-field guard; a
+            # three-valued `col == NULL` is never true, so compile the
+            # null literal to isNull()/isNotNull() instead.
+            if op in ("==", "===", "!=", "!=="):
+                neg = op in ("!=", "!==")
+                if left.is_null and right.is_null:
+                    return _Val(F.lit(neg is False), False)
+                if right.is_null:
+                    return _Val(left.col.isNotNull() if neg else left.col.isNull(), False)
+                if left.is_null:
+                    return _Val(right.col.isNotNull() if neg else right.col.isNull(), False)
+            # Mixed string/non-string comparison: JS coerces the string
+            # side with Number(); try_cast keeps malformed rows alive.
+            if left.is_str != right.is_str:
+                a, b = _num(left), _num(right)
+            else:
+                a, b = left.col, right.col
             out = {
                 "==": a == b, "===": a == b,
                 "!=": a != b, "!==": a != b,
@@ -299,8 +327,8 @@ class _Compiler:
                     F.concat(left.col.cast("string"), right.col.cast("string")), True
                 )
             else:
-                left = _Val(left.col + right.col if op == "+" else left.col - right.col,
-                            False)
+                a, b = _num(left), _num(right)
+                left = _Val(a + b if op == "+" else a - b, False)
         return left
 
     def _mul(self) -> _Val:
@@ -308,11 +336,8 @@ class _Compiler:
         while self._peek()[1] in ("*", "/", "%"):
             op = self._next()[1]
             right = self._unary()
-            col = {
-                "*": left.col * right.col,
-                "/": left.col / right.col,
-                "%": left.col % right.col,
-            }[op]
+            a, b = _num(left), _num(right)
+            col = {"*": a * b, "/": a / b, "%": a % b}[op]
             left = _Val(col, False)
         return left
 
@@ -324,7 +349,7 @@ class _Compiler:
         if self._peek()[1] == "-":
             self._next()
             v = self._unary()
-            return _Val(-v.col, False)
+            return _Val(-_num(v), False)
         return self._postfix()
 
     def _postfix(self) -> _Val:
@@ -377,7 +402,7 @@ class _Compiler:
         if v == "false":
             return _Val(F.lit(False), False)
         if v == "null":
-            return _Val(F.lit(None), False)
+            return _Val(F.lit(None), False, is_null=True)
         if v == "event":
             self._expect(".")
             _, m = self._next()

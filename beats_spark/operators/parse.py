@@ -279,6 +279,13 @@ class Convert(Processor):
                 from beats_spark.functions.conditions import _ip_to_long
 
                 v4 = _ip_to_long(F.col(src)).isNotNull()
+                # Quad with range check (0-255) for the embedded-IPv4
+                # tail forms net.ParseIP accepts (::ffff:192.0.2.1,
+                # 64:ff9b::1.2.3.4, 0:0:0:0:0:ffff:1.2.3.4). Remaining
+                # gap (documented in COVERAGE.md): mid-compression with
+                # hextets between the `::` and the v4 tail.
+                quad = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+                v4tail = rf"({quad}\.){{3}}{quad}"
                 v6 = F.col(src).rlike(
                     r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
                     r"|([0-9A-Fa-f]{1,4}:){1,7}:"
@@ -288,7 +295,10 @@ class Convert(Processor):
                     r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
                     r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
                     r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
-                    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:))$"
+                    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+                    rf"|([0-9A-Fa-f]{{1,4}}:){{6}}{v4tail}"
+                    rf"|([0-9A-Fa-f]{{1,4}}:){{1,5}}:{v4tail}"
+                    rf"|::([Ff]{{4}}(:0{{1,4}})?:)?{v4tail})$"
                 )
                 casted = F.when(v4 | v6, F.col(src).cast("string"))
             else:

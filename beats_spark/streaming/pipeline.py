@@ -247,8 +247,13 @@ def run_text_stream(
     (wholetext), so the multiline join inside ``foreachBatch`` is exact
     per file, mirroring the reference's harvester-per-file flushing
     (a file never splits across batches; Beats likewise treats the
-    harvester as the multiline scope). Checkpointing the file-source
-    offsets gives exactly-once per file across restarts.
+    harvester as the multiline scope). Checkpointed file-source offsets
+    make each file processed in exactly one COMMITTED batch; the sink
+    write is made idempotent by partitioning the output on ``batch_id``
+    and dynamically overwriting only that batch's partitions, so a
+    replay after a crash-between-write-and-commit rewrites the same
+    deterministic rows instead of appending duplicates
+    (effectively-once end to end).
 
     foreachBatch (not a plain streaming plan) because the per-file
     Window of the multiline join needs complete files, not an
@@ -268,7 +273,7 @@ def run_text_stream(
     if ml:
         ml.setdefault("mode", ml.pop("type", "pattern"))
 
-    def handle(batch_df, _batch_id: int) -> None:
+    def handle(batch_df, batch_id: int) -> None:
         files = [
             r["f"]
             for r in batch_df.select(F.input_file_name().alias("f")).distinct().collect()
@@ -282,8 +287,12 @@ def run_text_stream(
             events = lines.withColumnRenamed("line", "message").withColumns(
                 {"n_lines": F.lit(1).cast("long"), "truncated": F.lit(False)}
             )
-        routed = transform(events, cfg)
-        routed.write.mode("append").partitionBy(META_SINK).parquet(out_root)
+        routed = transform(events, cfg).withColumn("batch_id", F.lit(batch_id))
+        # dynamic overwrite of THIS batch's partitions only: replaying
+        # an uncommitted batch is idempotent (same files -> same rows).
+        routed.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id", META_SINK).parquet(out_root)
 
     writer = raw.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

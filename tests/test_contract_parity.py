@@ -67,6 +67,58 @@ def test_query_contract(name, spark, duck):
     assert _normalize(srows, sdf.columns) == _normalize(drows, dcols), name
 
 
+# The four queries that plant duplicate fixtures from a limit() of the
+# documents scan: parity must hold when the table is MANY parquet files
+# in arbitrary row order, not just the single driver-written file
+# (orderBy("doc_id") before limit() is what makes this deterministic).
+_MULTIFILE_QUERIES = [
+    "dedup_exact", "dedup_simhash", "rolling_fingerprint", "dedup_simhash_md5"
+]
+
+
+@pytest.fixture(scope="module")
+def multifile_sf(spark, tmp_path_factory):
+    import os
+
+    root = tmp_path_factory.mktemp("sf_multifile")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # scramble row order across 5 files so nothing about scan order
+    # resembles the original write order
+    docs.repartition(5, "doc_id").write.parquet(str(root / "documents.parquet"))
+    for t in entry_mod.TABLES:
+        if t != "documents":
+            os.symlink(f"{SF_DIR}/{t}.parquet", root / f"{t}.parquet")
+    return str(root)
+
+
+@pytest.mark.parametrize("name", _MULTIFILE_QUERIES)
+def test_multifile_order_independence(name, spark, multifile_sf, duck_multifile):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, multifile_sf)
+    srows = [tuple(r) for r in sdf.collect()]
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(srows) > 0
+        return
+    res = duck_multifile.execute(oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)}"
+    assert _normalize(srows, sdf.columns) == _normalize(drows, dcols), name
+
+
+@pytest.fixture(scope="module")
+def duck_multifile(multifile_sf):
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        path = f"{multifile_sf}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if t == "documents" else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    yield con
+    con.close()
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0

@@ -145,3 +145,14 @@ def test_grok_agrees_with_syslog_processor(spark):
         assert grows[i]["msg"] == srows[i]["syslog_message"]
         assert grows[i]["pri"] == srows[i]["log_syslog_priority"]
         assert grows[i]["flags"] is None
+
+
+def test_pandas_match_with_optional_capture():
+    """_match must come from the pattern match itself, not from the
+    first capture's NaN: a capture inside an optional group is absent
+    on legitimately matching rows."""
+    p = GrokPattern(r"(?:%{WORD:a} )?%{INT:b:int}")
+    out = p.extract_pandas(pd.Series(["hello 42", "42", "nope"]))
+    assert list(out["_match"]) == [True, True, False]
+    assert out.iloc[1]["a"] is pd.NA or pd.isna(out.iloc[1]["a"])
+    assert out.iloc[1]["b"] == "42"

@@ -118,6 +118,25 @@ def test_convert_ip_validation(spark):
     assert r[4]["ip"] is None and "convert_error" in r[4]["flags"]
 
 
+def test_convert_ip_v6_with_v4_tail(spark):
+    """net.ParseIP accepts IPv6 with an embedded dotted-quad tail
+    (::ffff:192.0.2.1, 64:ff9b::1.2.3.4, uncompressed 6-hextet form);
+    out-of-range quads still fail."""
+    d = spark.createDataFrame(
+        [(1, "::ffff:192.0.2.1"), (2, "64:ff9b::1.2.3.4"),
+         (3, "0:0:0:0:0:ffff:1.2.3.4"), (4, "::192.0.2.200"),
+         (5, "::ffff:300.1.1.1"), (6, "1:2:3:4:5::6.7.8.9")],
+        "id int, addr string",
+    )
+    out = build_chain(
+        [{"convert": {"fields": [{"from": "addr", "to": "ip", "type": "ip"}]}}]
+    )(d)
+    r = {x["id"]: x for x in out.collect()}
+    for ok in (1, 2, 3, 4, 6):
+        assert r[ok]["ip"] == r[ok]["addr"] and r[ok]["flags"] is None, ok
+    assert r[5]["ip"] is None and "convert_error" in r[5]["flags"]
+
+
 def test_timestamp_timezone_shift(spark):
     """timezone config: naive inputs interpreted in that zone → UTC
     (the reference's IANA-timezone parse option, timestamp config.go)."""

@@ -111,3 +111,49 @@ def test_when_guard_composes(spark):
     )(df)
     r = {x["id"]: x["y"] for x in out.collect()}
     assert r[1] == 1 and r[2] is None
+
+
+def test_string_arithmetic_tags_and_continues(spark):
+    """Arithmetic on a string-typed field must not ANSI-abort the job:
+    JS Number('abc') is NaN; here malformed values yield NULL and the
+    row keeps flowing (project tag-and-continue invariant)."""
+    src = """function process(event) {
+      event.Put("doubled", event.Get("s") * 2);
+      event.Put("plus", event.Get("s") - 1);
+    }"""
+    df = spark.createDataFrame(
+        [(1, "21"), (2, "abc"), (3, None)], "id int, s string"
+    )
+    out = build_chain([{"script": {"lang": "javascript", "source": src}}])(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["doubled"] == 42.0 and r[1]["plus"] == 20.0
+    assert r[2]["doubled"] is None and r[2]["plus"] is None
+    assert r[3]["doubled"] is None
+
+
+def test_mixed_string_numeric_comparison_survives_garbage(spark):
+    src = """function process(event) {
+      if (event.Get("s") > 5) { event.Tag("big"); }
+    }"""
+    df = spark.createDataFrame(
+        [(1, "10"), (2, "oops"), (3, "3")], "id int, s string"
+    )
+    out = build_chain([{"script": {"lang": "javascript", "source": src}}])(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["flags"] == ["big"]
+    assert not r[2]["flags"] and not r[3]["flags"]
+
+
+def test_null_literal_comparison_is_isnull(spark):
+    """`x == null` is THE JS missing-field guard — must compile to
+    isNull(), not three-valued equality (which is never true)."""
+    src = """function process(event) {
+      if (event.Get("f") == null) { event.Put("state", "missing"); }
+      else { event.Put("state", "present"); }
+      event.Put("have", event.Get("f") != null);
+    }"""
+    df = spark.createDataFrame([(1, "x"), (2, None)], "id int, f string")
+    out = build_chain([{"script": {"lang": "javascript", "source": src}}])(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["state"] == "present" and r[1]["have"] is True
+    assert r[2]["state"] == "missing" and r[2]["have"] is False
