@@ -11,10 +11,14 @@ equivalent on Spark:
   0-based per-file line number. This mirrors the reference's
   unit of concurrency exactly — one harvester per file
   (filebeat/input/filestream) — so parallelism scales with the file
-  count, the normal shape of a log directory. A single multi-GB file
-  is one task (and capped by the JVM's 2 GB string limit); at that
-  size the right input is the table-snapshot path (sources.read_table),
-  not a text file.
+  count, the normal shape of a log directory. Files beyond the JVM's
+  2 GB string limit are rejected up front with a redirect.
+- ``read_lines_chunked``: the same (file, line_no, line) contract with
+  big files SPLIT across tasks at line boundaries (Hadoop text splits
+  + per-block line-offset reconstruction, no full-data shuffle) — the
+  constant-memory path for single huge files; table snapshots
+  (sources.read_table) remain the right input when the data already
+  lives in a table.
 - ``multiline_join``: the three reference modes (pattern / count /
   while_pattern, multiline_config.go:30-60) as one Window +
   running-sum grouping per file. Semantics match multiline.go:
@@ -53,17 +57,99 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def read_lines(spark: SparkSession, path: str) -> DataFrame:
+_WHOLETEXT_CEILING = 1_800_000_000  # < JVM 2 GB string limit, with margin
+
+
+def read_lines(spark: SparkSession, path: str, chunked: bool = False) -> DataFrame:
     """(file, line_no, line) per physical line, ordered within file.
 
-    ``wholetext`` keeps one file per row so line numbers are exact;
-    one trailing newline is stripped first (a final ``\\n`` terminates
-    the last line, it does not open an empty one — the reference's
-    line reader emits a line per terminator). ``\\r`` of CRLF line
-    endings is removed per line.
+    Default path: ``wholetext`` keeps one file per row so line numbers
+    are exact; one trailing newline is stripped first (a final ``\\n``
+    terminates the last line, it does not open an empty one — the
+    reference's line reader emits a line per terminator). ``\\r`` of
+    CRLF line endings is removed per line. One task per file — the
+    harvester-per-file concurrency shape.
+
+    ``chunked=True`` switches to :func:`read_lines_chunked`, which
+    splits big files across tasks (constant memory per task, like the
+    reference's byte-offset tailing, filebeat/input/filestream/
+    input.go:416-481). Files larger than the JVM string ceiling are
+    detected up front and rejected with that redirect instead of
+    failing mid-scan.
     """
+    if chunked:
+        return read_lines_chunked(spark, path)
+    _guard_wholetext_size(spark, path)
     raw = spark.read.text(path, wholetext=True)
     return lines_from_wholetext(raw)
+
+
+def _guard_wholetext_size(spark: SparkSession, path: str) -> None:
+    """Fail fast (with the chunked redirect) if any input file would
+    exceed the JVM 2 GB string limit of the wholetext reader."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        matches = fs.globStatus(hpath) or []
+        stack = list(matches)
+        while stack:
+            st = stack.pop()
+            if st.isDirectory():
+                stack.extend(fs.listStatus(st.getPath()))
+            elif st.getLen() > _WHOLETEXT_CEILING:
+                raise ValueError(
+                    f"{st.getPath()} is {st.getLen()} bytes — beyond the "
+                    "wholetext reader's single-task/2 GB-string ceiling. "
+                    "Use read_lines(..., chunked=True) (splits the file "
+                    "across tasks at line boundaries) or the table-"
+                    "snapshot input (sources.read_table)."
+                )
+    except ValueError:
+        raise
+    except Exception:  # listing is best-effort (exotic FS, perms)
+        pass
+
+
+def read_lines_chunked(spark: SparkSession, path: str) -> DataFrame:
+    """(file, line_no, line) with big files SPLIT across tasks.
+
+    The non-wholetext text source is Hadoop's LineRecordReader: each
+    task reads one byte-range split, skips its leading partial line and
+    reads past its end to finish the last one — the standard
+    distributed text split, constant memory per task regardless of file
+    size (reference semantics: constant-memory tailing from a byte
+    offset, filebeat/input/filestream/input.go:416-481).
+
+    Per-file dense line numbers are reconstructed WITHOUT a full-data
+    shuffle: rows carry (input_file_block_start, monotonically_
+    increasing_id); within one split the ids are consecutive, so
+    ``id - min(id per split)`` is the in-split line index, and the
+    running sum of per-split line counts (a #splits-row aggregate,
+    broadcast back) is the split's base offset. Split count follows
+    ``spark.sql.files.maxPartitionBytes`` — at 100 TB that is the scan
+    parallelism knob, not file count.
+
+    Differences from the wholetext path: ``line_no`` is LongType (files
+    beyond 2^31 lines exist at this ceiling) and an empty file yields
+    zero rows (wholetext yields one empty line).
+    """
+    df = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        F.input_file_block_start().alias("_blk"),
+        F.monotonically_increasing_id().alias("_mid"),
+        F.regexp_replace(F.col("value"), r"\r$", "").alias("line"),
+    )
+    blocks = df.groupBy("file", "_blk").agg(
+        F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n")
+    )
+    wb = Window.partitionBy("file").orderBy("_blk")
+    offsets = blocks.withColumn("_off", F.sum("_n").over(wb) - F.col("_n"))
+    return df.join(F.broadcast(offsets), ["file", "_blk"]).select(
+        "file",
+        (F.col("_off") + F.col("_mid") - F.col("_mid0")).alias("line_no"),
+        "line",
+    )
 
 
 def lines_from_wholetext(raw: DataFrame) -> DataFrame:
@@ -164,6 +250,7 @@ def read_multiline(
     multiline: dict | None = None,
     include_lines: list[str] | None = None,
     exclude_lines: list[str] | None = None,
+    chunked: bool = False,
 ) -> DataFrame:
     """File input end-to-end: lines → (optional) multiline join →
     include/exclude filters. The entry point a Beats ``filestream`` +
@@ -173,8 +260,13 @@ def read_multiline(
     ``include_lines``/``exclude_lines`` follow the reference's
     documented order: each multiline message is combined FIRST, then
     include_lines keeps matching events, then exclude_lines drops
-    matching ones (filebeat filestream options)."""
-    lines = read_lines(spark, path)
+    matching ones (filebeat filestream options).
+
+    ``chunked=True`` uses the split reader for big files; the multiline
+    Window still keys on ``file`` (one reducer per file — the scan is
+    parallel, the join serializes per file; for single-huge-file
+    multiline that reducer is the documented ceiling)."""
+    lines = read_lines(spark, path, chunked=chunked)
     if not multiline:
         out = lines.withColumnRenamed("line", "message").withColumn(
             "n_lines", F.lit(1).cast("long")

@@ -372,3 +372,70 @@ def test_multiline_property_roundtrip(spark):
         assert rejoined == lines, trial
         # line accounting exact
         assert sum(r["n_lines"] for r in out) == len(lines)
+
+
+def test_chunked_reader_splits_big_file(spark, tmp_path):
+    """A single large file reads across >1 task with exact dense line
+    numbers — the constant-memory path for files beyond one task /
+    the 2 GB wholetext ceiling."""
+    from beats_spark.sources.lines import read_lines_chunked
+
+    f = tmp_path / "big.log"
+    n = 200_000
+    with open(f, "w") as fh:
+        for i in range(n):
+            fh.write(f"line {i} {'x' * 80}\n")  # ~6 MB
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+    try:
+        df = read_lines_chunked(spark, str(f))
+        assert spark.read.text(str(f)).rdd.getNumPartitions() > 1
+        rows = df.select("line_no", "line").collect()
+        assert len(rows) == n
+        for r in rows:
+            assert r["line"].startswith(f"line {r['line_no']} "), r
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_chunked_matches_wholetext(spark, tmp_path):
+    """Both readers produce the identical (line_no, line) set, CRLF
+    stripped, trailing newline not an extra line."""
+    from beats_spark.sources.lines import read_lines, read_lines_chunked
+
+    f = tmp_path / "a.log"
+    f.write_bytes(b"alpha\r\nbeta\n\ngamma\n")
+    whole = {(r["line_no"], r["line"])
+             for r in read_lines(spark, str(tmp_path)).collect()}
+    chunk = {(int(r["line_no"]), r["line"])
+             for r in read_lines_chunked(spark, str(tmp_path)).collect()}
+    assert whole == chunk == {(0, "alpha"), (1, "beta"), (2, ""), (3, "gamma")}
+
+
+def test_wholetext_oversize_guard(spark, tmp_path, monkeypatch):
+    """Files beyond the JVM string ceiling fail fast with the chunked
+    redirect, not mid-scan."""
+    import beats_spark.sources.lines as L
+
+    f = tmp_path / "huge.log"
+    f.write_text("x\n" * 10)
+    monkeypatch.setattr(L, "_WHOLETEXT_CEILING", 5)
+    with pytest.raises(ValueError, match="chunked=True"):
+        L.read_lines(spark, str(tmp_path))
+
+
+def test_chunked_multiline_join(spark, tmp_path):
+    """multiline over the chunked reader: same events as wholetext."""
+    from beats_spark.sources.lines import read_multiline
+
+    f = tmp_path / "app.log"
+    f.write_text(
+        "ERR boom\n  at A.java:1\n  at B.java:2\nINFO ok\nERR pow\n  at C\n"
+    )
+    cfg = {"type": "pattern", "pattern": r"^\s", "match": "after"}
+    whole = {(r["line_no"], r["message"], r["n_lines"])
+             for r in read_multiline(spark, str(tmp_path), cfg).collect()}
+    chunk = {(int(r["line_no"]), r["message"], r["n_lines"])
+             for r in read_multiline(spark, str(tmp_path), cfg, chunked=True).collect()}
+    assert whole == chunk
+    assert ("ERR boom\n  at A.java:1\n  at B.java:2" in {m for _, m, _ in whole})
