@@ -49,6 +49,42 @@ def read_transcript_stream(
     return reader.parquet(path)
 
 
+def rate_transcript_stream(
+    spark: SparkSession, rows_per_batch: int = 256, num_partitions: int = 4
+) -> DataFrame:
+    """NON-file streaming source emitting the transcript schema.
+
+    Built on ``rate-micro-batch`` (a deterministic generator source, no
+    files involved): each value maps to a transcript turn by pure
+    column expressions. This is the demonstration of the source-format
+    swap claim (COVERAGE.md §Sources): the downstream plan —
+    ``transform`` + router + partitioned sink via :func:`run_stream` —
+    is byte-for-byte the same code for file, rate, or kafka sources;
+    only the reader block changes (kafka = ``format("kafka")`` +
+    from_json to this same schema).
+    """
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    v = F.col("value")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system"))
+    tools = F.array(F.lit("none"), F.lit("search"), F.lit("python"), F.lit("bash"))
+    level = F.when(v % 17 == 0, F.lit("error")).otherwise(F.lit("info"))
+    return raw.select(
+        F.concat(F.lit("c"), (v % 50).cast("string")).alias("conv_id"),
+        (v / F.lit(50)).cast("int").alias("turn_idx"),
+        F.element_at(roles, (v % 4 + 1).cast("int")).alias("role"),
+        F.concat(
+            F.lit("level="), level, F.lit(" msg=turn-"), v.cast("string")
+        ).alias("text"),
+        F.element_at(tools, (v % 4 + 1).cast("int")).alias("tool"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
 def run_stream(
     source: DataFrame,
     cfg: PipelineConfig,
