@@ -1797,6 +1797,51 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-assignment stage, integer-decidable: fixed equal-norm
+    ±1 centroids (pure function of (cell,dim,seed), like the LSH
+    planes), vectors quantized floor(x*1e6), argmax of exact int64
+    dot products, ties to the lowest cell. The trained end-to-end IVF
+    (q_knn_ivf) stays rows-only + recall-gated; THIS row proves the
+    assignment arithmetic against DuckDB exactly."""
+    from beats_spark.operators.similarity import assign_cells_quantized, fixed_centroids
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return assign_cells_quantized(emb, fixed_centroids(8, 64)).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _centroid_dot_sql(cent: list[int]) -> str:
+    return " + ".join(
+        ("" if c > 0 else "-") + f"qv[{d + 1}]" for d, c in enumerate(cent)
+    )
+
+
+def _sql_ivf_assign() -> str:
+    from beats_spark.operators.similarity import fixed_centroids
+
+    cells = fixed_centroids(8, 64)
+    dots = "\nUNION ALL ".join(
+        f"SELECT vec_id, {j} AS cell, ({_centroid_dot_sql(c)}) AS dot FROM q"
+        for j, c in enumerate(cells)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS qv
+  FROM embeddings
+), dots AS (
+{dots}
+)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+  FROM dots)
+WHERE rn = 1
+"""
+
+
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-based 60-bit token hash —
     engine-portable, so the full signature+hamming computation has a
@@ -1975,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "ivf_assign": q_ivf_assign,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2025,6 +2071,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
         "knn_lsh": _SQL_KNN_LSH,
+        "ivf_assign": _sql_ivf_assign(),
         "media_features": _SQL_MEDIA_FEATURES,
         "text_stats": _SQL_TEXT_STATS,
         "lang_id": _SQL_LANG_ID,

@@ -438,3 +438,47 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def fixed_centroids(n_cells: int, dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic equal-norm (Rademacher ±1) centroids.
+
+    Every centroid has norm sqrt(dim), so argmax of the raw dot product
+    IS argmax of cosine — no normalization, no floats. Used by the
+    integer-decidable assignment stage below; pure function of
+    (cell, dim, seed) like the LSH planes, so the oracle can rebuild
+    identical centroids."""
+    return [[_plane_coef(j, d, seed) for d in range(dim)] for j in range(n_cells)]
+
+
+def assign_cells_quantized(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment in PURE int64 codegen.
+
+    The IVF coarse-assignment step (ivf_topk's assign_corpus) is float
+    argmax inside numpy; correct, but not cross-engine decidable. This
+    twin quantizes each vector to floor(x*1e6) (one FP multiply on the
+    stored double — identical IEEE result in any engine) and takes
+    argmax_j dot(qv, c_j) over equal-norm INTEGER centroids: every
+    partial sum is exact int64, ties break to the lowest cell. Narrow
+    plan, zero shuffles, whole-stage codegen — the 100 TB shape for a
+    bulk assignment pass. tests/test_dedup_similarity.py pins that the
+    production float kernel agrees with this on the test corpora.
+    """
+    v = F.col(vec_col)
+    dots = []
+    for j, cent in enumerate(centroids):
+        acc = None
+        for d, c in enumerate(cent):
+            term = F.floor(v[d].cast("double") * 1000000).cast("long")
+            term = term if c > 0 else -term
+            acc = term if acc is None else acc + term
+        dots.append(F.struct(acc.alias("s"), F.lit(-j).alias("nj")))
+    best = F.array_max(F.array(*dots))
+    return corpus.select(
+        F.col(id_col), (-best["nj"]).cast("int").alias("cell")
+    )

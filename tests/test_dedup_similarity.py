@@ -350,3 +350,34 @@ def test_jaccard_max_doc_freq_lower_bound(spark, docs):
         ).collect()
     }
     assert generous == exact
+
+
+def test_quantized_assignment_matches_float_kernel(spark):
+    """The integer-decidable assignment stage (assign_cells_quantized,
+    the ivf_assign oracle row) agrees with the production numpy float
+    argmax given the same fixed centroids."""
+    import numpy as np
+
+    from beats_spark.operators.similarity import (
+        assign_cells_quantized,
+        fixed_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = fixed_centroids(8, 64)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells_quantized(emb, cents).collect()
+    }
+    c = np.array(cents, dtype=np.float64)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    want = np.argmax(mat @ c.T, axis=1)
+    mismatches = sum(
+        1 for r, w in zip(rows, want) if got[r["vec_id"]] != int(w)
+    )
+    # quantization can only flip an argmax when two cells are closer
+    # than ~1e-6 in cosine; on this corpus that never happens
+    assert mismatches == 0
