@@ -72,10 +72,64 @@ BUILTIN_PATTERNS: dict[str, str] = {
     "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
     "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
     "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
-    "QUOTEDSTRING": r'(?:"(?:[^"\\]*(?:\\.[^"\\]*)*)")',
+    "QUOTEDSTRING": r'(?:"(?:[^"\\]*(?:\\.[^"\\]*)*)"|\'(?:[^\'\\]*(?:\\.[^\'\\]*)*)\')',
+    "QS": r"%{QUOTEDSTRING}",
     "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]*)+",
     "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
     "WPATH": r"%{UNIXPATH}",
+    # -- widened core (round 3): the commonly-used public names so real
+    # patterns compile without pattern_definitions. All written fresh
+    # against the documented name semantics (module docstring).
+    "IPV6": (
+        r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,7}:"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}(?::[0-9A-Fa-f]{1,4}){1,2}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,4}(?::[0-9A-Fa-f]{1,4}){1,3}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,3}(?::[0-9A-Fa-f]{1,4}){1,4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,2}(?::[0-9A-Fa-f]{1,4}){1,5}"
+        r"|[0-9A-Fa-f]{1,4}:(?::[0-9A-Fa-f]{1,4}){1,6}"
+        r"|:(?:(?::[0-9A-Fa-f]{1,4}){1,7}|:)"
+        r"|(?:[0-9A-Fa-f]{1,4}:){6}%{IPV4}"
+        r"|(?:[0-9A-Fa-f]{1,4}:){1,5}:%{IPV4}"
+        r"|::(?:[Ff]{4}(?::0{1,4})?:)?%{IPV4})"
+    ),
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "MAC": r"(?:%{CISCOMAC}|%{WINDOWSMAC}|%{COMMONMAC})",
+    "DATE": r"(?:%{DATE_US}|%{DATE_EU})",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    # URI family
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "URIPARAM": r"\?%{URIQUERY}",
+    "URIPATHPARAM": r"%{URIPATH}(?:\?%{URIQUERY})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    # httpd access logs (fields captured, like the public definitions)
+    "HTTPDUSER": r"(?:%{EMAILADDRESS}|%{USER})",
+    "HTTPD_COMMONLOG": (
+        r"%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] "
+        r'"(?:%{WORD:verb} %{NOTSPACE:request}(?: HTTP/%{NUMBER:httpversion})?'
+        r'|%{DATA:rawrequest})" '
+        r"%{NONNEGINT:response} (?:%{NONNEGINT:bytes}|-)"
+    ),
+    "HTTPD_COMBINEDLOG": r"%{HTTPD_COMMONLOG} %{QS:referrer} %{QS:agent}",
+    "COMMONAPACHELOG": r"%{HTTPD_COMMONLOG}",
+    "COMBINEDAPACHELOG": r"%{HTTPD_COMBINEDLOG}",
+    # syslog line family
+    "PROG": r"[A-Za-z0-9._/%+-]+",
+    "SYSLOGPROG": r"%{PROG:program}(?:\[%{POSINT:pid}\])?",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:facility}\.%{NONNEGINT:priority}>",
+    "SYSLOGBASE": (
+        r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?"
+        r"%{SYSLOGHOST:logsource} %{SYSLOGPROG}:"
+    ),
+    "SYSLOGLINE": r"%{SYSLOGBASE} %{GREEDYDATA:message}",
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")

@@ -156,3 +156,51 @@ def test_pandas_match_with_optional_capture():
     assert list(out["_match"]) == [True, True, False]
     assert out.iloc[1]["a"] is pd.NA or pd.isna(out.iloc[1]["a"])
     assert out.iloc[1]["b"] == "42"
+
+
+def test_combinedlog_library_pattern():
+    line = ('203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif?x=1 HTTP/1.0" 200 2326 '
+            '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"')
+    p = GrokPattern("%{HTTPD_COMBINEDLOG}")
+    r = p.extract_pandas(pd.Series([line])).iloc[0]
+    assert bool(r["_match"])
+    assert r["clientip"] == "203.0.113.9" and r["auth"] == "frank"
+    assert r["verb"] == "GET" and r["request"] == "/apache_pb.gif?x=1"
+    assert r["httpversion"] == "1.0" and r["response"] == "200"
+    assert r["bytes"] == "2326"
+    assert r["referrer"] == '"http://www.example.com/start.html"'
+    assert r["agent"].startswith('"Mozilla/4.08')
+
+
+def test_syslogline_library_pattern():
+    line = "Oct 11 22:14:15 myhost su[1024]: 'su root' failed for user on /dev/pts/8"
+    r = GrokPattern("%{SYSLOGLINE}").extract_pandas(pd.Series([line])).iloc[0]
+    assert bool(r["_match"])
+    assert r["timestamp"] == "Oct 11 22:14:15"
+    assert r["logsource"] == "myhost" and r["program"] == "su"
+    assert r["pid"] == "1024"
+    assert r["message"] == "'su root' failed for user on /dev/pts/8"
+
+
+def test_uri_and_misc_new_names():
+    p = GrokPattern("%{URI:u}")
+    r = p.extract_pandas(
+        pd.Series(["https://user:pw@example.com:8443/a/b?x=1&y=2", "not a uri"])
+    )
+    assert r.iloc[0]["u"] == "https://user:pw@example.com:8443/a/b?x=1&y=2"
+    assert not bool(r.iloc[1]["_match"])
+    for name, sample in [
+        ("IPV6", "::ffff:192.0.2.1"),
+        ("IPV6", "2001:db8::1"),
+        ("MAC", "00:1b:44:11:3a:b7"),
+        ("MAC", "001b.4411.3ab7"),
+        ("EMAILADDRESS", "a.user+tag@example.org"),
+        ("DATESTAMP", "10/31/2024 13:55:36"),
+        ("QS", "'single quoted'"),
+    ]:
+        assert bool(
+            GrokPattern("%{" + name + ":v}")
+            .extract_pandas(pd.Series([sample]))
+            .iloc[0]["_match"]
+        ), (name, sample)
