@@ -174,6 +174,7 @@ def multiline_join(
     count_lines: int | None = None,
     max_lines: int | None = None,
     skip_newline: bool = False,
+    separator: str = "\n",
     file_col: str = "file",
     line_no_col: str = "line_no",
     line_col: str = "line",
@@ -212,6 +213,8 @@ def multiline_join(
         if not pattern:
             raise ValueError("multiline.pattern cannot be empty in while_pattern mode")
         m = line.rlike(pattern)
+        if negate:  # while.go applies negate to the run predicate too
+            m = ~m
         prev_m = F.lag(m, 1, False).over(w)
         new_event = (~m) | (m & ~F.coalesce(prev_m, F.lit(False)))
     else:
@@ -224,7 +227,9 @@ def multiline_join(
         "_grp", F.sum("_new").over(w)
     )
 
-    sep = "" if skip_newline else "\n"
+    # message_buffer.go:83 — the separator joins buffered lines unless
+    # skip_newline suppresses it; separator itself is configurable.
+    sep = "" if skip_newline else separator
     parts = F.array_sort(
         F.collect_list(F.struct(F.col(line_no_col).alias("n"), line.alias("l")))
     )

@@ -439,3 +439,73 @@ def test_chunked_multiline_join(spark, tmp_path):
              for r in read_multiline(spark, str(tmp_path), cfg, chunked=True).collect()}
     assert whole == chunk
     assert ("ERR boom\n  at A.java:1\n  at B.java:2" in {m for _, m, _ in whole})
+
+
+def test_count_mode_remaining_reference_cases(spark):
+    """multiline_test.go:200 (Count) sub-cases not yet transliterated:
+    count=4 framing, and count=3 with max_lines=2 (every frame keeps
+    the first 2 lines and is flagged truncated)."""
+    out4 = multiline_join(
+        _lines_df(spark, ["line1", " line1.1", "line2", " line2.1",
+                           "line3", " line3.1", "line4", " line4.1"]),
+        mode="count", count_lines=4,
+    )
+    assert _messages(out4) == [
+        "line1\n line1.1\nline2\n line2.1",
+        "line3\n line3.1\nline4\n line4.1",
+    ]
+    trunc = multiline_join(
+        _lines_df(spark, ["line1", " line1.1", " line1.2",
+                           "line2", " line2.1", " line2.2"]),
+        mode="count", count_lines=3, max_lines=2,
+    )
+    assert _events(trunc) == [
+        ("line1\n line1.1", 3, True),
+        ("line2\n line2.1", 3, True),
+    ]
+
+
+def test_after_exactly_max_lines_not_truncated(spark):
+    """multiline_test.go:163 second sub-case: events of exactly
+    max_lines lines are NOT flagged truncated."""
+    out = multiline_join(
+        _lines_df(spark, ["line1", " line1.1", "line2", " line2.1"]),
+        pattern=r"^[ ]", match="after", max_lines=2,
+    )
+    assert _events(out) == [
+        ("line1\n line1.1", 2, False),
+        ("line2\n line2.1", 2, False),
+    ]
+
+
+def test_while_pattern_negate(spark):
+    """multiline_test.go:260 — negated while: runs of lines NOT
+    matching ^{ collapse; '{'-lines stand alone."""
+    out = multiline_join(
+        _lines_df(spark, ["{line1", "panic:", "~stacktrace~", "{line2"]),
+        mode="while_pattern", pattern=r"^\{", negate=True,
+    )
+    assert _messages(out) == ["{line1", "panic:\n~stacktrace~", "{line2"]
+
+
+def test_while_pattern_truncated(spark):
+    """multiline_test.go:272 — while mode honors max_lines + flag."""
+    out = multiline_join(
+        _lines_df(spark, ["{line1", "{line1.1", "{line1.2"]),
+        mode="while_pattern", pattern=r"^\{", max_lines=2,
+    )
+    assert _events(out) == [("{line1\n{line1.1", 3, True)]
+
+
+def test_skip_newline_and_separator(spark):
+    """message_buffer.go:83 — skip_newline joins without a separator;
+    a custom separator replaces the default newline."""
+    lines = ["a", " b", "c"]
+    joined = multiline_join(
+        _lines_df(spark, lines), pattern=r"^ ", match="after", skip_newline=True
+    )
+    assert _messages(joined) == ["a b", "c"]
+    sep = multiline_join(
+        _lines_df(spark, lines), pattern=r"^ ", match="after", separator="|"
+    )
+    assert _messages(sep) == ["a| b", "c"]
