@@ -247,6 +247,101 @@ def q_multiline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_container_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """container input (docker json-file + CRI, format=auto): events
+    are unrolled into per-file container-log lines — docker singles,
+    docker split pairs (missing trailing \\n marks the fragment), CRI
+    F lines, CRI P+F partial pairs, and corrupt lines — then parsed
+    and reassembled by the reference's DockerJSONReader semantics
+    (libbeat/reader/readjson/docker_json.go). The oracle constructs
+    the expected assembled messages analytically; corrupt lines are
+    skipped but still consume line numbers, exactly like the
+    reference's parse-error `continue`."""
+    from pyspark.sql import Window
+
+    from beats_spark.sources.container import parse_container_logs
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    tss = F.concat(
+        F.date_format(
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, event_id % 86400)"
+            ),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ),
+        F.lit("Z"),
+    )
+    docker = F.format_string(
+        '{"log":"msg %s\\n","stream":"stdout","time":"%s"}',
+        eid.cast("string"),
+        tss,
+    )
+    docker_p1 = F.format_string(
+        '{"log":"msg %s part ","stream":"stdout","time":"%s"}',
+        eid.cast("string"),
+        tss,
+    )
+    docker_p2 = F.format_string(
+        '{"log":"end\\n","stream":"stdout","time":"%s"}', tss
+    )
+    cri_full = F.format_string("%s stdout F msg %s", tss, eid.cast("string"))
+    cri_p1 = F.format_string("%s stderr P msg %s ", tss, eid.cast("string"))
+    cri_p2 = F.format_string("%s stderr F tail", tss)
+    corrupt = F.format_string("garbage %s", eid.cast("string"))
+    kind = eid % 5
+    line_arr = (
+        F.when(kind == 0, F.array(docker))
+        .when(kind == 1, F.array(docker_p1, docker_p2))
+        .when(kind == 2, F.array(cri_full))
+        .when(kind == 3, F.array(cri_p1, cri_p2))
+        .otherwise(F.array(corrupt))
+    )
+    unrolled = ev.select(
+        F.col("user_id").cast("string").alias("file"),
+        "event_id",
+        F.posexplode(line_arr).alias("k", "line"),
+    )
+    w = Window.partitionBy("file").orderBy("event_id", "k")
+    lines = unrolled.select(
+        "file", (F.row_number().over(w) - 1).cast("long").alias("line_no"), "line"
+    )
+    out = parse_container_logs(lines, format="auto", partial=True, cri_flags=True)
+    return out.select(
+        "file",
+        "line_no",
+        "message",
+        "stream",
+        "ts",
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
+_SQL_CONTAINER_LOGS = """
+WITH ev AS (
+  SELECT user_id::VARCHAR AS file, event_id, event_id % 5 AS kind,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (event_id % 86400) * INTERVAL 1 SECOND AS ts,
+         CASE WHEN event_id % 5 IN (1, 3) THEN 2 ELSE 1 END AS n_all
+  FROM events),
+o AS (
+  SELECT *, COALESCE(sum(n_all) OVER (
+       PARTITION BY file ORDER BY event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS line_no
+  FROM ev)
+SELECT file, line_no::BIGINT AS line_no,
+       CASE kind
+         WHEN 0 THEN 'msg ' || event_id::VARCHAR || chr(10)
+         WHEN 1 THEN 'msg ' || event_id::VARCHAR || ' part end' || chr(10)
+         WHEN 2 THEN 'msg ' || event_id::VARCHAR
+         WHEN 3 THEN 'msg ' || event_id::VARCHAR || ' tail' END AS message,
+       CASE WHEN kind = 3 THEN 'stderr' ELSE 'stdout' END AS stream,
+       ts,
+       n_all::BIGINT AS n_lines
+FROM o WHERE kind <> 4
+"""
+
+
 _SQL_MULTILINE_JOIN = """
 WITH ev AS (
   SELECT user_id::VARCHAR AS file, event_id, event_id % 3 + 1 AS n_lines
@@ -1985,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissect_typed": q_dissect_typed,
         "dissect_map": q_dissect_map,
         "multiline_join": q_multiline_join,
+        "container_logs": q_container_logs,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
         "decode_json": q_decode_json,
@@ -2038,6 +2134,7 @@ def oracle_sql() -> dict[str, str]:
         "dissect_typed": _SQL_DISSECT_TYPED,
         "dissect_map": _SQL_DISSECT_MAP,
         "multiline_join": _SQL_MULTILINE_JOIN,
+        "container_logs": _SQL_CONTAINER_LOGS,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,
