@@ -247,6 +247,42 @@ def q_multiline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multiline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline reader, DISTRIBUTED form: identical fixture and
+    expected output to `multiline_join`, but the segmentation runs the
+    chunk-parallel plan (multiline_join_distributed) with a tiny
+    chunk size so events straddle chunk boundaries throughout —
+    the oracle therefore checks the boundary-stitch math exactly."""
+    from pyspark.sql import Window
+
+    from beats_spark.sources.lines import multiline_join_distributed
+
+    ev = _load(spark, sf_dir, "events")
+    unrolled = ev.select(
+        F.col("user_id").cast("string").alias("file"),
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.col("event_id") % 3)).alias("k"),
+    )
+    line = F.when(
+        F.col("k") == 0, F.format_string("start %d", F.col("event_id"))
+    ).otherwise(F.format_string("  cont %d.%d", F.col("event_id"), F.col("k")))
+    w = Window.partitionBy("file").orderBy("event_id", "k")
+    lines = unrolled.select(
+        "file",
+        (F.row_number().over(w) - 1).cast("long").alias("line_no"),
+        line.alias("line"),
+    )
+    out = multiline_join_distributed(
+        lines, pattern=r"^\s", match="after", chunk_lines=16
+    )
+    return out.select(
+        "file",
+        F.col("line_no").cast("long").alias("line_no"),
+        "message",
+        F.col("n_lines").cast("long").alias("n_lines"),
+    )
+
+
 def q_container_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """container input (docker json-file + CRI, format=auto): events
     are unrolled into per-file container-log lines — docker singles,
@@ -2080,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissect_typed": q_dissect_typed,
         "dissect_map": q_dissect_map,
         "multiline_join": q_multiline_join,
+        "multiline_distributed": q_multiline_distributed,
         "container_logs": q_container_logs,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
@@ -2134,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         "dissect_typed": _SQL_DISSECT_TYPED,
         "dissect_map": _SQL_DISSECT_MAP,
         "multiline_join": _SQL_MULTILINE_JOIN,
+        "multiline_distributed": _SQL_MULTILINE_JOIN,
         "container_logs": _SQL_CONTAINER_LOGS,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,

@@ -39,9 +39,15 @@ equivalent on Spark:
     marked ``truncated`` (message_buffer.go caps identically); the
     extra lines are consumed, not re-emitted.
 
-Scale shape: the only shuffle is the per-file Window (hash by file);
-the running sum and the groupBy reuse that partitioning, so a
-directory of N files costs one shuffle keyed on N uniform keys.
+- ``multiline_join_distributed``: the same semantics with every stage
+  parallel in line-number chunks — the scale path for single huge
+  files (see its docstring for the decomposition).
+
+Scale shape: in the windowed join the only shuffle is the per-file
+Window (hash by file); the running sum and the groupBy reuse that
+partitioning, so a directory of N files costs one shuffle keyed on N
+uniform keys. The distributed join trades one extra shuffle for
+reducer parallelism proportional to line count, not file count.
 Timeout-based flushing is a wall-clock concept of the tailing reader
 and has no meaning on a complete snapshot — a batch read IS the
 flushed state.
@@ -249,6 +255,175 @@ def multiline_join(
     )
 
 
+def multiline_join_distributed(
+    df: DataFrame,
+    mode: str = "pattern",
+    pattern: str | None = None,
+    negate: bool = False,
+    match: str = "after",
+    flush_pattern: str | None = None,
+    count_lines: int | None = None,
+    max_lines: int | None = None,
+    skip_newline: bool = False,
+    separator: str = "\n",
+    chunk_lines: int = 1 << 16,
+    file_col: str = "file",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """:func:`multiline_join` without the one-reducer-per-file ceiling.
+
+    Same semantics, same output — proven frame-equal in
+    tests/test_multiline_distributed.py — but every stage is parallel
+    in ``chunk = line_no div chunk_lines``, so ONE huge file spreads
+    over the whole cluster instead of serializing on a single window
+    reducer (the ceiling documented on :func:`read_multiline`).
+
+    How each serial dependency falls out:
+
+    * The boundary flag needs at most ``lag(1)`` of a per-line
+      predicate (continuation / flush / run-start). Lag is computed
+      inside each (file, chunk) window; the one row it cannot see —
+      the previous chunk's last line — comes from a per-chunk
+      aggregate (#chunks rows) joined back shifted by one. The same
+      trick the reference's byte-offset splits use: a split consults
+      only its neighbor's boundary, never the whole file
+      (filebeat/input/filestream reads from an offset, not the head).
+    * The running event-id becomes per-chunk running sum + per-chunk
+      offset (a second #chunks-row aggregate, running-summed on the
+      driver-sized frame and broadcast back) — exactly how
+      ``read_lines_chunked`` rebuilds dense line numbers.
+    * Assembly hashes on (file, _grp): fine-grained keys, parallel.
+
+    Requires ``line_no`` DENSE per file (0..n-1) — the contract
+    ``read_lines`` / ``read_lines_chunked`` already provide. Events
+    spanning chunk boundaries are handled by construction: the group
+    id is globally consistent, the groupBy reunites their lines.
+
+    Cost model vs the windowed form: one extra shuffle (the groupBy
+    does not reuse the window partitioning) and two tiny aggregates,
+    in exchange for reducer parallelism ~ total_lines/chunk_lines
+    instead of #files. Use the windowed form for many ordinary files;
+    use this when any single file dominates.
+    """
+    if chunk_lines < 2:
+        raise ValueError("chunk_lines must be >= 2")
+    file_ = F.col(file_col)
+    line_no = F.col(line_no_col)
+    line = F.col(line_col)
+    chunk = (line_no / F.lit(chunk_lines)).cast("long").alias("_chunk")
+    wc = Window.partitionBy(file_col, "_chunk").orderBy(line_no_col)
+
+    # --- per-line predicates (pure; lag handled below) ---
+    if mode == "pattern":
+        if not pattern:
+            raise ValueError("multiline.pattern cannot be empty in pattern mode")
+        if match not in ("after", "before"):
+            raise ValueError(f"unknown matcher type: {match}")
+        m = line.rlike(pattern)
+        if negate:
+            m = ~m
+        flush_m = line.rlike(flush_pattern) if flush_pattern else F.lit(False)
+        # after: new = ~m(line); before: new = ~lag(m); flush adds | lag(flush_m)
+        need_lag = (match == "before") or bool(flush_pattern)
+    elif mode == "count":
+        if not count_lines:
+            raise ValueError("multiline.count_lines cannot be empty in count mode")
+        m = F.lit(False)
+        flush_m = F.lit(False)
+        need_lag = False
+    elif mode == "while_pattern":
+        if not pattern:
+            raise ValueError(
+                "multiline.pattern cannot be empty in while_pattern mode"
+            )
+        m = line.rlike(pattern)
+        if negate:
+            m = ~m
+        flush_m = F.lit(False)
+        need_lag = True
+    else:
+        raise ValueError(f"unknown multiline mode: {mode}")
+
+    base = df.select(
+        file_, line_no, line, chunk, m.alias("_m"), flush_m.alias("_fm")
+    )
+
+    if need_lag:
+        # previous line's (m, flush_m): in-chunk lag + the neighbor
+        # chunk's last line for each chunk's first row.
+        lag_m = F.lag("_m", 1).over(wc)
+        lag_fm = F.lag("_fm", 1).over(wc)
+        tails = (
+            base.groupBy(file_col, "_chunk")
+            .agg(
+                F.max_by("_m", line_no).alias("_tail_m"),
+                F.max_by("_fm", line_no).alias("_tail_fm"),
+            )
+            .withColumn("_chunk", F.col("_chunk") + 1)
+        )
+        flagged = (
+            base.withColumn("_lag_m", lag_m)
+            .withColumn("_lag_fm", lag_fm)
+            .join(tails, [file_col, "_chunk"], "left")
+            .select(
+                file_col,
+                line_no_col,
+                line_col,
+                "_chunk",
+                "_m",
+                F.coalesce("_lag_m", "_tail_m").alias("_prev_m"),
+                F.coalesce("_lag_fm", "_tail_fm").alias("_prev_fm"),
+            )
+        )
+    else:
+        flagged = base.withColumn("_prev_m", F.lit(None).cast("boolean")).withColumn(
+            "_prev_fm", F.lit(None).cast("boolean")
+        )
+
+    prev_m = F.coalesce(F.col("_prev_m"), F.lit(False))
+    prev_fm = F.coalesce(F.col("_prev_fm"), F.lit(False))
+    if mode == "pattern":
+        cont = F.col("_m") if match == "after" else prev_m
+        new_event = ~cont
+        if flush_pattern:
+            new_event = new_event | prev_fm
+    elif mode == "count":
+        new_event = (line_no % count_lines) == 0
+    else:  # while_pattern
+        new_event = (~F.col("_m")) | (F.col("_m") & ~prev_m)
+
+    flagged = flagged.withColumn("_new", new_event.cast("long"))
+
+    # running event id = in-chunk running sum + per-chunk offset
+    local = flagged.withColumn("_lgrp", F.sum("_new").over(wc))
+    counts = flagged.groupBy(file_col, "_chunk").agg(F.sum("_new").alias("_n_new"))
+    wo = Window.partitionBy(file_col).orderBy("_chunk")
+    offsets = counts.withColumn(
+        "_off", F.sum("_n_new").over(wo) - F.col("_n_new")
+    ).select(file_col, "_chunk", "_off")
+    grouped = local.join(offsets, [file_col, "_chunk"]).withColumn(
+        "_grp", F.col("_off") + F.col("_lgrp")
+    )
+
+    sep = "" if skip_newline else separator
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col(line_no_col).alias("n"), line.alias("l")))
+    )
+    kept = F.slice(parts, 1, max_lines) if max_lines else parts
+    out = grouped.groupBy(file_col, "_grp").agg(
+        F.min(line_no_col).alias(line_no_col),
+        F.array_join(F.transform(kept, lambda s: s.getField("l")), sep).alias(
+            "message"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    truncated = (F.col("n_lines") > max_lines) if max_lines else F.lit(False)
+    return out.select(
+        file_col, line_no_col, "message", "n_lines", truncated.alias("truncated")
+    )
+
+
 def read_multiline(
     spark: SparkSession,
     path: str,
@@ -267,10 +442,13 @@ def read_multiline(
     include_lines keeps matching events, then exclude_lines drops
     matching ones (filebeat filestream options).
 
-    ``chunked=True`` uses the split reader for big files; the multiline
-    Window still keys on ``file`` (one reducer per file — the scan is
-    parallel, the join serializes per file; for single-huge-file
-    multiline that reducer is the documented ceiling)."""
+    ``chunked=True`` uses the split reader for big files AND the
+    distributed multiline join (:func:`multiline_join_distributed`) —
+    both the scan and the join then parallelize within a single huge
+    file, which removes the one-reducer-per-file ceiling the windowed
+    join has. The default (non-chunked) path keeps the windowed join:
+    for a directory of ordinary files it is one shuffle instead of
+    two."""
     lines = read_lines(spark, path, chunked=chunked)
     if not multiline:
         out = lines.withColumnRenamed("line", "message").withColumn(
@@ -279,7 +457,8 @@ def read_multiline(
     else:
         cfg = dict(multiline)
         cfg.setdefault("mode", cfg.pop("type", "pattern"))
-        out = multiline_join(lines, **cfg)
+        join = multiline_join_distributed if chunked else multiline_join
+        out = join(lines, **cfg)
     msg = F.col("message")
     if include_lines:
         keep = msg.rlike(include_lines[0])
