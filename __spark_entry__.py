@@ -1156,7 +1156,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.orderBy("doc_id").limit(100).withColumns(
+    copies = docs.filter(F.col("doc_id") < 100).withColumns(
         {
             "doc_id": F.col("doc_id") + 1000000,
             "text": F.concat(F.lit("  "), F.upper(F.col("text")), F.lit(" ")),
@@ -1171,7 +1171,7 @@ WITH uni AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000, source, '  ' || upper(text) || ' '
-  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+  FROM documents WHERE doc_id < 100
 ), keyed AS (
   SELECT doc_id, source,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
@@ -1276,7 +1276,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.orderBy("doc_id").limit(50).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 1000000)
     return simhash_pairs(docs.unionByName(copies), max_hamming=3)
 
 
@@ -1502,7 +1502,7 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.textstats import rolling_fingerprints
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.orderBy("doc_id").limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.filter(F.col("doc_id") < 30).withColumn("doc_id", F.col("doc_id") + 1000000)
     uni = docs.unionByName(copies)
     fp = uni.select(
         "doc_id", F.explode(rolling_fingerprints(F.col("text"))).alias("fp")
@@ -1521,7 +1521,7 @@ _SQL_ROLLING_FINGERPRINT = """
 WITH uni AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
 ), fps AS (
   SELECT DISTINCT doc_id,
          md5(substr(text, s, 32)) AS fp
@@ -1981,7 +1981,7 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.dedup import simhash_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    copies = docs.orderBy("doc_id").limit(30).withColumn("doc_id", F.col("doc_id") + 1000000)
+    copies = docs.filter(F.col("doc_id") < 30).withColumn("doc_id", F.col("doc_id") + 1000000)
     pairs = simhash_pairs(
         docs.unionByName(copies), max_hamming=3, bits=60, n_tables=4, hash_fn="md5_60"
     )
@@ -1995,7 +1995,7 @@ _SQL_DEDUP_SIMHASH_MD5 = f"""
 WITH uni AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 30
 ), tok AS (
   SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::BIGINT AS h
   FROM uni, unnest(string_split_regex(
