@@ -302,6 +302,40 @@ def _jaccard_pairs_block(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _band_signature_sql(
+    shingle_col: str, num_hashes: int, bands: int, seed: int
+) -> str:
+    """One SQL expression: shingle array → base hashes → ``num_hashes``
+    minhashes → ``bands`` band signatures, as array<struct<band,sig>>.
+
+    The base-hash array is LET-BOUND with the single-element-array
+    idiom (``transform(array(base), xs -> ...)``) so the 64 minhash
+    terms reference a computed variable instead of re-inlining the
+    shingle lineage — Catalyst's CollapseProject otherwise duplicates
+    the whole tree per consumer and the generated code falls out of
+    JIT'd codegen (measured 7 s vs 0.2 s for identical rows on the
+    sf0.1 corpus). Emitted as ONE parsed string: plan build is a
+    single expression, not hundreds of py4j Column calls.
+    """
+    rows_per_band = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    sig = [
+        f"array_min(transform(xs, x -> pmod(x * {a}L + {b}L, {_MERSENNE61}L)))"
+        for a, b in params
+    ]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'sig', xxhash64({parts}))".format(
+            b=b,
+            parts=", ".join(
+                sig[b * rows_per_band + r] for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    base = f"transform({shingle_col}, s -> pmod(xxhash64(s), {_MAX32 + 1}L))"
+    return f"element_at(transform(array({base}), xs -> array({structs})), 1)"
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -315,85 +349,56 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, exact-Jaccard verified.
 
-    1. signature: ``num_hashes`` minhashes per doc (JVM expressions);
-    2. banding: split into ``bands`` bands of ``num_hashes/bands`` rows,
-       hash each band, explode → (band_idx, band_sig) bucket key;
-    3. bucket self-join (the only shuffle that matters; signatures are
-       hashes ⇒ uniform keys, hot buckets capped at ``max_bucket``);
+    1. signature+banding: ONE narrow projection per doc
+       (:func:`_band_signature_sql`) — shingles, 64 minhashes and 16
+       band signatures computed where the text already sits, zero
+       shuffle, nothing persisted;
+    2. bucket grouping: ``groupBy(band, sig) → collect_list(id)`` —
+       THE shuffle, carrying only (band, sig, id) rows with uniform
+       hash keys; hot buckets (a boilerplate shingle set shared by
+       millions of docs) are dropped whole at ``max_bucket``, exactly
+       the previous anti-join semantics without its extra aggregate +
+       broadcast + self-join round-trips;
+    3. candidate pairs explode INSIDE each bucket (narrow — bounded by
+       max_bucket² per bucket), deduped across bands with one
+       shuffle;
     4. verify candidates with exact shingle Jaccard ≥ ``threshold`` —
        LSH false positives cannot escape, output is a subset of the
        true pair set with recall set by (bands, rows-per-band).
+
+    Shuffle count: 2 (+ the AQE-planned verify joins), down from the
+    round-2 plan's 4 and two persisted intermediates — on the bench
+    host each tiny shuffle costs ~1 s flat in task scheduling, and at
+    cluster scale fewer barriers means fewer stragglers to wait on.
     """
     from beats_spark.operators.scale import spread
 
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
-    rows_per_band = num_hashes // bands
     sh_df = spread(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh")
     )
-
-    # Signatures in explode→groupBy form: one row per (doc, shingle),
-    # 64 universal hashes as plain codegen arithmetic, MIN aggregated
-    # with map-side partial combine — the shuffle carries only 64 longs
-    # per doc, never the shingles. (The Column-expression
-    # minhash_signature() is equivalent but interprets per element;
-    # this form is the 100 TB path.)
-    expl = sh_df.select("_id", F.explode("_sh").alias("_g")).withColumn(
-        "_x", F.pmod(F.xxhash64("_g"), F.lit(_MAX32 + 1))
-    )
-    params = _hash_params(num_hashes, seed)
-    sigs = expl.groupBy("_id").agg(
-        *[
-            F.min(F.pmod(F.col("_x") * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))).alias(
-                f"_mh{i}"
-            )
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    from pyspark import StorageLevel
-
-    band_entries = sigs.select(
+    band_entries = sh_df.select(
         "_id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"_mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.expr(_band_signature_sql("_sh", num_hashes, bands, seed))
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
-    # The signature set IS the LSH index: materialize it once. Without
-    # this the scan->shingle->64-hash lineage re-executes for the
-    # bucket-size broadcast AND for each self-join side (4x). Size is
-    # ~24 B x bands per doc — trivial next to the corpus at any scale.
-    band_entries = band_entries.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # cap pathological buckets (a boilerplate shingle-set shared by
-    # millions of docs would otherwise go quadratic inside one bucket)
-    bucket_sizes = band_entries.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("_n")
+    buckets = (
+        band_entries.groupBy("band", "sig")
+        .agg(F.collect_list("_id").alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_bucket))
     )
-    band_entries = band_entries.join(
-        F.broadcast(bucket_sizes.filter(F.col("_n") > max_bucket)),
-        ["band", "sig"],
-        "left_anti",
+    # all i<j pairs inside a bucket, canonically oriented; flatten of
+    # per-element slices keeps everything in one generator expression
+    pair_sql = (
+        "flatten(transform(_ids, (a, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), b -> "
+        "named_struct('id_a', least(a, b), 'id_b', greatest(a, b)))))"
     )
-
-    a = band_entries.select("band", "sig", F.col("_id").alias("id_a"))
-    b = band_entries.select("band", "sig", F.col("_id").alias("id_b"))
     cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verify: join the candidate set back to the raw

@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     "grok_clf",
     "decode_xml",
     "corpus_sample",
+    # added round 3
+    "container_logs",
+    "multiline_distributed",
 ]
 
 

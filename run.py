@@ -38,10 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--source-format",
         default=None,
-        choices=["parquet", "text"],
-        help="'text' reads raw log files (one harvester-task per file) "
-        "through the multiline reader; config key 'input: {multiline: "
-        "{...}}' carries the Beats parsers block",
+        choices=["parquet", "text", "container"],
+        help="'text' reads raw log files (one harvester-task per file; "
+        "'input: {chunked: true}' splits huge files across tasks) "
+        "through the multiline reader; 'container' reads docker "
+        "json-file / CRI logs with partial-line reassembly; config key "
+        "'input: {multiline: {...}, format: ..., stream: ...}' carries "
+        "the Beats parsers block",
     )
     p.add_argument("--synth", type=int, default=0, help="generate N synthetic conversations")
     p.add_argument("--out-root", help="sink root (parquet dir or Iceberg prefix)")
@@ -96,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
             input_cfg.get("multiline"),
             include_lines=input_cfg.get("include_lines"),
             exclude_lines=input_cfg.get("exclude_lines"),
+            chunked=bool(input_cfg.get("chunked")),
+        )
+    elif source_path and source_format == "container":
+        from beats_spark.sources.container import read_container_logs
+
+        source = read_container_logs(
+            spark,
+            source_path,
+            format=input_cfg.get("format", "auto"),
+            stream=input_cfg.get("stream", "all"),
+            max_bytes=int(input_cfg.get("max_bytes", 0)),
+            chunked=bool(input_cfg.get("chunked")),
         )
     elif source_path:
         source = spark.read.parquet(source_path)
