@@ -560,15 +560,26 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("_id", "_sig", "bb.band", "bb.key")
-    from pyspark import StorageLevel
 
-    entries = entries.persist(StorageLevel.MEMORY_AND_DISK)  # joined twice below
-    a = entries.select("band", "key", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
-    b = entries.select("band", "key", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    # Bucket-grouping candidate generation (same shape as minhash_lsh_
+    # pairs): ONE groupBy on the band key collects (id, sig) members,
+    # pairs explode inside the bucket, a second shuffle dedups across
+    # bands. Replaces the round-2 persist + self-join + dropDuplicates
+    # chain — two shuffles total, nothing cached, same pair set.
+    buckets = (
+        entries.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("_id", "_sig")).alias("_m"))
+        .filter(F.size("_m") > 1)
+    )
+    pair_sql = (
+        "flatten(transform(_m, (a, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), b -> named_struct("
+        "'id_a', least(a._id, b._id), 'id_b', greatest(a._id, b._id), "
+        "'sig_a', a._sig, 'sig_b', b._sig))))"
+    )
     cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        buckets.select(F.explode(F.expr(pair_sql)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
