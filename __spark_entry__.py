@@ -247,6 +247,95 @@ def q_multiline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auditd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auditd reader (libbeat/reader/auditd): events unroll into a mix
+    of SYSCALL (hex-encoded exe, syscall-number mapping, errno exit,
+    success flag), USER_CMD (inner msg=' block with hex cmd, dropped
+    ?-values, res normalization), LOGIN (space-separated old/new
+    renames) and corrupt lines. The oracle constructs every expected
+    value analytically — including the hex decodes, which DuckDB
+    never sees (the fixture encodes, the parser must decode)."""
+    from beats_spark.operators.auditd import parse_auditd
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    sec = (F.lit(1700000000) + eid).cast("string")
+    ms = F.format_string("%03d", eid % 1000)
+    stamp = F.format_string("msg=audit(%s.%s:%s):", sec, ms, eid.cast("string"))
+    exe_hex = F.upper(F.hex(F.concat(F.lit("/usr/bin/tool "), eid.cast("string"))))
+    cmd_hex = F.upper(F.hex(F.concat(F.lit("run job "), eid.cast("string"))))
+    syscall = (F.lit(42) + eid % 3).cast("string")  # connect/accept/sendto
+    success = F.when(eid % 2 == 0, "yes").otherwise("no")
+    exitv = F.when(eid % 2 == 0, F.lit("0")).otherwise(F.lit("-13"))
+    line = (
+        F.when(
+            eid % 4 == 0,
+            F.concat(
+                F.lit("type=SYSCALL "), stamp,
+                F.lit(" arch=c000003e syscall="), syscall,
+                F.lit(" success="), success, F.lit(" exit="), exitv,
+                F.lit(' a0=3 auid=1000 uid=0 comm="worker" exe='), exe_hex,
+                F.lit(" key=(null)"),
+            ),
+        )
+        .when(
+            eid % 4 == 1,
+            F.concat(
+                F.lit("type=USER_CMD "), stamp,
+                F.lit(" user pid=77 uid=497 auid=700 ses=1 msg='cwd=\"/\" cmd="),
+                cmd_hex, F.lit(" terminal=? res=success'"),
+            ),
+        )
+        .when(
+            eid % 4 == 2,
+            F.concat(
+                F.lit("type=LOGIN "), stamp,
+                F.lit(" pid=1 uid=0 old auid=700 new auid="), eid.cast("string"),
+                F.lit(" old ses=1 new ses=2"),
+            ),
+        )
+        .otherwise(F.format_string("garbage %d", eid))
+    )
+    out = parse_auditd(ev.select("event_id", line.alias("line")))
+    f = F.col("fields")
+    return out.select(
+        "event_id",
+        "record_type",
+        "sequence",
+        "ts",
+        f.getItem("result").alias("result"),
+        f.getItem("syscall").alias("syscall"),
+        f.getItem("exit").alias("exit"),
+        F.coalesce(f.getItem("exe"), f.getItem("cmd")).alias("decoded"),
+        f.getItem("new_auid").alias("new_auid"),
+        f.getItem("terminal").alias("terminal"),
+    )
+
+
+_SQL_AUDITD_PARSE = """
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'SYSCALL' WHEN 1 THEN 'USER_CMD'
+                    WHEN 2 THEN 'LOGIN' END AS record_type,
+  CASE WHEN event_id % 4 <> 3 THEN event_id::VARCHAR END AS sequence,
+  CASE WHEN event_id % 4 <> 3 THEN
+    TIMESTAMP '1970-01-01' + (1700000000 + event_id) * INTERVAL 1 SECOND
+      + (event_id % 1000) * INTERVAL 1 MILLISECOND END AS ts,
+  CASE WHEN event_id % 4 = 0 THEN
+         CASE WHEN event_id % 2 = 0 THEN 'success' ELSE 'fail' END
+       WHEN event_id % 4 = 1 THEN 'success' END AS result,
+  CASE WHEN event_id % 4 = 0 THEN
+    CASE event_id % 3 WHEN 0 THEN 'connect' WHEN 1 THEN 'accept'
+                      ELSE 'sendto' END END AS syscall,
+  CASE WHEN event_id % 4 = 0 THEN
+    CASE WHEN event_id % 2 = 0 THEN '0' ELSE 'EACCES' END END AS exit,
+  CASE WHEN event_id % 4 = 0 THEN '/usr/bin/tool ' || event_id::VARCHAR
+       WHEN event_id % 4 = 1 THEN 'run job ' || event_id::VARCHAR END AS decoded,
+  CASE WHEN event_id % 4 = 2 THEN event_id::VARCHAR END AS new_auid,
+  NULL::VARCHAR AS terminal
+FROM events
+"""
+
+
 def q_multiline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiline reader, DISTRIBUTED form: identical fixture and
     expected output to `multiline_join`, but the segmentation runs the
@@ -2118,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_join": q_multiline_join,
         "multiline_distributed": q_multiline_distributed,
         "container_logs": q_container_logs,
+        "auditd_parse": q_auditd_parse,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
         "decode_json": q_decode_json,
@@ -2173,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         "multiline_join": _SQL_MULTILINE_JOIN,
         "multiline_distributed": _SQL_MULTILINE_JOIN,
         "container_logs": _SQL_CONTAINER_LOGS,
+        "auditd_parse": _SQL_AUDITD_PARSE,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,

@@ -38,7 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--source-format",
         default=None,
-        choices=["parquet", "text", "container"],
+        choices=["parquet", "text", "container", "auditd"],
         help="'text' reads raw log files (one harvester-task per file; "
         "'input: {chunked: true}' splits huge files across tasks) "
         "through the multiline reader; 'container' reads docker "
@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
             exclude_lines=input_cfg.get("exclude_lines"),
             chunked=bool(input_cfg.get("chunked")),
         )
+    elif source_path and source_format == "auditd":
+        from beats_spark.operators.auditd import read_auditd
+
+        source = read_auditd(spark, source_path, chunked=bool(input_cfg.get("chunked")))
     elif source_path and source_format == "container":
         from beats_spark.sources.container import read_container_logs
 
