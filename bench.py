@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     # added round 3
     "container_logs",
     "multiline_distributed",
+    "auditd_parse",
 ]
 
 
