@@ -66,8 +66,23 @@ from pyspark.sql import functions as F
 _WHOLETEXT_CEILING = 1_800_000_000  # < JVM 2 GB string limit, with margin
 
 
-def read_lines(spark: SparkSession, path: str, chunked: bool = False) -> DataFrame:
+def read_lines(
+    spark: SparkSession,
+    path: str,
+    chunked: bool = False,
+    exclude_files: list[str] | None = None,
+    ignore_older: float | None = None,
+) -> DataFrame:
     """(file, line_no, line) per physical line, ordered within file.
+
+    ``exclude_files`` (regex list on the file path) and
+    ``ignore_older`` (seconds; skip files whose modification time is
+    older than now-ignore_older) mirror the filestream prospector
+    options (filebeat/input/filestream/config.go:83, fswatch pattern
+    filtering). Both are metadata-only filters: they prune at the
+    ``_metadata`` level before any bytes of the excluded files are
+    read (partition pruning on file listing, the same effect as the
+    reference never opening a harvester).
 
     Default path: ``wholetext`` keeps one file per row so line numbers
     are exact; one trailing newline is stripped first (a final ``\\n``
@@ -84,10 +99,74 @@ def read_lines(spark: SparkSession, path: str, chunked: bool = False) -> DataFra
     failing mid-scan.
     """
     if chunked:
-        return read_lines_chunked(spark, path)
+        out = read_lines_chunked(spark, path)
+        return _filter_files(out, "file", exclude_files, ignore_older, spark, path)
     _guard_wholetext_size(spark, path)
     raw = spark.read.text(path, wholetext=True)
+    raw = _prune_files(raw, exclude_files, ignore_older)
     return lines_from_wholetext(raw)
+
+
+def _prune_files(
+    raw: DataFrame,
+    exclude_files: list[str] | None,
+    ignore_older: float | None,
+) -> DataFrame:
+    """Metadata-level file pruning on a file-source frame (uses the
+    hidden ``_metadata`` struct, so excluded files are dropped at the
+    listing, before their bytes are scanned)."""
+    if not exclude_files and not ignore_older:
+        return raw
+    keep = F.lit(True)
+    if exclude_files:
+        for pat in exclude_files:
+            keep = keep & ~F.col("_metadata.file_path").rlike(pat)
+    if ignore_older:
+        keep = keep & (
+            F.col("_metadata.file_modification_time")
+            >= F.expr(f"current_timestamp() - INTERVAL {int(ignore_older)} SECOND")
+        )
+    return raw.where(keep)
+
+
+def _filter_files(df, file_col, exclude_files, ignore_older, spark, path):
+    """Post-hoc variant for the chunked reader (its line-number
+    reconstruction already consumed ``_metadata``): path regex drops
+    rows; mtime pruning re-lists the files (a driver-side metadata
+    call) and drops by path membership."""
+    if exclude_files:
+        for pat in exclude_files:
+            df = df.filter(~F.col(file_col).rlike(pat))
+    if ignore_older:
+        import time as _time
+
+        cutoff_ms = ( _time.time() - float(ignore_older)) * 1000.0
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            stale = []
+            stack = list(fs.globStatus(hpath) or [])
+            while stack:
+                st = stack.pop()
+                if st.isDirectory():
+                    stack.extend(fs.listStatus(st.getPath()))
+                elif st.getModificationTime() < cutoff_ms:
+                    stale.append(str(st.getPath()))
+            if stale:
+                # normalize scheme slashes: input_file_name() yields
+                # file:///p while Hadoop Path prints file:/p
+                norm = F.concat(
+                    F.lit("/"), F.regexp_replace(F.col(file_col), "^file:/+", "")
+                )
+                stale_norm = [
+                    "/" + s.split(":", 1)[1].lstrip("/") if ":" in s else s
+                    for s in stale
+                ]
+                df = df.filter(~norm.isin(stale_norm))
+        except Exception:
+            pass  # best-effort, matching the prospector's advisory skip
+    return df
 
 
 def _guard_wholetext_size(spark: SparkSession, path: str) -> None:
@@ -431,6 +510,8 @@ def read_multiline(
     include_lines: list[str] | None = None,
     exclude_lines: list[str] | None = None,
     chunked: bool = False,
+    exclude_files: list[str] | None = None,
+    ignore_older: float | None = None,
 ) -> DataFrame:
     """File input end-to-end: lines → (optional) multiline join →
     include/exclude filters. The entry point a Beats ``filestream`` +
@@ -449,7 +530,13 @@ def read_multiline(
     join has. The default (non-chunked) path keeps the windowed join:
     for a directory of ordinary files it is one shuffle instead of
     two."""
-    lines = read_lines(spark, path, chunked=chunked)
+    lines = read_lines(
+        spark,
+        path,
+        chunked=chunked,
+        exclude_files=exclude_files,
+        ignore_older=ignore_older,
+    )
     if not multiline:
         out = lines.withColumnRenamed("line", "message").withColumn(
             "n_lines", F.lit(1).cast("long")

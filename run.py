@@ -100,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
             include_lines=input_cfg.get("include_lines"),
             exclude_lines=input_cfg.get("exclude_lines"),
             chunked=bool(input_cfg.get("chunked")),
+            exclude_files=input_cfg.get("exclude_files"),
+            ignore_older=input_cfg.get("ignore_older"),
         )
     elif source_path and source_format == "auditd":
         from beats_spark.operators.auditd import read_auditd

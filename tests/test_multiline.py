@@ -509,3 +509,29 @@ def test_skip_newline_and_separator(spark):
         _lines_df(spark, lines), pattern=r"^ ", match="after", separator="|"
     )
     assert _messages(sep) == ["a| b", "c"]
+
+
+def test_exclude_files_and_ignore_older(spark, tmp_path):
+    """Prospector-level file filters (filestream config.go:83): the
+    excluded/stale files contribute zero lines, on both readers."""
+    import os
+    import time
+
+    from beats_spark.sources.lines import read_lines
+
+    (tmp_path / "keep.log").write_text("a\nb\n")
+    (tmp_path / "skip.log.gz.bak").write_text("c\n")
+    (tmp_path / "old.log").write_text("d\n")
+    old = time.time() - 7200
+    os.utime(tmp_path / "old.log", (old, old))
+
+    for chunked in (False, True):
+        out = read_lines(
+            spark,
+            str(tmp_path),
+            chunked=chunked,
+            exclude_files=[r"\.bak$"],
+            ignore_older=3600,
+        )
+        files = {r.file.rsplit("/", 1)[-1] for r in out.collect()}
+        assert files == {"keep.log"}, (chunked, files)
