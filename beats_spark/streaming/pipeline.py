@@ -275,6 +275,7 @@ def run_text_stream(
     out_root: str,
     checkpoint_dir: str,
     multiline: dict | None = None,
+    container: dict | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -300,6 +301,9 @@ def run_text_stream(
     of the same files. Returns the started StreamingQuery."""
     from beats_spark.sources.lines import lines_from_wholetext, multiline_join
 
+    if multiline and container:
+        raise ValueError("multiline and container parsers are exclusive")
+
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -317,7 +321,17 @@ def run_text_stream(
         if not files:
             return
         lines = lines_from_wholetext(spark.read.text(files, wholetext=True))
-        if ml:
+        if container is not None:
+            # the container parser (docker json-file / CRI partial
+            # reassembly) composes with the stream exactly like the
+            # reference's parsers chain: files arrive whole per batch,
+            # so the per-file reassembly window is complete.
+            from beats_spark.sources.container import parse_container_logs
+
+            events = parse_container_logs(lines, **container).withColumn(
+                "truncated", F.array_contains(F.col("flags"), "truncated")
+            )
+        elif ml:
             events = multiline_join(lines, **ml)
         else:
             events = lines.withColumnRenamed("line", "message").withColumns(

@@ -169,18 +169,23 @@ def main() -> None:
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(_iters()):  # steady state: first run pays JIT/codegen
+        for _ in range(_iters()):  # best-of-N: JIT/codegen warm, data cold
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             best = min(best or 1e9, time.time() - t0)
-        # Clear BETWEEN queries, not between iterations: operators
-        # persist() intermediates (band indexes, bucket sets) and cannot
-        # know when the caller is done, so without this the cache
-        # accumulates across all 25 queries and late queries pay
-        # eviction/GC for early queries' leftovers (the r2 regression).
-        # Iterations of the SAME query keep the persist-reuse steady
-        # state r1/r2 measured, so per-query deltas stay comparable.
-        spark.catalog.clearCache()
+            # r3 protocol tightening: clear between ITERATIONS as well
+            # as between queries. r1/r2 cleared only between queries,
+            # so any operator-internal persist() made iterations 2..N
+            # artificially warm and best-of-N measured cache reuse, not
+            # query cost — once the r3 dedup rewrites removed those
+            # persists (single-consumer plans don't need them), their
+            # numbers regressed vs a metric that had been flattering
+            # the old code. best-of-N now = one honest end-to-end run
+            # with JIT warm, for EVERY query. Cross-round caveat: r2's
+            # recorded times for persist-using queries (dedup_minhash_
+            # lsh, dedup_simhash, knn_*) are cache-assisted and not
+            # directly comparable to r3+.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

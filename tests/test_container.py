@@ -338,3 +338,38 @@ def test_invalid_config_rejected(spark):
         parse_container_logs(df, format="journald")
     with pytest.raises(ValueError):
         parse_container_logs(df, stream="stdin")
+
+
+def test_streaming_container_tail(spark, tmp_path):
+    """Container parser composes with the streaming text tail exactly
+    like the reference's filestream parsers chain: docker/CRI lines
+    arrive whole per micro-batch, partials reassemble, the router runs
+    on the parsed stream fields."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.plans.pipeline import PipelineConfig
+    from beats_spark.streaming.pipeline import run_text_stream
+
+    logs = tmp_path / "clogs"
+    logs.mkdir()
+    (logs / "c.log").write_text(
+        '{"log":"hello ","stream":"stdout","time":"2024-01-01T00:00:00Z"}\n'
+        '{"log":"world\\n","stream":"stdout","time":"2024-01-01T00:00:01Z"}\n'
+        "2024-01-01T00:00:02.5Z stderr F cri error line\n"
+    )
+    cfg = PipelineConfig(
+        processors=[],
+        router_rules=[{"when": {"equals": {"stream": "stderr"}}, "index": "errors"}],
+    )
+    q = run_text_stream(
+        spark,
+        str(logs),
+        cfg,
+        str(tmp_path / "sinks"),
+        str(tmp_path / "ck"),
+        container={"format": "auto", "cri_flags": True},
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "sinks"))
+    rows = {r["message"]: r["_meta_sink"] for r in got.collect()}
+    assert rows == {"hello world\n": "main", "cri error line": "errors"}
