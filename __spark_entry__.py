@@ -336,6 +336,116 @@ FROM events
 """
 
 
+def q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """journald input (filebeat/input/journald): events synthesize
+    export-format field sets (raw journal KEY=VALUE pairs), the
+    transports matcher filters to _TRANSPORT=journal, and the field
+    conversion + ECS enrichment runs: typed ints with the reference's
+    "pid,user" comma fallback, the audit-login-uid vs uid effective-
+    user split (conv.go:130-150), quoted-token argv counting, the
+    capabilities-mask → CAP_* names expansion, and unknown keys into
+    the journald.custom map. The oracle reconstructs every value
+    analytically — the parser must actually expand the hex mask and
+    apply the login/uid rules to agree."""
+    from beats_spark.sources.journald import (
+        convert_journald_fields,
+        matcher_condition,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    uid = F.col("user_id").cast("long")
+
+    def kv(k: str, v) -> Column:
+        return F.struct(F.lit(k).alias("k"), v.cast("string").alias("v"))
+
+    login = F.when(eid % 3 == 0, uid).when(eid % 3 == 1, uid + 1)
+    cmdline = (
+        F.when(eid % 8 == 0, F.format_string("exec task-%d", eid))
+        .otherwise(F.format_string('run "job %d" --n=3', eid))
+    )
+    caps = (
+        F.when(eid % 3 == 0, F.lit("1"))       # CAP_CHOWN
+        .when(eid % 3 == 1, F.lit("3"))        # CAP_CHOWN, CAP_DAC_OVERRIDE
+        .otherwise(F.lit("c"))                 # CAP_DAC_READ_SEARCH, CAP_FOWNER
+    )
+    procid = (
+        F.when(eid % 5 == 0, F.format_string("%d,root", eid % 9999))
+        .otherwise((eid % 10000).cast("string"))
+    )
+    pairs = F.array(
+        kv("__REALTIME_TIMESTAMP", F.lit(1700000000000000) + eid),
+        kv("_HOSTNAME", F.format_string("host-%d", uid % 5)),
+        kv("PRIORITY", eid % 8),
+        kv("_UID", uid),
+        kv("_GID", uid % 100),
+        kv("_AUDIT_LOGINUID", login),
+        kv("_PID", eid),
+        kv("_CMDLINE", cmdline),
+        kv("_CAP_EFFECTIVE", caps),
+        kv("SYSLOG_PID", procid),
+        kv("MESSAGE", F.col("event_type")),
+        kv("_TRANSPORT", F.when(eid % 4 == 0, F.lit("journal")).otherwise(F.lit("stdout"))),
+        kv("WORKLOAD_TAG", F.format_string("t%d", eid % 7)),
+    )
+    records = ev.select(
+        eid.cast("long").alias("rec_no"),
+        F.lit("synth").alias("file"),
+        F.lit(None).cast("binary").alias("message_bytes"),
+        F.filter(pairs, lambda p: p.getField("v").isNotNull()).alias("pairs"),
+    ).where(matcher_condition(transports=["journal"]))
+    out = convert_journald_fields(records)
+    return out.select(
+        F.col("rec_no").alias("event_id"),
+        "ts",
+        "message",
+        "host_hostname",
+        "log_syslog_priority",
+        "log_syslog_procid",
+        "journald_uid",
+        "journald_gid",
+        F.col("user_id").alias("ecs_user_id"),
+        F.col("user_group_id").alias("ecs_user_group_id"),
+        F.col("user_effective_id").alias("ecs_user_effective_id"),
+        "process_pid",
+        "process_command_line",
+        "process_args_count",
+        F.array_join("process_thread_capabilities_effective", ",").alias("caps_csv"),
+        F.element_at("journald_custom", "workload_tag").alias("custom_tag"),
+        "systemd_transport",
+    )
+
+
+_SQL_JOURNALD_PARSE = """
+SELECT event_id,
+  make_timestamp(1700000000000000 + event_id) AS ts,
+  event_type AS message,
+  'host-' || (user_id % 5)::VARCHAR AS host_hostname,
+  (event_id % 8)::BIGINT AS log_syslog_priority,
+  CASE WHEN event_id % 5 = 0 THEN (event_id % 9999)::BIGINT
+       ELSE (event_id % 10000)::BIGINT END AS log_syslog_procid,
+  user_id::BIGINT AS journald_uid,
+  (user_id % 100)::BIGINT AS journald_gid,
+  CASE WHEN event_id % 3 = 1 THEN (user_id + 1)::VARCHAR
+       ELSE user_id::VARCHAR END AS ecs_user_id,
+  CASE WHEN event_id % 3 = 1 THEN NULL
+       ELSE (user_id % 100)::VARCHAR END AS ecs_user_group_id,
+  CASE WHEN event_id % 3 = 1 THEN user_id::VARCHAR END AS ecs_user_effective_id,
+  event_id::BIGINT AS process_pid,
+  CASE WHEN event_id % 8 = 0 THEN 'exec task-' || event_id::VARCHAR
+       ELSE 'run "job ' || event_id::VARCHAR || '" --n=3' END
+    AS process_command_line,
+  CASE WHEN event_id % 8 = 0 THEN 2 ELSE 3 END::BIGINT AS process_args_count,
+  CASE event_id % 3 WHEN 0 THEN 'CAP_CHOWN'
+                    WHEN 1 THEN 'CAP_CHOWN,CAP_DAC_OVERRIDE'
+                    ELSE 'CAP_DAC_READ_SEARCH,CAP_FOWNER' END AS caps_csv,
+  't' || (event_id % 7)::VARCHAR AS custom_tag,
+  'journal' AS systemd_transport
+FROM events
+WHERE event_id % 4 = 0
+"""
+
+
 def q_multiline_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiline reader, DISTRIBUTED form: identical fixture and
     expected output to `multiline_join`, but the segmentation runs the
@@ -2208,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_distributed": q_multiline_distributed,
         "container_logs": q_container_logs,
         "auditd_parse": q_auditd_parse,
+        "journald_parse": q_journald_parse,
         "router_first_match": q_router_first_match,
         "conditions": q_conditions,
         "decode_json": q_decode_json,
@@ -2264,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "multiline_distributed": _SQL_MULTILINE_JOIN,
         "container_logs": _SQL_CONTAINER_LOGS,
         "auditd_parse": _SQL_AUDITD_PARSE,
+        "journald_parse": _SQL_JOURNALD_PARSE,
         "router_first_match": _SQL_ROUTER_FIRST_MATCH,
         "conditions": _SQL_CONDITIONS,
         "decode_json": _SQL_DECODE_JSON,

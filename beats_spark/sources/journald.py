@@ -1,0 +1,562 @@
+"""journald input: parse ``journalctl -o export`` streams into typed columns.
+
+Re-expresses the reference's journald input
+(filebeat/input/journald/input.go + pkg/journalfield) Spark-first:
+
+- **Record framing.** The export format is blank-line-separated
+  ``KEY=VALUE`` records.  The default ``mode="text"`` reads with the
+  text source's multi-char ``lineSep="\\n\\n"`` — fully splittable, so
+  one huge export file still fans out across tasks.  ``mode="binary"``
+  handles the format's size-prefixed binary values (``NAME\\n<8-byte
+  LE length><data>\\n``, e.g. testdata/binary.export) with a
+  sequential per-file Arrow parser — the same per-file sequential
+  shape as the reference's journalctl reader, used only when binary
+  fields are possible (a text split cannot even frame those records:
+  binary data may contain ``\\n\\n``).
+- **Field conversion.** pkg/journalfield/default.go's table
+  (journal key → ECS-ish name + integer flag) is transliterated as
+  data below; unknown keys land lowercased (leading ``_`` stripped)
+  in the ``journald_custom`` map (conv.go:68-89).  Integer fields use
+  ``try_cast`` with conv.go:100-111's ``"pid,user"`` comma fallback;
+  an unparseable integer nulls the typed column (tag-and-continue)
+  instead of keeping the raw string — the one documented delta from
+  the reference's mixed-type maps.
+- **ECS enrichment** (conv.go:117-204): user.id/user.effective.*
+  from audit_login_uid vs uid, process.* favoring the journald.object
+  fields over journald (object wins, conv.go:122-125), command-line
+  argv split with the reference's quoted-token regex (conv.go:152),
+  and capabilities-mask expansion to CAP_* names
+  (libbeat/common/capabilities/capabilities_linux.go:88-156).
+- **Matching.**  ``include_matches`` implements journalctl semantics
+  (validated against the reference's own matchers corpus,
+  input_test.go:204-310): same-field matches OR, different fields
+  AND, ``+`` separates OR'd groups; ECS field names reverse-map to
+  journal keys like journalfield.MatcherBuilder.Build.  ``units``
+  expands to systemd's four-group unit disjunction, ``transports`` /
+  ``syslog_identifiers`` / ``facilities`` to their field matches
+  (pkg/journalctl/reader.go:300-325).
+- **Event shape** (input.go:350-430): ``@timestamp`` from
+  ``__REALTIME_TIMESTAMP`` micros, ``event_kind='event'``, docker's
+  ``CONTAINER_PARTIAL_MESSAGE`` → ``tags=['partial_message']``,
+  ``save_remote_hostname`` → ``log_source_address``.
+
+Scale shape: the whole parse is ONE narrow projection — a single
+let-binding expression (``element_at(transform(array(pairs), ...)``)
+computes the per-record pair array once and every typed column reads
+the bound variable, so no shuffle, no Python (text mode), and the
+filter (matchers) runs before the wide projection.  Output is a flat
+~70-column schema: columnar formats and Catalyst pruning both prefer
+that to a nested map at 100 TB.
+
+Known deltas (documented on purpose): repeated journal fields take
+the first occurrence (journalctl JSON would emit an array); integer
+parse failures null the typed column; capability bits ≥ 41 render as
+``CAP_<bit>``; binary values in non-MESSAGE fields decode UTF-8 with
+replacement. ``message_bytes`` (binary mode) preserves the exact
+MESSAGE payload bytes the reference keeps in its string.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Conversion table — journalfield/default.go:23-90, transliterated as data.
+# journal key -> (output column, is_integer). Output columns use the flat
+# underscore form of the reference's dotted names.
+# ---------------------------------------------------------------------------
+
+_CONVERSIONS: dict[str, tuple[str, bool]] = {
+    "COREDUMP_UNIT": ("journald_coredump_unit", False),
+    "COREDUMP_USER_UNIT": ("journald_coredump_user_unit", False),
+    "MESSAGE": ("message", False),
+    "MESSAGE_ID": ("message_id", False),
+    "OBJECT_AUDIT_LOGINUID": ("journald_object_audit_login_uid", True),
+    "OBJECT_AUDIT_SESSION": ("journald_object_audit_session", True),
+    "OBJECT_CMDLINE": ("journald_object_process_command_line", False),
+    "OBJECT_COMM": ("journald_object_process_name", False),
+    "OBJECT_EXE": ("journald_object_process_executable", False),
+    "OBJECT_GID": ("journald_object_gid", True),
+    "OBJECT_PID": ("journald_object_pid", True),
+    "OBJECT_SYSTEMD_OWNER_UID": ("journald_object_systemd_owner_uid", True),
+    "OBJECT_SYSTEMD_SESSION": ("journald_object_systemd_session", False),
+    "OBJECT_SYSTEMD_UNIT": ("journald_object_systemd_unit", False),
+    "OBJECT_SYSTEMD_USER_UNIT": ("journald_object_systemd_user_unit", False),
+    "OBJECT_UID": ("journald_object_uid", True),
+    "PRIORITY": ("log_syslog_priority", True),
+    "SYSLOG_FACILITY": ("log_syslog_facility_code", True),
+    "SYSLOG_IDENTIFIER": ("log_syslog_appname", False),
+    "SYSLOG_PID": ("log_syslog_procid", True),
+    "UNIT": ("journald_unit", False),
+    "_AUDIT_LOGINUID": ("journald_audit_login_uid", True),
+    "_AUDIT_SESSION": ("journald_audit_session", False),
+    "_BOOT_ID": ("journald_host_boot_id", False),
+    "_CAP_EFFECTIVE": ("journald_process_capabilities", False),
+    "_CMDLINE": ("journald_process_command_line", False),
+    "CODE_FILE": ("journald_code_file", False),
+    "CODE_FUNC": ("journald_code_func", False),
+    "CODE_LINE": ("journald_code_line", True),
+    "_COMM": ("journald_process_name", False),
+    "_EXE": ("journald_process_executable", False),
+    "_GID": ("journald_gid", True),
+    "_HOSTNAME": ("host_hostname", False),
+    "_KERNEL_DEVICE": ("journald_kernel_device", False),
+    "_KERNEL_SUBSYSTEM": ("journald_kernel_subsystem", False),
+    "_MACHINE_ID": ("host_id", False),
+    "_PID": ("journald_pid", True),
+    "_SYSTEMD_CGROUP": ("systemd_cgroup", False),
+    "_SYSTEMD_INVOCATION_ID": ("systemd_invocation_id", False),
+    "_SYSTEMD_OWNER_UID": ("systemd_owner_uid", True),
+    "_SYSTEMD_SESSION": ("systemd_session", False),
+    "_SYSTEMD_SLICE": ("systemd_slice", False),
+    "_SYSTEMD_UNIT": ("systemd_unit", False),
+    "_SYSTEMD_USER_SLICE": ("systemd_user_slice", False),
+    "_SYSTEMD_USER_UNIT": ("systemd_user_unit", False),
+    "_TRANSPORT": ("systemd_transport", False),
+    "_UDEV_DEVLINK": ("journald_kernel_device_symlinks", False),
+    "_UDEV_DEVNODE": ("journald_kernel_device_node_path", False),
+    "_UDEV_SYSNAME": ("journald_kernel_device_name", False),
+    "_UID": ("journald_uid", True),
+    "CONTAINER_ID_FULL": ("container_id", False),
+    "CONTAINER_NAME": ("container_name", False),
+    "IMAGE_NAME": ("container_image_name", False),
+}
+
+# journalfield/default.go:82-89 — consumed elsewhere or dropped outright.
+# CONTAINER_PARTIAL_MESSAGE feeds tags (input.go:396-407); __REALTIME is ts.
+_DROPPED = {
+    "CONTAINER_ID",
+    "CONTAINER_TAG",
+    "CONTAINER_PARTIAL_MESSAGE",
+    "_SOURCE_MONOTONIC_TIMESTAMP",
+    "_SOURCE_REALTIME_TIMESTAMP",
+    "__CURSOR",
+    "__MONOTONIC_TIMESTAMP",
+    "__REALTIME_TIMESTAMP",
+}
+
+# ECS dotted name -> journal key, for MatcherBuilder.Build's reverse
+# mapping (matcher.go:83-96). Flat column names are accepted too.
+_ECS_TO_JOURNAL: dict[str, str] = {}
+for _jk, (_col, _) in _CONVERSIONS.items():
+    _ECS_TO_JOURNAL.setdefault(_col, _jk)
+    _ECS_TO_JOURNAL.setdefault(_col.replace("_", "."), _jk)
+
+# Linux capability names by bit index — public Linux ABI
+# (include/uapi/linux/capability.h), the table capabilities_linux.go
+# builds from libcap at startup.
+_CAP_NAMES = [
+    "CAP_CHOWN", "CAP_DAC_OVERRIDE", "CAP_DAC_READ_SEARCH", "CAP_FOWNER",
+    "CAP_FSETID", "CAP_KILL", "CAP_SETGID", "CAP_SETUID", "CAP_SETPCAP",
+    "CAP_LINUX_IMMUTABLE", "CAP_NET_BIND_SERVICE", "CAP_NET_BROADCAST",
+    "CAP_NET_ADMIN", "CAP_NET_RAW", "CAP_IPC_LOCK", "CAP_IPC_OWNER",
+    "CAP_SYS_MODULE", "CAP_SYS_RAWIO", "CAP_SYS_CHROOT", "CAP_SYS_PTRACE",
+    "CAP_SYS_PACCT", "CAP_SYS_ADMIN", "CAP_SYS_BOOT", "CAP_SYS_NICE",
+    "CAP_SYS_RESOURCE", "CAP_SYS_TIME", "CAP_SYS_TTY_CONFIG", "CAP_MKNOD",
+    "CAP_LEASE", "CAP_AUDIT_WRITE", "CAP_AUDIT_CONTROL", "CAP_SETFCAP",
+    "CAP_MAC_OVERRIDE", "CAP_MAC_ADMIN", "CAP_SYSLOG", "CAP_WAKE_ALARM",
+    "CAP_BLOCK_SUSPEND", "CAP_AUDIT_READ", "CAP_PERFMON", "CAP_BPF",
+    "CAP_CHECKPOINT_RESTORE",
+]
+
+# systemd's MESSAGE_ID for coredumps, used by journalctl's unit match
+# expansion (systemd coredump.h / journalctl add_matches_for_unit).
+_COREDUMP_MSG_ID = "fc2e22bc6ee647b6b90729ab34a250b1"
+
+_PAIRS_SCHEMA = "file string, rec_no bigint, pairs array<struct<k:string,v:string>>, message_bytes binary"
+
+
+def _sq(s: str) -> str:
+    """SQL single-quote a literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Record framing
+# ---------------------------------------------------------------------------
+
+def _records_text(spark: SparkSession, paths) -> DataFrame:
+    """Distributed framing of text-only export streams.
+
+    ``lineSep="\\n\\n"`` makes each blank-line-separated record one
+    row, and the Hadoop line reader keeps the file splittable — a
+    100 GB export fans out across tasks with no shuffle.  Lines
+    without ``=`` (only possible in binary exports, which this mode
+    does not claim) are dropped by the pair filter.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.text(list(paths), lineSep="\n\n").select(
+        F.input_file_name().alias("file"),
+        F.monotonically_increasing_id().alias("rec_no"),
+        F.col("value"),
+    )
+    pairs = F.expr(
+        "transform(filter(split(value, '\\n'), l -> instr(l, '=') > 0), "
+        "l -> named_struct('k', substring(l, 1, instr(l, '=') - 1), "
+        "'v', substring(l, instr(l, '=') + 1, 2147483647)))"
+    )
+    return (
+        df.select("file", "rec_no", pairs.alias("pairs"))
+        .withColumn("message_bytes", F.lit(None).cast("binary"))
+        .where(F.size("pairs") > 0)
+    )
+
+
+def _parse_export_bytes(blob: bytes) -> Iterable[tuple[int, list, bytes]]:
+    """Sequential binary-safe export parse (one file).
+
+    Mirrors the export wire format journalctl emits: ``KEY=VALUE``
+    text lines, or ``NAME\\n<uint64 LE size><size bytes>\\n`` for
+    binary values; a blank line ends the record.
+    """
+    recs: list[tuple[int, list, bytes]] = []
+    cur: list = []
+    msg_bytes: bytes | None = None
+    rec_no = 0
+    i, n = 0, len(blob)
+    while i < n:
+        j = blob.find(b"\n", i)
+        if j == -1:
+            j = n
+        line = blob[i:j]
+        if line == b"":
+            if cur:
+                recs.append((rec_no, cur, msg_bytes))
+                rec_no += 1
+                cur, msg_bytes = [], None
+            i = j + 1
+            continue
+        if b"=" in line:
+            k, v = line.split(b"=", 1)
+            key = k.decode("utf-8", "replace")
+            cur.append({"k": key, "v": v.decode("utf-8", "replace")})
+            if key == "MESSAGE":
+                msg_bytes = v
+            i = j + 1
+        else:
+            # size-prefixed binary value
+            key = line.decode("utf-8", "replace")
+            i = j + 1
+            if i + 8 > n:
+                break  # truncated stream: drop the dangling field
+            (size,) = struct.unpack("<Q", blob[i : i + 8])
+            i += 8
+            data = blob[i : i + size]
+            i += size + 1  # payload + trailing '\n'
+            cur.append({"k": key, "v": data.decode("utf-8", "replace")})
+            if key == "MESSAGE":
+                msg_bytes = data
+    if cur:
+        recs.append((rec_no, cur, msg_bytes))
+    return recs
+
+
+def _records_binary(spark: SparkSession, paths) -> DataFrame:
+    """Binary-capable framing: sequential Arrow parse per file.
+
+    The export format's binary values are size-prefixed and may
+    contain ``\\n\\n``, so no record-splitting text read can frame
+    them — parsing is inherently sequential per file, exactly like
+    the reference's journalctl pipe.  Parallelism is per-file.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"file": [], "rec_no": [], "pairs": [], "message_bytes": []}
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for rec_no, pairs, msg in _parse_export_bytes(bytes(blob)):
+                    out["file"].append(path)
+                    out["rec_no"].append(rec_no)
+                    out["pairs"].append(pairs)
+                    out["message_bytes"].append(msg)
+            yield pd.DataFrame(out)
+
+    files = spark.read.format("binaryFile").load(list(paths))
+    return files.select("path", "content").mapInPandas(parse, _PAIRS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Matchers — journalctl semantics over the raw pair array
+# ---------------------------------------------------------------------------
+
+def _match_one(field: str, value: str) -> str:
+    return (
+        f"exists(pairs, p -> p.k = {_sq(field)} and p.v = {_sq(value)})"
+    )
+
+
+def _group_sql(group: dict[str, list[str]]) -> str:
+    """One conjunction group: same-field values OR, fields AND."""
+    fields = []
+    for field, values in group.items():
+        fields.append("(" + " or ".join(_match_one(field, v) for v in values) + ")")
+    return "(" + " and ".join(fields) + ")"
+
+
+def matcher_condition(
+    include_matches: list[str] | None = None,
+    units: list[str] | None = None,
+    syslog_identifiers: list[str] | None = None,
+    transports: list[str] | None = None,
+    facilities: list[int] | None = None,
+) -> Column | None:
+    """Build the journalctl match condition over a ``pairs`` column.
+
+    ``include_matches`` entries are ``FIELD=value`` or ``+``;
+    journalctl semantics (validated against the reference's matchers
+    corpus): same-field OR, cross-field AND, ``+``-separated groups
+    OR.  ECS names reverse-map to journal keys
+    (journalfield/matcher.go:83-96).  The config conveniences expand
+    exactly as pkg/journalctl/reader.go:300-325 passes them to
+    journalctl: ``units`` → systemd's four-group unit disjunction,
+    ``syslog_identifiers`` → ``SYSLOG_IDENTIFIER``, ``transports`` →
+    ``_TRANSPORT``, ``facilities`` → ``SYSLOG_FACILITY`` (same-field
+    matches OR).  The mechanisms are AND'd together.
+    """
+    conds: list[str] = []
+
+    if include_matches:
+        groups: list[dict[str, list[str]]] = [{}]
+        for m in include_matches:
+            if m == "+":
+                groups.append({})
+                continue
+            if "=" not in m:
+                raise ValueError(
+                    f"invalid matcher {m!r}: expected '+' or 'field=value'"
+                )
+            field, value = m.split("=", 1)
+            field = _ECS_TO_JOURNAL.get(field, field)
+            groups[-1].setdefault(field, []).append(value)
+        groups = [g for g in groups if g]
+        if groups:
+            conds.append("(" + " or ".join(_group_sql(g) for g in groups) + ")")
+
+    if units:
+        unit_groups: list[str] = []
+        for u in units:
+            # journalctl add_matches_for_unit: the four OR'd groups
+            unit_groups += [
+                _group_sql({"_SYSTEMD_UNIT": [u]}),
+                _group_sql({"UNIT": [u], "_PID": ["1"]}),
+                _group_sql({"COREDUMP_UNIT": [u], "MESSAGE_ID": [_COREDUMP_MSG_ID]}),
+                _group_sql({"OBJECT_SYSTEMD_UNIT": [u], "_UID": ["0"]}),
+            ]
+        conds.append("(" + " or ".join(unit_groups) + ")")
+
+    if syslog_identifiers:
+        conds.append(_group_sql({"SYSLOG_IDENTIFIER": list(syslog_identifiers)}))
+    if transports:
+        conds.append(_group_sql({"_TRANSPORT": list(transports)}))
+    if facilities:
+        conds.append(_group_sql({"SYSLOG_FACILITY": [str(f) for f in facilities]}))
+
+    if not conds:
+        return None
+    return F.expr(" and ".join(conds))
+
+
+# ---------------------------------------------------------------------------
+# Field conversion + ECS enrichment, one let-binding projection
+# ---------------------------------------------------------------------------
+
+def _int_sql(v: str) -> str:
+    """conv.go:100-111: ParseInt, falling back to the part before a
+    comma (the ``"1234,user"`` syslog-pid quirk); unparseable → null."""
+    return (
+        f"coalesce(try_cast({v} as bigint), "
+        f"try_cast(try_element_at(split({v}, ','), 1) as bigint))"
+    )
+
+
+def _build_struct_sql(save_remote_hostname: bool) -> str:
+    """The full conversion as ONE named_struct inside a let-binding.
+
+    ``ps`` (the pair array) binds once; every field below reads the
+    bound variable, so the record parses once per row no matter how
+    many typed columns consume it (the engine's let-binding idiom —
+    see docs/SCALE.md).
+    """
+    # try_element_at: a missing key must read as NULL, never an ANSI
+    # INVALID_ARRAY_INDEX error (the banned job-killer class).
+    get = lambda key: f"try_element_at(filter(ps, p -> p.k = {_sq(key)}), 1).v"
+
+    fields: list[str] = []
+
+    def emit(col: str, sql: str) -> None:
+        fields.append(f"{sql} as {col}")
+
+    # @timestamp — input.go:419 (UnixMicro of __REALTIME_TIMESTAMP)
+    emit("ts", f"timestamp_micros(try_cast({get('__REALTIME_TIMESTAMP')} as bigint))")
+    emit("event_kind", "'event'")
+
+    # plain conversions
+    for jk, (col, is_int) in _CONVERSIONS.items():
+        raw = get(jk)
+        emit(col, _int_sql(raw) if is_int else raw)
+
+    # journald.custom — unknown keys, lowercased, leading '_' stripped,
+    # first occurrence wins (conv.go:68-74 iterates a unique-key map).
+    known = ", ".join(_sq(k) for k in list(_CONVERSIONS) + sorted(_DROPPED))
+    emit(
+        "journald_custom",
+        "aggregate("
+        f"filter(ps, p -> p.k not in ({known})), "
+        "cast(map() as map<string,string>), "
+        "(acc, p) -> if(map_contains_key(acc, lower(regexp_replace(p.k, '^_+', ''))), acc, "
+        "map_concat(acc, map(lower(regexp_replace(p.k, '^_+', '')), p.v))))",
+    )
+
+    # --- ECS enrichment (conv.go:117-204) ---
+    # user ids: per prefix, then the object prefix overwrites
+    # (withECSEnrichment calls journald first, journald.object second).
+    for tag, login_k, uid_k, gid_k in (
+        ("j", "_AUDIT_LOGINUID", "_UID", "_GID"),
+        ("o", "OBJECT_AUDIT_LOGINUID", "OBJECT_UID", "OBJECT_GID"),
+    ):
+        has = lambda k: f"exists(ps, p -> p.k = {_sq(k)})"
+        # getIntegerFromFields: parse failure reads as 0 (conv.go:212-216)
+        ival = lambda k: f"coalesce({_int_sql(get(k))}, 0L)"
+        login_s = f"cast({ival(login_k)} as string)"
+        uid_s = f"cast({ival(uid_k)} as string)"
+        gid_s = f"cast({ival(gid_k)} as string)"
+        diff = f"({has(login_k)} and {login_s} != {uid_s})"
+        emit(
+            f"_user_id_{tag}",
+            f"case when {has(login_k)} and not ({has(uid_k)} and not {diff}) then {login_s} "
+            f"when {has(uid_k)} then {uid_s} end",
+        )
+        emit(f"_user_group_{tag}", f"case when {has(uid_k)} and not {diff} then {gid_s} end")
+        emit(f"_user_eff_{tag}", f"case when {has(uid_k)} and {diff} then {uid_s} end")
+        emit(f"_user_eff_group_{tag}", f"case when {has(uid_k)} and {diff} then {gid_s} end")
+
+    # process fields per prefix (conv.go:154-182); object wins.
+    # NOTE conv.go:160-168 reads prefix+".name"/".executable" — i.e.
+    # "journald.name" — which no conversion populates, so the
+    # reference never actually emits process.name/process.executable
+    # (confirmed by its own golden events). We mirror that: only pid
+    # and command_line flow through.
+    for tag, pid_k, cmd_k in (
+        ("j", "_PID", "_CMDLINE"),
+        ("o", "OBJECT_PID", "OBJECT_CMDLINE"),
+    ):
+        has = lambda k: f"exists(ps, p -> p.k = {_sq(k)})"
+        emit(f"_proc_pid_{tag}", f"case when {has(pid_k)} then coalesce({_int_sql(get(pid_k))}, 0L) end")
+        emit(f"_proc_cmd_{tag}", f"nullif({get(cmd_k)}, '')")
+
+    # tags: docker partial message (input.go:396-407); ParseBool values
+    emit(
+        "tags",
+        f"case when lower({get('CONTAINER_PARTIAL_MESSAGE')}) in ('1', 't', 'true') "
+        "then array('partial_message') end",
+    )
+
+    if save_remote_hostname:
+        emit("log_source_address", get("_HOSTNAME"))
+
+    body = ", ".join(fields)
+    return f"element_at(transform(array(pairs), ps -> struct({body})), 1)"
+
+
+# Go's cmdline tokenizer regex (conv.go:152), valid Java regex as-is.
+_CMDLINE_TOKEN_RE = r'"(\\"|[^"])*?"|[^\s]+'
+
+
+def convert_journald_fields(
+    records: DataFrame, save_remote_hostname: bool = False
+) -> DataFrame:
+    """(file, rec_no, pairs, message_bytes) → the typed event frame."""
+    rec = F.expr(_build_struct_sql(save_remote_hostname))
+    df = records.select("file", "rec_no", "message_bytes", rec.alias("_r"))
+    df = df.select("file", "rec_no", "message_bytes", "_r.*")
+
+    # object prefix overwrites the journald prefix (conv.go:122-125)
+    df = (
+        df.withColumn("user_id", F.expr("coalesce(_user_id_o, _user_id_j)"))
+        .withColumn("user_group_id", F.expr("coalesce(_user_group_o, _user_group_j)"))
+        .withColumn("user_effective_id", F.expr("coalesce(_user_eff_o, _user_eff_j)"))
+        .withColumn(
+            "user_effective_group_id",
+            F.expr("coalesce(_user_eff_group_o, _user_eff_group_j)"),
+        )
+        .withColumn("process_pid", F.expr("coalesce(_proc_pid_o, _proc_pid_j)"))
+        .withColumn(
+            "process_command_line", F.expr("coalesce(_proc_cmd_o, _proc_cmd_j)")
+        )
+    )
+
+    # argv split of the winning command line (conv.go:177-181)
+    args = F.regexp_extract_all(
+        F.col("process_command_line"), F.lit(_CMDLINE_TOKEN_RE), 0
+    )
+    df = df.withColumn(
+        "process_args", F.when(F.col("process_command_line").isNotNull(), args)
+    ).withColumn("process_args_count", F.expr("size(process_args)").cast("long"))
+    df = df.withColumn(
+        "process_args",
+        F.when(F.col("process_args_count") > 0, F.col("process_args")),
+    ).withColumn(
+        "process_args_count",
+        F.when(F.col("process_args_count") > 0, F.col("process_args_count")),
+    )
+
+    # capabilities mask → CAP_* names (capabilities_linux.go:88-115):
+    # hex-parse, expand set bits; empty set / parse failure → null.
+    names = ", ".join(_sq(n) for n in _CAP_NAMES)
+    df = df.withColumn(
+        "process_thread_capabilities_effective",
+        F.expr(
+            "element_at(transform(array(try_cast(conv(journald_process_capabilities, 16, 10) as bigint)), "
+            "w -> case when w is not null and w > 0 and "
+            "  journald_process_capabilities rlike '^[0-9a-fA-F]{1,16}$' then "
+            "  transform(filter(sequence(0, 63), i -> (shiftright(w, i) & 1) = 1), "
+            f"           i -> coalesce(try_element_at(array({names}), i + 1), concat('CAP_', i))) "
+            "end), 1)"
+        ),
+    )
+
+    drop = [c for c in df.columns if c.startswith("_user_") or c.startswith("_proc_")]
+    return df.drop(*drop)
+
+
+def read_journald_export(
+    spark: SparkSession,
+    paths,
+    mode: str = "text",
+    include_matches: list[str] | None = None,
+    units: list[str] | None = None,
+    syslog_identifiers: list[str] | None = None,
+    transports: list[str] | None = None,
+    facilities: list[int] | None = None,
+    save_remote_hostname: bool = False,
+) -> DataFrame:
+    """Read ``journalctl -o export`` output as a typed event frame.
+
+    ``mode="text"`` (default): distributed, splittable framing for
+    text-only exports — the 100 TB path.  ``mode="binary"``: per-file
+    sequential parse that also handles size-prefixed binary values.
+    Matching runs on the raw pairs BEFORE the wide conversion, so
+    filtered records never pay the projection.
+    """
+    if mode == "text":
+        records = _records_text(spark, paths)
+    elif mode == "binary":
+        records = _records_binary(spark, paths)
+    else:
+        raise ValueError(f"mode must be 'text' or 'binary', got {mode!r}")
+
+    cond = matcher_condition(
+        include_matches, units, syslog_identifiers, transports, facilities
+    )
+    if cond is not None:
+        records = records.where(cond)
+    return convert_journald_fields(records, save_remote_hostname)

@@ -38,11 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--source-format",
         default=None,
-        choices=["parquet", "text", "container", "auditd"],
+        choices=["parquet", "text", "container", "auditd", "journald"],
         help="'text' reads raw log files (one harvester-task per file; "
         "'input: {chunked: true}' splits huge files across tasks) "
         "through the multiline reader; 'container' reads docker "
-        "json-file / CRI logs with partial-line reassembly; config key "
+        "json-file / CRI logs with partial-line reassembly; 'journald' "
+        "reads journalctl -o export streams (input: {mode: binary, "
+        "include_matches: [...], units: [...], ...}); config key "
         "'input: {multiline: {...}, format: ..., stream: ...}' carries "
         "the Beats parsers block",
     )
@@ -107,6 +109,20 @@ def main(argv: list[str] | None = None) -> int:
         from beats_spark.operators.auditd import read_auditd
 
         source = read_auditd(spark, source_path, chunked=bool(input_cfg.get("chunked")))
+    elif source_path and source_format == "journald":
+        from beats_spark.sources.journald import read_journald_export
+
+        source = read_journald_export(
+            spark,
+            source_path,
+            mode=input_cfg.get("mode", "text"),
+            include_matches=input_cfg.get("include_matches"),
+            units=input_cfg.get("units"),
+            syslog_identifiers=input_cfg.get("syslog_identifiers"),
+            transports=input_cfg.get("transports"),
+            facilities=input_cfg.get("facilities"),
+            save_remote_hostname=bool(input_cfg.get("save_remote_hostname")),
+        )
     elif source_path and source_format == "container":
         from beats_spark.sources.container import read_container_logs
 
