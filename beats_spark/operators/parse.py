@@ -353,7 +353,24 @@ class Timestamp(Processor):
 @register
 class DecodeJsonFields(Processor):
     """decode_json_fields: parse JSON strings into columns.
-    Ref: libbeat/processors/actions/decode_json_fields.go:50-64,103.
+    Ref: libbeat/processors/actions/decode_json_fields.go:50-64,103,
+    plus the ndjson parser's config surface
+    (libbeat/reader/readjson/json_config.go:20-30):
+
+    - ``message_key``: after decoding, the ``message`` column becomes
+      the string value of that key (readjson/json.go:85-104); missing
+      key → empty string + the error flag when add_error_key is set.
+      Delta from the reference: the closed-schema decode stringifies
+      scalars, so a numeric value arrives as its text instead of
+      raising the "not a string" error.
+    - ``document_id``: the value moves out of the decoded fields into
+      ``_meta_id`` (readjson/json.go:180-191 puts Meta["_id"] for the
+      ES output's doc id; our ES sink convention is the ``_meta_*``
+      column family).
+    - ``expand_keys``: dotted keys expand into nested objects in the
+      reference (jsontransform.WriteJSONKeys); the flat-column
+      equivalent is normalizing ``a.b`` to ``a_b`` in the overflow
+      map's keys (first occurrence wins on collision).
 
     Closed-schema world: pass ``schema`` (Spark DDL, e.g. "k INT,
     name STRING"); fields land as ``{target}_{name}`` (target default =
@@ -367,6 +384,9 @@ class DecodeJsonFields(Processor):
         out: dict[str, Column] = {}
         err = F.lit(False)
         schema = self.cfg.get("schema")
+        message_key = self.cfg.get("message_key")
+        document_id = self.cfg.get("document_id")
+        expand_keys = bool(self.cfg.get("expand_keys", False))
         for f_ in self.cfg["fields"]:
             src = _flat(f_)
             if src not in df.columns:
@@ -380,9 +400,51 @@ class DecodeJsonFields(Processor):
             if schema:
                 parsed = F.from_json(F.col(src), schema)
                 for sf in T._parse_datatype_string(schema).fields:
+                    if document_id and sf.name == document_id:
+                        out["_meta_id"] = parsed.getField(sf.name).cast("string")
+                        continue
                     out[prefix + sf.name] = parsed.getField(sf.name)
+                if message_key:
+                    msg = parsed.getField(message_key).cast("string")
+                    out["message"] = F.coalesce(msg, F.lit(""))
+                    err = err | (~bad & F.col(src).isNotNull() & msg.isNull())
             else:
                 parsed = F.from_json(F.col(src), "map<string,string>")
+                if document_id:
+                    out["_meta_id"] = F.element_at(parsed, document_id)
+                    parsed = F.map_filter(
+                        parsed, lambda k, _v: k != F.lit(document_id)
+                    )
+                if message_key:
+                    msg = F.element_at(parsed, message_key)
+                    out["message"] = F.coalesce(msg, F.lit(""))
+                    err = err | (~bad & F.col(src).isNotNull() & msg.isNull())
+                if expand_keys:
+                    # nested-object expansion, flat-column form:
+                    # 'a.b' → 'a_b'; first occurrence wins on collision
+                    norm = F.transform(
+                        F.map_entries(parsed),
+                        lambda e: F.struct(
+                            F.replace(
+                                e.getField("key"), F.lit("."), F.lit("_")
+                            ).alias("key"),
+                            e.getField("value").alias("value"),
+                        ),
+                    )
+                    parsed = F.aggregate(
+                        norm,
+                        F.create_map().cast("map<string,string>"),
+                        lambda acc, e: F.when(
+                            F.map_contains_key(acc, e.getField("key")), acc
+                        ).otherwise(
+                            F.map_concat(
+                                acc,
+                                F.create_map(
+                                    e.getField("key"), e.getField("value")
+                                ),
+                            )
+                        ),
+                    )
                 out[prefix.rstrip("_") or src + "_map"] = parsed
         if self.cfg.get("add_error_key", False):
             out["flags"] = add_flag(df, "_jsonparsefailure", err)

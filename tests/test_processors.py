@@ -159,6 +159,52 @@ def test_decode_json_fields(df):
     assert rows[2]["p_k"] is None and "_jsonparsefailure" in rows[2]["flags"]
 
 
+def test_decode_json_ndjson_parser_options(spark):
+    """ndjson parser config surface (readjson/json_config.go:20-30):
+    message_key rewrites `message`, document_id moves the key into
+    _meta_id, expand_keys flattens dotted keys in the overflow map."""
+    d = spark.createDataFrame(
+        [
+            (1, '{"msg": "hello", "doc": "id-1", "a.b": "x", "a_b": "first", "n": 2}'),
+            (2, '{"n": "3"}'),
+            (3, "not json"),
+        ],
+        "id int, line string",
+    )
+    out = one(
+        d,
+        {"decode_json_fields": {
+            "fields": ["line"], "target": "j",
+            "message_key": "msg", "document_id": "doc",
+            "expand_keys": True, "add_error_key": True,
+        }},
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["message"] == "hello"
+    assert rows[1]["_meta_id"] == "id-1"
+    m = rows[1]["j"]
+    assert "doc" not in m  # moved to _meta_id (json.go:183)
+    # 'a.b' normalizes to 'a_b' and, colliding with the literal
+    # 'a_b' key, the first document-order occurrence wins ('a.b')
+    assert m["a_b"] == "x" and "a.b" not in m
+    # missing message_key → empty message + error flag (json.go:88-92)
+    assert rows[2]["message"] == "" and "_jsonparsefailure" in rows[2]["flags"]
+    assert rows[3]["message"] == "" and "_jsonparsefailure" in rows[3]["flags"]
+
+    # schema mode: document_id leaves the projected columns
+    out2 = one(
+        d,
+        {"decode_json_fields": {
+            "fields": ["line"], "target": "p",
+            "schema": "msg STRING, doc STRING, n INT",
+            "message_key": "msg", "document_id": "doc",
+        }},
+    )
+    r1 = {r["id"]: r for r in out2.collect()}[1]
+    assert r1["message"] == "hello" and r1["_meta_id"] == "id-1"
+    assert "p_doc" not in out2.columns and r1["p_n"] == 2
+
+
 def test_decode_csv_and_extract(df):
     out = one(df, {"decode_csv_fields": {"fields": {"csvline": "csv_arr"}, "separator": ","}})
     assert out.first()["csv_arr"] == ["a", "b;c"]
