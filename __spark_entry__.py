@@ -1349,6 +1349,53 @@ SELECT doc_id, lang, split FROM ranked WHERE rnk <= 40
 """
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering of a duplicate-pair graph:
+    documents link into stars around every 7th doc, and every third
+    hub chains to its predecessor star — so single pairs under-delete
+    and only the transitive closure labels clusters right. The oracle
+    computes true components with a recursive CTE over the same edge
+    list: both engines must agree on actual graph traversal output
+    (node → min reachable id), not a closed formula."""
+    from beats_spark.operators.dedup import connected_components
+
+    docs = _load(spark, sf_dir, "documents")
+    spokes = docs.where("doc_id % 7 != 0 and doc_id % 3 != 0").select(
+        F.col("doc_id").alias("a"),
+        F.expr("doc_id - doc_id % 7").alias("b"),
+    )
+    bridges = docs.where(
+        "doc_id % 7 = 0 and doc_id > 0 and (doc_id div 7) % 3 = 1"
+    ).select(F.col("doc_id").alias("a"), F.expr("doc_id - 1").alias("b"))
+    comp = connected_components(spokes.unionByName(bridges), "a", "b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+_SQL_DEDUP_CLUSTER = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id > 0 AND (doc_id // 7) % 3 = 1
+), sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node AS doc_id,
+       min(label)::BIGINT AS component,
+       (node = min(label)) AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: corpus unioned with 100 renumbered+noised copies →
     keeper set must equal the original ids (min-id wins)."""
@@ -2344,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_js": q_script_js,
         "corpus_sample": q_corpus_sample,
         "dedup_exact": q_dedup_exact,
+        "dedup_cluster": q_dedup_cluster,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2401,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
         "script_js": _SQL_SCRIPT_JS,
         "corpus_sample": _SQL_CORPUS_SAMPLE,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_cluster": _SQL_DEDUP_CLUSTER,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,

@@ -664,3 +664,120 @@ def embedding_neardup_pairs(
     return spread(df.select(id_col, vec_col)).mapInPandas(
         fn, "id_a long, id_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components: pairs → clusters → canonical keepers
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components of the duplicate-pair graph:
+    ``(node, component)`` where component = min node id reachable.
+
+    This is the step that turns any of this module's pair generators
+    (exact groups, n-gram Jaccard, MinHash-LSH, SimHash, embedding
+    near-dup) into the thing a training pipeline actually consumes: a
+    cluster id per document, so one canonical copy survives and the
+    rest drop. A pair list alone under-deletes — near-duplicate
+    relations chain (A~B, B~C but not A~C directly), and only the
+    transitive closure dedups the whole cluster.
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge list — each round every node takes the minimum label among
+    itself and its neighbors; fixpoint = components. Converges in
+    O(graph diameter) rounds, and near-dup graphs are dense, shallow
+    clusters (diameter a small constant), so 2-4 rounds in practice;
+    ``max_iter`` bounds adversarial chains. Each round is one join +
+    one groupBy (2 shuffles) on the LABEL frame (8-16 bytes/node),
+    never the corpus. Lineage is truncated with a localCheckpoint
+    every ``checkpoint_every`` rounds so long runs don't accrete a
+    mile-deep plan (the classic iterative-Spark failure mode).
+
+    The reference has no equivalent operator (its dedup surface stops
+    at fingerprinting); the design is the standard MapReduce-CC
+    min-label iteration (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — the simple variant, chosen because dedup
+    clusters make the large-star/small-star optimization moot).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        "u is not null and v is not null and u != v"
+    )
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    try:
+        for i in range(max_iter):
+            nbr = (
+                edges.join(labels, edges.v == labels.node)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = labels.join(
+                nbr, labels.node == nbr.u, "left"
+            ).select(
+                labels.node,
+                F.least(
+                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
+                ).alias("label"),
+            )
+            if (i + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint(eager=False)
+            else:
+                new_labels = new_labels.persist()
+            old = labels.select(
+                F.col("node").alias("_n"), F.col("label").alias("_old")
+            )
+            changed = (
+                new_labels.join(old, new_labels.node == old._n)
+                .where("label < _old")
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.withColumnRenamed("label", "component")
+    finally:
+        edges.unpersist()
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Drop every document that is a non-canonical member of a
+    duplicate cluster; the keeper is the minimum id (deterministic at
+    any parallelism). Documents in no pair pass through untouched.
+
+    Plan shape: the loser set (cluster members minus keepers) is
+    proportional to the duplicate count, not the corpus — the final
+    left_anti join lets AQE broadcast it when small.
+    """
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, src, dst)
+    )
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -381,3 +381,66 @@ def test_quantized_assignment_matches_float_kernel(spark):
     # quantization can only flip an argmax when two cells are closer
     # than ~1e-6 in cosine; on this corpus that never happens
     assert mismatches == 0
+
+
+# --- connected components / canonical-keeper dedup ---
+
+
+def test_connected_components_chain_and_star(spark):
+    """A 5-node chain (needs transitive closure), a 3-node star, an
+    isolated pair — labels must be the min id of each component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (10, 12),                  # star around 10
+         (20, 21)],                            # pair
+        "a long, b long",
+    )
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20}
+
+
+def test_connected_components_direction_and_self_loops(spark):
+    """Edges are undirected regardless of pair order; self-loops and
+    null endpoints are ignored."""
+    pairs = spark.createDataFrame(
+        [(5, 1), (1, 3), (7, 7), (None, 9), (9, None)],
+        "a long, b long",
+    )
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 3: 1, 5: 1}
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    # {0,1,2} one cluster (chained), {5,6} another, 3/4/7 untouched
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_connected_components_from_real_pair_generator(spark, docs):
+    """End-to-end: exact duplicate groups → clusters → keepers equals
+    exact_dedup's keeper set (the two paths must agree)."""
+    copies = docs.filter(F.col("doc_id") < 30).withColumns(
+        {"doc_id": F.col("doc_id") + 1000000}
+    )
+    uni = docs.unionByName(copies)
+    # duplicate-pair list: each copy pairs with its original
+    pairs = docs.filter(F.col("doc_id") < 30).selectExpr(
+        "doc_id as a", "doc_id + 1000000 as b"
+    )
+    kept = dedup.dedup_keep_canonical(uni, pairs)
+    want = dedup.exact_dedup(uni)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
