@@ -1654,6 +1654,100 @@ FROM documents
 """
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction battery: plant deterministic emails / IPs / SSNs /
+    phone numbers / card numbers into the documents text, then mask
+    every category and count matches per category. The oracle replays
+    the identical regex battery (written in the Java-regex ∩ RE2
+    subset) and the redacted text must match byte-for-byte."""
+    from beats_spark.operators.redact import add_pii_redaction
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from host 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    ((did * 3) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.lit(" ssn 123-45-6789 on file")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 13 == 0, F.lit(" call 555-867-5309 today")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 17 == 0, F.lit(" card 4111 1111 1111 1111 exp")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = add_pii_redaction(dirty, "text")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("redacted"),
+        F.col("pii_email").cast("long").alias("n_email"),
+        F.col("pii_card").cast("long").alias("n_card"),
+        F.col("pii_ssn").cast("long").alias("n_ssn"),
+        F.col("pii_phone").cast("long").alias("n_phone"),
+        F.col("pii_ipv4").cast("long").alias("n_ipv4"),
+        F.col("pii_total").cast("long").alias("n_total"),
+    )
+
+
+_SQL_REDACT_PII = """
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789 on file' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' call 555-867-5309 today' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111 exp' ELSE '' END
+         AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b', '<CARD>', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b'))::BIGINT AS n_card,
+  len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT AS n_ssn,
+  len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::BIGINT AS n_phone,
+  len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(text, '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b'))
+   + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+   + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+   + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')))::BIGINT AS n_total
+FROM dirty
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: predicted language counts and
     agreement with the labeled lang column."""
@@ -2404,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "ivf_assign": q_ivf_assign,
         "text_stats": q_text_stats,
+        "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2461,6 +2556,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_assign": _sql_ivf_assign(),
         "media_features": _SQL_MEDIA_FEATURES,
         "text_stats": _SQL_TEXT_STATS,
+        "redact_pii": _SQL_REDACT_PII,
         "lang_id": _SQL_LANG_ID,
         "quality_score": _SQL_QUALITY_SCORE,
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
