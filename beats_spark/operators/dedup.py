@@ -709,48 +709,50 @@ def connected_components(
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         "u is not null and v is not null and u != v"
     )
+    # Symmetrize and add a self-loop per node: min over in-neighbors
+    # of the self-looped graph IS least(own label, neighbor labels),
+    # which folds the keep-own-label back-join out of the loop — each
+    # round is exactly one join + one groupBy. Pre-partitioning the
+    # (bigger) edge side on the join key means only the label frame
+    # reshuffles per round.
+    loops = (
+        e.select("u")
+        .union(e.select(F.col("v")))
+        .distinct()
+        .select(F.col("u"), F.col("u").alias("v"))
+    )
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .union(loops)
         .distinct()
+        .repartition("v")
         .persist()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
     )
+    # Convergence by the monotone label-sum: labels only ever
+    # decrease, so an unchanged sum means fixpoint — detected on the
+    # same per-round action, no extra old-vs-new join.
+    prev_sum = None
     try:
         for i in range(max_iter):
-            nbr = (
+            new_labels = (
                 edges.join(labels, edges.v == labels.node)
                 .groupBy("u")
-                .agg(F.min("label").alias("nbr_label"))
-            )
-            new_labels = labels.join(
-                nbr, labels.node == nbr.u, "left"
-            ).select(
-                labels.node,
-                F.least(
-                    labels.label, F.coalesce(nbr.nbr_label, labels.label)
-                ).alias("label"),
+                .agg(F.min("label").alias("label"))
+                .withColumnRenamed("u", "node")
             )
             if (i + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
-            else:
-                new_labels = new_labels.persist()
-            old = labels.select(
-                F.col("node").alias("_n"), F.col("label").alias("_old")
-            )
-            changed = (
-                new_labels.join(old, new_labels.node == old._n)
-                .where("label < _old")
-                .count()
-            )
-            labels.unpersist()
+            new_labels = new_labels.persist()
+            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            if hasattr(labels, "unpersist") and i > 0:
+                labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.withColumnRenamed("label", "component")
     finally:
         edges.unpersist()

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "container_logs",
     "multiline_distributed",
     "auditd_parse",
+    "redact_pii",
+    "dedup_cluster",
 ]
 
 
