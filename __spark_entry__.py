@@ -1516,6 +1516,70 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DEDUP_MINHASH_LSH = _SQL_JACCARD_BODY.format(n=5, t=0.7)
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data dedup flow composed end-to-end:
+    MinHash-LSH candidate pairs → exact-Jaccard verify → connected
+    components → canonical keeper per document. Every doc reports its
+    cluster id (itself when unpaired) and whether it survives. The
+    oracle recomputes the same thing from first principles: exact
+    Jaccard pairs (equal to LSH output on the fixed corpora, see
+    q_dedup_minhash_lsh's determinism note) closed transitively with a
+    recursive CTE."""
+    from beats_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, shingle_n=5, num_hashes=64, bands=16, threshold=0.7
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce(comp.component, F.col("doc_id"))
+        .cast("long")
+        .alias("cluster"),
+        (F.coalesce(comp.component, F.col("doc_id")) == F.col("doc_id")).alias(
+            "kept"
+        ),
+    )
+
+
+_SQL_DEDUP_PIPELINE = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(a.grams || b.grams))::DOUBLE >= 0.7
+), sym AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id)::BIGINT AS cluster,
+       (COALESCE(c.component, d.doc_id) = d.doc_id) AS kept
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64-based — no SQL oracle; driver
     rows-only check). Exact-duplicate injection guarantees hits."""
@@ -2489,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_pipeline": q_dedup_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "embed_neardup": q_embed_neardup,
@@ -2548,6 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
+        "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
