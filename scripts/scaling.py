@@ -143,11 +143,12 @@ below.
 Plain Spark `regexp_extract` over generated strings (no beats_spark
 code), same pinning: {c8["sec"]} s at 8 cores → {c32["sec"]} s at 32
 cores = **{ctrl_speedup:.2f}× speedup from 4× cores**. The host
-itself caps string/regex workloads at ~{ctrl_speedup:.1f}× over this
-range (single NUMA node, shared allocation bandwidth), which bounds
-any engine's 8→32 efficiency at ~{ctrl_speedup / 4:.2f} here. The
-pipeline reaches {eff_8_32 / (ctrl_speedup / 4):.0%} of that host
-ceiling.
+scaled this pure string workload {ctrl_speedup:.1f}× over this
+range during this run (single NUMA node, shared allocation
+bandwidth) — an efficiency proxy of ~{ctrl_speedup / 4:.2f} for
+scan-bound work in the same host phase, not a hard cap (phases on
+this shared VM shift between runs). The pipeline reached
+{eff_8_32 / (ctrl_speedup / 4):.0%} of that proxy.
 
 ## Per-sink counts (identical at every level)
 
