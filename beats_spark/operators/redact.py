@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from beats_spark.operators.base import Processor, Updates, register
+
 # (name, pattern, mask) in application order. Order matters only for
 # overlapping matches (email bodies contain dots; card numbers are
 # digit runs); the order below redacts the most-specific shapes first.
@@ -93,3 +95,32 @@ def add_pii_redaction(
         total = c if total is None else total + c
     out = out.withColumn(prefix + "total", total)
     return out.withColumn(target or text_col, redact_pii(col))
+
+
+@register
+class RedactPII(Processor):
+    """Beats-style config-chain form of the redaction battery.
+
+    Config: ``field`` (text column, default "message"), optional
+    ``target`` (write redacted text elsewhere, default in-place),
+    ``counts`` (bool, attach per-category pii_* count columns,
+    default false). Composes with ``when:`` like every processor.
+    """
+
+    name = "redact_pii"
+
+    def updates(self, df: DataFrame) -> Updates:
+        field = self.cfg.get("field", "message")
+        target = self.cfg.get("target") or field
+        col = F.col(field)
+        out: dict[str, Column] = {}
+        if self.cfg.get("counts", False):
+            prefix = self.cfg.get("prefix", "pii_")
+            counts = pii_counts(col)
+            total = None
+            for k, v in counts.items():
+                out[prefix + k] = v
+                total = v if total is None else total + v
+            out[prefix + "total"] = total
+        out[target] = redact_pii(col)
+        return Updates(set=out)

@@ -86,3 +86,22 @@ def test_category_table_shape():
     for _name, pattern, mask in PII_CATEGORIES:
         re.compile(pattern)
         assert "(?<" not in pattern and r"\1" not in pattern
+
+
+def test_config_chain_processor(spark):
+    # Beats-style config form: composes with when: like any processor.
+    from beats_spark.operators.base import build_chain
+
+    df = spark.createDataFrame(
+        [("a@b.co here", "scrub"), ("c@d.org kept", "keep")],
+        "message string, mode string",
+    )
+    chain = build_chain(
+        [{"redact_pii": {"counts": True,
+                         "when": {"equals": {"mode": "scrub"}}}}]
+    )
+    rows = {r["mode"]: r for r in chain(df).collect()}
+    assert rows["scrub"]["message"] == "<EMAIL> here"
+    assert rows["scrub"]["pii_email"] == 1
+    assert rows["keep"]["message"] == "c@d.org kept"
+    assert rows["keep"]["pii_email"] is None

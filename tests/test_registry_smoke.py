@@ -60,6 +60,7 @@ CONFIGS: dict[str, dict | None] = {
     "move_fields": {"to": "m", "fields": ["spare2"]},
     "now": {"fixed": "2026-01-01 00:00:00"},
     "rate_limit": {"limit": 5, "order_by": ["ts"]},
+    "redact_pii": {"field": "name", "counts": True},
     "registered_domain": {"field": "domain"},
     "rename": {"fields": [{"from": "spare3", "to": "renamed"}]},
     "replace": {"fields": [{"field": "name", "pattern": "a", "replacement": "b"}]},
