@@ -1493,6 +1493,23 @@ WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
 """
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard pairs via the PREFIX-FILTERED exact join (PPJoin
+    family — beats_spark/operators/dedup.py:_jaccard_pairs_prefix): only
+    each doc's rarest |g|−⌈t·|g|⌉+1 grams are indexed, so boilerplate
+    grams never enter the candidate self-join. Output is EXACT (candidates
+    are verified with full array intersection), so the oracle is the same
+    brute-force SQL as the other jaccard modes; run here at n=4, t=0.6 to
+    exercise a borderline ⌈t·n⌉ rounding point the other queries don't."""
+    from beats_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=4, threshold=0.6, method="prefix")
+
+
+_SQL_DEDUP_JACCARD_PREFIX = _SQL_JACCARD_BODY.format(n=4, t=0.6)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (banded signatures → bucket join →
     exact-Jaccard verify). With full recall on the planted pairs the
@@ -2552,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_jaccard_blocked": q_dedup_jaccard_blocked,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_simhash": q_dedup_simhash,
@@ -2612,6 +2630,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": _SQL_DEDUP_CLUSTER,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,
         "dedup_jaccard_blocked": _SQL_DEDUP_JACCARD_BLOCKED,
+        "dedup_jaccard_prefix": _SQL_DEDUP_JACCARD_PREFIX,
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
         "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,

@@ -204,7 +204,14 @@ def ngram_jaccard_pairs(
     filter can only lose borderline pairs, never fabricate one. Leave
     None for exact results (every oracle-checked query does).
 
-    Both methods return identical results when ``max_doc_freq`` is
+    ``method="prefix"`` — prefix-filtered exact join (PPJoin family,
+    see ``_jaccard_pairs_prefix``): indexes only each doc's rarest
+    ``|g| − ⌈t·|g|⌉ + 1`` grams, so the candidate blowup runs over the
+    rare-gram tail instead of every boilerplate phrase. Exact, no
+    ``max_doc_freq`` needed; the scale default for corpora with heavy
+    shared boilerplate.
+
+    All methods return identical results when ``max_doc_freq`` is
     None (tests assert it).
     """
     from pyspark import StorageLevel
@@ -213,6 +220,8 @@ def ngram_jaccard_pairs(
 
     if method == "block":
         return _jaccard_pairs_block(df, text_col, id_col, n, threshold, block_col)
+    if method == "prefix":
+        return _jaccard_pairs_prefix(df, text_col, id_col, n, threshold, block_col)
     if method != "inverted":
         raise ValueError(f"unknown jaccard method {method!r}")
 
@@ -299,6 +308,91 @@ def _jaccard_pairs_block(
         F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb)
     )
     out = joined.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def _jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    block_col: str | None,
+) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (the PPJoin family: Chaudhuri
+    et al. ICDE'06 prefix filter; Xiao et al. WWW'08).
+
+    The inverted-index method indexes EVERY gram, so candidate volume is
+    Σ_g c_g² over all grams — boilerplate grams dominate. Prefix
+    filtering keeps the result exact while indexing only each doc's
+    first ``p = |g| − ⌈t·|g|⌉ + 1`` grams under a global order (document
+    frequency ascending, gram ascending): J(r,s) ≥ t forces an overlap
+    ≥ ⌈t·max(|r|,|s|)⌉, and two sets whose prefixes are disjoint cannot
+    reach that overlap. Rare grams fill the prefixes, so the Σ c_g²
+    blowup runs over the rare tail only — at 100 TB this is the
+    difference between a bounded candidate set and a quadratic one on
+    every boilerplate phrase, with no ``max_doc_freq`` approximation.
+
+    Cost shape: one groupBy for document frequency (keyed on gram), one
+    window for per-doc prefix selection (keyed on id), the prefix
+    self-join (keyed on gram, tiny sides), then an exact array-intersect
+    verify of the surviving candidate pairs against the persisted
+    shingle table. More shuffles than the inverted index, but each one
+    moves a small fraction of the data; candidates — not grams — are
+    the scarce resource at scale.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    from beats_spark.operators.scale import spread
+
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
+    blkc = [F.col("_blk")] if block_col else []
+    gkeys = ["_g"] + (["_blk"] if block_col else [])
+
+    shingled = spread(df).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+        *blk,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    grams = shingled.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g"), *blkc
+    )
+    dfreq = grams.groupBy(*gkeys).agg(F.count(F.lit(1)).alias("_df"))
+    # prefix length p = n − ⌈t·n⌉ + 1; the epsilon keeps float rounding
+    # on the longer (safe) side so a borderline pair is never dropped.
+    p = (
+        F.col("_n")
+        - F.ceil(F.lit(float(threshold)) * F.col("_n") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    order = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_g").asc())
+    pref = (
+        grams.join(dfreq, gkeys)
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(F.col("_rn") <= F.greatest(p, F.lit(1)))
+        .select("_id", "_n", *gkeys)
+    )
+
+    a = pref.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"), *gkeys)
+    b = pref.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), *gkeys)
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    cand = (
+        a.join(b, gkeys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: J ≥ t ⟹ t·max(|a|,|b|) ≤ min(|a|,|b|)
+        .filter(F.least(na, nb) >= F.lit(float(threshold)) * F.greatest(na, nb) - 1e-9)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = shingled.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    vb = shingled.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    out = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sha"), F.col("_shb")))
+    )
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 

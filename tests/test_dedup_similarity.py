@@ -294,6 +294,33 @@ def test_jaccard_methods_agree(spark, docs):
         ).collect()
     }
     assert inv == blk and inv
+    pfx = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=5, threshold=0.5, method="prefix"
+        ).collect()
+    }
+    assert inv == pfx
+
+
+def test_jaccard_prefix_agrees_across_thresholds(spark, docs):
+    """Prefix filtering is exact at any threshold — including values
+    whose t·n is borderline under float rounding (0.6, 0.75) — and
+    under blocking."""
+    for t, n, blk in [(0.6, 4, None), (0.75, 3, None), (0.5, 5, "lang")]:
+        inv = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=n, threshold=t, block_col=blk
+            ).collect()
+        }
+        pfx = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, n=n, threshold=t, block_col=blk, method="prefix"
+            ).collect()
+        }
+        assert inv == pfx, (t, n, blk)
 
 
 def test_sampling_operators(spark, docs):
