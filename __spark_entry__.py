@@ -1916,6 +1916,98 @@ FROM r
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition battery (operators/textstats.py:
+    add_repetition_stats): duplicate-line fractions (expression-only)
+    plus top-2/3-gram cover and duplicate-5-gram character fraction
+    (explode → two keyed aggregations → join back). Fixtures plant
+    multi-line duplicate docs and periodic text since the corpus has no
+    newlines. All outputs are IEEE-exact int/int divisions with
+    least/coalesce caps — portable raw doubles."""
+    from beats_spark.operators.textstats import add_repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = spark.createDataFrame(
+        [
+            (9000001, "aaa bbb\naaa bbb\nccc ddd", "xx", "planted", 23),
+            (9000002, "x y z x y z x y z x y z x y z", "xx", "planted", 29),
+            (9000003, "spam ham spam ham spam ham spam ham spam ham", "xx", "planted", 44),
+            (9000004, "lines\nare\nall\ndistinct\nhere", "xx", "planted", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    uni = docs.unionByName(planted)
+    return add_repetition_stats(uni).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_cover_frac",
+        "top3gram_cover_frac",
+        "dup5gram_char_frac",
+    )
+
+
+_SQL_REPETITION_STATS = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT 9000001, 'aaa bbb' || chr(10) || 'aaa bbb' || chr(10) || 'ccc ddd'
+  UNION ALL SELECT 9000002, 'x y z x y z x y z x y z x y z'
+  UNION ALL SELECT 9000003, 'spam ham spam ham spam ham spam ham spam ham'
+  UNION ALL SELECT 9000004, 'lines' || chr(10) || 'are' || chr(10) || 'all' || chr(10) || 'distinct' || chr(10) || 'here'
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM base),
+toks AS (SELECT doc_id, string_split_regex(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT doc_id, 2 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 2, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 3, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 3], ' '))) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 5 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 5, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS g FROM toks
+),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+gagg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+         max(CASE WHEN n = 3 THEN c * length(g) END) AS top3,
+         sum(CASE WHEN n = 5 AND c > 1 THEN c * length(g) ELSE 0 END) AS dup5
+  FROM cnt GROUP BY doc_id),
+lines AS (
+  SELECT doc_id, trim(l) AS l
+  FROM base, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE trim(l) <> ''),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY doc_id, l),
+lagg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         count(*) AS n_distinct,
+         sum(c * length(l)) AS total_ch,
+         sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS dup_ch
+  FROM lc GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce((la.n_lines - la.n_distinct)::DOUBLE
+                / greatest(la.n_lines, 1)::DOUBLE, 0.0) AS dup_line_frac,
+       coalesce(la.dup_ch::DOUBLE
+                / greatest(la.total_ch, 1)::DOUBLE, 0.0) AS dup_line_char_frac,
+       least(coalesce(g.top2, 0)::DOUBLE
+             / greatest(length(n.t), 1)::DOUBLE, 1.0) AS top2gram_cover_frac,
+       least(coalesce(g.top3, 0)::DOUBLE
+             / greatest(length(n.t), 1)::DOUBLE, 1.0) AS top3gram_cover_frac,
+       least(coalesce(g.dup5, 0)::DOUBLE
+             / greatest(length(n.t), 1)::DOUBLE, 1.0) AS dup5gram_char_frac
+FROM norm n
+LEFT JOIN gagg g USING (doc_id)
+LEFT JOIN lagg la USING (doc_id)
+"""
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window fingerprint contamination check: pairs of docs
     sharing ≥1 aligned 32-char window (injected copies guarantee
@@ -2584,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
@@ -2644,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _SQL_REDACT_PII,
         "lang_id": _SQL_LANG_ID,
         "quality_score": _SQL_QUALITY_SCORE,
+        "repetition_stats": _SQL_REPETITION_STATS,
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash

@@ -144,6 +144,134 @@ def rolling_fingerprints(col: Column, window: int = 32, stride: int = 16) -> Col
     return F.transform(starts, lambda s: F.md5(F.substring(col, s, window)))
 
 
+def line_repetition_metrics(col: Column, line_sep: str = "\n") -> dict[str, Column]:
+    """Gopher-style line-repetition signals (Rae et al. 2021 §A1.1),
+    expression-only (no shuffle): fraction of duplicate lines and the
+    fraction of characters sitting in duplicated lines.
+
+    Lines are the RAW text split on ``line_sep`` (normalization would
+    collapse the separators), trimmed, empties dropped. Per-doc cost is
+    O(lines²) inside one codegen span — lines-per-doc is bounded in
+    practice; the n-gram family below handles unbounded repetition.
+    """
+    lines = F.filter(
+        F.transform(F.split(col, F.lit(line_sep)), F.trim),
+        lambda x: F.length(x) > 0,
+    )
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    safe_n = F.greatest(n_lines, F.lit(1)).cast("double")
+    safe_c = F.greatest(total_chars, F.lit(1)).cast("double")
+    return {
+        "dup_line_frac": (n_lines - n_distinct).cast("double") / safe_n,
+        "dup_line_char_frac": dup_chars.cast("double") / safe_c,
+    }
+
+
+def _word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of normalized text WITH multiplicity (the dedup
+    module's shingles() minus the distinct — repetition needs counts).
+    Docs shorter than n tokens yield one gram = the whole text."""
+    from beats_spark.operators.dedup import tokens
+
+    toks = tokens(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.least(F.lit(n), cnt))),
+    )
+
+
+def add_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_n: int = 5,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition battery (Rae et al. 2021, Table A1):
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — expression-only,
+      see ``line_repetition_metrics``.
+    - ``top{n}gram_cover_frac`` for n in ``top_ns`` — characters
+      covered by the single heaviest word n-gram (count × gram chars)
+      over normalized text chars, capped at 1.0 (overlapping
+      occurrences double-count). "Heaviest" = max of count×chars,
+      which is tie-free-deterministic on any engine (no argmax).
+    - ``dup{n}gram_char_frac`` for ``dup_n`` — characters in n-grams
+      occurring more than once, capped at 1.0 (overlapping occurrences
+      double-count, the standard approximation).
+
+    Scale shape: ONE explode over all requested n values →
+    partial-aggregated groupBy (id, n, gram) → groupBy (id) with
+    conditional aggregates → join back on id. Both shuffles are keyed
+    on uniform hashes (ids / grams); no per-row Python, no skew —
+    repetitive docs produce FEWER distinct grams, not hotter keys.
+    """
+    all_ns = sorted(set(top_ns) | {dup_n})
+    c = F.col(text_col)
+    norm_chars = F.length(
+        F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    )
+
+    def _tag(n: int):
+        # closure, not a default arg: PySpark counts lambda default
+        # args as lambda parameters (CLAUDE.md gotcha)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    gram_structs = F.concat(
+        *[F.transform(_word_ngrams(c, n), _tag(n)) for n in all_ns]
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_rid"), F.explode(gram_structs).alias("_gs")
+    ).select("_rid", F.col("_gs.n").alias("_n"), F.col("_gs.g").alias("_g"))
+    counted = exploded.groupBy("_rid", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cover = F.col("_c") * F.length("_g")
+    aggs = []
+    for n in top_ns:
+        aggs.append(
+            F.max(F.when(F.col("_n") == n, cover)).alias(f"_top{n}")
+        )
+    aggs.append(
+        F.sum(
+            F.when((F.col("_n") == dup_n) & (F.col("_c") > 1), cover).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dup")
+    )
+    per_id = counted.groupBy("_rid").agg(*aggs)
+
+    out = df.join(per_id, df[id_col] == per_id["_rid"], "left").drop("_rid")
+    safe = F.greatest(norm_chars, F.lit(1)).cast("double")
+    cols = dict(line_repetition_metrics(c, line_sep))
+    for n in top_ns:
+        cols[f"top{n}gram_cover_frac"] = F.least(
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)).cast("double") / safe,
+            F.lit(1.0),
+        )
+    cols[f"dup{dup_n}gram_char_frac"] = F.least(
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("double") / safe, F.lit(1.0)
+    )
+    return out.withColumns(cols).drop(
+        *[f"_top{n}" for n in top_ns], "_dup"
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stamp the full stats battery as columns (one codegen pass)."""
     c = F.col(text_col)

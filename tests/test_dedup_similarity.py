@@ -471,3 +471,49 @@ def test_connected_components_from_real_pair_generator(spark, docs):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in want.collect()
     )
+
+
+def test_repetition_stats(spark):
+    """Gopher repetition battery: hand-computed fractions on planted
+    docs (dup lines, heavy bigrams, periodic 5-gram repeats, empty)."""
+    from beats_spark.operators.textstats import add_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaa bbb\naaa bbb\nccc ddd"),
+            (2, "one two three four five six seven eight"),
+            (4, ""),
+            (5, "x y z x y z x y z x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in add_repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert abs(r1.dup_line_frac - 1 / 3) < 1e-12
+    assert abs(r1.dup_line_char_frac - 14 / 21) < 1e-12
+    # "aaa bbb" twice = 14 chars over 23 normalized chars
+    assert abs(r1.top2gram_cover_frac - 14 / 23) < 1e-12
+    assert abs(r1.top3gram_cover_frac - 11 / 23) < 1e-12
+    assert r1.dup5gram_char_frac == 0.0
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.0 and r2.dup5gram_char_frac == 0.0
+    r4 = rows[4]
+    assert (
+        r4.dup_line_frac, r4.dup_line_char_frac,
+        r4.top2gram_cover_frac, r4.dup5gram_char_frac,
+    ) == (0.0, 0.0, 0.0, 0.0)
+    # periodic text: every 5-gram repeats, cover caps at 1.0
+    r5 = rows[5]
+    assert r5.dup5gram_char_frac == 1.0
+    assert r5.top2gram_cover_frac <= 1.0
+
+
+def test_repetition_stats_no_python_in_plan(spark):
+    from beats_spark.operators.textstats import add_repetition_stats
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit(" again again")).alias("text"),
+    )
+    plan = add_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
