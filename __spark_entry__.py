@@ -1349,6 +1349,37 @@ SELECT doc_id, lang, split FROM ranked WHERE rnk <= 40
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style distributed sequence packing (operators/sampling.py:
+    pack_sequences): md5-bucketed streams, per-stream exclusive running
+    token sum, floor-division window assignment. All-integer output, so
+    the oracle reproduces the exact per-doc pack layout."""
+    from beats_spark.operators.sampling import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=128, n_buckets=16)
+
+
+_SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('s0|' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_count
+  FROM documents),
+s AS (
+  SELECT doc_id, bucket, tok_count,
+         coalesce(sum(tok_count + 1) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM t)
+SELECT doc_id, bucket::BIGINT AS bucket, tok_count::BIGINT AS tok_count, start_off,
+       (start_off // 128)::BIGINT AS pack_first,
+       ((start_off + greatest(tok_count, 1) - 1) // 128)::BIGINT AS pack_last
+FROM s
+"""
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering of a duplicate-pair graph:
     documents link into stars around every 7th doc, and every third
@@ -2657,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_id_dirty": q_community_id_dirty,
         "script_js": q_script_js,
         "corpus_sample": q_corpus_sample,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_cluster": q_dedup_cluster,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2719,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
         "community_id_dirty": _SQL_COMMUNITY_ID_DIRTY,
         "script_js": _SQL_SCRIPT_JS,
         "corpus_sample": _SQL_CORPUS_SAMPLE,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_cluster": _SQL_DEDUP_CLUSTER,
         "dedup_jaccard": _SQL_DEDUP_JACCARD,

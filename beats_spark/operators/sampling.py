@@ -92,3 +92,61 @@ def stratified_quota(
         .filter(F.col("_rank") <= n_per_stratum)
         .drop("_rank")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    sep_tokens: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate-then-chunk a corpus into
+    fixed ``budget``-token context windows, distributed.
+
+    The classic pretraining layout streams documents back to back (one
+    separator token between docs) and slices the stream into windows;
+    a doc may straddle a window boundary. Done naively that stream is a
+    global total order — a single reducer. Here the corpus is split
+    into ``n_buckets`` independent streams by the portable md5 hash of
+    the id, and each stream is packed separately: one shuffle keyed on
+    (bucket), parallelism = n_buckets, identical output at any cluster
+    size. At 100 TB set n_buckets ≈ a few × cores so each stream's
+    running sum is a short per-partition scan; skew is structurally
+    impossible (hash-uniform buckets, window work is O(rows)).
+
+    Returns one row per doc: ``bucket``, ``tok_count`` (whitespace
+    tokens), ``start_off`` (token offset of the doc in its stream),
+    ``pack_first``/``pack_last`` (window indexes the doc lands in).
+    Every column is an integer, so the DuckDB oracle reproduces the
+    exact assignment (contract query ``pack_sequences``).
+    """
+    if budget <= 0 or n_buckets <= 0:
+        raise ValueError("budget and n_buckets must be positive")
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    toks = token_count_whitespace(F.col(text_col))
+    bucket = sample_hash(F.col(id_col), seed=seed) % n_buckets
+    base = df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        toks.cast("long").alias("tok_count"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.col("tok_count") + sep_tokens).over(w), F.lit(0)
+    )
+    out = base.withColumn("start_off", start)
+    end_tok = F.col("start_off") + F.greatest(F.col("tok_count"), F.lit(1))
+    return out.withColumns(
+        {
+            "pack_first": F.floor(F.col("start_off") / budget).cast("long"),
+            "pack_last": F.floor((end_tok - 1) / budget).cast("long"),
+        }
+    )

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "auditd_parse",
     "redact_pii",
     "dedup_cluster",
+    "dedup_jaccard_prefix",
+    "repetition_stats",
 ]
 
 

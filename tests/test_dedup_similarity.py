@@ -517,3 +517,39 @@ def test_repetition_stats_no_python_in_plan(spark):
     )
     plan = add_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_matches_bruteforce(spark, docs):
+    """Distributed packing equals the single-stream simulation of each
+    bucket: same start offsets and window spans, any parallelism."""
+    from beats_spark.operators.sampling import pack_sequences
+
+    budget, sep = 64, 1
+    got = pack_sequences(
+        docs, budget=budget, n_buckets=8, sep_tokens=sep
+    ).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert len(by_bucket) > 1, "hash bucketing should spread the corpus"
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_off == off, (r.doc_id, r.start_off, off)
+            end = off + max(r.tok_count, 1)
+            assert r.pack_first == off // budget
+            assert r.pack_last == (end - 1) // budget
+            assert r.pack_first <= r.pack_last
+            off += r.tok_count + sep
+
+
+def test_pack_sequences_deterministic_and_validated(spark, docs):
+    from beats_spark.operators.sampling import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(docs, budget=128).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, budget=128).collect()))
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
