@@ -2642,6 +2642,131 @@ FROM events GROUP BY user_id
 """
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (web-crawl first pass).
+
+    Plants deterministic dirty URLs over the documents table — scheme/
+    host case noise, default ports, duplicate slashes, trailing
+    slashes, shuffled query params, utm/fbclid trackers, fragments —
+    where the *identity* (host number, path, surviving params) depends
+    only on doc_id % 50, so every canonical URL recurs ~N/50 times.
+    Canonicalizes (operators/urlnorm.py), then marks each row with its
+    duplicate-group size and whether it is the keeper (lowest doc_id).
+    A sprinkling of non-URL rows checks the NULL/tag path.
+
+    The oracle replays both the fixture construction and the full
+    canonicalization in DuckDB SQL and the canonical strings must
+    match byte-for-byte. Plan: codegen projection + ONE hash shuffle
+    (window over canonical_url)."""
+    from beats_spark.operators.urlnorm import url_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    b = (did % 50).cast("string")
+    https = (did % 50) % 2 == 1
+    url = F.when(
+        did % 97 == 0, F.concat(F.lit("bare text "), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.when(https, F.when(did % 2 == 0, "HTTPS").otherwise("https"))
+            .otherwise(F.when(did % 2 == 0, "HTTP").otherwise("http")),
+            F.lit("://"),
+            F.when(did % 2 == 0, "CDN").otherwise("cdn"),
+            b,
+            F.when(did % 4 < 2, ".Example.COM").otherwise(".example.com"),
+            F.when(
+                did % 5 == 0, F.when(https, ":443").otherwise(":80")
+            ).otherwise(""),
+            F.when(
+                did % 4 == 0, F.concat(F.lit("//data//set"), b, F.lit("/"))
+            ).otherwise(F.concat(F.lit("/data/set"), b)),
+            F.when(
+                did % 2 == 0, F.concat(F.lit("?v="), b, F.lit("&lang=en"))
+            ).otherwise(F.concat(F.lit("?lang=en&v="), b)),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit("&utm_source=feed"), did.cast("string")),
+            ).otherwise(""),
+            F.when(
+                did % 7 == 0, F.concat(F.lit("&fbclid=x"), did.cast("string"))
+            ).otherwise(""),
+            F.when(
+                did % 6 == 0, F.concat(F.lit("#sec"), did.cast("string"))
+            ).otherwise(""),
+        )
+    )
+    out = url_dedup(docs.select("doc_id", url.alias("url")), "url", "doc_id")
+    return out.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.col("n_dupes").cast("long").alias("n_dupes"),
+        "is_keeper",
+    )
+
+
+_SQL_URL_CANONICAL = r"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS b,
+         (doc_id % 50) % 2 = 1 AS https
+  FROM documents
+), urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'bare text ' || CAST(doc_id AS VARCHAR)
+    ELSE
+      (CASE WHEN https THEN (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+            ELSE (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) END)
+      || '://'
+      || (CASE WHEN doc_id % 2 = 0 THEN 'CDN' ELSE 'cdn' END) || b
+      || (CASE WHEN doc_id % 4 < 2 THEN '.Example.COM' ELSE '.example.com' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN https THEN ':443' ELSE ':80' END) ELSE '' END)
+      || (CASE WHEN doc_id % 4 = 0 THEN '//data//set' || b || '/' ELSE '/data/set' || b END)
+      || (CASE WHEN doc_id % 2 = 0 THEN '?v=' || b || '&lang=en' ELSE '?lang=en&v=' || b END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      || (CASE WHEN doc_id % 7 = 0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR) ELSE '' END)
+      || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+    END AS url
+  FROM base
+), parts AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q0
+  FROM urls
+), norm AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+         WHEN scheme = 'ftp' THEN regexp_replace(auth0, ':21$', '')
+         WHEN scheme = 'ws' THEN regexp_replace(auth0, ':80$', '')
+         WHEN scheme = 'wss' THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    CASE WHEN regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'), '/$', '') END AS path,
+    COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        p -> p <> '' AND NOT regexp_matches(lower(p),
+          '^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|yclid|igshid|mc_cid|mc_eid)='))), '&'),
+      '') AS q
+  FROM parts
+), canon AS (
+  SELECT doc_id, url,
+    CASE WHEN scheme = '' THEN NULL
+         ELSE scheme || '://' || auth || path
+              || CASE WHEN q = '' THEN '' ELSE '?' || q END
+    END AS canonical_url
+  FROM norm
+)
+SELECT doc_id, url, canonical_url,
+  (CASE WHEN canonical_url IS NULL THEN 1
+        ELSE count(*) OVER (PARTITION BY canonical_url) END)::BIGINT AS n_dupes,
+  CASE WHEN canonical_url IS NULL THEN TRUE
+       ELSE doc_id = min(doc_id) OVER (PARTITION BY canonical_url) END AS is_keeper
+FROM canon
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2712,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -2773,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION_STATS,
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
         "multimodal_meta": _SQL_MULTIMODAL_META,
+        "url_canonical": _SQL_URL_CANONICAL,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "dedup_cluster",
     "dedup_jaccard_prefix",
     "repetition_stats",
+    "url_canonical",
 ]
 
 

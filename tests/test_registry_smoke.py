@@ -73,6 +73,7 @@ CONFIGS: dict[str, dict | None] = {
     "truncate_fields": {"fields": ["name"], "max_characters": 2},
     "uppercase": {"values": ["name"]},
     "urldecode": {"fields": [{"from": "urlenc", "to": "urldec"}]},
+    "canonicalize_url": {"field": "domain", "target": "canon"},
 }
 
 

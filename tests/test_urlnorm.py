@@ -1,0 +1,82 @@
+"""URL canonicalization unit battery (operators/urlnorm.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+from beats_spark.operators.urlnorm import canonicalize_url, url_dedup
+
+CASES = [
+    # scheme + host case, default port
+    ("HTTP://WWW.Example.COM:80/a", "http://www.example.com/a"),
+    ("https://Host.io:443/x", "https://host.io/x"),
+    ("https://host.io:8443/x", "https://host.io:8443/x"),  # non-default kept
+    ("http://h:443/x", "http://h:443/x"),  # not http's default -> kept
+    ("ftp://h:21/f", "ftp://h/f"),
+    # path normalization
+    ("http://h//a//b/", "http://h/a/b"),
+    ("http://h/", "http://h/"),
+    ("http://h", "http://h/"),
+    ("http://h/a/", "http://h/a"),
+    # query: trackers dropped, params sorted, fragment dropped
+    ("http://h/p?b=2&a=1", "http://h/p?a=1&b=2"),
+    ("http://h/p?utm_source=tw&a=1&fbclid=zz", "http://h/p?a=1"),
+    ("http://h/p?utm_campaign=x", "http://h/p"),
+    ("http://h/p?a=1#frag", "http://h/p?a=1"),
+    ("http://h/p#frag", "http://h/p"),
+    # param values preserved byte-for-byte (only order/trackers change)
+    ("http://h/p?q=A%20B&z=1", "http://h/p?q=A%20B&z=1"),
+    # empty params dropped
+    ("http://h/p?&a=1&", "http://h/p?a=1"),
+]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [(i, url, want) for i, (url, want) in enumerate(CASES)],
+        "id long, url string, want string",
+    )
+
+
+def test_canonicalization_battery(frame):
+    got = frame.withColumn("canon", canonicalize_url(F.col("url"))).collect()
+    for r in got:
+        assert r.canon == r.want, f"{r.url!r}: {r.canon!r} != {r.want!r}"
+
+
+def test_non_url_is_null(spark):
+    df = spark.createDataFrame(
+        [("not a url",), ("relative/path?a=1",), ("",)], "url string"
+    )
+    out = df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    assert all(r.c is None for r in out)
+
+
+def test_url_dedup_keeper(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://h/a?b=2&a=1"),
+            (2, "http://h:80/a/?a=1&b=2&utm_source=x"),
+            (3, "http://h/other"),
+            (4, "plain text"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert rows[1].canonical_url == rows[2].canonical_url == "http://h/a?a=1&b=2"
+    assert rows[1].n_dupes == rows[2].n_dupes == 2
+    assert rows[1].is_keeper and not rows[2].is_keeper
+    assert rows[3].n_dupes == 1 and rows[3].is_keeper
+    assert rows[4].canonical_url is None and rows[4].is_keeper
+
+
+def test_processor_tags_non_url(spark):
+    df = spark.createDataFrame([("nope",), ("http://h/x",)], "url string")
+    out = build_chain([{"canonicalize_url": {"field": "url", "target": "c"}}])(df)
+    rows = sorted(out.collect(), key=lambda r: r.url)
+    assert rows[0].url == "http://h/x" and rows[0].c == "http://h/x"
+    assert rows[0].flags is None
+    assert rows[1].c is None and "url_canonical_error" in (rows[1].flags or [])
