@@ -2767,6 +2767,84 @@ FROM canon
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line-level dedup (CCNet/RefinedWeb boilerplate
+    pass): plants newsletter/cookie/copyright boilerplate lines across
+    deterministic subsets of the documents (one variant with trailing
+    spaces to prove trim-identical matching), plus a per-doc unique
+    line, then removes every line present in ≥2 distinct docs and
+    reassembles the survivors in order. Blank lines are preserved.
+    The oracle replays the construction, the md5 line keys, the
+    distinct-doc frequency count, and the ordered reassembly; cleaned
+    text must match byte-for-byte."""
+    from beats_spark.operators.dedup import line_level_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                did % 3 == 0, F.lit("SUBSCRIBE to our newsletter today\n")
+            ).otherwise(""),
+            F.lit("doc "),
+            did.cast("string"),
+            F.lit(" unique: "),
+            F.col("text"),
+            F.when(
+                did % 5 == 0, F.lit("\n\nCookie Policy | Privacy | Terms")
+            ).otherwise(""),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit("\n(c) 2024 Example Corp"),
+                    F.when(did % 7 == 0, "  ").otherwise(""),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return line_level_dedup(planted, "text", "doc_id", min_docs=2)
+
+
+_SQL_LINE_DEDUP = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE to our newsletter today' || chr(10) ELSE '' END)
+    || 'doc ' || CAST(doc_id AS VARCHAR) || ' unique: ' || text
+    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'Cookie Policy | Privacy | Terms' ELSE '' END)
+    || (CASE WHEN doc_id % 2 = 0
+             THEN chr(10) || '(c) 2024 Example Corp'
+                  || (CASE WHEN doc_id % 7 = 0 THEN '  ' ELSE '' END)
+             ELSE '' END)
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+       unnest(list_transform(range(1, len(l) + 1), i -> {'pos': i, 'line': l[i]})) AS u(s)
+), keyed AS (
+  SELECT doc_id, pos, line, md5(trim(line)) AS lk FROM lines
+), boiler AS (
+  SELECT lk FROM (
+    SELECT lk, count(DISTINCT doc_id) AS n_docs
+    FROM keyed WHERE trim(line) <> '' GROUP BY lk
+  ) WHERE n_docs >= 2
+), kept AS (
+  SELECT * FROM keyed WHERE lk NOT IN (SELECT lk FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines FROM docs2
+)
+SELECT t.doc_id, COALESCE(r.clean, '') AS text, t.n_lines,
+       COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       (t.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2838,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
         "url_canonical": q_url_canonical,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2900,6 +2979,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "url_canonical": _SQL_URL_CANONICAL,
+        "line_dedup": _SQL_LINE_DEDUP,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained

@@ -877,3 +877,85 @@ def dedup_keep_canonical(
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def line_level_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus line-level dedup (the CCNet/RefinedWeb boilerplate
+    pass): remove every line that appears, trimmed-identical, in at
+    least ``min_docs`` DISTINCT documents — headers, footers, cookie
+    banners, nav menus — and reassemble each document from its
+    surviving lines in original order.
+
+    Returns one row per input document: ``id_col``, ``text`` (cleaned;
+    '' when every line was boilerplate), ``n_lines`` (before),
+    ``n_kept``, ``n_removed``. Blank/whitespace-only lines are
+    structure, not content: never counted toward frequency and never
+    removed.
+
+    Scale plan (the classic three-shuffle global pass):
+      1. explode to (id, pos, line) — narrow, no shuffle; the line key
+         is ``md5(trim(line))`` so the shuffle carries a 16-byte key,
+         never the line text (and the oracle can replay it).
+      2. line-frequency: distinct (key, id) then groupBy(key) — the
+         count-distinct pair of shuffles, both partially aggregated
+         map-side; uniform keys (hashes) so no salting needed.
+      3. anti-join lines against the boilerplate keys — the
+         boilerplate set is tiny relative to the corpus (it IS the
+         repeated content), so AQE broadcasts it; left as AQE's call
+         because a pathological corpus can make it huge (CLAUDE.md:
+         forced broadcast of candidate sets OOMs).
+      4. reassemble: groupBy(id), sort_array over (pos, line) structs,
+         array_join — one shuffle keyed by doc id.
+    At 100 TB the dominant cost is step 2's shuffle of one (16 B, id)
+    pair per non-blank line; text bytes only move in step 4, keyed by
+    the document's own id (no skew beyond document size itself).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.md5(F.trim(F.col("line")))
+    boiler = (
+        lines.where(F.trim(F.col("line")) != "")
+        .select(key.alias("lk"), id_col)
+        .dropDuplicates(["lk", id_col])
+        .groupBy("lk")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lk")
+    )
+    kept = lines.join(
+        boiler, on=[key == boiler["lk"]], how="left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.col("n_lines")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

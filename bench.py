@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "dedup_jaccard_prefix",
     "repetition_stats",
     "url_canonical",
+    "line_dedup",
 ]
 
 
