@@ -2845,6 +2845,80 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+_LEAK_P1 = (
+    "The quick benchmark asks what is the airspeed velocity "
+    "of an unladen swallow in furlongs per fortnight exactly"
+)
+_LEAK_P2 = (
+    "Benchmark answer key the mitochondria is the powerhouse "
+    "of the cell obviously and always has been since forever"
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination sweep, composed end-to-end from the
+    sampling + contamination operators: hash-split the corpus into
+    train/eval (deterministic, cluster-size-independent), then flag
+    every TRAIN document sharing a 32-char rolling-window fingerprint
+    with any EVAL document. Two planted benchmark passages (docs
+    %97 / %89 get their text replaced wholesale, so windows align)
+    guarantee real leaks on both sides of the split.
+
+    Output per contaminated train doc: distinct eval partners and
+    total shared windows — the "which training docs must be dropped
+    before this eval set is valid" report. Plan: narrow hash split,
+    explode to (id, fp), fp equi-join (16-byte uniform keys), two
+    partially-aggregated groupBys."""
+    from beats_spark.operators.sampling import split_train_eval
+    from beats_spark.operators.textstats import contamination_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 97 == 0, F.lit(_LEAK_P1))
+        .when(did % 89 == 0, F.lit(_LEAK_P2))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sp = split_train_eval(planted, "doc_id", eval_fraction=0.25, seed=11)
+    train = sp.where(F.col("split") == "train")
+    eval_ = sp.where(F.col("split") == "eval")
+    pairs = contamination_pairs(train, eval_, "text", "doc_id", window=32, stride=16)
+    return pairs.groupBy("train_id").agg(
+        F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
+        F.sum("shared_windows").cast("long").alias("shared_windows"),
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH planted AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN '{_LEAK_P1}'
+         WHEN doc_id % 89 = 0 THEN '{_LEAK_P2}'
+         ELSE text END AS text
+  FROM documents
+), sp AS (
+  SELECT doc_id, text,
+    CASE WHEN ('0x' || substr(md5('s11|' || doc_id::VARCHAR), 1, 15))::BIGINT
+              < {int(0.25 * (1 << 60))}
+         THEN 'eval' ELSE 'train' END AS split
+  FROM planted
+), fps AS (
+  SELECT DISTINCT doc_id, split, md5(substr(text, s, 32)) AS fp
+  FROM sp, unnest(range(1, greatest(length(text) - 32 + 1, 1) + 1, 16)) AS t(s)
+), pairs AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS shared_windows
+  FROM fps t JOIN fps e ON t.fp = e.fp
+  WHERE t.split = 'train' AND e.split = 'eval'
+  GROUP BY 1, 2
+)
+SELECT train_id, count(DISTINCT eval_id)::BIGINT AS n_eval_docs,
+       sum(shared_windows)::BIGINT AS shared_windows
+FROM pairs GROUP BY train_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2917,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2980,6 +3055,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL_META,
         "url_canonical": _SQL_URL_CANONICAL,
         "line_dedup": _SQL_LINE_DEDUP,
+        "decontaminate": _SQL_DECONTAMINATE,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained
