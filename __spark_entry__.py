@@ -2919,6 +2919,138 @@ FROM pairs GROUP BY train_id
 """
 
 
+_QF_SPAM = ("spam ham " * 30).strip()
+_QF_DIGITS = ("12345 67 " * 25).strip()
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-rules corpus filter (textstats.quality_filter):
+    the full rule battery — length, word shape, digit soup, stopword
+    structure, line/n-gram repetition, composite score — annotating
+    every document with sorted reject reasons and a keep flag.
+    Plants a repetition bomb (%13), a digit-soup doc (%17), and a
+    too-short doc (%19) so every rule family fires. The oracle
+    replays the metric expressions, both repetition aggregations,
+    and the reason-list assembly; reasons must match string-exact."""
+    from beats_spark.operators.textstats import quality_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 13 == 0, F.lit(_QF_SPAM))
+        .when(did % 17 == 0, F.lit(_QF_DIGITS))
+        .when(did % 19 == 0, F.lit("tiny doc"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = quality_filter(planted, "text", "doc_id")
+    return out.select("doc_id", "n_words", "reasons", "keep")
+
+
+_SQL_QUALITY_FILTER = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN '{_QF_SPAM}'
+         WHEN doc_id % 17 = 0 THEN '{_QF_DIGITS}'
+         WHEN doc_id % 19 = 0 THEN 'tiny doc'
+         ELSE text END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|is|that|for|with|a|in|it|on|as|at|be|by)\\b')) AS n_stop
+  FROM base
+), score AS (
+  SELECT doc_id,
+         greatest(least(
+           (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 30.0 ELSE 0.0 END)
+           + (CASE WHEN n_chars::DOUBLE / greatest(n_words, 1)::DOUBLE BETWEEN 2.0 AND 12.0
+                   THEN 20.0 ELSE 0.0 END)
+           + least(n_stop::DOUBLE / greatest(n_words, 1)::DOUBLE * 100.0, 30.0)
+           + 20.0
+           - least(n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0)
+           - least(n_digit::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0),
+           100.0), 0.0) AS q
+  FROM m
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM base
+), toks AS (SELECT doc_id, string_split_regex(t, ' ') AS toks FROM norm),
+grams AS (
+  SELECT doc_id, 2 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 2, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, 5 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 5, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS g FROM toks
+),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+gagg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+         sum(CASE WHEN n = 5 AND c > 1 THEN c * length(g) ELSE 0 END) AS dup5
+  FROM cnt GROUP BY doc_id),
+lines AS (
+  SELECT doc_id, trim(l) AS l
+  FROM base, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE trim(l) <> ''),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY doc_id, l),
+lagg AS (
+  SELECT doc_id,
+         sum(c) AS n_lines, count(*) AS n_distinct
+  FROM lc GROUP BY doc_id),
+fracs AS (
+  SELECT m.doc_id, m.n_words,
+         m.n_chars::DOUBLE / greatest(m.n_words, 1)::DOUBLE AS mean_wl,
+         m.n_digit::DOUBLE / greatest(m.n_chars, 1)::DOUBLE AS digit_r,
+         m.n_stop::DOUBLE / greatest(m.n_words, 1)::DOUBLE AS stop_r,
+         coalesce((la.n_lines - la.n_distinct)::DOUBLE
+                  / greatest(la.n_lines, 1)::DOUBLE, 0.0) AS dup_line_frac,
+         least(coalesce(g.top2, 0)::DOUBLE
+               / greatest(length(n.t), 1)::DOUBLE, 1.0) AS top2_cover,
+         least(coalesce(g.dup5, 0)::DOUBLE
+               / greatest(length(n.t), 1)::DOUBLE, 1.0) AS dup5_frac,
+         s.q
+  FROM m
+  JOIN norm n USING (doc_id)
+  JOIN score s USING (doc_id)
+  LEFT JOIN gagg g USING (doc_id)
+  LEFT JOIN lagg la USING (doc_id)
+)
+SELECT doc_id, n_words::BIGINT AS n_words,
+  COALESCE(array_to_string(list_sort(list_filter([
+    CASE WHEN n_words < 20 THEN 'too_short' END,
+    CASE WHEN n_words > 10000 THEN 'too_long' END,
+    CASE WHEN mean_wl < 2.5 OR mean_wl > 10.0 THEN 'word_len' END,
+    CASE WHEN digit_r > 0.2 THEN 'digit_soup' END,
+    CASE WHEN stop_r < 0.03 THEN 'low_stopword' END,
+    CASE WHEN dup_line_frac > 0.3 THEN 'dup_lines' END,
+    CASE WHEN top2_cover > 0.2 THEN 'top2gram' END,
+    CASE WHEN dup5_frac > 0.2 THEN 'dup5gram' END,
+    CASE WHEN q < 40.0 THEN 'low_quality' END
+  ], x -> x IS NOT NULL)), ','), '') AS reasons,
+  COALESCE(array_to_string(list_sort(list_filter([
+    CASE WHEN n_words < 20 THEN 'too_short' END,
+    CASE WHEN n_words > 10000 THEN 'too_long' END,
+    CASE WHEN mean_wl < 2.5 OR mean_wl > 10.0 THEN 'word_len' END,
+    CASE WHEN digit_r > 0.2 THEN 'digit_soup' END,
+    CASE WHEN stop_r < 0.03 THEN 'low_stopword' END,
+    CASE WHEN dup_line_frac > 0.3 THEN 'dup_lines' END,
+    CASE WHEN top2_cover > 0.2 THEN 'top2gram' END,
+    CASE WHEN dup5_frac > 0.2 THEN 'dup5gram' END,
+    CASE WHEN q < 40.0 THEN 'low_quality' END
+  ], x -> x IS NOT NULL)), ','), '') = '' AS keep
+FROM fracs
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2992,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -3056,6 +3189,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
+        "quality_filter": _SQL_QUALITY_FILTER,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained

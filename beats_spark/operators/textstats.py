@@ -319,3 +319,67 @@ def contamination_pairs(
         .groupBy("train_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("shared_windows"))
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 20,
+    max_words: int = 10000,
+    min_mean_word_len: float = 2.5,
+    max_mean_word_len: float = 10.0,
+    max_digit_ratio: float = 0.2,
+    min_stopword_ratio: float = 0.03,
+    max_dup_line_frac: float = 0.3,
+    max_top2gram_cover: float = 0.2,
+    max_dup5gram_char_frac: float = 0.2,
+    min_quality: float = 40.0,
+) -> DataFrame:
+    """The composed Gopher-style corpus filter chain (Rae et al. 2021
+    §A1): every document is scored against the full rule battery —
+    length, word shape, digit soup, stopword structure, line and
+    n-gram repetition, composite quality — and annotated with
+    ``reasons`` (comma-joined, sorted rule tags; '' = clean) and
+    ``keep``. Keeping the reject REASONS first-class is the point:
+    production corpus builds audit per-rule reject rates before
+    filtering, so this returns every row annotated rather than
+    pre-filtered (``.where("keep")`` is the caller's one-liner).
+
+    Plan shape: the repetition battery's two keyed aggregations +
+    join-back (see add_repetition_stats) are the only shuffles; every
+    rule predicate and the composite score ride the same codegen
+    projection. All ratios are IEEE-exact int/int divisions, so the
+    rule outcomes are engine-portable and oracle-checkable.
+    """
+    rep = add_repetition_stats(df, text_col, id_col)
+    c = F.col(text_col)
+    m = quality_metrics(c)
+    score = quality_score(c)
+    checks: list[tuple[str, Column]] = [
+        ("too_short", m["n_words"] < min_words),
+        ("too_long", m["n_words"] > max_words),
+        (
+            "word_len",
+            (m["mean_word_len"] < min_mean_word_len)
+            | (m["mean_word_len"] > max_mean_word_len),
+        ),
+        ("digit_soup", m["digit_ratio"] > max_digit_ratio),
+        ("low_stopword", m["stopword_ratio"] < min_stopword_ratio),
+        ("dup_lines", F.col("dup_line_frac") > max_dup_line_frac),
+        ("top2gram", F.col("top2gram_cover_frac") > max_top2gram_cover),
+        ("dup5gram", F.col("dup5gram_char_frac") > max_dup5gram_char_frac),
+        ("low_quality", score < min_quality),
+    ]
+    reasons = F.array_sort(
+        F.filter(
+            F.array(*[F.when(cond, F.lit(tag)) for tag, cond in checks]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return (
+        rep.withColumn("n_words", m["n_words"].cast("long"))
+        .withColumn("reasons", F.array_join(reasons, ","))
+        .withColumn("keep", F.col("reasons") == "")
+    )

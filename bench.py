@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "url_canonical",
     "line_dedup",
+    "quality_filter",
 ]
 
 
