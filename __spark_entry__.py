@@ -3051,6 +3051,47 @@ FROM fracs
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing (operators/sampling.py:mixture_sample): resample
+    the corpus by language to a target mixture — en upsampled 2.5×
+    (2 exact copies + hash-decided top-up), de kept, es halved, fr
+    dropped, zh 1.25×. Pure narrow projection + explode, no shuffle;
+    decisions are md5-hash deterministic so the oracle replays the
+    exact same row multiset including the copy indices."""
+    from beats_spark.operators.sampling import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs.select("doc_id", "lang"),
+        "lang",
+        {"en": 2.5, "de": 1.0, "es": 0.5, "fr": 0.0, "zh": 1.25},
+        key_col="doc_id",
+        seed=13,
+    )
+    return out.select("doc_id", "lang", "mix_copy")
+
+
+_SQL_MIXTURE_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('s13|' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+    CASE lang
+      WHEN 'en' THEN 2 + (CASE WHEN hv < {int(0.5 * (1 << 60))} THEN 1 ELSE 0 END)
+      WHEN 'de' THEN 1
+      WHEN 'es' THEN (CASE WHEN hv < {int(0.5 * (1 << 60))} THEN 1 ELSE 0 END)
+      WHEN 'fr' THEN 0
+      WHEN 'zh' THEN 1 + (CASE WHEN hv < {int(0.25 * (1 << 60))} THEN 1 ELSE 0 END)
+      ELSE 1 END AS n_copies
+  FROM h
+)
+SELECT doc_id, lang, u.i::BIGINT AS mix_copy
+FROM n, unnest(range(0, n_copies)) AS u(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3125,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "quality_filter": q_quality_filter,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -3190,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
         "quality_filter": _SQL_QUALITY_FILTER,
+        "mixture_sample": _SQL_MIXTURE_SAMPLE,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained

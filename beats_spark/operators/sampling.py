@@ -150,3 +150,64 @@ def pack_sequences(
             "pack_last": F.floor((end_tok - 1) / budget).cast("long"),
         }
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_weight: float = 1.0,
+    copy_col: str = "mix_copy",
+) -> DataFrame:
+    """Domain mixing for training-corpus construction: resample each
+    stratum (source, language, domain bucket) to a target weight.
+
+    ``weight < 1``  — Bernoulli subsample (hash threshold, exact in
+    expectation); ``weight > 1`` — upsample: ``floor(w)`` exact copies
+    plus one fractional top-up copy decided by the same hash. Every
+    surviving row carries ``copy_col`` (0-based copy index) so
+    downstream dedup/packing can tell replicas apart. ``weight == 0``
+    drops the stratum.
+
+    Deterministic and cluster-size-independent: the per-row decision is
+    a pure function of ``(seed, key)`` via the portable md5 hash
+    (sample_hash), so the same corpus yields the same mixture on 1 or
+    1000 executors — and a DuckDB oracle replays it exactly.
+
+    Scale shape: a narrow projection + explode(array_repeat) — NO
+    shuffle. Upsampling multiplies rows inside each input partition;
+    at extreme weights follow with ``spread()`` (operators/scale.py)
+    before a heavy downstream stage. Strata not listed in ``weights``
+    get ``default_weight`` (1.0 = pass through unchanged).
+    """
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for stratum {name!r}: {w}")
+    if default_weight < 0:
+        raise ValueError(f"negative default_weight: {default_weight}")
+
+    h = sample_hash(F.col(key_col), seed)
+
+    def copies_for(w: float):
+        full = int(w)
+        frac_threshold = int((w - full) * _SCALE)
+        n = F.lit(full) + F.when(h < F.lit(frac_threshold), 1).otherwise(0)
+        return n
+
+    expr = None
+    for name, w in weights.items():
+        cond = F.col(stratum_col) == name
+        n = copies_for(w)
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    n_copies = (
+        copies_for(default_weight)
+        if expr is None
+        else expr.otherwise(copies_for(default_weight))
+    )
+    out = df.select(
+        "*",
+        F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(copy_col, "_mix_one"),
+    ).drop("_mix_one")
+    return out.withColumn(copy_col, F.col(copy_col).cast("long"))
