@@ -3092,6 +3092,82 @@ FROM n, unnest(range(0, n_copies)) AS u(i)
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (textstats.vocab_top_k): top-50 tokens
+    by occurrence with doc frequency and deterministic tie-broken
+    rank. Distributed top-k (TakeOrderedAndProject), never a global
+    sort."""
+    from beats_spark.operators.textstats import vocab_top_k
+
+    docs = _load(spark, sf_dir, "documents")
+    out = vocab_top_k(docs, "text", "doc_id", k=50)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "tok",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+_SQL_VOCAB_TOPK = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+), nz AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM nz GROUP BY tok
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n_occurrences DESC, tok) AS rank,
+         tok, n_occurrences, n_docs
+  FROM counts
+)
+SELECT rank::BIGINT AS rank, tok,
+       n_occurrences::BIGINT AS n_occurrences, n_docs::BIGINT AS n_docs
+FROM ranked WHERE rank <= 50
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact unigram-LM surprisal per doc (textstats.
+    unigram_surprisal): floor-log2 arithmetic via binary-string
+    length, so the LM-style quality signal is engine-portable with
+    no floating-point log. surprisal_milli = mean surprisal × 1000,
+    exact integer division."""
+    from beats_spark.operators.textstats import unigram_surprisal
+
+    docs = _load(spark, sf_dir, "documents")
+    return unigram_surprisal(docs, "text", "doc_id")
+
+
+_SQL_UNIGRAM_SURPRISAL = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+), nz AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM nz GROUP BY tok
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS t FROM counts
+), perdoc AS (
+  SELECT nz.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(length(bin(c.cnt)) - 1)::BIGINT AS sum_fl2
+  FROM nz JOIN counts c USING (tok) GROUP BY nz.doc_id
+)
+SELECT doc_id, n_tokens,
+       (n_tokens * (length(bin(t)) - 1) - sum_fl2)::BIGINT AS surprisal_sum,
+       ((n_tokens * (length(bin(t)) - 1) - sum_fl2) * 1000
+        // greatest(n_tokens, 1))::BIGINT AS surprisal_milli
+FROM perdoc, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3167,6 +3243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "quality_filter": q_quality_filter,
         "mixture_sample": q_mixture_sample,
+        "vocab_topk": q_vocab_topk,
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 
@@ -3233,6 +3311,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "quality_filter": _SQL_QUALITY_FILTER,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained

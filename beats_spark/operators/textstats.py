@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Tiny per-language stopword batteries for the n-gram/stopword
 # language-ID heuristic. Deliberately small and public-knowledge:
@@ -382,4 +383,104 @@ def quality_filter(
         rep.withColumn("n_words", m["n_words"].cast("long"))
         .withColumn("reasons", F.array_join(reasons, ","))
         .withColumn("keep", F.col("reasons") == "")
+    )
+
+
+def _corpus_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) rows: normalized whitespace tokens, empties dropped.
+    Narrow explode — no shuffle; shared by the corpus-level ops below."""
+    from beats_spark.operators.dedup import tokens as _toks
+
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_toks(F.col(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+
+
+def vocab_top_k(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary build: the ``k`` most frequent normalized
+    tokens with occurrence count, document frequency, and a dense
+    1-based rank (ties broken by token text, so the result is
+    deterministic on any engine and any parallelism).
+
+    Scale shape: explode (narrow) → groupBy(token) with map-side
+    partial aggregation (the distinct-doc count shuffles (token, id)
+    pairs once) → distributed top-k via orderBy().limit(k), which
+    Spark executes as TakeOrderedAndProject — each partition keeps
+    only its local k, never a global sort — then a row_number window
+    over the surviving k rows (single tiny partition by construction).
+    """
+    toks = _corpus_tokens(df, text_col, id_col)
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("tok"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "tok", "n_occurrences", "n_docs"
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact unigram LM surprisal per document — the
+    CCNet-style "perplexity bucket" quality signal without the
+    engine-portability trap of floating-point ``log``.
+
+    Per token occurrence, surprisal ≈ log2(T) - log2(count(tok))
+    (T = corpus token total), computed with the INTEGER
+    ``floor(log2(n)) = length(bin(n)) - 1`` so every engine agrees
+    bit-for-bit. Returns per doc: ``n_tokens``, ``surprisal_sum`` (in
+    floor-log2 bits), and ``surprisal_milli`` (mean × 1000, integer
+    division — exact). High mean = rare-token soup (gibberish, OCR
+    noise); low mean = boilerplate of corpus-common tokens.
+
+    Scale shape: explode → groupBy(token) count (one partially-
+    aggregated shuffle) → token-keyed equi-join back (uniform hash
+    keys; AQE may broadcast the count table when the vocabulary is
+    small) → groupBy(doc) (one shuffle keyed by id) → cross join with
+    the 1-row total (broadcast nested loop, free). The doc-level sum
+    uses n_tokens × floor_log2(T) − Σ floor_log2(count), so T never
+    rides the big join.
+    """
+    toks = _corpus_tokens(df, text_col, id_col)
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def fl2(col: Column) -> Column:
+        return (F.length(F.bin(col)) - 1).cast("long")
+
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(fl2(F.col("cnt"))).alias("_sum_fl2"),
+        )
+    )
+    totals = counts.agg(F.sum("cnt").alias("_t"))
+    return (
+        per_doc.crossJoin(totals)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") * fl2(F.col("_t")) - F.col("_sum_fl2"))
+            .cast("long")
+            .alias("surprisal_sum"),
+        )
+        .withColumn(
+            "surprisal_milli",
+            F.expr("surprisal_sum * 1000 div greatest(n_tokens, 1)"),
+        )
     )

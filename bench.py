@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "url_canonical",
     "line_dedup",
     "quality_filter",
+    "unigram_surprisal",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Vocabulary build + integer-exact unigram surprisal
+(operators/textstats.py)."""
+
+from __future__ import annotations
+
+from beats_spark.operators.textstats import unigram_surprisal, vocab_top_k
+
+
+def test_vocab_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_k(df, k=3).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].tok == "the" and rows[0].n_occurrences == 3 and rows[0].n_docs == 2
+    # sat(2) beats cat(2) on the token tie-break? No: alphabetical -> cat
+    assert rows[1].tok == "cat" and rows[1].n_occurrences == 2 and rows[1].n_docs == 2
+    assert rows[2].tok == "sat" and rows[2].n_occurrences == 2 and rows[2].n_docs == 2
+
+
+def test_vocab_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "The   THE the"), (2, "")], "doc_id long, text string"
+    )
+    rows = vocab_top_k(df, k=10).collect()
+    assert len(rows) == 1
+    assert rows[0].tok == "the" and rows[0].n_occurrences == 3 and rows[0].n_docs == 1
+
+
+def test_vocab_plan_is_distributed_topk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = vocab_top_k(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_surprisal_math(spark):
+    # corpus: "aa aa aa bb"  -> T=4, fl2(T)=2
+    # counts: aa=3 (fl2=1), bb=1 (fl2=0)
+    df = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "bb")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    # doc1: 3 tokens, sum = 3*2 - 3*1 = 3; milli = 1000
+    assert rows[1].n_tokens == 3 and rows[1].surprisal_sum == 3
+    assert rows[1].surprisal_milli == 1000
+    # doc2: 1 token, sum = 1*2 - 0 = 2; milli = 2000 (rarer token -> higher)
+    assert rows[2].n_tokens == 1 and rows[2].surprisal_sum == 2
+    assert rows[2].surprisal_milli == 2000
+
+
+def test_surprisal_orders_gibberish_above_boilerplate(spark):
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(20)] + [(99, "zxqv wkjh qpmf")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.surprisal_milli for r in unigram_surprisal(df).collect()}
+    assert out[99] > out[0]
