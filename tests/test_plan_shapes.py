@@ -203,3 +203,26 @@ def test_grok_and_js_script_stay_narrow(spark, transcripts):
     plan = plan_of(transform(transcripts, cfg))
     assert "Exchange" not in plan
     assert plan.count("WholeStageCodegen") <= 2
+
+
+def test_mixture_sample_is_shuffle_free(spark):
+    """Domain mixing must stay a narrow projection + explode: zero
+    Exchanges regardless of weights (up- or down-sampling)."""
+    from beats_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(
+        docs, "lang", {"en": 2.5, "de": 0.25, "fr": 0.0}, key_col="doc_id"
+    )
+    assert "Exchange" not in plan_of(out)
+
+
+def test_url_dedup_single_shuffle(spark):
+    """URL dedup = canonicalization projection + ONE window shuffle on
+    the canonical string; canonicalization itself must not shuffle."""
+    from beats_spark.operators.urlnorm import add_url_canonical, url_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = docs.select("doc_id", F.col("source").alias("url"))
+    assert "Exchange" not in plan_of(add_url_canonical(urls))
+    assert plan_of(url_dedup(urls)).count("Exchange") == 1
