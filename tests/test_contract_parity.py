@@ -123,3 +123,16 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.schema.simpleString() == "struct<sink:string,n:bigint,users:bigint>"
+
+
+def test_contract_surface_invariants():
+    """Bench queries must be real contract queries, and the rows-only
+    set (no oracle) must stay exactly the two documented-by-design
+    entries — any new query silently missing its oracle fails here."""
+    import bench as bench_mod
+
+    qs = set(entry_mod.queries())
+    oracles = set(entry_mod.oracle_sql())
+    assert set(bench_mod.BENCH_QUERIES) <= qs
+    assert oracles <= qs
+    assert qs - oracles == {"dedup_simhash", "knn_ivf"}
