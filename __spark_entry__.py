@@ -3168,6 +3168,166 @@ FROM perdoc, tot
 """
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus build, composed from four
+    operators each oracle-proven on its own: Gopher quality filter
+    (keep only clean docs) → exact dedup (min-id keeper per
+    normalized text) → domain-mixture resampling by language →
+    GPT-style sequence packing into 128-token windows. Output is the
+    corpus manifest: one row per surviving doc COPY with its window
+    assignment. The oracle rebuilds the whole chain from first
+    principles in SQL — rule negations for keep, GROUP BY normalized
+    text for dedup (vs Spark's 128-bit hash key: equal unless xxhash64
+    collides, the documented ~1e-20), hash thresholds for the mixture,
+    and the bucketed running-sum pack over pid = doc_id*10+copy."""
+    from beats_spark.operators.dedup import exact_dedup
+    from beats_spark.operators.sampling import mixture_sample, pack_sequences
+    from beats_spark.operators.textstats import quality_filter
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = (
+        quality_filter(docs, "text", "doc_id")
+        .where("keep")
+        .select("doc_id", "lang", "text")
+    )
+    sole = exact_dedup(kept)
+    mixed = mixture_sample(
+        sole,
+        "lang",
+        {"en": 2.0, "de": 1.0, "es": 0.5, "fr": 1.0, "zh": 1.25},
+        key_col="doc_id",
+        seed=17,
+    )
+    packed = pack_sequences(
+        mixed.select(
+            (F.col("doc_id") * 10 + F.col("mix_copy")).alias("pid"), "text"
+        ),
+        "text",
+        "pid",
+        budget=128,
+        n_buckets=8,
+    )
+    return packed.select(
+        F.expr("pid div 10").alias("doc_id"),
+        (F.col("pid") % 10).cast("long").alias("mix_copy"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "tok_count",
+        "start_off",
+        "pack_first",
+        "pack_last",
+    )
+
+
+_SQL_CORPUS_BUILD = f"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text),
+           '\\b(the|and|of|to|is|that|for|with|a|in|it|on|as|at|be|by)\\b')) AS n_stop
+  FROM documents
+), score AS (
+  SELECT doc_id,
+         greatest(least(
+           (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 30.0 ELSE 0.0 END)
+           + (CASE WHEN n_chars::DOUBLE / greatest(n_words, 1)::DOUBLE BETWEEN 2.0 AND 12.0
+                   THEN 20.0 ELSE 0.0 END)
+           + least(n_stop::DOUBLE / greatest(n_words, 1)::DOUBLE * 100.0, 30.0)
+           + 20.0
+           - least(n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0)
+           - least(n_digit::DOUBLE / greatest(n_chars, 1)::DOUBLE * 100.0, 10.0),
+           100.0), 0.0) AS q
+  FROM m
+), nrm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+), tk AS (SELECT doc_id, string_split_regex(t, ' ') AS toks FROM nrm),
+grams AS (
+  SELECT doc_id, 2 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 2, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM tk
+  UNION ALL
+  SELECT doc_id, 5 AS n, unnest(list_transform(
+    range(0, greatest(len(toks) - 5, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + 5], ' '))) AS g FROM tk
+),
+cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+gagg AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+         sum(CASE WHEN n = 5 AND c > 1 THEN c * length(g) ELSE 0 END) AS dup5
+  FROM cnt GROUP BY doc_id),
+lines AS (
+  SELECT doc_id, trim(l) AS l
+  FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE trim(l) <> ''),
+lc AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY doc_id, l),
+lagg AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct
+  FROM lc GROUP BY doc_id),
+kept AS (
+  SELECT m.doc_id
+  FROM m
+  JOIN nrm n USING (doc_id)
+  JOIN score s USING (doc_id)
+  LEFT JOIN gagg g USING (doc_id)
+  LEFT JOIN lagg la USING (doc_id)
+  WHERE m.n_words >= 20 AND m.n_words <= 10000
+    AND m.n_chars::DOUBLE / greatest(m.n_words, 1)::DOUBLE BETWEEN 2.5 AND 10.0
+    AND m.n_digit::DOUBLE / greatest(m.n_chars, 1)::DOUBLE <= 0.2
+    AND m.n_stop::DOUBLE / greatest(m.n_words, 1)::DOUBLE >= 0.03
+    AND coalesce((la.n_lines - la.n_distinct)::DOUBLE
+                 / greatest(la.n_lines, 1)::DOUBLE, 0.0) <= 0.3
+    AND least(coalesce(g.top2, 0)::DOUBLE
+              / greatest(length(n.t), 1)::DOUBLE, 1.0) <= 0.2
+    AND least(coalesce(g.dup5, 0)::DOUBLE
+              / greatest(length(n.t), 1)::DOUBLE, 1.0) <= 0.2
+    AND s.q >= 40.0
+), keyed AS (
+  SELECT d.doc_id, d.lang, d.text,
+         trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS nn
+  FROM documents d JOIN kept USING (doc_id)
+), sole AS (
+  SELECT * FROM keyed
+  WHERE doc_id IN (SELECT min(doc_id) FROM keyed GROUP BY nn)
+), mixn AS (
+  SELECT doc_id, lang, text,
+    CASE lang
+      WHEN 'en' THEN 2
+      WHEN 'de' THEN 1
+      WHEN 'es' THEN (CASE WHEN ('0x' || substr(md5('s17|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                               < {int(0.5 * (1 << 60))} THEN 1 ELSE 0 END)
+      WHEN 'fr' THEN 1
+      WHEN 'zh' THEN 1 + (CASE WHEN ('0x' || substr(md5('s17|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                                   < {int(0.25 * (1 << 60))} THEN 1 ELSE 0 END)
+      ELSE 1 END AS n_copies
+  FROM sole
+), copies AS (
+  SELECT doc_id * 10 + u.i AS pid, doc_id, u.i AS mix_copy, text
+  FROM mixn, unnest(range(0, n_copies)) AS u(i)
+), pk AS (
+  SELECT pid, doc_id, mix_copy,
+         ('0x' || substr(md5('s0|' || pid::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_count
+  FROM copies
+), s2 AS (
+  SELECT pid, doc_id, mix_copy, bucket, tok_count,
+         coalesce(sum(tok_count + 1) OVER (
+           PARTITION BY bucket ORDER BY pid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM pk)
+SELECT doc_id, mix_copy::BIGINT AS mix_copy, bucket::BIGINT AS bucket,
+       tok_count::BIGINT AS tok_count, start_off,
+       (start_off // 128)::BIGINT AS pack_first,
+       ((start_off + greatest(tok_count, 1) - 1) // 128)::BIGINT AS pack_last
+FROM s2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3245,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
         "unigram_surprisal": q_unigram_surprisal,
+        "corpus_build": q_corpus_build,
     }
 
 
@@ -3313,6 +3474,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
+        "corpus_build": _SQL_CORPUS_BUILD,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained
