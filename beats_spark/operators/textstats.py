@@ -222,6 +222,12 @@ def add_repetition_stats(
     on uniform hashes (ids / grams); no per-row Python, no skew —
     repetitive docs produce FEWER distinct grams, not hotter keys.
     """
+    from beats_spark.operators.scale import spread
+
+    # Heavy per-doc expressions (O(lines²) repetition metrics, n-gram
+    # explode) must not run on a single-file scan's one partition —
+    # spread to cluster parallelism first (CLAUDE.md invariant).
+    df = spread(df)
     all_ns = sorted(set(top_ns) | {dup_n})
     c = F.col(text_col)
     norm_chars = F.length(

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "quality_filter",
     "unigram_surprisal",
+    "corpus_build",
 ]
 
 
