@@ -2517,6 +2517,85 @@ WHERE rn = 1
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup_pairs):
+    embeddings clustered into 8 fixed-centroid cells (the oracle-proven
+    ivf_assign arithmetic), near-identical pairs pruned within each
+    cell by the integer-exact quantized-cosine rule cos ≥ 19/20.
+    Near-dups are PLANTED deterministically: vectors with vec_id < 40
+    get a copy at id+1000000 with +0.125 (an exact power of two) added
+    to dimension 0 — cosine ≈ 0.992 against the original on these
+    unit-norm vectors, while every natural pair in the corpus sits
+    below 0.6. The oracle replays the planting, the cell assignment,
+    and the HUGEINT threshold rule from first principles."""
+    from beats_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    as_double = emb.select("vec_id", dbl.alias("embedding"))
+    v = F.col("embedding")
+    perturbed = (
+        as_double.filter(F.col("vec_id") < 40)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(
+                F.array(v[0] + F.lit(0.125)), F.slice(v, 2, 63)
+            ).alias("embedding"),
+        )
+    )
+    pairs = semantic_dedup_pairs(
+        as_double.unionByName(perturbed), n_cells=8, threshold=(19, 20), dim=64
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("cell").cast("long").alias("cell"), "dot_q"
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    from beats_spark.operators.similarity import fixed_centroids
+
+    cells = fixed_centroids(8, 64)
+    dots = "\nUNION ALL ".join(
+        f"SELECT vec_id, {j} AS cell, ({_centroid_dot_sql(c)}) AS dot FROM q"
+        for j, c in enumerate(cells)
+    )
+    return f"""
+WITH planted AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_prepend(embedding[1]::DOUBLE + 0.125,
+                      (embedding::DOUBLE[])[2:64])
+  FROM embeddings WHERE vec_id < 40
+), q AS (
+  SELECT vec_id,
+         list_transform(emb, x -> floor(x * 1000000)::BIGINT) AS qv
+  FROM planted
+), dots AS (
+{dots}
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell ASC) AS rn
+    FROM dots)
+  WHERE rn = 1
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ca.cell,
+         list_inner_product(a.qv::DOUBLE[], b.qv::DOUBLE[])::BIGINT AS dot_q,
+         list_inner_product(a.qv::DOUBLE[], a.qv::DOUBLE[])::BIGINT AS na,
+         list_inner_product(b.qv::DOUBLE[], b.qv::DOUBLE[])::BIGINT AS nb
+  FROM q a
+  JOIN cells ca ON ca.vec_id = a.vec_id
+  JOIN cells cb ON cb.cell = ca.cell
+  JOIN q b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cell::BIGINT AS cell, dot_q
+FROM scored
+WHERE dot_q > 0
+  AND dot_q::HUGEINT * dot_q::HUGEINT * 400 >= 361 * (na::HUGEINT * nb::HUGEINT)
+"""
+
+
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the md5-based 60-bit token hash —
     engine-portable, so the full signature+hamming computation has a
@@ -3168,6 +3247,61 @@ FROM perdoc, tot
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (sampling.dsir_weights): every document
+    scored by hashed-n-gram (unigram+bigram, 512 md5 buckets)
+    likelihood ratio against the English-subcorpus target domain —
+    integer-exact floor-log2 bits, so the data-selection signal is
+    engine-portable. English docs score high, zh/de docs low."""
+    from beats_spark.operators.sampling import dsir_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_weights(docs, target, "text", "doc_id", n_buckets=512, seed=7)
+
+
+_SQL_DSIR_WEIGHTS = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, g
+  FROM norm,
+       unnest(toks ||
+              list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                             i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS u(g)
+  WHERE g <> ''
+), bucketed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('s7|' || g), 1, 15))::BIGINT % 512 AS b
+  FROM grams
+), tc AS (
+  SELECT b, count(*) AS ct FROM bucketed WHERE lang = 'en' GROUP BY b
+), rc AS (
+  SELECT b, count(*) AS cr FROM bucketed GROUP BY b
+), w AS (
+  SELECT rc.b,
+         (length(bin(COALESCE(tc.ct, 0) + 1)) - 1)
+           - (length(bin(rc.cr + 1)) - 1) AS wbits
+  FROM rc LEFT JOIN tc ON tc.b = rc.b
+), tot AS (
+  SELECT (SELECT sum(ct)::BIGINT FROM tc) AS tt,
+         (SELECT sum(cr)::BIGINT FROM rc) AS tr
+), perdoc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams, sum(wbits)::BIGINT AS wsum
+  FROM bucketed JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       (wsum + n_grams * ((length(bin(tr + 512)) - 1)
+                          - (length(bin(tt + 512)) - 1)))::BIGINT AS dsir_bits,
+       ((wsum + n_grams * ((length(bin(tr + 512)) - 1)
+                           - (length(bin(tt + 512)) - 1))) * 1000
+        // greatest(n_grams, 1))::BIGINT AS dsir_milli
+FROM perdoc, tot
+"""
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus build, composed from four
     operators each oracle-proven on its own: Gopher quality filter
@@ -3384,6 +3518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline": q_dedup_pipeline,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
+        "semantic_dedup": q_semantic_dedup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3405,6 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
         "unigram_surprisal": q_unigram_surprisal,
+        "dsir_weights": q_dsir_weights,
         "corpus_build": q_corpus_build,
     }
 
@@ -3454,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_DEDUP_MINHASH_LSH,
         "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
+        "semantic_dedup": _sql_semantic_dedup(),
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,
@@ -3474,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
         "corpus_build": _SQL_CORPUS_BUILD,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin

@@ -760,6 +760,125 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_cells: int = 8,
+    threshold: tuple[int, int] = (19, 20),
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings into cells, then prune
+    near-identical pairs WITHIN each cell only — the published recipe
+    for making embedding dedup tractable at web scale (pairwise work is
+    bounded per cell; cross-cell near-dups are accepted recall loss).
+
+    Published method uses trained k-means cells + float cosine. This
+    implementation makes both stages integer-exact so the outcome is
+    engine-portable (the repo's oracle discipline):
+
+    - cells come from ``similarity.fixed_centroids`` (deterministic
+      equal-norm ±1 centroids) with vectors quantized ``floor(x·1e6)``
+      and argmax over exact int64 dot products — the same arithmetic
+      the oracle-checked ``ivf_assign`` stage proves; swap in
+      ``kmeans_fit`` centroids for the trained-float production flavor
+      (then the decision is float, like ``knn_ivf``).
+    - the cosine test ``cos(a,b) ≥ p/q`` is decided on quantized
+      vectors as ``q²·dot² ≥ p²·|a|²·|b|² AND dot > 0`` in decimal/
+      int128 arithmetic — no sqrt, no float compare. With |x|≤1,
+      dim≤64: dot ≤ 6.4e13, dot² ≤ 4.1e27, q²-scaled ≲ 1e31 — inside
+      decimal(38,0) (Spark) and HUGEINT (DuckDB) exactly.
+
+    Returns (id_a, id_b, cell, dot_q); feed ``connected_components``
+    for keeper selection.
+
+    Scale shape: one narrow projection computes (cell, |v|², qv) in a
+    single codegen pass (no shuffle); the only shuffle is the
+    cell-keyed self-join. Cell population is bounded by construction
+    (n_cells scales with corpus size); AQE splits residual skew. The
+    projected frame feeds both join sides — persisted once, the
+    minhash band-index rule.
+    """
+    from pyspark import StorageLevel
+
+    from beats_spark.operators.scale import spread
+    from beats_spark.operators.similarity import _dim_of, fixed_centroids
+
+    p, q = threshold
+    if not (0 < p <= q):
+        raise ValueError(f"threshold must be a fraction in (0,1], got {p}/{q}")
+    if dim is None:
+        dim = _dim_of(df, vec_col)
+    centroids = fixed_centroids(n_cells, dim, seed)
+
+    # The cell/norm expressions reference ~n_cells×dim quantized terms;
+    # built as Column arithmetic that is hundreds of py4j round-trips
+    # (~5 s of plan build, the CLAUDE.md gotcha) — emit ONE SQL string
+    # per expression instead. Flat per-dim terms tolerate the textual
+    # duplication; codegen folds them.
+    def term(d: int) -> str:
+        return f"floor(cast({vec_col}[{d}] as double) * 1000000)"
+
+    dots = []
+    for j, cent in enumerate(centroids):
+        s = " + ".join(
+            (term(d) if c > 0 else f"(-{term(d)})") for d, c in enumerate(cent)
+        )
+        dots.append(f"named_struct('s', {s}, 'nj', {-j})")
+    cell = F.expr(
+        f"cast(-(array_max(array({', '.join(dots)})).nj) as int)"
+    )
+    normsq = F.expr(
+        " + ".join(f"{term(d)} * {term(d)}" for d in range(dim))
+    )
+    qv = F.expr(
+        f"transform({vec_col}, x -> floor(cast(x as double) * 1000000))"
+    )
+
+    base = spread(
+        df.select(
+            F.col(id_col).alias("_sid"),
+            cell.alias("cell"),
+            normsq.alias("_nsq"),
+            qv.alias("_qv"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = base.select(
+        "cell",
+        F.col("_sid").alias("id_a"),
+        F.col("_nsq").alias("_na"),
+        F.col("_qv").alias("_qa"),
+    )
+    b = base.select(
+        "cell",
+        F.col("_sid").alias("id_b"),
+        F.col("_nsq").alias("_nb"),
+        F.col("_qv").alias("_qb"),
+    )
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_qa"), F.col("_qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.withColumn("dot_q", dot)
+    d38 = F.col("dot_q").cast("decimal(38,0)")
+    lhs = d38 * d38 * F.lit(q * q)
+    rhs = (
+        F.col("_na").cast("decimal(38,0)")
+        * F.col("_nb").cast("decimal(38,0)")
+        * F.lit(p * p)
+    )
+    return (
+        scored.filter((F.col("dot_q") > 0) & (lhs >= rhs))
+        .select("id_a", "id_b", "cell", "dot_q")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Connected components: pairs → clusters → canonical keepers
 # ---------------------------------------------------------------------------

@@ -152,6 +152,135 @@ def pack_sequences(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much it resembles a TARGET domain corpus, using
+    hashed-n-gram bag-of-words likelihood ratios.
+
+    Published method: featurize docs as counts over ``n_buckets``
+    hashed unigram+bigram buckets, fit two smoothed unigram models
+    p (target) and q (raw), weight each doc by
+    ``log w = Σ_grams [log p(bucket) − log q(bucket)]``, then resample
+    proportionally. Two deliberate deviations keep the signal
+    engine-portable and deterministic (the repo's oracle discipline):
+
+    - logs are the INTEGER ``floor(log2(n)) = length(bin(n)) − 1``
+      (the unigram_surprisal trick), with add-one smoothing on bucket
+      counts and add-``n_buckets`` on totals, so every engine agrees
+      bit-for-bit;
+    - the final Gumbel-noise resampling step is replaced by
+      deterministic selection on the weight (callers rank by
+      ``dsir_milli`` or threshold it; ``hash_sample`` composes for the
+      stochastic flavor).
+
+    Per doc: ``log2 w ≈ Σ_grams [fl2(1+cnt_t(b)) − fl2(1+cnt_r(b))]
+    + n_grams·[fl2(T_r+B) − fl2(T_t+B)]`` — the corpus-constant term
+    rides at doc level so totals never join the big explode.
+
+    Returns (id, n_grams, dsir_bits, dsir_milli = bits×1000 div
+    n_grams).
+
+    Scale shape (the 100 TB story): gram explode is narrow; BOTH
+    model fits are groupBy(bucket) with map-side partial aggregation
+    onto at most ``n_buckets`` keys (tiny, uniform); the bucket→weight
+    table is ≤ ``n_buckets`` rows — AQE broadcasts it into the raw
+    explode, so the only full-corpus shuffle is the final
+    groupBy(id). No collect, no skew (md5 buckets are uniform).
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from beats_spark.operators.dedup import tokens
+
+    def grams_of(frame: DataFrame, keep_id: bool) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        cnt = F.size(toks)
+        bi_idx = F.sequence(F.lit(0), F.greatest(cnt - 2, F.lit(0)))
+        bigrams = F.transform(
+            bi_idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+        )
+        cols = [F.explode(F.concat(toks, bigrams)).alias("_g")]
+        if keep_id:
+            cols.insert(0, F.col(id_col).alias("_id"))
+        return frame.select(*cols).where(F.col("_g") != "")
+
+    def bucket_of(g: Column) -> Column:
+        return sample_hash(g, seed) % n_buckets
+
+    t_counts = (
+        grams_of(target, keep_id=False)
+        .groupBy(bucket_of(F.col("_g")).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    # ONE pass over the raw corpus: aggregate straight to (id, bucket,
+    # count) and persist THAT — the q-model fit and the per-doc score
+    # both consume it, and it is the post-explode frame at ≤ n_buckets
+    # rows per doc, orders of magnitude smaller than the gram
+    # occurrences (the minhash band-index persist rule). The naive
+    # "explode twice" form re-reads and re-tokenizes the whole corpus
+    # for the model fit, and shuffles one row per gram OCCURRENCE into
+    # the doc-level aggregation instead of one per (doc, bucket).
+    from pyspark import StorageLevel
+
+    raw_ib = (
+        grams_of(df, keep_id=True)
+        .groupBy("_id", bucket_of(F.col("_g")).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    r_counts = raw_ib.groupBy("_b").agg(F.sum("_n").alias("_cr"))
+
+    def fl2(col: Column) -> Column:
+        return (F.length(F.bin(col)) - 1).cast("long")
+
+    weights = (
+        t_counts.join(r_counts, "_b", "full")
+        .select(
+            "_b",
+            (
+                fl2(F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                - fl2(F.coalesce(F.col("_cr"), F.lit(0)) + 1)
+            ).alias("_w"),
+        )
+    )
+    totals = t_counts.agg(F.sum("_ct").alias("_tt")).crossJoin(
+        r_counts.agg(F.sum("_cr").alias("_tr"))
+    )
+    per_doc = (
+        raw_ib.join(weights, "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_n").alias("n_grams"),
+            F.sum(F.col("_w") * F.col("_n")).alias("_wsum"),
+        )
+    )
+    return (
+        per_doc.crossJoin(totals)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            (
+                F.col("_wsum")
+                + F.col("n_grams")
+                * (fl2(F.col("_tr") + n_buckets) - fl2(F.col("_tt") + n_buckets))
+            )
+            .cast("long")
+            .alias("dsir_bits"),
+        )
+        .withColumn(
+            "dsir_milli",
+            F.expr("dsir_bits * 1000 div greatest(n_grams, 1)"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -553,3 +553,105 @@ def test_pack_sequences_deterministic_and_validated(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+# -- semantic dedup (SemDeDup-style cells + quantized cosine) --------------
+
+
+def _planted_semantic(emb, n=20):
+    dbl = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    v = F.col("embedding")
+    near = dbl.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(F.array(v[0] + F.lit(0.125)), F.slice(v, 2, 63)).alias(
+            "embedding"
+        ),
+    )
+    return dbl.unionByName(near)
+
+
+def test_semantic_dedup_finds_planted_near_copies(spark, emb):
+    corpus = _planted_semantic(emb, n=20)
+    pairs = dedup.semantic_dedup_pairs(corpus, dim=64).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # a perturbed copy pairs with its original unless the ±0.125 nudge
+    # flipped its cell (accepted SemDeDup recall loss — but most must land)
+    planted = {(i, i + 1000000) for i in range(20)}
+    assert len(found & planted) >= 15
+    # precision: nothing outside the planted relation can be ≥0.95 here
+    # (natural pairs in this corpus all sit below cosine 0.6)
+    assert found <= planted
+
+
+def test_semantic_dedup_precision_vs_float_cosine(spark, emb):
+    import numpy as np
+
+    corpus = _planted_semantic(emb, n=20)
+    pairs = dedup.semantic_dedup_pairs(corpus, dim=64).collect()
+    rows = {r[0]: np.array(r[1]) for r in corpus.collect()}
+    for r in pairs:
+        a, b = rows[r.id_a], rows[r.id_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # quantization error on the rule is < 1e-4 at dim 64
+        assert cos >= 0.95 - 1e-4, (r.id_a, r.id_b, cos)
+
+
+def test_semantic_dedup_partitioning_independent(spark, emb):
+    corpus = _planted_semantic(emb, n=20)
+    one = sorted(
+        map(tuple, dedup.semantic_dedup_pairs(corpus, dim=64).collect())
+    )
+    many = sorted(
+        map(
+            tuple,
+            dedup.semantic_dedup_pairs(corpus.repartition(13), dim=64).collect(),
+        )
+    )
+    assert one == many and len(one) > 0
+
+
+def test_semantic_dedup_rejects_bad_threshold(spark, emb):
+    with pytest.raises(ValueError):
+        dedup.semantic_dedup_pairs(emb, threshold=(3, 2), dim=64)
+
+
+# -- DSIR importance weights ----------------------------------------------
+
+
+def test_dsir_weights_direction_and_determinism(spark, docs):
+    from beats_spark.operators.sampling import dsir_weights
+
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, target, n_buckets=512)
+    joined = out.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    by_lang = {}
+    for r in joined:
+        by_lang.setdefault(r.lang, []).append(r.dsir_milli)
+    mean = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    # the target-domain language must outscore every other language
+    assert mean["en"] == max(mean.values()), mean
+    assert mean["en"] > mean["zh"]
+    # deterministic across partitioning
+    again = dsir_weights(docs.repartition(7), target, n_buckets=512)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_dsir_weights_gram_count_exact(spark):
+    from beats_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "el gato")], ["doc_id", "text"]
+    )
+    target = df.filter(F.col("doc_id") == 1)
+    got = {r.doc_id: r for r in dsir_weights(df, target, n_buckets=64).collect()}
+    # 3 unigrams + 2 bigrams / 2 unigrams + 1 bigram
+    assert got[1].n_grams == 5 and got[2].n_grams == 3
+    # a doc identical to the whole target domain scores higher
+    assert got[1].dsir_milli > got[2].dsir_milli
