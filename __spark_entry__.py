@@ -2517,6 +2517,81 @@ WHERE rn = 1
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication removal (dedup.substring_dedup, the
+    Lee et al. ExactSubstr method): 20-token grams occurring ≥2 times
+    corpus-wide are cut from every occurrence but the first. Planted
+    fixtures: 10 verbatim copies (their text collapses to almost
+    nothing, the originals keep theirs) and 5 self-repeating chimeras
+    (first-30-tokens twice → the second half vanishes). The oracle
+    rebuilds the fixture AND the whole fingerprint→keeper→span→
+    reassembly chain in SQL; cleaned text is byte-equal."""
+    from beats_spark.operators.dedup import substring_dedup, tokens
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    s = F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 30))
+    chimeras = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25)).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(s, F.lit(" "), s).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(chimeras)
+    return substring_dedup(corpus, "text", "doc_id", n=20)
+
+
+_SQL_SUBSTRING_DEDUP = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 3000000, s || ' ' || s FROM (
+    SELECT doc_id,
+           array_to_string(
+             (string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))[1:30],
+             ' ') AS s
+    FROM documents WHERE doc_id >= 20 AND doc_id < 25)
+), norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM corpus
+), g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i + 1 : u.i + 20], ' ')) AS gk
+  FROM norm, unnest(range(0, len(toks) - 20 + 1)) AS u(i)
+  WHERE len(toks) >= 20
+), dup AS (
+  SELECT gk, min(doc_id * 4294967296 + pos) AS keeper
+  FROM g GROUP BY gk HAVING count(*) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos
+  FROM g JOIN dup USING (gk)
+  WHERE g.doc_id * 4294967296 + g.pos <> dup.keeper
+), removed AS (
+  SELECT DISTINCT doc_id, pos + u.i AS tidx
+  FROM marked, unnest(range(0, 20)) AS u(i)
+), te AS (
+  SELECT doc_id, u.i AS tidx, toks[u.i + 1] AS tok
+  FROM norm, unnest(range(0, len(toks))) AS u(i)
+), kept AS (
+  SELECT te.doc_id, te.tidx, te.tok
+  FROM te LEFT JOIN removed r ON r.doc_id = te.doc_id AND r.tidx = te.tidx
+  WHERE r.doc_id IS NULL
+), reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(tok ORDER BY tidx), ' ') AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, len(n.toks)::BIGINT AS n_tokens,
+       COALESCE(reb.n_kept, 0)::BIGINT AS n_kept,
+       (len(n.toks) - COALESCE(reb.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(reb.clean, '') AS text
+FROM norm n LEFT JOIN reb USING (doc_id)
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (dedup.semantic_dedup_pairs):
     embeddings clustered into 8 fixed-centroid cells (the oracle-proven
@@ -3519,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "semantic_dedup": q_semantic_dedup,
+        "substring_dedup": q_substring_dedup,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
@@ -3591,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline": _SQL_DEDUP_PIPELINE,
         "dedup_simhash_md5": _SQL_DEDUP_SIMHASH_MD5,
         "semantic_dedup": _sql_semantic_dedup(),
+        "substring_dedup": _SQL_SUBSTRING_DEDUP,
         "embed_neardup": _SQL_EMBED_NEARDUP,
         "embed_neardup_lsh": _SQL_EMBED_NEARDUP_LSH,
         "knn_bruteforce": _SQL_KNN_BRUTEFORCE,

@@ -760,6 +760,105 @@ def embedding_neardup_pairs(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 20,
+) -> DataFrame:
+    """Exact substring-duplication removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the ExactSubstr method): every token ``n``-gram that occurs more
+    than once ANYWHERE in the corpus (across documents or within one)
+    is removed from every occurrence except the first, where "first"
+    is the minimum (doc_id, position). Operates on normalized
+    whitespace tokens (the paper operates on BPE tokens; same
+    machinery, different tokenizer), so the returned ``text`` is in
+    normalized token space.
+
+    The paper builds a corpus-wide suffix array — inherently
+    sequential. The distributed equivalent: fingerprint every n-gram
+    position, find fingerprints with count ≥ 2, mark every non-first
+    occurrence's token span, and rebuild documents from unmarked
+    tokens. Overlapping duplicated spans union naturally (a token is
+    removed iff ANY marked span covers it); runs ≥ n tokens are fully
+    removed, runs < n survive — the paper's documented edge behavior.
+
+    Returns one row per input doc: id, ``n_tokens``, ``n_kept``,
+    ``n_removed``, ``text`` (cleaned; '' when everything was
+    duplicate).
+
+    Scale plan: (1) narrow n-gram fingerprint explode — the shuffle
+    key is md5 (16 B), never the gram text, and "first occurrence" is
+    an integer min over doc_id·2³² + pos, so the groupBy(gram) is a
+    plain partially-aggregated min/count; (2) join positions back on
+    the fingerprint (uniform keys — duplicated-gram rows are the rare
+    side, AQE broadcasts when small); (3) span explode is bounded by
+    n × marked positions (duplicates only, not the corpus); (4)
+    reassembly groupBy(id) moves text bytes once, keyed by the doc's
+    own id — the line_level_dedup shape. md5 collisions delete ~2⁻¹²⁸
+    of legit text; acceptable (the paper's own hashing has the same
+    property).
+    """
+    from beats_spark.operators.scale import spread
+
+    if n < 2:
+        raise ValueError("n must be ≥ 2")
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    cnt = F.size(F.col("_toks"))
+    gram_keys = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))),
+    )
+    grams = (
+        base.where(cnt >= n)
+        .select("_id", F.posexplode(gram_keys).alias("_pos", "_gk"))
+    )
+    enc = F.col("_id") * F.lit(1 << 32) + F.col("_pos")
+    dup = (
+        grams.groupBy("_gk")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min(enc).alias("_keeper"))
+        .where(F.col("_c") >= 2)
+        .select("_gk", "_keeper")
+    )
+    marked = grams.join(dup, "_gk").where(enc != F.col("_keeper"))
+    removed = (
+        marked.select(
+            "_id", F.explode(F.sequence(F.col("_pos"), F.col("_pos") + n - 1)).alias("_tidx")
+        )
+        .dropDuplicates(["_id", "_tidx"])
+    )
+    toks_e = base.select(
+        "_id", F.posexplode(F.col("_toks")).alias("_tidx", "_tok")
+    )
+    kept = toks_e.join(removed, ["_id", "_tidx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tidx", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = base.select("_id", cnt.cast("long").alias("n_tokens"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("_clean"), F.lit("")).alias("text"),
+        )
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

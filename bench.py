@@ -118,7 +118,7 @@ def _iters() -> int:
 
 
 # Heaviest representative contract queries (full materialization via
-# count(); results themselves are checked by the correctness gate).
+# noop write; results themselves are checked by the correctness gate).
 BENCH_QUERIES = [
     # round-1 set — FROZEN so per-query deltas stay comparable across
     # rounds (pipeline_fanout/dissect_typed now carry the malformed-row
@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "corpus_build",
     "semantic_dedup",
     "dsir_weights",
+    "substring_dedup",
 ]
 
 

@@ -655,3 +655,56 @@ def test_dsir_weights_gram_count_exact(spark):
     assert got[1].n_grams == 5 and got[2].n_grams == 3
     # a doc identical to the whole target domain scores higher
     assert got[1].dsir_milli > got[2].dsir_milli
+
+
+# -- exact substring dedup (Lee et al. ExactSubstr) ------------------------
+
+
+def test_substring_dedup_copy_loses_all_long_spans(spark, docs):
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 30)
+    copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.substring_dedup(base.unionByName(copies), n=10).collect()
+    }
+    for i in range(5):
+        orig, cp = out[i], out[i + 500000]
+        if orig.n_tokens >= 10:
+            # original is the keeper: keeps its first span; the copy
+            # loses every 10+-token run (≤ 9 boundary tokens survive)
+            assert orig.n_kept > 0
+            assert cp.n_removed >= cp.n_tokens - 9, (cp.n_tokens, cp.n_removed)
+    # untouched docs pass through as normalized text, nothing removed
+    clean = [r for r in out.values() if r.n_removed == 0]
+    assert clean and all(r.n_kept == r.n_tokens for r in clean)
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    words = " ".join(f"w{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(1, f"{words} {words}"), (2, "totally unrelated short text")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.substring_dedup(df, n=10).collect()}
+    # 30 tokens, second 15-token half duplicates the first: every
+    # position p where gram(p) == gram(p+15) exists ⇒ positions 15..20
+    # are non-first occurrences; tokens 15..29 all covered
+    assert out[1].n_tokens == 30
+    assert out[1].n_removed == 15
+    assert out[1].text == words
+    assert out[2].n_removed == 0
+
+
+def test_substring_dedup_partitioning_independent(spark, docs):
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 40)
+    copies = base.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(copies)
+    a = sorted(map(tuple, dedup.substring_dedup(corpus, n=12).collect()))
+    b = sorted(
+        map(tuple, dedup.substring_dedup(corpus.repartition(11), n=12).collect())
+    )
+    assert a == b
