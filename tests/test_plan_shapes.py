@@ -226,3 +226,57 @@ def test_url_dedup_single_shuffle(spark):
     urls = docs.select("doc_id", F.col("source").alias("url"))
     assert "Exchange" not in plan_of(add_url_canonical(urls))
     assert plan_of(url_dedup(urls)).count("Exchange") == 1
+
+
+def test_dsir_scoring_is_joinless_map_lookup(spark):
+    """After the two bounded model fits, DSIR scoring must be a literal
+    map lookup + one id-keyed aggregation — NO join anywhere in the
+    returned plan (the bucket→weight table compiles into codegen)."""
+    from beats_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=128
+    )
+    plan = plan_of(out)
+    # the InMemoryRelation block embeds the persisted fit-stage plan;
+    # the SCORING plan is everything above the cache read
+    scoring = plan.split("InMemoryRelation")[0]
+    assert "Join" not in scoring, plan
+    assert scoring.count("Exchange") <= 1, plan  # only the groupBy(id)
+    assert "element_at(map(keys" in scoring  # literal-map weight lookup
+
+
+def test_substring_dedup_shuffles_hashes_not_grams(spark):
+    """The gram-frequency exchange must carry the md5 fingerprint and
+    the encoded keeper int — never gram text or the token array."""
+    from beats_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(substring_dedup(docs, n=20))
+    m = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(_gk" in ln
+    ]
+    assert m, plan
+    assert "_toks" not in m[0]
+
+
+def test_semantic_dedup_single_projection_assignment(spark):
+    """Cell id, norm², and the quantized vector must all come out of
+    the narrow pre-join projection — no shuffle before the cell join,
+    and the pair stage joins on the cell key."""
+    from beats_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dbl = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    plan = plan_of(semantic_dedup_pairs(dbl, dim=64))
+    assert re.search(r"Join.*cell", plan) or "cell#" in plan
+    # one spread() round-robin + at most the join's own exchanges
+    assert plan.count("Exchange") <= 3, plan
