@@ -139,6 +139,39 @@ def windowed_sink_counts(
     )
 
 
+def stream_exact_dedup(
+    source: DataFrame,
+    text_col: str = "text",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-content dedup: drop events whose normalized text
+    was already seen within the watermark horizon — the ingest-time
+    form of ``operators.dedup.exact_dedup`` (same 128-bit two-xxhash64
+    key, same normalization), for the "is this document already in the
+    corpus" pass a crawling pipeline runs before anything else.
+
+    ``dropDuplicatesWithinWatermark`` bounds the state store to the
+    horizon: 16 bytes of key per distinct text seen inside the
+    watermark, evicted by event time — at 10^12-turn scale the state
+    never grows with the corpus, only with the horizon. First
+    occurrence wins (arrival order within the engine), which is the
+    batch keeper rule relaxed to stream order; exact batch parity on
+    replays is the batch operator's job.
+    """
+    from beats_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(F.col(text_col))
+    keyed = source.withColumn("_ck", F.xxhash64(norm)).withColumn(
+        "_ck2", F.xxhash64(norm, F.lit(1))
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_ck", "_ck2"])
+        .drop("_ck", "_ck2")
+    )
+
+
 def conversation_sessions(
     source: DataFrame,
     gap_minutes: int = 30,

@@ -221,3 +221,40 @@ def test_rate_source_drives_same_plan(spark, tmp_path):
     # the value sequence is dense from 0: no skipped/duplicated rows
     vals = sorted(int(r["msg"].removeprefix("turn-")) for r in rows)
     assert vals == list(range(len(vals)))
+
+
+def test_stream_exact_dedup_drops_replayed_texts(spark, transcripts, stream_input, tmp_path):
+    from beats_spark.streaming.pipeline import stream_exact_dedup
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    # input: the transcripts plus a full replayed copy (new conv ids,
+    # same text) — the dedup stage must keep only one row per distinct
+    # normalized text
+    dup_in = str(tmp_path / "dup_in")
+    copies = transcripts.withColumn(
+        "conv_id", F.concat(F.lit("replay-"), F.col("conv_id"))
+    )
+    transcripts.unionByName(copies).write.parquet(dup_in)
+
+    src = spark.readStream.schema(transcripts.schema).parquet(dup_in)
+    q = (
+        stream_exact_dedup(src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_distinct = (
+        transcripts.select(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("t")
+        )
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_distinct
+    # every surviving text is unique
+    assert got.select("text").distinct().count() == n_distinct
