@@ -64,6 +64,8 @@ def write_fanout(
     extra_partition_cols: list[str] | None = None,
     fmt: str = "parquet",
     known_sinks: list[str] | None = None,
+    files_per_sink: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> FanoutResult:
     """Single-pass partitioned fan-out write + per-sink counts.
 
@@ -75,8 +77,24 @@ def write_fanout(
     and opened every written file's footer, a second pass over the
     sink. If an unexpected sink value appears (a dynamic fmtstr rule
     not in the static set), the observed total won't reconcile and the
-    read-back runs as the fallback — counts are always exact."""
+    read-back runs as the fallback — counts are always exact.
+
+    File-count hygiene (the 100 TB small-files problem): by default
+    every task writes one file per sink value it holds — #tasks ×
+    #sinks files. ``files_per_sink=k`` inserts ONE shuffle keyed on
+    (sink, deterministic row-hash salt mod k) so each sink lands in ≈k
+    output files regardless of task count; ``max_records_per_file``
+    caps the other direction (a hot sink's files splitting at a row
+    budget). The salt is ``xxhash64`` over all columns — stable under
+    task retries, unlike round-robin. Defaults off: the zero-Exchange
+    single-pass shape (pinned by tests/test_plan_shapes.py) is
+    unchanged unless asked for."""
     part_cols = [META_SINK] + (extra_partition_cols or [])
+    if files_per_sink:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_sink)
+        )
+        df = df.repartition(F.col(META_SINK), salt)
     obs = None
     if known_sinks:
         from pyspark.sql import Observation
@@ -87,7 +105,10 @@ def write_fanout(
             for i, s in enumerate(known_sinks)
         ]
         df = df.observe(obs, *aggs)
-    (df.write.mode(mode).partitionBy(*part_cols).format(fmt).save(out_root))
+    writer = df.write.mode(mode).partitionBy(*part_cols).format(fmt)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.save(out_root)
     if obs is not None:
         got = obs.get
         counts = {

@@ -280,3 +280,49 @@ def test_semantic_dedup_single_projection_assignment(spark):
     assert re.search(r"Join.*cell", plan) or "cell#" in plan
     # one spread() round-robin + at most the join's own exchanges
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_fanout_files_per_sink_bounds_file_count(spark, transcripts, tmp_path):
+    """files_per_sink=k caps each sink directory at ≈k part files no
+    matter how many tasks wrote, and max_records_per_file splits the
+    other way — counts stay exact through the added shuffle."""
+    import glob
+
+    from beats_spark.plans.pipeline import expected_sinks
+    from beats_spark.plans.sinks import write_fanout
+
+    cfg = PipelineConfig(
+        processors=[],
+        router_rules=[
+            {"when": {"equals": {"role": "user"}}, "index": "users"},
+        ],
+        default_sink="rest",
+        dead_letter=False,
+    )
+    routed = transform(transcripts.repartition(16), cfg)
+    root = str(tmp_path / "sinks")
+    res = write_fanout(
+        routed, root, known_sinks=expected_sinks(cfg), files_per_sink=2
+    )
+    for sink in res.sink_counts:
+        files = glob.glob(f"{root}/_meta_sink={sink}/*.parquet")
+        assert 1 <= len(files) <= 2, (sink, files)
+    expect = {
+        r["_meta_sink"]: r["n"]
+        for r in routed.groupBy("_meta_sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert res.sink_counts == expect
+
+    # row-budget splitting: 1 row per file explodes the file count
+    root2 = str(tmp_path / "sinks2")
+    n_rows = transcripts.count()
+    res2 = write_fanout(
+        routed,
+        root2,
+        known_sinks=expected_sinks(cfg),
+        files_per_sink=2,
+        max_records_per_file=max(1, n_rows // 50),
+    )
+    total_files = len(glob.glob(f"{root2}/_meta_sink=*/*.parquet"))
+    assert total_files > 4
+    assert res2.sink_counts == expect
