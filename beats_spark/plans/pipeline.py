@@ -53,6 +53,9 @@ class PipelineConfig:
     out_root: str | None = None
     write_mode: str = "overwrite"
     ts_col: str = "ts"
+    # sink file hygiene (plans/sinks.py:write_fanout): 0 = off
+    files_per_sink: int = 0
+    max_records_per_file: int = 0
 
 
 @dataclass
@@ -128,6 +131,8 @@ def run(spark: SparkSession, source: DataFrame, cfg: PipelineConfig) -> RunResul
             mode=cfg.write_mode,
             extra_partition_cols=[BUCKET_COL] if cfg.n_buckets else None,
             known_sinks=expected_sinks(cfg),
+            files_per_sink=cfg.files_per_sink or None,
+            max_records_per_file=cfg.max_records_per_file or None,
         )
         counts = fan.sink_counts
     else:
