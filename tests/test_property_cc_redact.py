@@ -100,3 +100,56 @@ def test_redact_battery_agrees_with_python_re(spark, seed):
             out = re.sub(pattern, mask, out)
         want.append(out)
     assert got == want
+
+
+# -- substring_dedup vs a pure-Python reference ----------------------------
+
+
+def _py_substring_dedup(docs: dict[int, str], n: int):
+    """Reference: dict of doc_id -> text (already whitespace-normal).
+    Returns doc_id -> (n_tokens, kept_token_list)."""
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    occ = {}
+    for d in sorted(toks):
+        tl = toks[d]
+        for i in range(len(tl) - n + 1):
+            occ.setdefault(" ".join(tl[i : i + n]), []).append((d, i))
+    removed = {d: set() for d in toks}
+    for positions in occ.values():
+        if len(positions) < 2:
+            continue
+        keeper = min(positions)
+        for d, i in positions:
+            if (d, i) != keeper:
+                removed[d].update(range(i, i + n))
+    return {
+        d: (
+            len(tl),
+            [t for j, t in enumerate(tl) if j not in removed[d]],
+        )
+        for d, tl in toks.items()
+    }
+
+
+@pytest.mark.parametrize("seed", [3, 41])
+def test_substring_dedup_matches_python_reference(spark, seed):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab → natural repeats
+    n = 5
+    docs = {}
+    for d in range(40):
+        length = rng.randrange(1, 40)
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(length))
+    # plant structure: verbatim copies and shared spans
+    docs[100] = docs[0]
+    docs[101] = docs[1] + " " + docs[1]
+    want = _py_substring_dedup(docs, n)
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: r for r in dedup.substring_dedup(df, n=n).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n_tok, kept) in want.items():
+        assert got[d].n_tokens == n_tok, d
+        assert got[d].n_kept == len(kept), (d, got[d], kept)
+        assert got[d].text == " ".join(kept), d
