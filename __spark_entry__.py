@@ -2712,6 +2712,83 @@ WHERE bit_count(xor(a.s, b.s)::BIT) <= 3
 
 
 
+_MAGIC_HEX = ["89504e470d0a1a0a", "ffd8ff", "47494638", "52494646"]
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob near-dup WITHOUT any decoder: the blob's hex rides
+    through non-overlapping 4-byte grams into the md5-SimHash pipeline
+    (dedup.simhash_pairs, the oracle-proven signature math) — the
+    ingest-time "same media file, trivially-different bytes" dedup a
+    multimodal pipeline runs before spending decode/feature compute.
+    Fixture: documents bytes get the multimodal magic prefixes; blobs
+    with doc_id < 25 also appear re-uploaded at id+1000000 with 4
+    trailing junk bytes — at most two hex grams differ, so hamming
+    stays small; ≤ 9 catches 24/25 planted re-uploads (the outlier is
+    a very short blob where 2 of ~8 grams shift more bits — the
+    documented short-payload recall limit) while unrelated blobs sit
+    far apart. Content is built
+    directly as hex (magic literal + hex(utf8 bytes)), byte-identical
+    in both engines; the oracle replays gram split, 60-bit md5
+    signature, and the exact hamming rule."""
+    from beats_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    magic = F.element_at(
+        F.array(*[F.lit(m) for m in _MAGIC_HEX]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    hx = F.concat(magic, F.lower(F.hex(F.encode(F.col("text"), "UTF-8"))))
+    blobs = docs.select("doc_id", hx.alias("_hx"))
+    copies = blobs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("_hx"), F.lit("65787472")).alias("_hx"),
+    )
+    uni = blobs.unionByName(copies)
+    grams = F.expr(
+        "concat_ws(' ', transform("
+        "sequence(0, greatest(cast((length(_hx) + 7) / 8 as int) - 1, 0)), "
+        "i -> substring(_hx, i * 8 + 1, 8)))"
+    )
+    pairs = simhash_pairs(
+        uni.select("doc_id", grams.alias("text")),
+        max_hamming=9,
+        bits=60,
+        n_tables=10,
+        hash_fn="md5_60",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_SQL_MEDIA_NEARDUP = f"""
+WITH blobs AS (
+  SELECT doc_id,
+         (['{_MAGIC_HEX[0]}', '{_MAGIC_HEX[1]}', '{_MAGIC_HEX[2]}', '{_MAGIC_HEX[3]}'])[(doc_id % 4 + 1)::INT]
+           || lower(hex(text)) AS hx
+  FROM documents
+), uni AS (
+  SELECT doc_id, hx FROM blobs
+  UNION ALL
+  SELECT doc_id + 1000000, hx || '65787472' FROM blobs WHERE doc_id < 25
+), tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t.g), 1, 15))::BIGINT AS h
+  FROM uni, unnest(list_transform(
+    range(0, greatest((length(hx) + 7) // 8, 1)),
+    i -> substr(hx, (i * 8 + 1)::INT, 8))) AS t(g)
+), sums AS (
+  SELECT doc_id, {{bitsums}} FROM tok GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, ({{sigexpr}})::BIGINT AS s FROM sums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s)::BIT)::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)::BIT) <= 9
+""".format(bitsums=_BITSUMS, sigexpr=_SIGEXPR)
+
+
 _SQL_MEDIA_FEATURES = """
 SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS total_bytes
 FROM documents
@@ -3609,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "media_features": q_media_features,
+        "media_neardup": q_media_neardup,
         "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
@@ -3681,6 +3759,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _SQL_REPETITION_STATS,
         "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
         "multimodal_meta": _SQL_MULTIMODAL_META,
+        "media_neardup": _SQL_MEDIA_NEARDUP,
         "url_canonical": _SQL_URL_CANONICAL,
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
