@@ -799,6 +799,12 @@ def substring_dedup(
     own id — the line_level_dedup shape. md5 collisions delete ~2⁻¹²⁸
     of legit text; acceptable (the paper's own hashing has the same
     property).
+
+    Id-space bound: the keeper order is min(doc_id·2³² + pos) — a
+    plain int64 min, engine-portable. It requires doc_id < 2³¹; a
+    wider id space overflows, which Spark 4 ANSI turns into a LOUD
+    error (never a silently wrong keeper) — re-key docs or widen the
+    encoding to decimal if you hit it.
     """
     from beats_spark.operators.scale import spread
 

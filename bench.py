@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dsir_weights",
     "substring_dedup",
+    "media_neardup",
 ]
 
 
