@@ -3454,6 +3454,61 @@ FROM perdoc, tot
 """
 
 
+def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution-drift report (sampling.
+    domain_divergence): KL(stratum ‖ corpus) over hashed
+    unigram+bigram bucket models in integer MILLIBITS (floor-log2 +
+    linear interpolation, engine-exact) — the corpus-observability
+    sweep that flags distributionally-novel ingest slices (rank
+    strata by magnitude; the operator docstring explains the
+    concavity-bias reading — at sf0.01 the majority language sits
+    ~20× nearer zero than any minority one, though tiny sub-corpora
+    are noise-dominated). The oracle refits both models and replays
+    the smoothed divergence sum exactly."""
+    from beats_spark.operators.sampling import domain_divergence
+
+    docs = _load(spark, sf_dir, "documents")
+    return domain_divergence(docs, "lang", "text", n_buckets=512, seed=7)
+
+
+_SQL_DOMAIN_DIVERGENCE = r"""
+WITH norm AS (
+  SELECT lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), grams AS (
+  SELECT lang, g
+  FROM norm,
+       unnest(toks ||
+              list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                             i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS u(g)
+  WHERE g <> ''
+), sb AS (
+  SELECT lang AS s,
+         ('0x' || substr(md5('s7|' || g), 1, 15))::BIGINT % 512 AS b,
+         count(*) AS c
+  FROM grams GROUP BY 1, 2
+), gl AS (
+  SELECT b, sum(c)::BIGINT AS cg FROM sb GROUP BY b
+), ts AS (
+  SELECT s, sum(c)::BIGINT AS t_s FROM sb GROUP BY s
+), tot AS (
+  SELECT sum(cg)::BIGINT AS t FROM gl
+), terms AS (
+  SELECT sb.s, ts.t_s,
+         sb.c * ((1000 * (length(bin(sb.c + 1)) - 1) + (1000 * ((sb.c + 1) - power(2, (length(bin(sb.c + 1)) - 1))::BIGINT)) // power(2, (length(bin(sb.c + 1)) - 1))::BIGINT)
+                 - (1000 * (length(bin(ts.t_s + 512)) - 1) + (1000 * ((ts.t_s + 512) - power(2, (length(bin(ts.t_s + 512)) - 1))::BIGINT)) // power(2, (length(bin(ts.t_s + 512)) - 1))::BIGINT)
+                 - (1000 * (length(bin(gl.cg + 1)) - 1) + (1000 * ((gl.cg + 1) - power(2, (length(bin(gl.cg + 1)) - 1))::BIGINT)) // power(2, (length(bin(gl.cg + 1)) - 1))::BIGINT)
+                 + (1000 * (length(bin(tot.t + 512)) - 1) + (1000 * ((tot.t + 512) - power(2, (length(bin(tot.t + 512)) - 1))::BIGINT)) // power(2, (length(bin(tot.t + 512)) - 1))::BIGINT)) AS term
+  FROM sb JOIN gl USING (b) JOIN ts ON ts.s = sb.s, tot
+)
+SELECT s AS lang, t_s::BIGINT AS n_grams,
+       sum(term)::BIGINT AS kl_mbits,
+       (sum(term) // greatest(t_s, 1))::BIGINT AS kl_mean_mbits
+FROM terms GROUP BY s, t_s
+"""
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus build, composed from four
     operators each oracle-proven on its own: Gopher quality filter
@@ -3695,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "unigram_surprisal": q_unigram_surprisal,
         "dsir_weights": q_dsir_weights,
+        "domain_divergence": q_domain_divergence,
         "corpus_build": q_corpus_build,
     }
 
@@ -3768,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "domain_divergence": _SQL_DOMAIN_DIVERGENCE,
         "corpus_build": _SQL_CORPUS_BUILD,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "substring_dedup",
     "media_neardup",
+    "domain_divergence",
 ]
 
 

@@ -708,3 +708,34 @@ def test_substring_dedup_partitioning_independent(spark, docs):
         map(tuple, dedup.substring_dedup(corpus.repartition(11), n=12).collect())
     )
     assert a == b
+
+
+def test_domain_divergence_flags_novel_stratum(spark, docs):
+    """A stratum with disjoint vocabulary must show order-of-magnitude
+    larger |divergence| than the majority stratum it is mixed into
+    (constructed case — the real-corpus ranking at tiny sub-corpus
+    sizes is noise-dominated, see docstring)."""
+    import random
+
+    from beats_spark.operators.sampling import domain_divergence
+
+    rng = random.Random(5)
+    shared = [f"w{i}" for i in range(50)]
+    alien = [f"z{i}" for i in range(50)]
+    rows = [
+        ("bulk", " ".join(rng.choice(shared) for _ in range(40)))
+        for _ in range(200)
+    ] + [
+        ("novel", " ".join(rng.choice(alien) for _ in range(40)))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["src", "text"])
+    out = {r.src: r for r in domain_divergence(df, "src", n_buckets=256).collect()}
+    assert abs(out["novel"].kl_mean_mbits) > 5 * abs(out["bulk"].kl_mean_mbits), out
+    assert out["novel"].kl_mbits != 0
+    # deterministic under partitioning
+    again = {
+        r.src: tuple(r)
+        for r in domain_divergence(df.repartition(9), "src", n_buckets=256).collect()
+    }
+    assert again == {k: tuple(v) for k, v in out.items()}
