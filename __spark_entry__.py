@@ -3454,6 +3454,47 @@ FROM perdoc, tot
 """
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram-LM surprisal per doc (textstats.
+    bigram_surprisal): −log2 P(w2|w1) in integer floor-log2 bits —
+    catches improbable token TRANSITIONS that unigram statistics
+    cannot see. Same engine-portable arithmetic as
+    unigram_surprisal."""
+    from beats_spark.operators.textstats import bigram_surprisal
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_surprisal(docs, "text", "doc_id")
+
+
+_SQL_BIGRAM_SURPRISAL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, array_to_string(toks[u.i + 1 : u.i + 2], ' ') AS b
+  FROM norm, unnest(range(0, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), bgc AS (
+  SELECT b, count(*) AS cbg FROM bg GROUP BY b
+), lc AS (
+  SELECT split_part(b, ' ', 1) AS w1, sum(cbg)::BIGINT AS cl
+  FROM bgc GROUP BY 1
+), perdoc AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS nb,
+         sum((length(bin(lc.cl)) - 1) - (length(bin(bgc.cbg)) - 1))::BIGINT AS ssum
+  FROM bg JOIN bgc USING (b)
+          JOIN lc ON lc.w1 = split_part(bg.b, ' ', 1)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.nb, 0)::BIGINT AS n_bigrams,
+       COALESCE(p.ssum, 0)::BIGINT AS surprisal_sum,
+       (COALESCE(p.ssum, 0) * 1000 // greatest(COALESCE(p.nb, 0), 1))::BIGINT AS surprisal_milli
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+
 def q_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distribution-drift report (sampling.
     domain_divergence): KL(stratum ‖ corpus) over hashed
@@ -3750,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "unigram_surprisal": q_unigram_surprisal,
         "dsir_weights": q_dsir_weights,
+        "bigram_surprisal": q_bigram_surprisal,
         "domain_divergence": q_domain_divergence,
         "corpus_build": q_corpus_build,
     }
@@ -3824,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
         "domain_divergence": _SQL_DOMAIN_DIVERGENCE,
         "corpus_build": _SQL_CORPUS_BUILD,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash

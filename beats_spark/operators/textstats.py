@@ -490,3 +490,82 @@ def unigram_surprisal(
             F.expr("surprisal_sum * 1000 div greatest(n_tokens, 1)"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact CONDITIONAL bigram-LM surprisal per document —
+    the next step up from ``unigram_surprisal``: per bigram (w1, w2),
+    surprisal ≈ −log2 P(w2 | w1) = log2 cnt(w1·) − log2 cnt(w1 w2),
+    where cnt(w1·) is how often w1 opens a bigram. Uses the same
+    floor-log2 integer arithmetic (``fl2(n) = length(bin(n)) − 1``) so
+    every engine agrees bit-for-bit; the per-bigram ±1-bit floor error
+    averages out over a document. High mean = improbable token
+    TRANSITIONS (shuffled text, boilerplate splices) that unigram
+    statistics cannot see; low mean = formulaic continuation.
+
+    Returns per doc (docs with < 2 tokens report 0 bigrams):
+    ``n_bigrams``, ``surprisal_sum`` (bits), ``surprisal_milli``
+    (mean × 1000, exact integer division).
+
+    Scale shape: bigram explode (narrow) → groupBy(bigram) count —
+    the one corpus-sized shuffle, map-side partial-aggregated onto
+    hash-uniform keys; the LEFT-word totals derive from that (small)
+    count table itself via substring_index, never a second corpus
+    pass; count lookups join back on the same uniform keys (AQE
+    broadcasts natural-language count tables); one groupBy(id)
+    finishes. The doc frame left-joins back so short docs survive
+    with zeros.
+    """
+    from beats_spark.operators.dedup import tokens
+    from beats_spark.operators.scale import spread
+
+    base = spread(df).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    cnt = F.size(F.col("_toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), cnt - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
+    )
+    bg = base.where(cnt >= 2).select(
+        "_id", F.explode(bigrams).alias("_bg")
+    )
+    bg_counts = bg.groupBy("_bg").agg(F.count(F.lit(1)).alias("_cbg"))
+    left_counts = bg_counts.groupBy(
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
+    ).agg(F.sum("_cbg").alias("_cl"))
+
+    def fl2(col: Column) -> Column:
+        return (F.length(F.bin(col)) - 1).cast("long")
+
+    per_doc = (
+        bg.join(bg_counts, "_bg")
+        .join(
+            left_counts,
+            F.substring_index(F.col("_bg"), " ", 1) == F.col("_w1"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(fl2(F.col("_cl")) - fl2(F.col("_cbg"))).alias("_ssum"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    return (
+        ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("_ssum"), F.lit(0))
+            .cast("long")
+            .alias("surprisal_sum"),
+        )
+        .withColumn(
+            "surprisal_milli",
+            F.expr("surprisal_sum * 1000 div greatest(n_bigrams, 1)"),
+        )
+    )

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "substring_dedup",
     "media_neardup",
     "domain_divergence",
+    "bigram_surprisal",
 ]
 
 

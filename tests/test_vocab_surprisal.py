@@ -59,3 +59,26 @@ def test_surprisal_orders_gibberish_above_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r.surprisal_milli for r in unigram_surprisal(df).collect()}
     assert out[99] > out[0]
+
+
+def test_bigram_surprisal_transition_signal(spark):
+    """A doc whose transitions all repeat corpus-wide scores lower
+    than a doc of unique transitions over the same vocabulary."""
+    from beats_spark.operators.textstats import bigram_surprisal
+    import pyspark.sql.functions as F
+
+    rows = (
+        # ten docs sharing one formulaic sentence → transitions common
+        [(i, "the cat sat on the mat") for i in range(10)]
+        # one doc with the same words, shuffled → transitions unique
+        + [(100, "mat the on sat cat the"), (101, "x")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert out[0].n_bigrams == 5 and out[100].n_bigrams == 5
+    assert out[100].surprisal_milli > out[0].surprisal_milli
+    # single-token doc: zero bigrams, zero surprisal, still present
+    assert out[101].n_bigrams == 0 and out[101].surprisal_sum == 0
+    # determinism across partitioning
+    again = {r.doc_id: tuple(r) for r in bigram_surprisal(df.repartition(5)).collect()}
+    assert again == {k: tuple(v) for k, v in out.items()}
