@@ -2472,6 +2472,22 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 with exact rerank (similarity.
+    pq_topk) — the memory-compression ANN leg (codes are 32× smaller
+    than the vectors; the scan reads codes + per-query LUTs). Trained
+    float codebooks ⇒ rows-only by design, like knn_ivf; quality is
+    gated in-suite by recall@5 = 1.0 vs knn_bruteforce on this corpus
+    (tests/test_dedup_similarity.py::test_pq_recall_vs_bruteforce)."""
+    from beats_spark.operators.similarity import pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return pq_topk(q, emb, k=5, m=16, ksub=32, shortlist=100).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-assignment stage, integer-decidable: fixed equal-norm
     ±1 centroids (pure function of (cell,dim,seed), like the LSH
@@ -3773,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "ivf_assign": q_ivf_assign,
         "text_stats": q_text_stats,
         "redact_pii": q_redact_pii,
@@ -3871,7 +3888,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_build": _SQL_CORPUS_BUILD,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
-        # dedup_simhash_md5 IS oracle-checked) and knn_ivf (trained
-        # float centroids; quality gated instead by the in-suite
-        # recall@k test vs knn_bruteforce).
+        # dedup_simhash_md5 IS oracle-checked), knn_ivf and knn_pq
+        # (trained float centroids/codebooks; each quality-gated by an
+        # in-suite recall@k test vs knn_bruteforce).
     }

@@ -482,3 +482,201 @@ def assign_cells_quantized(
     return corpus.select(
         F.col(id_col), (-best["nj"]).cast("int").alias("cell")
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 4,
+):
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` subspaces and each gets its own ``ksub``-centroid
+    Lloyd's quantizer — at 100 TB this is THE memory lever for vector
+    search (64-dim float32 → m bytes per vector, 32× smaller, so the
+    scan stage reads codes, not vectors).
+
+    All ``m`` subquantizers train in the SAME partial-sums pass per
+    iteration (one job per iteration, corpus never shuffles — the
+    kmeans_fit shape generalized): each partition emits (sub, centroid,
+    sum, count) partials, the driver combines. Init is deterministic
+    (the ksub lowest-id vectors' subvectors). Returns numpy
+    (m, ksub, dim//m).
+    """
+    import numpy as np
+
+    from beats_spark.operators.scale import spread
+
+    seed_rows = corpus.orderBy(id_col).limit(ksub).collect()
+    seed = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    seed /= np.linalg.norm(seed, axis=1, keepdims=True)
+    dim = seed.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([seed[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+    data = spread(corpus.select(vec_col))
+    for _ in range(iterations):
+        b = books
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                out_s, out_c, out_sum, out_n = [], [], [], []
+                for s in range(m):
+                    sub = mat[:, s * dsub : (s + 1) * dsub]
+                    d2 = (
+                        (sub * sub).sum(1)[:, None]
+                        - 2 * sub @ b[s].T
+                        + (b[s] * b[s]).sum(1)[None, :]
+                    )
+                    assign = np.argmin(d2, axis=1)
+                    for j in np.unique(assign):
+                        sel = sub[assign == j]
+                        out_s.append(s)
+                        out_c.append(int(j))
+                        out_sum.append(sel.sum(axis=0).tolist())
+                        out_n.append(len(sel))
+                yield pd.DataFrame(
+                    {"sub": out_s, "c": out_c, "s": out_sum, "n": out_n}
+                )
+
+        rows = data.mapInPandas(
+            partials, "sub int, c int, s array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(books)
+        counts = np.zeros((m, ksub))
+        for r in rows:
+            sums[r["sub"], r["c"]] += np.array(r["s"])
+            counts[r["sub"], r["c"]] += r["n"]
+        nz = counts > 0
+        books[nz] = sums[nz] / counts[nz][:, None]
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 50,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact rerank: train codebooks,
+    encode the corpus to m-byte codes, score every (query, code) via
+    asymmetric distance computation — per query a tiny (m × ksub)
+    dot-product lookup table, so the scan is LUT sums over codes, no
+    vector arithmetic — keep a per-query ``shortlist``, exact-rerank
+    it with true cosine, return top-k.
+
+    Scale shape: queries collect to the driver (bounded query set, the
+    cosine_topk precedent) as LUTs in the task closure; the corpus
+    pass is one mapInPandas over (id, code, vec) emitting only each
+    partition's local shortlist per query (shuffle = shortlist ×
+    partitions × queries rows); exact rerank touches shortlist rows
+    only. At real scale the codes table is 32× smaller than the
+    vectors — the encode pass is where the memory win lands.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from beats_spark.operators.scale import spread
+
+    books = pq_train(corpus, m, ksub, vec_col, corpus_id, iterations)
+    dsub = books.shape[2]
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # LUT[qi, s, c] = dot(q_sub, centroid) → ADC score = Σ_s LUT[qi, s, code_s]
+    lut = np.stack(
+        [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            # encode this partition's rows...
+            codes = np.empty((len(mat), m), dtype=np.int64)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2 * sub @ books[s].T
+                    + (books[s] * books[s]).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            # ...then ADC-score all queries against the codes
+            approx = np.zeros((len(q_ids), len(mat)))
+            for s in range(m):
+                approx += lut[:, s, :][:, codes[:, s]]
+            out_q, out_n, out_a, out_v = [], [], [], []
+            for qi in range(len(q_ids)):
+                row = approx[qi]
+                if exclude_self:
+                    row = np.where(ids == q_ids[qi], -np.inf, row)
+                top = np.argsort(-row)[:shortlist]
+                for t in top:
+                    if row[t] == -np.inf:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(ids[t])
+                    out_a.append(float(row[t]))
+                    out_v.append(list(pdf[vec_col].iloc[t]))
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "approx": out_a,
+                    "_cv": out_v,
+                }
+            )
+
+    vec_type = dict(corpus.dtypes)[vec_col]
+    cand = spread(corpus.select(corpus_id, vec_col)).mapInPandas(
+        scan, f"query_id long, neighbor_id long, approx double, _cv {vec_type}"
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    kept = (
+        cand.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist)
+        .drop("_r")
+    )
+    q_df = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(q_ids, q_mat)],
+        f"query_id long, _qv array<double>",
+    )
+    scored = score_pairs_cosine(kept.join(q_df, "query_id"), "_qv", "_cv")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

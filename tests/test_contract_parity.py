@@ -135,4 +135,4 @@ def test_contract_surface_invariants():
     oracles = set(entry_mod.oracle_sql())
     assert set(bench_mod.BENCH_QUERIES) <= qs
     assert oracles <= qs
-    assert qs - oracles == {"dedup_simhash", "knn_ivf"}
+    assert qs - oracles == {"dedup_simhash", "knn_ivf", "knn_pq"}

@@ -739,3 +739,20 @@ def test_domain_divergence_flags_novel_stratum(spark, docs):
         for r in domain_divergence(df.repartition(9), "src", n_buckets=256).collect()
     }
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+def test_pq_recall_vs_bruteforce(spark, emb):
+    """The knn_pq contract query has no SQL oracle (trained float
+    codebooks); this recall gate vs exact brute force is its
+    correctness check — the knn_ivf precedent."""
+    q = emb.filter(F.col("vec_id") < 20)
+    pq = similarity.pq_topk(q, emb, k=5, m=16, ksub=32, shortlist=100).collect()
+    bf = similarity.cosine_topk(q, emb, k=5).collect()
+    want, got = {}, {}
+    for r in bf:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in pq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(k_, set()) & v) for k_, v in want.items())
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
