@@ -2889,6 +2889,65 @@ FROM events GROUP BY user_id
 """
 
 
+def q_transcript_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The turns-side end-to-end: raw event TURNS → per-user document
+    assembly (stable (ts, id) order) → exact dedup (20 planted
+    verbatim re-uploads at id+100000 collapse onto their originals) →
+    GPT-style sequence packing. Together with ``corpus_build`` (the
+    documents-side chain) this is the whole north-star path: transcript
+    rows in, packed training manifest out. The oracle rebuilds all
+    three stages in SQL — string_agg assembly, min-id-per-normalized-
+    text dedup, md5-bucketed running-sum pack."""
+    from beats_spark.operators.dedup import exact_dedup
+    from beats_spark.operators.sampling import pack_sequences
+    from beats_spark.operators.sessions import assemble_documents
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("%s@%d", F.col("event_type"), F.col("event_id"))
+    )
+    docs = assemble_documents(
+        ev, key_col="user_id", text_col="line", order_cols=("ts", "event_id"), sep=" | "
+    ).select(F.col("user_id").alias("doc_id"), F.col("document").alias("text"))
+    replays = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    deduped = exact_dedup(docs.unionByName(replays), "text", "doc_id")
+    return pack_sequences(deduped, budget=128, n_buckets=16)
+
+
+_SQL_TRANSCRIPT_CORPUS = r"""
+WITH docs AS (
+  SELECT user_id AS doc_id,
+         string_agg(event_type || '@' || event_id::VARCHAR, ' | ' ORDER BY ts, event_id) AS text
+  FROM events GROUP BY user_id
+), uni AS (
+  SELECT doc_id, text FROM docs
+  UNION ALL
+  SELECT doc_id + 100000, text FROM docs WHERE doc_id < 20
+), keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM uni GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+), kept AS (
+  SELECT uni.doc_id, uni.text FROM uni JOIN keep USING (doc_id)
+), t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('s0|' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS tok_count
+  FROM kept),
+s AS (
+  SELECT doc_id, bucket, tok_count,
+         coalesce(sum(tok_count + 1) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM t)
+SELECT doc_id, bucket::BIGINT AS bucket, tok_count::BIGINT AS tok_count, start_off,
+       (start_off // 128)::BIGINT AS pack_first,
+       ((start_off + greatest(tok_count, 1) - 1) // 128)::BIGINT AS pack_last
+FROM s
+"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (web-crawl first pass).
 
@@ -3811,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "domain_divergence": q_domain_divergence,
         "corpus_build": q_corpus_build,
+        "transcript_corpus": q_transcript_corpus,
     }
 
 
@@ -3886,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": _SQL_BIGRAM_SURPRISAL,
         "domain_divergence": _SQL_DOMAIN_DIVERGENCE,
         "corpus_build": _SQL_CORPUS_BUILD,
+        "transcript_corpus": _SQL_TRANSCRIPT_CORPUS,
         # no oracle BY DESIGN (documented in COVERAGE.md): dedup_simhash
         # (xxhash64 token hash is not portable to DuckDB — its md5 twin
         # dedup_simhash_md5 IS oracle-checked), knn_ivf and knn_pq

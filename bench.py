@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "media_neardup",
     "domain_divergence",
     "bigram_surprisal",
+    "transcript_corpus",
 ]
 
 
