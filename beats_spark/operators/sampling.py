@@ -223,11 +223,18 @@ def domain_divergence(
         raise ValueError("n_buckets must be positive")
     from beats_spark.operators.scale import spread
 
+    from pyspark import StorageLevel
+
     grams = _unigram_bigram_grams(spread(df), text_col, [stratum_col])
-    sb = grams.groupBy(
-        F.col(stratum_col).alias("_s"),
-        (sample_hash(F.col("_g"), seed) % n_buckets).alias("_b"),
-    ).agg(F.count(F.lit(1)).alias("_c"))
+    # ≤ strata×n_buckets rows, consumed by FOUR subtrees (global
+    # counts, stratum totals, grand total, the join) — persist or each
+    # consumer recomputes the corpus explode (the dsir_weights lesson).
+    sb = (
+        grams.groupBy(
+            F.col(stratum_col).alias("_s"),
+            (sample_hash(F.col("_g"), seed) % n_buckets).alias("_b"),
+        ).agg(F.count(F.lit(1)).alias("_c"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     glob = sb.groupBy("_b").agg(F.sum("_c").alias("_cg"))
     totals_s = sb.groupBy("_s").agg(F.sum("_c").alias("_ts"))
     total = glob.agg(F.sum("_cg").alias("_t"))
