@@ -72,7 +72,10 @@ def test_query_contract(name, spark, duck):
 # in arbitrary row order, not just the single driver-written file
 # (orderBy("doc_id") before limit() is what makes this deterministic).
 _MULTIFILE_QUERIES = [
-    "dedup_exact", "dedup_simhash", "rolling_fingerprint", "dedup_simhash_md5"
+    "dedup_exact", "dedup_simhash", "rolling_fingerprint", "dedup_simhash_md5",
+    # round-3 fixture-planting queries: plant by doc_id predicates
+    # (order-independent by construction) — proven here, not assumed
+    "substring_dedup", "media_neardup",
 ]
 
 
