@@ -3357,6 +3357,36 @@ FROM fracs
 """
 
 
+def q_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-rule reject-rate audit quality_filter exists to enable:
+    reasons exploded and counted per language — the report a corpus
+    build reads BEFORE deciding thresholds (which rule rejects how
+    much of which slice). Same planted fixture as `quality_filter`;
+    the oracle wraps that query's full SQL as a CTE and replays the
+    explode/count."""
+    from beats_spark.operators.textstats import quality_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 13 == 0, F.lit(_QF_SPAM))
+        .when(did % 17 == 0, F.lit(_QF_DIGITS))
+        .when(did % 19 == 0, F.lit("tiny doc"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    qf = quality_filter(planted, "text", "doc_id")
+    return (
+        qf.where(F.col("reasons") != "")
+        .select("doc_id", F.explode(F.split(F.col("reasons"), ",")).alias("reason"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing (operators/sampling.py:mixture_sample): resample
     the corpus by language to a target mixture — en upsampled 2.5×
@@ -3863,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
         "quality_filter": q_quality_filter,
+        "filter_report": q_filter_report,
         "mixture_sample": q_mixture_sample,
         "vocab_topk": q_vocab_topk,
         "unigram_surprisal": q_unigram_surprisal,
@@ -3939,6 +3970,14 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
         "quality_filter": _SQL_QUALITY_FILTER,
+        "filter_report": f"""
+WITH qf AS ({_SQL_QUALITY_FILTER})
+SELECT d.lang, u.reason, count(*)::BIGINT AS n_docs
+FROM qf JOIN documents d USING (doc_id),
+     unnest(string_split(qf.reasons, ',')) AS u(reason)
+WHERE qf.reasons <> ''
+GROUP BY 1, 2
+""",
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "vocab_topk": _SQL_VOCAB_TOPK,
         "unigram_surprisal": _SQL_UNIGRAM_SURPRISAL,

@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "domain_divergence",
     "bigram_surprisal",
     "transcript_corpus",
+    "filter_report",
 ]
 
 
