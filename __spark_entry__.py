@@ -3229,6 +3229,53 @@ _QF_SPAM = ("spam ham " * 30).strip()
 _QF_DIGITS = ("12345 67 " * 25).strip()
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization through the processor chain
+    (normalize_unicode, pandas str.normalize over Arrow batches):
+    every 5th doc gets a DECOMPOSED suffix (e + U+0301), every 7th the
+    precomposed form — after NFC both render identically, char counts
+    shrink for the decomposed rows, untouched rows pass through
+    byte-equal. The oracle uses DuckDB's independent nfc_normalize
+    implementation: two Unicode libraries must agree exactly."""
+    from beats_spark.operators.base import build_chain
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(F.col("text"), F.lit(" cafe\u0301")))
+        .when(did % 7 == 0, F.concat(F.col("text"), F.lit(" caf\u00e9")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("text_raw", F.col("text"))
+    chain = build_chain([{"normalize_unicode": {"fields": ["text"], "form": "NFC"}}])
+    out = chain(planted)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_nfc"),
+        (F.col("text") != F.col("text_raw")).alias("changed"),
+        F.length("text_raw").cast("long").alias("chars_before"),
+        F.length("text").cast("long").alias("chars_after"),
+    )
+
+
+_SQL_UNICODE_NFC = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769)
+              WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(233)
+              ELSE text END AS text_raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text_raw) AS text_nfc,
+       (nfc_normalize(text_raw) <> text_raw) AS changed,
+       length(text_raw)::BIGINT AS chars_before,
+       length(nfc_normalize(text_raw))::BIGINT AS chars_after
+FROM planted
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-rules corpus filter (textstats.quality_filter):
     the full rule battery — length, word shape, digit soup, stopword
@@ -3892,6 +3939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "unicode_nfc": q_unicode_nfc,
         "quality_filter": q_quality_filter,
         "filter_report": q_filter_report,
         "mixture_sample": q_mixture_sample,
@@ -3969,6 +4017,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _SQL_URL_CANONICAL,
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
+        "unicode_nfc": _SQL_UNICODE_NFC,
         "quality_filter": _SQL_QUALITY_FILTER,
         "filter_report": f"""
 WITH qf AS ({_SQL_QUALITY_FILTER})

@@ -533,6 +533,39 @@ class DecompressGzipField(Processor):
 
 
 @register
+class NormalizeUnicode(Processor):
+    """normalize_unicode: Unicode normalization (NFC/NFD/NFKC/NFKD) of
+    text fields — the multilingual-corpus prerequisite: decomposed and
+    precomposed encodings of the SAME text hash, dedup, and compare
+    differently until normalized, so this runs before any fingerprint/
+    dedup stage. Engine addition (libbeat ships no Unicode normalizer);
+    no Spark builtin either → pandas ``Series.str.normalize`` over
+    Arrow batches (batch-at-a-time, the gzip precedent — never per-row
+    Python UDFs). Config: ``{"fields": [...], "form": "NFC"}``.
+    NULL passes through; non-string columns are a config error at
+    plan build."""
+
+    name = "normalize_unicode"
+
+    _FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+    def updates(self, df: DataFrame) -> Updates:
+        form = self.cfg.get("form", "NFC")
+        if form not in self._FORMS:
+            raise ProcessorConfigError(
+                f"normalize_unicode: form must be one of {self._FORMS}, got {form!r}"
+            )
+        fields = self.cfg.get("fields") or [self.cfg["field"]]
+
+        @F.pandas_udf(T.StringType())
+        def norm(s: pd.Series) -> pd.Series:
+            out = s.str.normalize(form)
+            return out.where(s.notna(), None)
+
+        return Updates(set={_flat(f): norm(F.col(_flat(f))) for f in fields})
+
+
+@register
 class DecodeDuration(Processor):
     """decode_duration: Go-style duration string ("1h30m45.5s", "150ms")
     → number in the configured unit.

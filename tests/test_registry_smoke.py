@@ -33,6 +33,7 @@ CONFIGS: dict[str, dict | None] = {
     "add_kubernetes_metadata": {"fields": {"pod": "p1"}},
     "add_process_metadata": {"fields": {"pid": "1"}},
     "append": {"target_field": "tags", "values": ["x"]},
+    "normalize_unicode": {"fields": ["name"], "form": "NFC"},
     "cache": {"get": {"key_field": "name", "target_field": "cv"}, "mapping": {"a": "b"}},
     "community_id": None,
     "convert": {"fields": [{"from": "num_s", "to": "num", "type": "long"}]},
