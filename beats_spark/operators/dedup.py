@@ -1051,7 +1051,21 @@ def connected_components(
     )
     # Convergence by the monotone label-sum: labels only ever
     # decrease, so an unchanged sum means fixpoint — detected on the
-    # same per-round action, no extra old-vs-new join.
+    # same per-round action, no extra old-vs-new join. The sum runs
+    # in decimal(38,0): ANSI long-sum overflows on hash-derived
+    # 64-bit ids (the ids other operators in this repo emit), killing
+    # the job mid-iteration. Non-numeric (string) ids can't sum at
+    # all, so they checksum via sum(xxhash64(label)) — not strictly
+    # monotone, but a changed label multiset leaving the 128-bit-wide
+    # decimal sum unchanged needs a 2^-64-scale collision, and
+    # max_iter backstops the loop either way.
+    numeric_label = dict(labels.dtypes)["label"] in (
+        "tinyint", "smallint", "int", "bigint", "decimal(38,0)"
+    )
+    if numeric_label:
+        checksum = F.sum(F.col("label").cast("decimal(38,0)"))
+    else:
+        checksum = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
     prev_sum = None
     try:
         for i in range(max_iter):
@@ -1064,7 +1078,7 @@ def connected_components(
             if (i + 1) % checkpoint_every == 0:
                 new_labels = new_labels.localCheckpoint(eager=False)
             new_labels = new_labels.persist()
-            cur_sum = new_labels.agg(F.sum("label")).first()[0]
+            cur_sum = new_labels.agg(checksum).first()[0]
             if hasattr(labels, "unpersist") and i > 0:
                 labels.unpersist()
             labels = new_labels

@@ -134,25 +134,29 @@ def url_dedup(
     keeper-only output, filter `is_keeper` afterwards; Catalyst
     pushes nothing through the window, so apply upstream filters
     before calling.
+
+    NULL canonicals short-circuit BEFORE the window (ADVICE r3): on a
+    crawl a large non-URL fraction would otherwise all hash to the
+    single NULL partition key and funnel into one window task — a
+    straggler/OOM hazard at 100 TB even though the computed values
+    were discarded. They union back with the constants the old
+    branchless form produced (n_dupes=1, is_keeper=true).
     """
     from pyspark.sql.window import Window
 
     out = add_url_canonical(df, url_col)
     w = Window.partitionBy("canonical_url")
-    return (
-        out.withColumn(
-            "n_dupes",
-            F.when(
-                F.col("canonical_url").isNull(), F.lit(1)
-            ).otherwise(F.count(F.lit(1)).over(w)),
-        )
-        .withColumn(
-            "is_keeper",
-            F.when(F.col("canonical_url").isNull(), F.lit(True)).otherwise(
-                F.col(id_col) == F.min(id_col).over(w)
-            ),
-        )
+    deduped = (
+        out.where(F.col("canonical_url").isNotNull())
+        .withColumn("n_dupes", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col(id_col) == F.min(id_col).over(w))
     )
+    passthrough = (
+        out.where(F.col("canonical_url").isNull())
+        .withColumn("n_dupes", F.lit(1).cast("long"))
+        .withColumn("is_keeper", F.lit(True))
+    )
+    return deduped.unionByName(passthrough)
 
 
 @register

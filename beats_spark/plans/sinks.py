@@ -57,6 +57,38 @@ class FanoutResult:
     sink_counts: dict[str, int] = dc_field(default_factory=dict)
 
 
+def _contains_map(dt) -> bool:
+    """True if the datatype has a MapType anywhere in it."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _hashable_salt_cols(df: DataFrame) -> list:
+    """Columns safe under xxhash64: maps at top level go through
+    map_entries (array<struct> is hashable); types with nested maps
+    are dropped from the salt. Never returns empty — META_SINK is a
+    plain string column on every routed frame."""
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.MapType):
+            if not _contains_map(f.dataType.keyType) and not _contains_map(
+                f.dataType.valueType
+            ):
+                cols.append(F.map_entries(F.col(f.name)))
+        elif not _contains_map(f.dataType):
+            cols.append(F.col(f.name))
+    return cols or [F.col(META_SINK)]
+
+
 def write_fanout(
     df: DataFrame,
     out_root: str,
@@ -85,15 +117,21 @@ def write_fanout(
     (sink, deterministic row-hash salt mod k) so each sink lands in ≈k
     output files regardless of task count; ``max_records_per_file``
     caps the other direction (a hot sink's files splitting at a row
-    budget). The salt is ``xxhash64`` over all columns — stable under
-    task retries, unlike round-robin. Defaults off: the zero-Exchange
-    single-pass shape (pinned by tests/test_plan_shapes.py) is
-    unchanged unless asked for."""
+    budget). The salt is ``xxhash64`` over the hashable columns —
+    stable under task retries, unlike round-robin. Spark prohibits
+    hash expressions over MAP types (DATATYPE_MISMATCH.HASH_MAP_TYPE)
+    and this pipeline's own sources emit maps (container attrs,
+    journald custom fields, decode_json_fields overflow), so
+    top-level map columns are hashed via ``map_entries`` (same bytes
+    ⇒ same entry order ⇒ retry-stable) and columns with maps nested
+    deeper are skipped — the salt only needs determinism and spread,
+    and ``_meta_sink`` (string) is always present. Defaults off: the
+    zero-Exchange single-pass shape (pinned by
+    tests/test_plan_shapes.py) is unchanged unless asked for."""
     part_cols = [META_SINK] + (extra_partition_cols or [])
     if files_per_sink:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(files_per_sink)
-        )
+        salt_cols = _hashable_salt_cols(df)
+        salt = F.pmod(F.xxhash64(*salt_cols), F.lit(files_per_sink))
         df = df.repartition(F.col(META_SINK), salt)
     obs = None
     if known_sinks:

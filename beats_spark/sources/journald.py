@@ -187,13 +187,36 @@ def _records_text(spark: SparkSession, paths) -> DataFrame:
     100 GB export fans out across tasks with no shuffle.  Lines
     without ``=`` (only possible in binary exports, which this mode
     does not claim) are dropped by the pair filter.
+
+    ``rec_no`` is the per-file 0-based record ordinal, matching the
+    binary mode's counter under the shared ``_PAIRS_SCHEMA`` contract.
+    A bare ``monotonically_increasing_id`` would NOT be that — its
+    values are partition-layout-dependent (sparse, interleaved across
+    files/splits) — so the dense ordinal is rebuilt with the chunked
+    line reader's trick (sources/lines.py:199): ids are consecutive
+    within one split, so ``id - min(id per split)`` is the in-split
+    index and a broadcast #splits-row running sum supplies each
+    split's base offset. No full-data shuffle.
     """
     if isinstance(paths, str):
         paths = [paths]
+    from pyspark.sql.window import Window
+
     df = spark.read.text(list(paths), lineSep="\n\n").select(
         F.input_file_name().alias("file"),
-        F.monotonically_increasing_id().alias("rec_no"),
+        F.input_file_block_start().alias("_blk"),
+        F.monotonically_increasing_id().alias("_mid"),
         F.col("value"),
+    )
+    blocks = df.groupBy("file", "_blk").agg(
+        F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n")
+    )
+    wb = Window.partitionBy("file").orderBy("_blk")
+    offsets = blocks.withColumn("_off", F.sum("_n").over(wb) - F.col("_n"))
+    df = df.join(F.broadcast(offsets), ["file", "_blk"]).select(
+        "file",
+        (F.col("_off") + F.col("_mid") - F.col("_mid0")).alias("rec_no"),
+        "value",
     )
     pairs = F.expr(
         "transform(filter(split(value, '\\n'), l -> instr(l, '=') > 0), "

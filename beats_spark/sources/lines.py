@@ -164,8 +164,20 @@ def _filter_files(df, file_col, exclude_files, ignore_older, spark, path):
                     for s in stale
                 ]
                 df = df.filter(~norm.isin(stale_norm))
-        except Exception:
-            pass  # best-effort, matching the prospector's advisory skip
+        except Exception as exc:  # noqa: BLE001 — JVM listing failures
+            # The prospector treats ignore_older as advisory, but
+            # silently disabling it would let stale files into the
+            # corpus with no trace — warn loudly and tag the reason so
+            # the behavior delta is visible in logs (ADVICE r3).
+            import warnings
+
+            warnings.warn(
+                f"ignore_older: file listing failed ({exc!r}); mtime "
+                "pruning DISABLED for this read — stale files will be "
+                "processed",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return df
 
 

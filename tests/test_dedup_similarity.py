@@ -441,6 +441,29 @@ def test_connected_components_direction_and_self_loops(spark):
     assert comp == {1: 1, 3: 1, 5: 1}
 
 
+def test_connected_components_huge_and_string_ids(spark):
+    """Hash-derived 64-bit ids must not ARITHMETIC_OVERFLOW the ANSI
+    convergence sum (it runs in decimal(38,0)), and string ids — for
+    which min-label is lexicographic — must work at all (they hash-
+    checksum instead of summing). ADVICE r3, dedup.py:1067."""
+    big = 2**63 - 1
+    pairs = spark.createDataFrame(
+        [(big, big - 1), (big - 1, big - 2), (7, 8)], "a long, b long"
+    )
+    comp = {r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {big: big - 2, big - 1: big - 2, big - 2: big - 2,
+                    7: 7, 8: 7}
+
+    spairs = spark.createDataFrame(
+        [("zz", "mm"), ("mm", "aa"), ("qq", "rr")], "a string, b string"
+    )
+    scomp = {r["node"]: r["component"]
+             for r in dedup.connected_components(spairs).collect()}
+    assert scomp == {"aa": "aa", "mm": "aa", "zz": "aa",
+                     "qq": "qq", "rr": "qq"}
+
+
 def test_dedup_keep_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(8)], "doc_id long, text string"

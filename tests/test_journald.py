@@ -29,6 +29,7 @@ import json
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from beats_spark.sources.journald import (
     _CONVERSIONS,
@@ -305,6 +306,45 @@ def test_text_and_binary_framing_agree(spark):
         sa = sorted(map(repr, a.select(cols).collect()))
         sb = sorted(map(repr, b.select(cols).collect()))
         assert sa == sb, name
+
+
+def test_text_mode_rec_no_matches_binary_multifile(spark, tmp_path):
+    """Text-mode rec_no must be the same per-file 0-based dense
+    ordinal binary mode emits under the shared _PAIRS_SCHEMA contract
+    — including under multi-file reads and forced splits, where a bare
+    monotonically_increasing_id would interleave sparse values
+    (ADVICE r3, sources/journald.py:195)."""
+    src = (TD / "journal1.export").read_text().rstrip("\n") + "\n\n"
+    paths = []
+    for i, reps in enumerate((40, 1, 7)):
+        p = tmp_path / f"j{i}.export"
+        p.write_text(src * reps)
+        paths.append(str(p))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024))
+    try:
+        a = read_journald_export(spark, paths, mode="text")
+        b = read_journald_export(spark, paths, mode="binary")
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    # the two modes print the file: URI with different slash counts
+    norm = F.regexp_replace("file", "^file:/+", "file:/")
+    a = a.withColumn("file", norm)
+    b = b.withColumn("file", norm)
+    cols = ["file", "rec_no", "message"]
+    sa = sorted(map(repr, a.select(cols).collect()))
+    sb = sorted(map(repr, b.select(cols).collect()))
+    assert sa == sb
+    # dense 0..n-1 per file, not sparse partition-layout ids
+    per_file = {
+        r.file: (r.lo, r.hi, r.n)
+        for r in a.groupBy("file").agg(
+            F.min("rec_no").alias("lo"),
+            F.max("rec_no").alias("hi"),
+            F.count("*").alias("n"),
+        ).collect()
+    }
+    for lo, hi, n in per_file.values():
+        assert (lo, hi) == (0, n - 1)
 
 
 def test_text_mode_is_splittable(spark, tmp_path):

@@ -326,3 +326,30 @@ def test_fanout_files_per_sink_bounds_file_count(spark, transcripts, tmp_path):
     total_files = len(glob.glob(f"{root2}/_meta_sink=*/*.parquet"))
     assert total_files > 4
     assert res2.sink_counts == expect
+
+
+def test_fanout_files_per_sink_with_map_columns(spark, tmp_path):
+    """Map-typed columns (container attrs, journald custom fields,
+    decode_json_fields overflow) must not crash the files_per_sink
+    salt — Spark forbids hashing MAP types (ADVICE r3, sinks.py:94).
+    Top-level maps hash via map_entries; nested maps drop out of the
+    salt; counts stay exact."""
+    import glob
+
+    from beats_spark.plans.sinks import write_fanout
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", {"a": str(i), "b": "x"},
+          {"deep": {"m": i}}, "alerts" if i % 2 else "inbound")
+         for i in range(200)],
+        "id long, k string, attrs map<string,string>, "
+        "nested struct<deep:map<string,long>>, _meta_sink string",
+    ).repartition(8)
+    root = str(tmp_path / "mapsinks")
+    res = write_fanout(
+        df, root, known_sinks=["alerts", "inbound"], files_per_sink=2
+    )
+    assert res.sink_counts == {"alerts": 100, "inbound": 100}
+    for sink in ("alerts", "inbound"):
+        files = glob.glob(f"{root}/_meta_sink={sink}/*.parquet")
+        assert 1 <= len(files) <= 2, (sink, files)
