@@ -3276,6 +3276,47 @@ FROM planted
 """
 
 
+def q_include_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The include_message reader parser (libbeat/reader/filter/
+    filter.go:32-47, registered name parser.go:126): keep events whose
+    message matches ANY configured pattern, drop the rest. Patterns
+    are planted deterministically (every 3rd doc an ALERT line, every
+    11th a needle token, one NULL message) so both the keep and the
+    drop branch carry rows; runs through the registry processor form
+    so the gate also covers the Beats-name dispatch."""
+    from beats_spark.operators.base import build_chain
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 31 == 0, F.lit(None).cast("string"))
+        .when(did % 3 == 0, F.concat(F.lit("ALERT: code "), (did % 97).cast("string")))
+        .when(did % 11 == 0, F.concat(F.lit("needle-xyz "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("message"),
+    )
+    chain = build_chain(
+        [{"include_message": {"patterns": ["^ALERT: code [0-9]+", "needle-xyz"]}}]
+    )
+    return chain(planted).select("doc_id", "message")
+
+
+_SQL_INCLUDE_MESSAGE = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN NULL
+              WHEN doc_id % 3 = 0 THEN 'ALERT: code ' || (doc_id % 97)::VARCHAR
+              WHEN doc_id % 11 = 0 THEN 'needle-xyz ' || text
+              ELSE text END AS message
+  FROM documents
+)
+SELECT doc_id, message FROM planted
+WHERE COALESCE(regexp_matches(message, '^ALERT: code [0-9]+')
+               OR regexp_matches(message, 'needle-xyz'), false)
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-rules corpus filter (textstats.quality_filter):
     the full rule battery — length, word shape, digit soup, stopword
@@ -3873,7 +3914,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered newest-/least-blessed-first: if the driver's correctness
+    # gate caps how many queries it runs, the entries with no prior
+    # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
+        # -- round-4 additions ------------------------------------------
+        "include_message": q_include_message,
+        # -- round-3 additions not yet in a driver CORRECTNESS file -----
+        "text_stats": q_text_stats,
+        "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+        "media_neardup": q_media_neardup,
+        "url_canonical": q_url_canonical,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "unicode_nfc": q_unicode_nfc,
+        "quality_filter": q_quality_filter,
+        "filter_report": q_filter_report,
+        "mixture_sample": q_mixture_sample,
+        "vocab_topk": q_vocab_topk,
+        "unigram_surprisal": q_unigram_surprisal,
+        "dsir_weights": q_dsir_weights,
+        "bigram_surprisal": q_bigram_surprisal,
+        "domain_divergence": q_domain_divergence,
+        "corpus_build": q_corpus_build,
+        "transcript_corpus": q_transcript_corpus,
+        "ivf_assign": q_ivf_assign,
+        "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
+        # -- blessed in CORRECTNESS_r03 ----------------------------------
         "pipeline_fanout": q_pipeline_fanout,
         "pipeline_rows": q_pipeline_rows,
         "rate_limit": q_rate_limit,
@@ -3924,32 +3998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
-        "ivf_assign": q_ivf_assign,
-        "text_stats": q_text_stats,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "media_features": q_media_features,
-        "media_neardup": q_media_neardup,
-        "url_canonical": q_url_canonical,
-        "line_dedup": q_line_dedup,
-        "decontaminate": q_decontaminate,
-        "unicode_nfc": q_unicode_nfc,
-        "quality_filter": q_quality_filter,
-        "filter_report": q_filter_report,
-        "mixture_sample": q_mixture_sample,
-        "vocab_topk": q_vocab_topk,
-        "unigram_surprisal": q_unigram_surprisal,
-        "dsir_weights": q_dsir_weights,
-        "bigram_surprisal": q_bigram_surprisal,
-        "domain_divergence": q_domain_divergence,
-        "corpus_build": q_corpus_build,
-        "transcript_corpus": q_transcript_corpus,
     }
 
 
@@ -4018,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "decontaminate": _SQL_DECONTAMINATE,
         "unicode_nfc": _SQL_UNICODE_NFC,
+        "include_message": _SQL_INCLUDE_MESSAGE,
         "quality_filter": _SQL_QUALITY_FILTER,
         "filter_report": f"""
 WITH qf AS ({_SQL_QUALITY_FILTER})

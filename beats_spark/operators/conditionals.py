@@ -26,6 +26,31 @@ class DropEvent(Processor):
         return Updates(remove_rows=F.lit(True))
 
 
+@register
+class IncludeMessage(Processor):
+    """include_message: the reader-chain FilterParser as a processor —
+    keep rows whose ``field`` (default ``message``) matches ANY of
+    ``patterns`` (unanchored regex), drop the rest; NULL never matches.
+
+    Ref: libbeat/reader/filter/filter.go:32-47 (matchAny over the
+    configured match.Matcher list decides keep/drop), registered under
+    the parser name of libbeat/reader/parser/parser.go:126-131. The
+    rlike disjunction is a plain codegen filter, so Catalyst pushes it
+    toward the scan."""
+
+    name = "include_message"
+
+    def updates(self, df: DataFrame) -> Updates:
+        patterns = self.cfg.get("patterns")
+        if not patterns:
+            raise ValueError("include_message.patterns is required")
+        col = F.col(self.cfg.get("field", "message"))
+        keep = col.rlike(patterns[0])
+        for p in patterns[1:]:
+            keep = keep | col.rlike(p)
+        return Updates(remove_rows=~F.coalesce(keep, F.lit(False)))
+
+
 class IfThenElse(Processor):
     """{"if": cond, "then": [...], "else": [...]}.
 

@@ -515,12 +515,37 @@ def multiline_join_distributed(
     )
 
 
+def include_message_filter(
+    df: DataFrame, patterns: list[str], message_col: str = "message"
+) -> DataFrame:
+    """The ``include_message`` reader parser: keep events whose
+    message matches ANY of the regex patterns, drop the rest.
+
+    Ref: libbeat/reader/filter/filter.go:32-47 — ``FilterParser``
+    returns a message iff ``matchAny`` over the configured
+    ``match.Matcher`` list fires (unanchored regex, substring
+    semantics); everything else is discarded before downstream
+    parsers. One codegen ``rlike`` disjunction — Catalyst pushes it
+    toward the scan like any other filter; a NULL message never
+    matches (no bytes ⇒ no match), mirroring MatchString on an empty
+    content string only matching patterns that accept empty.
+    """
+    if not patterns:
+        # Config{Patterns} is validate:"required" in the reference
+        raise ValueError("include_message.patterns is required")
+    keep = F.col(message_col).rlike(patterns[0])
+    for p in patterns[1:]:
+        keep = keep | F.col(message_col).rlike(p)
+    return df.filter(F.coalesce(keep, F.lit(False)))
+
+
 def read_multiline(
     spark: SparkSession,
     path: str,
     multiline: dict | None = None,
     include_lines: list[str] | None = None,
     exclude_lines: list[str] | None = None,
+    include_message: list[str] | None = None,
     chunked: bool = False,
     exclude_files: list[str] | None = None,
     ignore_older: float | None = None,
@@ -558,6 +583,8 @@ def read_multiline(
         cfg.setdefault("mode", cfg.pop("type", "pattern"))
         join = multiline_join_distributed if chunked else multiline_join
         out = join(lines, **cfg)
+    if include_message:
+        out = include_message_filter(out, include_message)
     msg = F.col("message")
     if include_lines:
         keep = msg.rlike(include_lines[0])

@@ -309,6 +309,7 @@ def run_text_stream(
     checkpoint_dir: str,
     multiline: dict | None = None,
     container: dict | None = None,
+    include_message: list[str] | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ):
@@ -370,6 +371,10 @@ def run_text_stream(
             events = lines.withColumnRenamed("line", "message").withColumns(
                 {"n_lines": F.lit(1).cast("long"), "truncated": F.lit(False)}
             )
+        if include_message:
+            from beats_spark.sources.lines import include_message_filter
+
+            events = include_message_filter(events, include_message)
         routed = transform(events, cfg).withColumn("batch_id", F.lit(batch_id))
         # dynamic overwrite of THIS batch's partitions only: replaying
         # an uncommitted batch is idempotent (same files -> same rows).

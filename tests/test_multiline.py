@@ -535,3 +535,77 @@ def test_exclude_files_and_ignore_older(spark, tmp_path):
         )
         files = {r.file.rsplit("/", 1)[-1] for r in out.collect()}
         assert files == {"keep.log"}, (chunked, files)
+
+
+# --- include_message (FilterParser) -----------------------------------------
+# Transliterated from libbeat/reader/filter/filter_test.go::TestParser.
+
+def _msgs_df(spark, msgs: list[str]):
+    rows = [("f", i, m) for i, m in enumerate(msgs)]
+    return spark.createDataFrame(rows, "file string, line_no int, message string")
+
+
+@pytest.mark.parametrize(
+    "patterns,inp,want",
+    [
+        # "keep all messages"
+        (["this matches*"], ["this matches", "this matches again"],
+         ["this matches", "this matches again"]),
+        # "keep all messages with multiple patterns"
+        (["this matches*", "should match as well*"],
+         ["this matches", "should match as well"],
+         ["this matches", "should match as well"]),
+        # "keep one message"
+        (["this matches*"], ["this matches", "this does not match"],
+         ["this matches"]),
+    ],
+)
+def test_include_message_reference_cases(spark, patterns, inp, want):
+    from beats_spark.sources.lines import include_message_filter
+
+    out = include_message_filter(_msgs_df(spark, inp), patterns)
+    got = [r["message"] for r in out.orderBy("line_no").collect()]
+    assert got == want
+
+
+def test_include_message_null_and_required(spark):
+    from beats_spark.sources.lines import include_message_filter
+
+    df = spark.createDataFrame(
+        [("f", 0, None), ("f", 1, "keep me")],
+        "file string, line_no int, message string",
+    )
+    out = include_message_filter(df, ["keep"])
+    assert [r["message"] for r in out.collect()] == ["keep me"]
+    with pytest.raises(ValueError, match="required"):
+        include_message_filter(df, [])
+
+
+def test_include_message_in_reader_chain(spark, tmp_path):
+    """read_multiline(include_message=...) filters the COMBINED event
+    (parsers-chain order: multiline joins first, the filter sees whole
+    messages), like declaring parsers: [multiline, include_message]."""
+    p = tmp_path / "a.log"
+    p.write_text(
+        "ERR boom\n  at frame1\nINFO fine\nERR again\n  at frame2\n"
+    )
+    out = read_multiline(
+        spark,
+        str(p),
+        multiline={"pattern": r"^\s", "match": "after"},
+        include_message=["^ERR"],
+    )
+    msgs = [r["message"] for r in out.orderBy("line_no").collect()]
+    assert msgs == ["ERR boom\n  at frame1", "ERR again\n  at frame2"]
+
+
+def test_include_message_processor_form(spark):
+    """Registry form: {'include_message': {'patterns': [...]}} drops
+    non-matching rows, keeps columns untouched."""
+    from beats_spark.operators.base import build_chain
+
+    df = _msgs_df(spark, ["this matches", "this does not... wait it does",
+                          "nope nothing here"])
+    out = build_chain([{"include_message": {"patterns": ["matches", "does$"]}}])(df)
+    got = sorted(r["message"] for r in out.collect())
+    assert got == ["this does not... wait it does", "this matches"]

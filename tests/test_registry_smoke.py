@@ -57,6 +57,7 @@ CONFIGS: dict[str, dict | None] = {
     "fingerprint": {"fields": ["name"], "target_field": "fp"},
     "if": None,
     "include_fields": {"fields": ["name", "num_s"]},
+    "include_message": {"field": "name", "patterns": [".*"]},
     "lowercase": {"values": ["name"]},
     "move_fields": {"to": "m", "fields": ["spare2"]},
     "now": {"fixed": "2026-01-01 00:00:00"},
