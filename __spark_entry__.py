@@ -933,6 +933,74 @@ FROM events
 """
 
 
+def q_convert_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """convert type=ip at full net.ParseIP parity (convert.go:347):
+    a planted battery covering strict quads (no leading zeros), every
+    embedded-v4-tail compression placement (the round-3 residual),
+    zone suffixes (rejected), double compression (rejected) and NULL.
+    Valid rows copy the string through; invalid rows null + tag."""
+    from beats_spark.operators.base import build_chain
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    addr = (
+        F.when(eid % 13 == 0, F.concat(F.lit("10."), (eid % 256).cast("string"), F.lit(".0.1")))
+        .when(eid % 13 == 1, F.lit("1::2:3.4.5.6"))
+        .when(eid % 13 == 2, F.lit("300.1.1.1"))
+        .when(eid % 13 == 3, F.lit("::ffff:1.2.3.4"))
+        .when(eid % 13 == 4, F.lit("not-an-ip"))
+        .when(eid % 13 == 5, F.lit("01.2.3.4"))
+        .when(eid % 13 == 6, F.lit("1:2:3:4:5:6:7:8"))
+        .when(eid % 13 == 7, F.lit("fe80::1%eth0"))
+        .when(eid % 13 == 8, F.lit("::"))
+        .when(eid % 13 == 9, F.lit("1::2::3"))
+        .when(eid % 13 == 10, F.lit("::2:3.4.5.6"))
+        .when(eid % 13 == 11, F.lit("1.2.3.4.5"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    chain = build_chain(
+        [{"convert": {"fields": [{"from": "addr", "to": "ip", "type": "ip"}]}}]
+    )
+    out = chain(ev.select("event_id", addr.alias("addr")))
+    return out.select(
+        "event_id",
+        "addr",
+        "ip",
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "convert_error",
+        ).alias("convert_failed"),
+    )
+
+
+_SQL_CONVERT_IP = """
+WITH planted AS (
+  SELECT event_id,
+         CASE event_id % 13
+           WHEN 0 THEN '10.' || (event_id % 256)::VARCHAR || '.0.1'
+           WHEN 1 THEN '1::2:3.4.5.6'
+           WHEN 2 THEN '300.1.1.1'
+           WHEN 3 THEN '::ffff:1.2.3.4'
+           WHEN 4 THEN 'not-an-ip'
+           WHEN 5 THEN '01.2.3.4'
+           WHEN 6 THEN '1:2:3:4:5:6:7:8'
+           WHEN 7 THEN 'fe80::1%eth0'
+           WHEN 8 THEN '::'
+           WHEN 9 THEN '1::2::3'
+           WHEN 10 THEN '::2:3.4.5.6'
+           WHEN 11 THEN '1.2.3.4.5'
+           ELSE NULL END AS addr,
+         event_id % 13 IN (0, 1, 3, 6, 8, 10) AS is_valid
+  FROM events
+)
+SELECT event_id,
+       addr,
+       CASE WHEN is_valid THEN addr END AS ip,
+       (addr IS NOT NULL AND NOT is_valid) AS convert_failed
+FROM planted
+"""
+
+
 def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutation battery: rename → copy_fields → truncate_fields →
     replace → uppercase(values) → drop_fields, in declared order."""
@@ -3920,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-4 additions ------------------------------------------
         "include_message": q_include_message,
+        "convert_ip": q_convert_ip,
         # -- round-3 additions not yet in a driver CORRECTNESS file -----
         "text_stats": q_text_stats,
         "redact_pii": q_redact_pii,
@@ -4067,6 +4136,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "unicode_nfc": _SQL_UNICODE_NFC,
         "include_message": _SQL_INCLUDE_MESSAGE,
+        "convert_ip": _SQL_CONVERT_IP,
         "quality_filter": _SQL_QUALITY_FILTER,
         "filter_report": f"""
 WITH qf AS ({_SQL_QUALITY_FILTER})

@@ -71,6 +71,57 @@ def _two_valued(c: Column) -> Column:
 # must evaluate to false, never error.
 _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
+# --- net.ParseIP-parity validation (convert type=ip) ----------------------
+# Strict dotted quad: octets 0-255, NO leading zeros (net.ParseIP since
+# Go 1.17 rejects "010.1.2.3"; so does Python ipaddress — the two
+# independent implementations the test battery cross-checks).
+_Q_STRICT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9][0-9]|[0-9])"
+_V4_STRICT = rf"({_Q_STRICT}\.){{3}}{_Q_STRICT}"
+_H = "[0-9A-Fa-f]{1,4}"
+
+
+def _ipv6_regex() -> str:
+    """Complete IPv6 textual grammar as one anchored alternation:
+    the standard 9-branch hextet battery PLUS every legal placement of
+    an embedded IPv4 tail — uncompressed, ``L hextets ::``,
+    ``:: R hextets``, and the mid-compression forms
+    (``1::2:3.4.5.6``-class) net.ParseIP accepts and the round-3
+    validator missed. Group-count budget: the v4 tail is 2 of the 8
+    groups and ``::`` must expand ≥1, so written hextets L+R ≤ 5."""
+    h, v4 = _H, _V4_STRICT
+    alts = [
+        rf"({h}:){{7}}{h}",            # 8 groups, no compression
+        rf"({h}:){{1,7}}:",            # trailing ::
+        rf"({h}:){{1,6}}:{h}",
+        rf"({h}:){{1,5}}(:{h}){{1,2}}",
+        rf"({h}:){{1,4}}(:{h}){{1,3}}",
+        rf"({h}:){{1,3}}(:{h}){{1,4}}",
+        rf"({h}:){{1,2}}(:{h}){{1,5}}",
+        rf"{h}:(:{h}){{1,6}}",
+        rf":((:{h}){{1,7}}|:)",        # leading :: (includes bare ::)
+        rf"({h}:){{6}}{v4}",           # v4 tail, uncompressed
+        rf"({h}:){{1,5}}:{v4}",        # L:: v4
+        rf"::({h}:){{0,5}}{v4}",       # ::R v4 (R may be 0)
+        rf"{h}:(:{h}){{1,4}}:{v4}",    # L=1 :: R v4
+        rf"({h}:){{2}}(:{h}){{1,3}}:{v4}",
+        rf"({h}:){{3}}(:{h}){{1,2}}:{v4}",
+        rf"({h}:){{4}}:{h}:{v4}",      # L=4, R=1
+    ]
+    return "^(" + "|".join(alts) + ")$"
+
+
+_IPV6_FULL_RE = _ipv6_regex()
+_IPV4_STRICT_RE = rf"^{_V4_STRICT}$"
+
+
+def ip_parse_valid(c: Column) -> Column:
+    """Boolean: would net.ParseIP accept this string? (convert.go:347
+    validation — the reference nulls + tags anything ParseIP returns
+    nil for.) Pure codegen rlike pair, no UDF; NULL input → false."""
+    return F.coalesce(
+        c.rlike(_IPV4_STRICT_RE) | c.rlike(_IPV6_FULL_RE), F.lit(False)
+    )
+
 
 def _ip_to_long(c: Column) -> Column:
     """Dotted-quad IPv4 string → int64, JVM-side (no UDF).

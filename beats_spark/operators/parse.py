@@ -274,33 +274,14 @@ class Convert(Processor):
             if spec.get("type") == "ip":
                 # the reference VALIDATES ip conversions (net.ParseIP,
                 # convert.go:347) — an unparseable address nulls + tags.
-                # Shape-level check here: exact IPv4 (octets ≤ 255) or
-                # colon-hex IPv6.
-                from beats_spark.functions.conditions import _ip_to_long
+                # ip_parse_valid is the full ParseIP grammar: strict
+                # dotted quad (0-255, no leading zeros) and complete
+                # IPv6 incl. every embedded-v4-tail placement; parity
+                # vs Python ipaddress is property-tested in
+                # tests/test_processors.py.
+                from beats_spark.functions.conditions import ip_parse_valid
 
-                v4 = _ip_to_long(F.col(src)).isNotNull()
-                # Quad with range check (0-255) for the embedded-IPv4
-                # tail forms net.ParseIP accepts (::ffff:192.0.2.1,
-                # 64:ff9b::1.2.3.4, 0:0:0:0:0:ffff:1.2.3.4). Remaining
-                # gap (documented in COVERAGE.md): mid-compression with
-                # hextets between the `::` and the v4 tail.
-                quad = r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
-                v4tail = rf"({quad}\.){{3}}{quad}"
-                v6 = F.col(src).rlike(
-                    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
-                    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
-                    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
-                    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
-                    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
-                    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
-                    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
-                    r"|[0-9A-Fa-f]{1,4}:(:[0-9A-Fa-f]{1,4}){1,6}"
-                    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
-                    rf"|([0-9A-Fa-f]{{1,4}}:){{6}}{v4tail}"
-                    rf"|([0-9A-Fa-f]{{1,4}}:){{1,5}}:{v4tail}"
-                    rf"|::([Ff]{{4}}(:0{{1,4}})?:)?{v4tail})$"
-                )
-                casted = F.when(v4 | v6, F.col(src).cast("string"))
+                casted = F.when(ip_parse_valid(F.col(src)), F.col(src).cast("string"))
             else:
                 casted = F.col(src).try_cast(typ)
             err = err | (F.col(src).isNotNull() & casted.isNull())

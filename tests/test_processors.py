@@ -137,6 +137,73 @@ def test_convert_ip_v6_with_v4_tail(spark):
     assert r[5]["ip"] is None and "convert_error" in r[5]["flags"]
 
 
+def test_convert_ip_full_parseip_parity(spark):
+    """ip_parse_valid must agree with an independent full IP parser
+    (Python ipaddress, which matches net.ParseIP on every form below:
+    strict quads without leading zeros since Go 1.17, complete IPv6
+    incl. all embedded-v4-tail placements, no zone suffixes). Battery
+    = reference convert_test.go cases (x / 365.0.0.0 / 0.0.0.0 / ::1)
+    + hand-picked edges + a combinatorial sweep of compression
+    positions with and without v4 tails."""
+    import ipaddress
+
+    from beats_spark.functions.conditions import ip_parse_valid
+
+    cands = [
+        # reference convert_test.go:412-416
+        "x", "365.0.0.0", "0.0.0.0", "::1",
+        # v4 edges
+        "255.255.255.255", "256.1.1.1", "1.2.3.4", "01.2.3.4",
+        "1.2.3.04", "1.2.3", "1.2.3.4.5", "1.2.3.4 ", " 1.2.3.4",
+        "10.0.0.1", "192.168.001.1", "",
+        # v6 edges
+        "::", ":::", "1::", "::2", "1::2", "1:2:3:4:5:6:7:8",
+        "1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7::", "1:2:3:4:5:6:7:8::",
+        "12345::", "g::1", "fe80::1%eth0", "1::2::3",
+        # v4 tails at every compression position (the round-3 gap)
+        "1::2:3.4.5.6", "::2:3.4.5.6", "1:2::3:4.5.6.7",
+        "1:2:3::4:5.6.7.8", "1:2:3:4::5:6.7.8.9",
+        "1:2:3:4:5::6.7.8.9", "::1.2.3.4", "::ffff:1.2.3.4",
+        "::ffff:0:1.2.3.4", "64:ff9b::1.2.3.4",
+        "1:2:3:4:5:6:1.2.3.4", "1:2:3:4:5:6:7:1.2.3.4",
+        "1:2:3:4:5::6:7.8.9.10", "1::2:3:4:5:6.7.8.9",
+        "::1.2.3.400", "::1.2.3.04", "1::1.2.3",
+        "1:2:3:4::5:6:7.8.9.10",
+    ]
+    # sweep: k left hextets + '::' + m right hextets + optional v4
+    for k in range(0, 7):
+        for m in range(0, 7):
+            left = ":".join(["a"] * k)
+            right = ":".join(["b"] * m)
+            cands.append(f"{left}::{right}")
+            cands.append(f"{left}::{right}{':' if m else ''}9.9.9.9")
+
+    def py_ok(s: str) -> bool:
+        # the one known divergence: Python 3.9+ accepts "%zone"
+        # suffixes on IPv6; net.ParseIP (the semantics under test)
+        # does not — normalize to the Go behavior.
+        if "%" in s:
+            return False
+        try:
+            ipaddress.ip_address(s)
+            return True
+        except ValueError:
+            return False
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cands)],
+                               "i int, addr string")
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", ip_parse_valid(F.col("addr")).alias("ok")).collect()
+    }
+    bad = [
+        (cands[i], got[i], py_ok(cands[i]))
+        for i in range(len(cands))
+        if got[i] != py_ok(cands[i])
+    ]
+    assert not bad, bad
+
+
 def test_timestamp_timezone_shift(spark):
     """timezone config: naive inputs interpreted in that zone → UTC
     (the reference's IANA-timezone parse option, timestamp config.go)."""
