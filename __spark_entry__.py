@@ -1428,6 +1428,30 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=128, n_buckets=16)
 
 
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing priced in REAL subword tokens: the same
+    md5-bucketed window assignment, but tok_count from the
+    deterministic byte-level BPE (functions/bpe.py, fixed checked-in
+    merges; Arrow pandas UDF). CJK/code rows are planted so the
+    whitespace-vs-subword gap is visible in the output. No DuckDB
+    oracle — greedy ranked merges aren't SQL-expressible; the gate is
+    the in-suite exact twin (tests/test_bpe.py compares the UDF and
+    the packing layout token-for-token against the pure-Python
+    encoder). Rows-only by design, documented in COVERAGE.md."""
+    from beats_spark.operators.sampling import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.lit("形態素解析は難しい問題ですが分散処理で高速化できます"))
+        .when(did % 7 == 0, F.lit("x=[i*2 for i in range(10) if i%2==0]"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pack_sequences(planted, budget=128, n_buckets=16, token_counter="bpe")
+
+
 _SQL_PACK_SEQUENCES = """
 WITH t AS (
   SELECT doc_id,
@@ -3989,6 +4013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions ------------------------------------------
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
         # -- round-3 additions not yet in a driver CORRECTNESS file -----
         "text_stats": q_text_stats,
         "redact_pii": q_redact_pii,

@@ -102,6 +102,7 @@ def pack_sequences(
     n_buckets: int = 64,
     sep_tokens: int = 1,
     seed: int = 0,
+    token_counter: str = "whitespace",
 ) -> DataFrame:
     """GPT-style sequence packing: concatenate-then-chunk a corpus into
     fixed ``budget``-token context windows, distributed.
@@ -117,17 +118,31 @@ def pack_sequences(
     running sum is a short per-partition scan; skew is structurally
     impossible (hash-uniform buckets, window work is O(rows)).
 
-    Returns one row per doc: ``bucket``, ``tok_count`` (whitespace
-    tokens), ``start_off`` (token offset of the doc in its stream),
-    ``pack_first``/``pack_last`` (window indexes the doc lands in).
-    Every column is an integer, so the DuckDB oracle reproduces the
-    exact assignment (contract query ``pack_sequences``).
+    Returns one row per doc: ``bucket``, ``tok_count``, ``start_off``
+    (token offset of the doc in its stream), ``pack_first``/
+    ``pack_last`` (window indexes the doc lands in). With the default
+    ``token_counter="whitespace"`` every column is an integer
+    expression, so the DuckDB oracle reproduces the exact assignment
+    (contract query ``pack_sequences``). ``token_counter="bpe"``
+    prices the budget in REAL subword tokens (deterministic byte-level
+    BPE, functions/bpe.py — whitespace counts misprice CJK and code by
+    an order of magnitude); the Arrow pandas UDF count is not
+    SQL-expressible, so that mode's contract query
+    (``pack_sequences_bpe``) is rows-only, gated by the in-suite exact
+    twin against the pure-Python encoder (tests/test_bpe.py).
     """
     if budget <= 0 or n_buckets <= 0:
         raise ValueError("budget and n_buckets must be positive")
-    from beats_spark.operators.textstats import token_count_whitespace
+    if token_counter == "whitespace":
+        from beats_spark.operators.textstats import token_count_whitespace
 
-    toks = token_count_whitespace(F.col(text_col))
+        toks = token_count_whitespace(F.col(text_col))
+    elif token_counter == "bpe":
+        from beats_spark.functions.bpe import bpe_token_count
+
+        toks = bpe_token_count(F.col(text_col))
+    else:
+        raise ValueError(f"unknown token_counter {token_counter!r}")
     bucket = sample_hash(F.col(id_col), seed=seed) % n_buckets
     base = df.select(
         F.col(id_col),
