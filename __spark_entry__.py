@@ -3165,6 +3165,141 @@ FROM canon
 """
 
 
+def _planted_html(did, text):
+    """Deterministic messy-HTML wrapper shared by the html queries:
+    chrome (title/style/script/nav), residue-gated ad + entity blocks,
+    unique article body, repeated footer."""
+    return F.concat(
+        F.lit("<html><head><title>Example Site</title>"),
+        F.lit("<style>body{margin:0;color:#333}</style>"),
+        F.lit('<script>track("'), did.cast("string"), F.lit('");</script>'),
+        F.lit("</head><body>"),
+        F.lit("<nav><ul><li>Home</li><li>About</li><li>Contact</li></ul></nav>"),
+        F.when(did % 3 == 0,
+               F.lit('<div class="ad">SUBSCRIBE to our newsletter today</div>')
+               ).otherwise(""),
+        F.lit("<article><h1>Post "), did.cast("string"), F.lit("</h1><p>"),
+        text, F.lit("</p>"),
+        F.when(did % 4 == 0,
+               F.lit("<p>extra &amp; entities &lt;here&gt; &quot;q&quot;</p>")
+               ).otherwise(""),
+        F.when(did % 7 == 0, F.lit("<!-- hidden comment --><b>bold</b> tail")
+               ).otherwise(""),
+        F.lit("</article>"),
+        F.lit("<footer>(c) 2024 Example Corp | Cookie Policy</footer>"),
+        F.lit("</body></html>"),
+    )
+
+
+_SQL_PLANTED_HTML = """
+  '<html><head><title>Example Site</title>'
+  || '<style>body{margin:0;color:#333}</style>'
+  || '<script>track("' || CAST(doc_id AS VARCHAR) || '");</script>'
+  || '</head><body>'
+  || '<nav><ul><li>Home</li><li>About</li><li>Contact</li></ul></nav>'
+  || (CASE WHEN doc_id % 3 = 0 THEN '<div class="ad">SUBSCRIBE to our newsletter today</div>' ELSE '' END)
+  || '<article><h1>Post ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+  || text || '</p>'
+  || (CASE WHEN doc_id % 4 = 0 THEN '<p>extra &amp; entities &lt;here&gt; &quot;q&quot;</p>' ELSE '' END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '<!-- hidden comment --><b>bold</b> tail' ELSE '' END)
+  || '</article>'
+  || '<footer>(c) 2024 Example Corp | Cookie Policy</footer>'
+  || '</body></html>'
+"""
+
+
+def q_extract_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/html.py): script/style/comment
+    drop, block-element line breaks, tag strip, entity decode,
+    whitespace normalization — the crawl front door. Deterministic
+    messy-HTML fixtures wrap every document; the oracle replays the
+    identical regex battery (html_steps_sql keeps the two in lockstep)
+    so extracted text must match byte-for-byte."""
+    from beats_spark.operators.html import extract_html_text
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", _planted_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    out = extract_html_text(planted, "html", "text_out")
+    return out.select(
+        "doc_id",
+        "text_out",
+        F.length("text_out").cast("long").alias("n_chars"),
+        (F.size(F.split(F.col("text_out"), "\n"))).cast("long").alias("n_lines"),
+    )
+
+
+def _sql_extract_html() -> str:
+    from beats_spark.operators.html import html_steps_sql
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_SQL_PLANTED_HTML} AS html FROM documents
+)
+SELECT doc_id,
+       {html_steps_sql('html')} AS text_out,
+       length({html_steps_sql('html')})::BIGINT AS n_chars,
+       len(string_split({html_steps_sql('html')}, chr(10)))::BIGINT AS n_lines
+FROM planted
+"""
+
+
+def q_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl front door: HTML extraction feeding the
+    CCNet boilerplate line pass (line_level_dedup) — site chrome
+    (title, nav items, ads, footer) appears trimmed-identical across
+    documents and is removed; each article's unique lines survive in
+    order. The oracle replays extraction AND the line pass (md5 line
+    keys, distinct-doc frequency, ordered reassembly)."""
+    from beats_spark.operators.dedup import line_level_dedup
+    from beats_spark.operators.html import extract_html_text
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", _planted_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    extracted = extract_html_text(planted, "html", "text").select("doc_id", "text")
+    return line_level_dedup(extracted, min_docs=2)
+
+
+def _sql_html_corpus() -> str:
+    from beats_spark.operators.html import html_steps_sql
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_SQL_PLANTED_HTML} AS html FROM documents
+), docs2 AS (
+  SELECT doc_id, {html_steps_sql('html')} AS text FROM planted
+), lines AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+       unnest(list_transform(range(1, len(l) + 1), i -> {{'pos': i, 'line': l[i]}})) AS u(s)
+), keyed AS (
+  SELECT doc_id, pos, line, md5(trim(line)) AS lk FROM lines
+), boiler AS (
+  SELECT lk FROM (
+    SELECT lk, count(DISTINCT doc_id) AS n_docs
+    FROM keyed WHERE trim(line) <> '' GROUP BY lk
+  ) WHERE n_docs >= 2
+), kept AS (
+  SELECT * FROM keyed WHERE lk NOT IN (SELECT lk FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines FROM docs2
+)
+SELECT t.doc_id,
+       COALESCE(r.clean, '') AS text,
+       t.n_lines,
+       COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       (t.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus line-level dedup (CCNet/RefinedWeb boilerplate
     pass): plants newsletter/cookie/copyright boilerplate lines across
@@ -4014,6 +4149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "pack_sequences_bpe": q_pack_sequences_bpe,
+        "extract_html_text": q_extract_html_text,
+        "html_corpus": q_html_corpus,
         # -- round-3 additions not yet in a driver CORRECTNESS file -----
         "text_stats": q_text_stats,
         "redact_pii": q_redact_pii,
@@ -4162,6 +4299,8 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _SQL_UNICODE_NFC,
         "include_message": _SQL_INCLUDE_MESSAGE,
         "convert_ip": _SQL_CONVERT_IP,
+        "extract_html_text": _sql_extract_html(),
+        "html_corpus": _sql_html_corpus(),
         "quality_filter": _SQL_QUALITY_FILTER,
         "filter_report": f"""
 WITH qf AS ({_SQL_QUALITY_FILTER})

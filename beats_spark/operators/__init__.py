@@ -24,3 +24,4 @@ from beats_spark.operators import mutate as _mutate  # noqa: F401
 from beats_spark.operators import parse as _parse  # noqa: F401
 from beats_spark.operators import redact as _redact  # noqa: F401
 from beats_spark.operators import urlnorm as _urlnorm  # noqa: F401
+from beats_spark.operators import html as _html  # noqa: F401

@@ -1,0 +1,121 @@
+"""HTML → text extraction: the crawl-shaped front door of a training
+pipeline.
+
+Every operator in the training-data layer (quality filters, dedup,
+packing) consumes plain text; web crawls deliver HTML. This module is
+the deterministic extraction pass that sits in front of them: drop
+non-content subtrees (script/style/comments), turn block-element
+boundaries into line breaks, strip the remaining markup, decode the
+common entities, and normalize whitespace — the rule-based shape of
+the public CCNet/RefinedWeb preprocessing stage (Wenzek et al. 2020;
+Penedo et al. 2023), deliberately NOT a browser-grade parser: every
+rule is a regex over the raw string, so the whole pass is one
+Catalyst projection (JVM codegen, no UDF) and the DuckDB oracle can
+replay it verbatim (contract query ``extract_html_text``).
+
+The reference has no HTML handling (libbeat is a log shipper); this is
+an engine addition for the corpus path. Known, documented limits of
+the regex approach: an UNCLOSED <script>/<style> leaks its body as
+text (a real parser drops to EOF); CDATA sections and numeric
+character references pass through undecoded; attribute values
+containing a literal '>' end the tag early. At 100 TB the pass is a
+narrow projection — filters and column pruning still push through it,
+and the regex battery is the same per-row cost whole-stage codegen
+already pays for the grok/dissect families.
+
+Line-boundary semantics feed the CCNet boilerplate pass directly:
+``html_to_text`` emits '\\n'-separated lines, so
+``line_level_dedup`` (operators/dedup.py:1120) runs unchanged on the
+output — the composed crawl front door is ``html_corpus`` in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import Processor, Updates, register
+
+# Block-level elements whose open/close tags become line breaks; the
+# WHATWG default-CSS display:block set plus table rows and list items
+# (the elements whose boundaries a text rendering shows as new lines).
+_BLOCK = (
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|tfoot|blockquote|"
+    "pre|hr|section|article|aside|header|footer|form|fieldset|dl|dt|dd|"
+    "figure|figcaption|main|nav|address|center|title"
+)
+
+# (pattern, replacement) applied IN ORDER; both Java regex (Spark) and
+# RE2 (DuckDB) accept every construct used: inline (?is) flags, lazy
+# .*?, character classes. No backreferences (RE2 has none).
+_STEPS: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", " "),                              # comments
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),            # scripts
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),              # styles
+    (rf"(?i)</?({_BLOCK})\b[^>]*/?>", "\n"),               # block tags → \n
+    # remaining tags — must LOOK like a tag (letter, /, or ! after <)
+    # so bare "a < b > c" prose survives, as in a browser's tokenizer
+    (r"(?s)</?[A-Za-z!][^>]*>", ""),
+    # fixed entity table, &amp; LAST (single-pass decode order: the
+    # others run first so '&amp;lt;' decodes to the literal '&lt;')
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"[ \t\f\x0B\r]+", " "),                              # horiz. ws runs
+    (r" ?\n ?", "\n"),                                     # trim around \n
+    (r"\n{2,}", "\n"),                                     # blank-line runs
+    (r"^\s+|\s+$", ""),                                    # outer trim
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """HTML string → extracted plain text ('\\n'-separated lines).
+    NULL in → NULL out. Pure regexp_replace chain, one projection."""
+    out = col
+    for pat, rep in _STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def html_steps_sql(expr: str) -> str:
+    """The SAME battery as a nested DuckDB expression over ``expr`` —
+    the oracle twin used by the contract query (kept next to _STEPS so
+    they cannot drift apart)."""
+    out = expr
+    for pat, rep in _STEPS:
+        p = pat.replace("'", "''")
+        # replacement: raw newline embedded in the literal (DuckDB does
+        # not process \n escapes in replacement strings)
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", target: str = "text"
+) -> DataFrame:
+    """Attach the extracted-text column (see html_to_text)."""
+    return df.withColumn(target, html_to_text(F.col(html_col)))
+
+
+@register
+class ExtractHtmlText(Processor):
+    """Beats-style chain form: ``field`` (default "html"), optional
+    ``target`` (default "text"). NULL input stays NULL and tags
+    ``html_extract_error`` in `flags` — tag-and-continue."""
+
+    name = "extract_html_text"
+
+    def updates(self, df: DataFrame) -> Updates:
+        from beats_spark.operators.base import add_flag
+
+        field = self.cfg.get("field", "html")
+        target = self.cfg.get("target", "text")
+        col = F.col(field)
+        out: dict[str, Column] = {target: html_to_text(col)}
+        out["flags"] = add_flag(df, "html_extract_error", col.isNull())
+        return Updates(set=out)

@@ -1,0 +1,89 @@
+"""HTML → text extraction: behavior battery, Spark/DuckDB battery
+lockstep (the oracle twin), and the CCNet-composition front door."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.base import build_chain
+from beats_spark.operators.html import html_steps_sql, html_to_text
+
+CASES = [
+    # (html, expected extracted text)
+    ("<html><head><title>T</title><style>p{color:red}</style></head>"
+     "<body><p>Hello <b>world</b></p><div>line2</div></body></html>",
+     "T\nHello world\nline2"),
+    ("<script>var x = '<p>not text</p>';</script>"
+     "<p>kept &amp; decoded &lt;tag&gt;</p>", "kept & decoded <tag>"),
+    ("<!-- comment --><ul><li>a</li><li>b</li></ul>", "a\nb"),
+    ("text with &nbsp; spaces &quot;quoted&quot; &#39;single&#39; &amp;lt;",
+     "text with spaces \"quoted\" 'single' &lt;"),
+    ("<P CLASS='x'>upper</P><BR/><img src='y.png'>inline<span>span</span>",
+     "upper\ninlinespan"),
+    ("no markup at all", "no markup at all"),
+    ("<div><div><div>nested</div></div></div>", "nested"),
+    ("", ""),
+    ("multi\n\n\n\nnewlines<br><br><br>after", "multi\nnewlines\nafter"),
+    ("<table><tr><td>c1</td><td>c2</td></tr></table>", "c1\nc2"),
+    ("a < b but not a tag > c", "a < b but not a tag > c"),
+    ("<!DOCTYPE html><p>doc</p>", "doc"),
+]
+
+
+def test_extraction_battery(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], "i int, html string"
+    )
+    got = {r["i"]: r["t"]
+           for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (i, CASES[i][0], got[i])
+
+
+def test_spark_and_duckdb_battery_agree(spark):
+    """html_steps_sql IS the oracle: both engines must produce
+    byte-identical text over the battery plus NULL."""
+    rows = [(i, h) for i, (h, _) in enumerate(CASES)] + [(99, None)]
+    df = spark.createDataFrame(rows, "i int, html string")
+    got = {r["i"]: r["t"]
+           for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()}
+    con = duckdb.connect()
+    vals = ",".join(
+        f"({i}, {'NULL' if h is None else chr(39) + h.replace(chr(39), chr(39) * 2) + chr(39)})"
+        for i, h in rows
+    )
+    con.execute(f"CREATE TABLE c AS SELECT * FROM (VALUES {vals}) t(i, html)")
+    want = dict(con.execute(f"SELECT i, {html_steps_sql('html')} FROM c").fetchall())
+    assert got == want
+
+
+def test_processor_form_tags_null(spark):
+    df = spark.createDataFrame([(1, "<p>x</p>"), (2, None)], "id int, html string")
+    out = build_chain([{"extract_html_text": {}}])(df)
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["text"] == "x" and r[1]["flags"] is None
+    assert r[2]["text"] is None and "html_extract_error" in r[2]["flags"]
+
+
+def test_composition_with_line_dedup(spark):
+    """Shared chrome lines (title/nav/footer) vanish in the composed
+    front door; unique article bodies survive."""
+    from beats_spark.operators.dedup import line_level_dedup
+    from beats_spark.operators.html import extract_html_text
+
+    pages = [
+        (i,
+         "<html><head><title>My Site</title></head><body>"
+         "<nav><li>Home</li><li>About</li></nav>"
+         f"<article><p>unique body number {i} with words</p></article>"
+         "<footer>(c) 2024 Site</footer></body></html>")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    ext = extract_html_text(df, "html", "text").select("doc_id", "text")
+    out = {r["doc_id"]: r for r in line_level_dedup(ext, min_docs=2).collect()}
+    for i in range(6):
+        assert out[i]["text"] == f"unique body number {i} with words", out[i]
+        assert out[i]["n_removed"] == 4  # title, 2 nav items, footer

@@ -56,6 +56,7 @@ CONFIGS: dict[str, dict | None] = {
     "extract_field": {"field": "csvline", "separator": ",", "index": 0, "target": "c0"},
     "fingerprint": {"fields": ["name"], "target_field": "fp"},
     "if": None,
+    "extract_html_text": {"field": "name", "target": "html_text"},
     "include_fields": {"fields": ["name", "num_s"]},
     "include_message": {"field": "name", "patterns": [".*"]},
     "lowercase": {"values": ["name"]},
