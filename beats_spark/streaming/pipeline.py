@@ -85,6 +85,40 @@ def rate_transcript_stream(
     )
 
 
+def socket_transcript_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """TCP line source → transcript schema (the reference's network
+    inputs, filebeat/input/tcp: one event per received line).
+
+    Spark's ``socket`` format connects as a client and emits one row
+    per line; the wire format here is the pipe-delimited
+    ``conv_id|turn_idx|role|tool|epoch_s|text`` (text LAST so it may
+    itself contain pipes — split with a field limit). Malformed fields
+    try_cast to NULL and flow on (tag-and-continue lives downstream in
+    the processor chain). Like the rate source, this is the
+    source-format-swap demonstration: the downstream ``transform`` +
+    router + sink plan is byte-identical; only this reader block
+    differs. The socket source is not replayable (no offsets), so it
+    is a test/demo source — the durable network path in production is
+    kafka, the same swap."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    p = F.split(F.col("value"), r"\|", 6)
+    return raw.select(
+        p.getItem(0).alias("conv_id"),
+        p.getItem(1).try_cast("int").alias("turn_idx"),
+        p.getItem(2).alias("role"),
+        p.getItem(5).alias("text"),
+        p.getItem(3).alias("tool"),
+        F.to_timestamp(p.getItem(4).try_cast("long")).alias("ts"),
+    )
+
+
 def run_stream(
     source: DataFrame,
     cfg: PipelineConfig,

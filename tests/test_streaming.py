@@ -223,6 +223,80 @@ def test_rate_source_drives_same_plan(spark, tmp_path):
     assert vals == list(range(len(vals)))
 
 
+def test_socket_source_drives_same_plan(spark, tmp_path):
+    """A localhost TCP socket source (the filebeat/input/tcp shape)
+    feeds the identical transform + router + partitioned-sink plan via
+    run_stream — extending the rate-source format-swap proof to a real
+    network reader. Skips if the sandbox forbids sockets."""
+    import socket
+    import threading
+    import time
+
+    from beats_spark.streaming.pipeline import socket_transcript_stream, run_stream
+
+    try:
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+    except OSError as e:  # pragma: no cover — sandbox without sockets
+        pytest.skip(f"sockets unavailable: {e}")
+    port = srv.getsockname()[1]
+    N = 300
+    stop_evt = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            for i in range(N):
+                level = "error" if i % 17 == 0 else "info"
+                line = f"c{i % 10}|{i}|user|grep|{1700000000 + i}|level={level} msg=turn-{i}\n"
+                conn.sendall(line.encode())
+            # keep the connection open until the query is done reading
+            stop_evt.wait(150)
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    src = socket_transcript_stream(spark, "127.0.0.1", port)
+    cfg = PipelineConfig(
+        processors=[
+            {"dissect": {"tokenizer": "level=%{level} msg=%{msg}",
+                          "field": "text", "target_prefix": ""}}
+        ],
+        router_rules=[{"when": {"equals": {"level": "error"}}, "index": "alerts"}],
+        default_sink="main",
+    )
+    out, ck = tmp_path / "socksinks", tmp_path / "sockck"
+    q = run_stream(src, cfg, str(out), str(ck), available_now=False)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= N:
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+    finally:
+        stop_evt.set()
+        q.stop()
+        q.awaitTermination(60)
+    back = spark.read.parquet(str(out))
+    rows = back.select("msg", "conv_id", "turn_idx", META_SINK).collect()
+    assert len(rows) == N
+    for r in rows:
+        v = int(r["msg"].removeprefix("turn-"))
+        assert r["conv_id"] == f"c{v % 10}" and r["turn_idx"] == v
+        want = "alerts" if v % 17 == 0 else "main"
+        assert r[META_SINK] == want, (v, r[META_SINK])
+    vals = sorted(int(r["msg"].removeprefix("turn-")) for r in rows)
+    assert vals == list(range(N))
+
+
 def test_stream_exact_dedup_drops_replayed_texts(spark, transcripts, stream_input, tmp_path):
     from beats_spark.streaming.pipeline import stream_exact_dedup
 
