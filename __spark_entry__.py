@@ -3007,6 +3007,30 @@ def q_transcript_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(deduped, budget=128, n_buckets=16)
 
 
+def q_transcript_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcript_corpus re-priced in subword tokens: the identical
+    assembly → dedup chain, packed with token_counter="bpe"
+    (functions/bpe.py). Rows-only by design — the BPE count is not
+    SQL-expressible; the chain up to packing is the oracle-blessed
+    ``transcript_corpus``, and the BPE layout itself is gated by the
+    in-suite pure-Python twin (tests/test_bpe.py)."""
+    from beats_spark.operators.dedup import exact_dedup
+    from beats_spark.operators.sampling import pack_sequences
+    from beats_spark.operators.sessions import assemble_documents
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("%s@%d", F.col("event_type"), F.col("event_id"))
+    )
+    docs = assemble_documents(
+        ev, key_col="user_id", text_col="line", order_cols=("ts", "event_id"), sep=" | "
+    ).select(F.col("user_id").alias("doc_id"), F.col("document").alias("text"))
+    replays = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    deduped = exact_dedup(docs.unionByName(replays), "text", "doc_id")
+    return pack_sequences(deduped, budget=128, n_buckets=16, token_counter="bpe")
+
+
 _SQL_TRANSCRIPT_CORPUS = r"""
 WITH docs AS (
   SELECT user_id AS doc_id,
@@ -4149,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "pack_sequences_bpe": q_pack_sequences_bpe,
+        "transcript_corpus_bpe": q_transcript_corpus_bpe,
         "extract_html_text": q_extract_html_text,
         "html_corpus": q_html_corpus,
         # -- round-3 additions not yet in a driver CORRECTNESS file -----

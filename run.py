@@ -101,6 +101,7 @@ def main(argv: list[str] | None = None) -> int:
             input_cfg.get("multiline"),
             include_lines=input_cfg.get("include_lines"),
             exclude_lines=input_cfg.get("exclude_lines"),
+            include_message=input_cfg.get("include_message"),
             chunked=bool(input_cfg.get("chunked")),
             exclude_files=input_cfg.get("exclude_files"),
             ignore_older=input_cfg.get("ignore_older"),

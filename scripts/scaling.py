@@ -38,7 +38,9 @@ spark = get_spark(cores=a.cores, shuffle_partitions=a.cores*2)
 df = spark.range(60_000_000)
 s = F.format_string('level=%s user=%08d', F.when(F.col('id')%3==0,'info').otherwise('error'), F.col('id'))
 def run(): df.select(F.sum(F.length(F.regexp_extract(s, r'level=(\w+) user=(\d+)', 2)))).collect()
-run(); t0=time.time(); run(); print(json.dumps({'cores': a.cores, 'sec': round(time.time()-t0,2)}))
+run()  # JIT/codegen warm-up
+best = min((lambda t0: (run(), time.time()-t0)[1])(time.time()) for _ in range(3))
+print(json.dumps({'cores': a.cores, 'sec': round(best,2)}))
 """
 
 
@@ -88,14 +90,25 @@ def main() -> int:
     eff_2_8 = r8s["turns_per_sec"] / (4 * r2["turns_per_sec"])
     assert r2["sink_counts"] == r8s["sink_counts"]
 
+    # Secondary pair with the SAME-PHASE interleave discipline
+    # (BENCH/ROUND3_MEASUREMENT.md §2): the plain-Spark control runs
+    # immediately before and after each pipeline leg, so the host
+    # phase the control characterizes is the phase the pipeline leg
+    # actually ran in. Control per level = best of the two runs.
+    c8_pre = run_control(8)
     r8 = run_worker(8, convs_big)
+    c8_post = run_control(8)
+    c32_pre = run_control(32)
     r32 = run_worker(32, convs_big)
+    c32_post = run_control(32)
     eff_8_32 = r32["turns_per_sec"] / (4 * r8["turns_per_sec"])
     assert r8["sink_counts"] == r32["sink_counts"]
 
-    c8 = run_control(8)
-    c32 = run_control(32)
+    c8 = {"sec": min(c8_pre["sec"], c8_post["sec"])}
+    c32 = {"sec": min(c32_pre["sec"], c32_post["sec"])}
     ctrl_speedup = c8["sec"] / c32["sec"]
+    ctrl_eff = ctrl_speedup / 4
+    rel_eff = eff_8_32 / ctrl_eff if ctrl_eff else float("nan")
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
@@ -138,17 +151,22 @@ Efficiency: {eff_8_32:.3f}. At 4N=32 the run occupies every core of
 the host; the shortfall is the host's, not the plan's — control
 below.
 
-## Control: host string-workload ceiling
+## Control: host string-workload ceiling (same-phase interleave)
 
 Plain Spark `regexp_extract` over generated strings (no beats_spark
-code), same pinning: {c8["sec"]} s at 8 cores → {c32["sec"]} s at 32
-cores = **{ctrl_speedup:.2f}× speedup from 4× cores**. The host
-scaled this pure string workload {ctrl_speedup:.1f}× over this
-range during this run (single NUMA node, shared allocation
-bandwidth) — an efficiency proxy of ~{ctrl_speedup / 4:.2f} for
-scan-bound work in the same host phase, not a hard cap (phases on
-this shared VM shift between runs). The pipeline reached
-{eff_8_32 / (ctrl_speedup / 4):.0%} of that proxy.
+code), same pinning, run IMMEDIATELY before and after each pipeline
+leg (the ROUND3_MEASUREMENT §2 A/B discipline — per-level control =
+best of its two bracketing runs, each itself best-of-3 after
+warm-up): {c8["sec"]} s at 8 cores (bracket {c8_pre["sec"]}/{c8_post["sec"]})
+→ {c32["sec"]} s at 32 cores (bracket {c32_pre["sec"]}/{c32_post["sec"]})
+= **{ctrl_speedup:.2f}× speedup from 4× cores**, a host efficiency
+proxy of {ctrl_eff:.2f} for scan-bound work in the exact phase the
+pipeline legs ran in.
+
+**Pipeline/control efficiency ratio: {rel_eff:.2f}** — the pipeline
+scales {"at least as well as" if rel_eff >= 1.0 else "at"} plain
+Spark string scanning on this host{"" if rel_eff >= 1.0 else " window"};
+raw {eff_8_32:.3f} against the host's own {ctrl_eff:.2f} ceiling.
 
 ## Per-sink counts (identical at every level)
 
@@ -166,6 +184,7 @@ Reproduce: `python scripts/scaling.py`
                 "eff_2_8": round(eff_2_8, 3),
                 "eff_8_32": round(eff_8_32, 3),
                 "control_speedup_8_32": round(ctrl_speedup, 2),
+                "pipeline_over_control_8_32": round(rel_eff, 2),
             }
         )
     )
