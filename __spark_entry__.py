@@ -1439,8 +1439,10 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packing layout token-for-token against the pure-Python
     encoder). Rows-only by design, documented in COVERAGE.md."""
     from beats_spark.operators.sampling import pack_sequences
+    from beats_spark.operators.scale import spread
 
-    docs = _load(spark, sf_dir, "documents")
+    # spread the single-file fixture scan before the Arrow UDF stage
+    docs = spread(_load(spark, sf_dir, "documents"))
     did = F.col("doc_id")
     planted = docs.select(
         "doc_id",
@@ -3240,8 +3242,12 @@ def q_extract_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical regex battery (html_steps_sql keeps the two in lockstep)
     so extracted text must match byte-for-byte."""
     from beats_spark.operators.html import extract_html_text
+    from beats_spark.operators.scale import spread
 
-    docs = _load(spark, sf_dir, "documents")
+    # single parquet file = one scan partition (CLAUDE.md): spread the
+    # small fixture scan before the regex-heavy projection. At real
+    # scale the scan is already wide and spread() is a no-op.
+    docs = spread(_load(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id", _planted_html(F.col("doc_id"), F.col("text")).alias("html")
     )
@@ -3278,8 +3284,9 @@ def q_html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, distinct-doc frequency, ordered reassembly)."""
     from beats_spark.operators.dedup import line_level_dedup
     from beats_spark.operators.html import extract_html_text
+    from beats_spark.operators.scale import spread
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = spread(_load(spark, sf_dir, "documents"))
     planted = docs.select(
         "doc_id", _planted_html(F.col("doc_id"), F.col("text")).alias("html")
     )
