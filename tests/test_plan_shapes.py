@@ -217,6 +217,36 @@ def test_mixture_sample_is_shuffle_free(spark):
     assert "Exchange" not in plan_of(out)
 
 
+def test_html_extraction_is_zero_exchange_projection(spark):
+    """extract_html_text must stay ONE narrow projection: no Exchange,
+    and filters on OTHER columns still push to the parquet scan
+    through it (the 100 TB crawl claim in operators/html.py)."""
+    from beats_spark.operators.html import extract_html_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = extract_html_text(
+        docs.withColumnRenamed("text", "html"), "html", "clean"
+    )
+    assert "Exchange" not in plan_of(out)
+    filtered = out.filter(F.col("lang") == "en").select("doc_id", "clean")
+    plan = formatted(filtered)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan), plan
+
+
+def test_include_message_pushes_to_scan(spark):
+    """The include_message rlike disjunction is a plain filter:
+    Catalyst pushes the StringContains-able parts toward the scan and
+    keeps the whole thing out of any shuffle."""
+    from beats_spark.sources.lines import include_message_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = include_message_filter(
+        docs.withColumnRenamed("text", "message"), ["alpha", "beta"]
+    )
+    assert "Exchange" not in plan_of(out)
+    assert "Filter" in plan_of(out)
+
+
 def test_url_dedup_single_shuffle(spark):
     """URL dedup = canonicalization projection + ONE window shuffle on
     the canonical string; canonicalization itself must not shuffle."""
