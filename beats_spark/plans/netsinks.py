@@ -93,6 +93,37 @@ class _RespReader:
         raise RuntimeError(f"redis: unknown reply type {t!r}")
 
 
+def connect_with_backoff(
+    host: str,
+    port: int,
+    timeout: float,
+    backoff_init: float = 1.0,
+    backoff_max: float = 60.0,
+    ttl: float = 300.0,
+) -> socket.socket:
+    """Dial with exponential backoff until ``ttl`` seconds elapse —
+    the reference's reconnect policy (redis/backoff.go wraps the
+    client in an equal-jitter exponential backoff; outputs keep
+    retrying until the pipeline's TTL abandons the batch). Here the
+    TTL bounds the task's dial loop; past it the exception surfaces
+    and Spark's task retry takes over (at-least-once, batch replay —
+    the RetryEvents path). Deterministic doubling, no jitter: tasks
+    already start staggered, and reproducibility beats thundering-herd
+    smoothing at this layer."""
+    import time
+
+    deadline = time.monotonic() + ttl
+    delay = backoff_init
+    while True:
+        try:
+            return socket.create_connection((host, port), timeout=timeout)
+        except OSError:
+            if time.monotonic() + delay > deadline:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 2, backoff_max)
+
+
 def _redis_partition_writer(
     host: str,
     port: int,
@@ -101,6 +132,9 @@ def _redis_partition_writer(
     db: int,
     bulk_max: int,
     timeout: float,
+    backoff_init: float,
+    backoff_max: float,
+    ttl: float,
 ):
     """Build the foreachPartition function (runs on executors)."""
 
@@ -110,7 +144,9 @@ def _redis_partition_writer(
             first = next(it)
         except StopIteration:
             return  # empty partition: no connection at all
-        sock = socket.create_connection((host, port), timeout=timeout)
+        sock = connect_with_backoff(
+            host, port, timeout, backoff_init, backoff_max, ttl
+        )
         try:
             rd = _RespReader(sock)
             if password:
@@ -169,6 +205,9 @@ def write_redis(
     db: int = 0,
     bulk_max_size: int = 2048,
     timeout: float = 30.0,
+    backoff_init: float = 1.0,
+    backoff_max: float = 60.0,
+    connect_ttl: float = 300.0,
 ) -> None:
     """Publish every row to redis, JSON-encoded, keyed per event.
 
@@ -187,7 +226,8 @@ def write_redis(
     ).sortWithinPartitions("_sink_key")
     frame.foreachPartition(
         _redis_partition_writer(
-            host, port, data_type, password, db, bulk_max_size, timeout
+            host, port, data_type, password, db, bulk_max_size, timeout,
+            backoff_init, backoff_max, connect_ttl,
         )
     )
 
@@ -228,7 +268,8 @@ def _read_acks(sock: socket.socket, last_seq: int) -> None:
 
 
 def _logstash_partition_writer(
-    host: str, port: int, bulk_max: int, compress: bool, timeout: float
+    host: str, port: int, bulk_max: int, compress: bool, timeout: float,
+    backoff_init: float, backoff_max: float, ttl: float,
 ):
     def write(rows: Iterator) -> None:
         batch: list[bytes] = []
@@ -236,7 +277,9 @@ def _logstash_partition_writer(
         try:
             for row in rows:
                 if sock is None:
-                    sock = socket.create_connection((host, port), timeout=timeout)
+                    sock = connect_with_backoff(
+                        host, port, timeout, backoff_init, backoff_max, ttl
+                    )
                 batch.append(row["_payload"].encode("utf-8"))
                 if len(batch) >= bulk_max:
                     sock.sendall(lumberjack_frames(batch, compress))
@@ -259,6 +302,9 @@ def write_logstash(
     bulk_max_size: int = 2048,
     compress: bool = False,
     timeout: float = 30.0,
+    backoff_init: float = 1.0,
+    backoff_max: float = 60.0,
+    connect_ttl: float = 300.0,
 ) -> None:
     """Ship every row to a logstash beats input over lumberjack v2.
 
@@ -269,5 +315,8 @@ def write_logstash(
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     frame = df.select(payload.alias("_payload"))
     frame.foreachPartition(
-        _logstash_partition_writer(host, port, bulk_max_size, compress, timeout)
+        _logstash_partition_writer(
+            host, port, bulk_max_size, compress, timeout,
+            backoff_init, backoff_max, connect_ttl,
+        )
     )

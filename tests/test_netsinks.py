@@ -257,3 +257,50 @@ def test_lumberjack_frame_bytes():
     assert comp[:2] == b"2W" and comp[6:8] == b"2C"
     (zlen,) = struct.unpack(">I", comp[8:12])
     assert zlib.decompress(comp[12:12 + zlen]) == frames[6:]
+
+
+def test_connect_backoff_waits_for_server(spark):
+    """connect_with_backoff retries with exponential delay until the
+    endpoint appears (the redis/backoff.go reconnect policy), and
+    raises once the TTL is spent."""
+    import time
+
+    from beats_spark.plans.netsinks import connect_with_backoff
+
+    # reserve a port, then close it so the first dials are refused
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    def late_server():
+        time.sleep(0.5)
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", port))
+        srv.listen(1)
+        conn, _ = srv.accept()
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=late_server, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    sock = connect_with_backoff(
+        "127.0.0.1", port, timeout=5.0, backoff_init=0.05,
+        backoff_max=0.2, ttl=10.0,
+    )
+    sock.close()
+    assert time.monotonic() - t0 >= 0.4  # it actually waited
+    t.join()
+
+    # TTL exhaustion: nothing ever listens on the re-reserved port
+    probe2 = socket.socket()
+    probe2.bind(("127.0.0.1", 0))
+    dead_port = probe2.getsockname()[1]
+    probe2.close()
+    with pytest.raises(OSError):
+        connect_with_backoff(
+            "127.0.0.1", dead_port, timeout=1.0, backoff_init=0.05,
+            backoff_max=0.1, ttl=0.3,
+        )
