@@ -1474,6 +1474,46 @@ FROM s
 """
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing packing manifest (sampling.pack_manifest): one
+    row per document × context window it intersects, with in-doc and
+    in-window offsets and slice lengths — the data-loader read plan.
+    All-integer, so the oracle replays the exact manifest."""
+    from beats_spark.operators.sampling import pack_manifest
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_manifest(docs, budget=128, n_buckets=16)
+
+
+_SQL_PACK_MANIFEST = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('s0|' || doc_id::VARCHAR), 1, 15))::BIGINT % 16 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS tok_count
+  FROM documents),
+s AS (
+  SELECT doc_id, bucket, tok_count,
+         coalesce(sum(tok_count + 1) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM t),
+e AS (
+  SELECT doc_id, bucket, start_off, greatest(tok_count, 1) AS toks FROM s),
+x AS (
+  SELECT doc_id, bucket, start_off, toks, u.w AS pack_idx
+  FROM e, unnest(range(start_off // 128, (start_off + toks - 1) // 128 + 1)) AS u(w))
+SELECT bucket::BIGINT AS bucket,
+       pack_idx::BIGINT AS pack_idx,
+       doc_id,
+       (greatest(start_off, pack_idx * 128) - start_off)::BIGINT AS doc_from_tok,
+       (greatest(start_off, pack_idx * 128) - pack_idx * 128)::BIGINT AS win_from_tok,
+       (least(start_off + toks, (pack_idx + 1) * 128)
+        - greatest(start_off, pack_idx * 128))::BIGINT AS n_toks
+FROM x
+"""
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clustering of a duplicate-pair graph:
     documents link into stars around every 7th doc, and every third
@@ -4180,6 +4220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "pack_sequences_bpe": q_pack_sequences_bpe,
+        "pack_manifest": q_pack_manifest,
         "transcript_corpus_bpe": q_transcript_corpus_bpe,
         "extract_html_text": q_extract_html_text,
         "html_corpus": q_html_corpus,
@@ -4331,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _SQL_UNICODE_NFC,
         "include_message": _SQL_INCLUDE_MESSAGE,
         "convert_ip": _SQL_CONVERT_IP,
+        "pack_manifest": _SQL_PACK_MANIFEST,
         "extract_html_text": _sql_extract_html(),
         "html_corpus": _sql_html_corpus(),
         "quality_filter": _SQL_QUALITY_FILTER,

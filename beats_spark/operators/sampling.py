@@ -167,6 +167,69 @@ def pack_sequences(
     )
 
 
+def pack_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 64,
+    sep_tokens: int = 1,
+    seed: int = 0,
+    token_counter: str = "whitespace",
+) -> DataFrame:
+    """The trainer-facing view of :func:`pack_sequences`: one row per
+    (document × context window it intersects) — the read plan a data
+    loader executes to assemble window ``pack_idx`` of stream
+    ``bucket``.
+
+    Columns: ``bucket``, ``pack_idx``, ``id_col``, ``doc_from_tok``
+    (offset INSIDE the doc where this window's slice starts),
+    ``win_from_tok`` (offset inside the window where the slice lands),
+    ``n_toks`` (slice length). Every value is an integer derived from
+    the same layout pack_sequences emits, so the manifest is
+    reproducible at any parallelism and the DuckDB oracle replays it
+    exactly (contract query ``pack_manifest``). Invariant (tested):
+    per (bucket, pack_idx), sum(n_toks) + separators == budget for
+    every full window.
+
+    Plan: pack_sequences' single window shuffle, then a narrow
+    explode over ``sequence(pack_first, pack_last)`` — a doc adds one
+    manifest row per window it touches, so output size is
+    O(docs + total_tokens/budget), never quadratic.
+    """
+    layout = pack_sequences(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        budget=budget,
+        n_buckets=n_buckets,
+        sep_tokens=sep_tokens,
+        seed=seed,
+        token_counter=token_counter,
+    )
+    w = F.col("pack_idx")
+    start, toks = F.col("start_off"), F.greatest(F.col("tok_count"), F.lit(1))
+    seg_start = F.greatest(start, w * budget)
+    seg_end = F.least(start + toks, (w + 1) * budget)
+    return (
+        layout.select(
+            "bucket",
+            F.col(id_col),
+            "start_off",
+            "tok_count",
+            F.explode(F.sequence("pack_first", "pack_last")).alias("pack_idx"),
+        )
+        .select(
+            "bucket",
+            w.cast("long").alias("pack_idx"),
+            F.col(id_col),
+            (seg_start - start).cast("long").alias("doc_from_tok"),
+            (seg_start - w * budget).cast("long").alias("win_from_tok"),
+            (seg_end - seg_start).cast("long").alias("n_toks"),
+        )
+    )
+
+
 def _unigram_bigram_grams(
     frame: DataFrame, text_col: str, keep_cols: list[str]
 ) -> DataFrame:

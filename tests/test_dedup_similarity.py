@@ -567,6 +567,49 @@ def test_pack_sequences_matches_bruteforce(spark, docs):
             off += r.tok_count + sep
 
 
+def test_pack_manifest_tiles_every_window_exactly(spark, docs):
+    """The manifest must TILE each stream: within every (bucket,
+    pack_idx), slices + separators are contiguous, non-overlapping,
+    and every full (non-final) window sums to exactly the budget; each
+    doc's slices reassemble the whole doc in order."""
+    from beats_spark.operators.sampling import pack_manifest, pack_sequences
+
+    budget = 64
+    man = pack_manifest(docs, budget=budget, n_buckets=8).collect()
+    layout = {r.doc_id: r for r in
+              pack_sequences(docs, budget=budget, n_buckets=8).collect()}
+
+    # per-doc: slices cover [0, max(tok_count,1)) contiguously
+    by_doc: dict = {}
+    for r in man:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.pack_idx)
+        expect_from = 0
+        for r in rows:
+            assert r.doc_from_tok == expect_from, (doc_id, r)
+            expect_from += r.n_toks
+        assert expect_from == max(layout[doc_id].tok_count, 1), doc_id
+
+    # per-window: slices tile [0, budget) except the stream's tail
+    by_win: dict = {}
+    for r in man:
+        by_win.setdefault((r.bucket, r.pack_idx), []).append(r)
+    last_win = {}
+    for (b, w) in by_win:
+        last_win[b] = max(last_win.get(b, -1), w)
+    for (b, w), rows in by_win.items():
+        rows.sort(key=lambda r: r.win_from_tok)
+        pos = rows[0].win_from_tok
+        for r in rows:
+            # gaps between docs inside a window are separator tokens
+            gap = r.win_from_tok - pos
+            assert 0 <= gap <= 1, (b, w, r)
+            pos = r.win_from_tok + r.n_toks
+        if w < last_win[b]:
+            assert pos >= budget - 1, (b, w, pos)  # full up to a trailing sep
+
+
 def test_pack_sequences_deterministic_and_validated(spark, docs):
     from beats_spark.operators.sampling import pack_sequences
 
