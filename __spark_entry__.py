@@ -3371,6 +3371,67 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity boilerplate pass (line_level_dedup
+    unit="paragraph"): blank-line-separated blocks dedup as units —
+    a verbatim multi-line license block repeated across docs is
+    removed whole, while each doc's unique paragraphs survive in
+    order. The oracle replays the regex split, md5 block keys,
+    distinct-doc frequency, and the double-newline reassembly."""
+    from beats_spark.operators.dedup import line_level_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(did % 3 == 0,
+                   F.lit("LICENSE v1\nAll rights reserved\n\n")).otherwise(""),
+            F.lit("body "), did.cast("string"), F.lit(":\n"), F.col("text"),
+            F.when(did % 4 == 0,
+                   F.lit("\n\nFOOTER\nnav | links | here")).otherwise(""),
+        ).alias("text"),
+    )
+    return line_level_dedup(planted, min_docs=2, unit="paragraph")
+
+
+_SQL_PARAGRAPH_DEDUP = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 3 = 0 THEN 'LICENSE v1' || chr(10) || 'All rights reserved' || chr(10) || chr(10) ELSE '' END)
+    || 'body ' || CAST(doc_id AS VARCHAR) || ':' || chr(10) || text
+    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) || 'FOOTER' || chr(10) || 'nav | links | here' ELSE '' END)
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+  FROM (SELECT doc_id, string_split_regex(text, '\n{2,}') AS l FROM docs2),
+       unnest(list_transform(range(1, len(l) + 1), i -> {'pos': i, 'line': l[i]})) AS u(s)
+), keyed AS (
+  SELECT doc_id, pos, line, md5(trim(line)) AS lk FROM lines
+), boiler AS (
+  SELECT lk FROM (
+    SELECT lk, count(DISTINCT doc_id) AS n_docs
+    FROM keyed WHERE trim(line) <> '' GROUP BY lk
+  ) WHERE n_docs >= 2
+), kept AS (
+  SELECT * FROM keyed WHERE lk NOT IN (SELECT lk FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY pos) AS clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split_regex(text, '\n{2,}'))::BIGINT AS n_lines FROM docs2
+)
+SELECT t.doc_id,
+       COALESCE(r.clean, '') AS text,
+       t.n_lines,
+       COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       (t.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus line-level dedup (CCNet/RefinedWeb boilerplate
     pass): plants newsletter/cookie/copyright boilerplate lines across
@@ -4221,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convert_ip": q_convert_ip,
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "pack_manifest": q_pack_manifest,
+        "paragraph_dedup": q_paragraph_dedup,
         "transcript_corpus_bpe": q_transcript_corpus_bpe,
         "extract_html_text": q_extract_html_text,
         "html_corpus": q_html_corpus,
@@ -4373,6 +4435,7 @@ def oracle_sql() -> dict[str, str]:
         "include_message": _SQL_INCLUDE_MESSAGE,
         "convert_ip": _SQL_CONVERT_IP,
         "pack_manifest": _SQL_PACK_MANIFEST,
+        "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "extract_html_text": _sql_extract_html(),
         "html_corpus": _sql_html_corpus(),
         "quality_filter": _SQL_QUALITY_FILTER,

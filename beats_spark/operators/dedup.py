@@ -1122,6 +1122,7 @@ def line_level_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    unit: str = "line",
 ) -> DataFrame:
     """Cross-corpus line-level dedup (the CCNet/RefinedWeb boilerplate
     pass): remove every line that appears, trimmed-identical, in at
@@ -1153,9 +1154,17 @@ def line_level_dedup(
     pair per non-blank line; text bytes only move in step 4, keyed by
     the document's own id (no skew beyond document size itself).
     """
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f"unit must be line|paragraph, got {unit!r}")
+    # paragraph mode: blank-line-separated blocks are the unit (the
+    # RefinedWeb/CCNet pass runs at BOTH granularities — repeated
+    # paragraphs like license blocks and nav sections are invisible to
+    # the line pass when their internal lines vary by one char).
+    sep = "\n" if unit == "line" else "\n{2,}"
+    joiner = "\n" if unit == "line" else "\n\n"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     key = F.md5(F.trim(F.col("line")))
     boiler = (
@@ -1176,13 +1185,13 @@ def line_level_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda x: x["line"],
             ),
-            "\n",
+            joiner,
         ).alias("_clean"),
         F.count(F.lit(1)).alias("n_kept"),
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -62,3 +62,42 @@ def test_order_preserved_across_removals(spark):
     )
     rows = {r.doc_id: r for r in line_level_dedup(df).collect()}
     assert rows[1].text == "a\nb\nc"
+
+
+def test_paragraph_granularity(spark):
+    """unit='paragraph': blank-line-separated blocks dedup as units —
+    a repeated license block whose INTERNAL lines differ per doc by a
+    token is invisible to the line pass but removed by the paragraph
+    pass when repeated verbatim."""
+    from beats_spark.operators.dedup import line_level_dedup
+
+    lic = "LICENSE v1\nAll rights reserved"
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i}\n\n{lic}\n\nmore unique {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           line_level_dedup(docs, unit="paragraph").collect()}
+    for i in range(4):
+        assert out[i]["text"] == f"unique body {i}\n\nmore unique {i}", out[i]
+        assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 1
+
+    # the LINE pass removes both license lines too (identical lines),
+    # but a per-doc-varying line inside the block defeats it:
+    varied = spark.createDataFrame(
+        [(i, f"unique {i}\n\nLICENSE v1\ncopy {i} of N\nAll rights reserved")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    line_out = {r.doc_id: r for r in line_level_dedup(varied).collect()}
+    para_out = {r.doc_id: r for r in
+                line_level_dedup(varied, unit="paragraph").collect()}
+    # line pass: 'copy {i} of N' survives inside the gutted block
+    assert all(f"copy {i} of N" in line_out[i]["text"] for i in range(4))
+    # paragraph pass: the varied block is NOT verbatim-repeated, so it
+    # survives whole — the two passes are complementary, run both
+    assert all("LICENSE v1" in para_out[i]["text"] for i in range(4))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        line_level_dedup(docs, unit="sentence")
