@@ -22,8 +22,10 @@ redis — ref libbeat/outputs/redis/client.go:
 - data_type "list" → RPUSH, "channel" → PUBLISH (makePublish, :163)
 - multi-value RPUSH per key batch (publishEventsBulk, :223 — the
   Redis ≥2.4 bulk form; per-event pipeline otherwise). Events are
-  grouped by their selected key within the partition, preserving
-  per-key arrival order.
+  sorted by their selected key within each partition so same-key rows
+  batch; ordering within a key is partition-local and unspecified
+  (the reference's list order is queue order — a property no
+  distributed sender preserves across partitions either).
 - key selection is any Column (const, field value, fmtstr — the
   outil.Selector equivalents compile to Catalyst expressions).
 
@@ -39,11 +41,10 @@ lumberjack v2 protocol (elastic/go-lumber):
 
 from __future__ import annotations
 
-import json
 import socket
 import struct
 import zlib
-from typing import Iterable, Iterator
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -216,7 +217,8 @@ def write_redis(
     outil.Selector. ``data_type``: "list" (RPUSH) or "channel"
     (PUBLISH), redis/config.go. Rows are sorted by key WITHIN each
     partition only (no shuffle) so same-key events batch into
-    multi-value RPUSH calls."""
+    multi-value RPUSH calls; cross-partition interleaving on a key is
+    inherent to any parallel sender."""
     if data_type not in ("list", "channel"):
         raise ValueError(f"redis data_type must be list|channel, got {data_type!r}")
     key_col = F.lit(key) if isinstance(key, str) else key
