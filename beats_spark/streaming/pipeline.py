@@ -206,6 +206,118 @@ def stream_exact_dedup(
     )
 
 
+def stream_minhash_candidates(
+    source: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    watermark: str = "2 hours",
+    bucket_ttl_minutes: int = 120,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming near-dup CANDIDATE generation: the LSH banding stage
+    of ``operators.dedup.minhash_lsh_pairs`` as a stateful stream —
+    "has a near-copy of this document already entered the corpus?"
+    answered at ingest time instead of in the nightly batch pass.
+
+    Same signature math as batch (the let-bound band expression,
+    dedup.py:_band_signature_sql — zero Python in the hot projection);
+    the stateful step keys on (band, sig) via
+    ``applyInPandasWithState``: state = (keeper_id, bucket size).
+    A document whose band bucket is already occupied emits a candidate
+    row (doc_id, keeper_id, band) — verbatim copies collide on EVERY
+    band; near-copies on some. Candidates are a SUPERSET exactly as in
+    batch LSH: run the exact-Jaccard verify downstream (batch, where
+    both texts are addressable). State is bounded: buckets evict
+    ``bucket_ttl_minutes`` after the watermark passes them, and hot
+    buckets stop emitting past ``max_bucket`` (the batch operator's
+    boilerplate cap).
+
+    Output (append mode): ``band int, sig long, doc_id long,
+    keeper_id long`` — one row per colliding band; distinct
+    (doc_id, keeper_id) downstream for pair candidates.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from beats_spark.operators.dedup import _band_signature_sql, shingles
+
+    sh = source.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(ts_col).alias("_ts"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    entries = sh.select(
+        "_id",
+        "_ts",
+        F.explode(
+            F.expr(_band_signature_sql("_sh", num_hashes, bands, seed))
+        ).alias("bb"),
+    ).select(
+        "_id", "_ts", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    )
+
+    out_schema = "band int, sig long, doc_id long, keeper_id long"
+    state_schema = "keeper long, n long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        keeper, n = state.get if state.exists else (None, 0)
+        out_doc, out_keep = [], []
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            max_ts_ms = max(
+                max_ts_ms, int(pd.to_datetime(pdf["_ts"]).max().value // 1_000_000)
+            )
+            for doc in sorted(pdf["_id"].tolist()):
+                if keeper is None:
+                    keeper = int(doc)
+                    n = 1
+                elif doc != keeper and n < max_bucket:
+                    out_doc.append(int(doc))
+                    out_keep.append(keeper)
+                    n += 1
+                elif doc != keeper:
+                    n += 1  # hot bucket: count, stop emitting
+        state.update((keeper, n))
+        # Timeout must anchor on EVENT time, not the current watermark:
+        # in the query's first micro-batch the watermark is still 0
+        # (it only advances after the batch), so watermark+ttl would
+        # land in 1970 and evict every bucket at the next trigger.
+        base_ms = max(state.getCurrentWatermarkMs(), max_ts_ms)
+        state.setTimeoutTimestamp(base_ms + bucket_ttl_minutes * 60_000)
+        if out_doc:
+            yield pd.DataFrame(
+                {
+                    "band": [int(key[0])] * len(out_doc),
+                    "sig": [int(key[1])] * len(out_doc),
+                    "doc_id": out_doc,
+                    "keeper_id": out_keep,
+                }
+            )
+
+    return (
+        entries.withWatermark("_ts", watermark)
+        .groupBy("band", "sig")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def conversation_sessions(
     source: DataFrame,
     gap_minutes: int = 30,
@@ -250,7 +362,14 @@ def conversation_sessions(
             first = lo if first is None else min(first, lo)
             last = hi if last is None else max(last, hi)
         state.update((n, first, last))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_minutes * 60_000)
+        # anchor on event time as well as the watermark: in the first
+        # micro-batch the watermark is still 0 (it advances after the
+        # batch), and watermark+gap alone would close every session at
+        # the next trigger (see stream_minhash_candidates)
+        base_ms = max(
+            state.getCurrentWatermarkMs(), (last or 0) // 1000
+        )
+        state.setTimeoutTimestamp(base_ms + gap_minutes * 60_000)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],

@@ -332,3 +332,65 @@ def test_stream_exact_dedup_drops_replayed_texts(spark, transcripts, stream_inpu
     assert got.count() == n_distinct
     # every surviving text is unique
     assert got.select("text").distinct().count() == n_distinct
+
+
+def test_stream_minhash_candidates_flags_arriving_copies(spark, tmp_path):
+    """Ingest-time near-dup candidates: originals stream in first (no
+    candidates — every bucket is new); verbatim copies arrive in a
+    later micro-batch and collide on EVERY band, each emitting
+    candidate rows pointing at the original keeper. State persists
+    across restarts via the checkpoint."""
+    import time
+
+    from beats_spark.streaming.pipeline import stream_minhash_candidates
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    def text(i):
+        # 24 words per doc, doc index baked into EVERY token so no two
+        # docs share a single shingle
+        return " ".join(f"{words[(i * 7 + k) % len(words)]}d{i}k{k}"
+                        for k in range(24))
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "cand")
+    ckpt = str(tmp_path / "ck")
+    base_ts = "2024-06-01 10:00:00"
+    originals = spark.createDataFrame(
+        [(i, text(i), base_ts) for i in range(20)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    originals.write.parquet(str(src_dir / "b1"))
+
+    def run_once():
+        src = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(str(src_dir / "*"))
+        cand = stream_minhash_candidates(src, watermark="10 minutes")
+        q = (cand.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    got0 = spark.read.parquet(out)
+    assert got0.count() == 0, got0.collect()  # fresh buckets only
+
+    copies = spark.createDataFrame(
+        [(1000 + i, text(i), "2024-06-01 10:30:00") for i in range(20)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    copies.write.parquet(str(src_dir / "b2"))
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    pairs = {(r.doc_id, r.keeper_id) for r in rows}
+    assert pairs == {(1000 + i, i) for i in range(20)}, pairs
+    # verbatim copies collide on all 16 bands
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, set()).add(r.band)
+    assert all(len(b) == 16 for b in per_doc.values()), {
+        k: len(v) for k, v in per_doc.items()
+    }
