@@ -91,6 +91,9 @@ class FakeRedis:
                         conn.sendall(b"+OK\r\n")
                     elif cmd == b"RPUSH":
                         key = args[1].decode()
+                        if key.startswith("err-"):
+                            conn.sendall(b"-OOM command not allowed\r\n")
+                            continue
                         self.lists.setdefault(key, []).extend(args[2:])
                         conn.sendall(b":%d\r\n" % len(self.lists[key]))
                     elif cmd == b"PUBLISH":
@@ -304,3 +307,39 @@ def test_connect_backoff_waits_for_server(spark):
             "127.0.0.1", dead_port, timeout=1.0, backoff_init=0.05,
             backoff_max=0.1, ttl=0.3,
         )
+
+
+def test_redis_error_reply_fails_the_write(spark):
+    """A redis ERROR reply (e.g. OOM) must surface as a task failure —
+    the fail-and-retry-all contract (client.go: RPUSH error → whole
+    batch retried), never a silent drop. The fake server refuses keys
+    prefixed err- with -OOM."""
+    srv = FakeRedis()
+    try:
+        df = spark.createDataFrame([(1, "x")], "id long, msg string")
+        with pytest.raises(Exception) as ei:
+            write_redis(df.coalesce(1), "127.0.0.1", srv.port, key="err-k")
+        assert "OOM" in str(ei.value) or "redis" in str(ei.value).lower()
+    finally:
+        srv.close()
+
+
+def test_logstash_server_close_before_ack_fails(spark):
+    """A receiver that dies before ACKing must fail the task (so Spark
+    replays the partition), not hang or drop the window."""
+    srv, port = _listener()
+
+    def rude_server():
+        conn, _ = srv.accept()
+        conn.recv(64)
+        conn.close()  # no ACK, ever
+        srv.close()
+
+    t = threading.Thread(target=rude_server, daemon=True)
+    t.start()
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    with pytest.raises(Exception) as ei:
+        write_logstash(df.coalesce(1), "127.0.0.1", port, timeout=10.0,
+                       connect_ttl=5.0)
+    msg = str(ei.value)
+    assert "ACK" in msg or "closed" in msg or "Connection" in msg
