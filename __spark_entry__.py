@@ -1001,6 +1001,57 @@ FROM planted
 """
 
 
+def q_kafka_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kafka hash-by-fields partitioner at reference parity
+    (plans/router.py: FNV-32a over HashFieldValue byte renderings —
+    int64 fields as 8 LE bytes, strings as UTF-8 — then Hash2Partition
+    with the signed-int32 reinterpretation; partition.go:199-278).
+    The oracle refolds the same bytes with DuckDB list_reduce."""
+    from beats_spark.plans.router import fnv32a_fields, kafka_hash_partition
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return ev.select(
+        "event_id",
+        fnv32a_fields(ev, ["user_id", "event_type"]).alias("fnv"),
+        kafka_hash_partition(ev, ["user_id", "event_type"], 12).alias("partition"),
+    )
+
+
+_SQL_KAFKA_PARTITION = """
+WITH hx AS (
+  SELECT event_id,
+         concat(
+           lpad(hex((user_id >> 0) & 255), 2, '0'),
+           lpad(hex((user_id >> 8) & 255), 2, '0'),
+           lpad(hex((user_id >> 16) & 255), 2, '0'),
+           lpad(hex((user_id >> 24) & 255), 2, '0'),
+           lpad(hex((user_id >> 32) & 255), 2, '0'),
+           lpad(hex((user_id >> 40) & 255), 2, '0'),
+           lpad(hex((user_id >> 48) & 255), 2, '0'),
+           lpad(hex((user_id >> 56) & 255), 2, '0'),
+           hex(encode(event_type))
+         ) AS h
+  FROM events
+), folded AS (
+  SELECT event_id,
+         list_reduce(
+           list_prepend(
+             2166136261::BIGINT,
+             list_transform(range(1, length(h) // 2 + 1),
+                            i -> ('0x' || substr(h, (i * 2 - 1)::int, 2))::BIGINT)
+           ),
+           (acc, b) -> (xor(acc, b) * 16777619) % 4294967296
+         ) AS fnv
+  FROM hx
+)
+SELECT event_id,
+       fnv,
+       (((CASE WHEN fnv >= 2147483648 THEN fnv - 4294967296 ELSE fnv END)
+          & 2147483647) % 12)::INT AS partition
+FROM folded
+"""
+
+
 def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutation battery: rename → copy_fields → truncate_fields →
     replace → uppercase(values) → drop_fields, in declared order."""
@@ -4280,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions ------------------------------------------
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
+        "kafka_partition": q_kafka_partition,
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "pack_manifest": q_pack_manifest,
         "paragraph_dedup": q_paragraph_dedup,
@@ -4434,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _SQL_UNICODE_NFC,
         "include_message": _SQL_INCLUDE_MESSAGE,
         "convert_ip": _SQL_CONVERT_IP,
+        "kafka_partition": _SQL_KAFKA_PARTITION,
         "pack_manifest": _SQL_PACK_MANIFEST,
         "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
         "extract_html_text": _sql_extract_html(),

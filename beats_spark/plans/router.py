@@ -110,3 +110,79 @@ def sink_names(rules: list[dict[str, Any]], default: str = "main") -> list[str] 
         if n not in out:
             out.append(n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kafka hash partitioner (FNV-32a), reference-exact
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
+_POW32 = 1 << 32
+
+
+def fnv32a_fields(df: DataFrame, fields: list[str]) -> Column:
+    """FNV-32a over the concatenation of several fields' byte
+    renderings, matching HashFieldValue (partition.go:280-320):
+    strings hash their UTF-8 bytes; integer fields hash 8 LE bytes of
+    the int64 value (binary.Write little-endian). A NULL in any field
+    nulls the hash (the reference's GetValue error path — callers
+    decide drop vs random). Floats are rejected at compile time: Go's
+    strconv %g rendering has no exact JVM twin, and silently diverging
+    would be worse.
+
+    Emitted as ONE SQL expression (CLAUDE.md: hundreds of py4j Column
+    calls cost plan-build time; and the hex string is let-bound so the
+    byte fold reads a variable, not a re-inlined tree). The fold stays
+    in LongType: acc < 2^32, prime < 2^25 ⇒ product < 2^57 — no ANSI
+    overflow."""
+    parts: list[str] = []
+    dtypes = dict(df.dtypes)
+    for name in fields:
+        dt = dtypes.get(name)
+        if dt is None:
+            raise ValueError(f"fnv32a_fields: no column {name!r}")
+        if dt in ("float", "double"):
+            raise ValueError(
+                f"fnv32a_fields: float field {name!r} unsupported (Go %g "
+                "rendering has no exact JVM twin)"
+            )
+        q = f"`{name}`"
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            le = ", ".join(
+                f"lpad(hex(shiftright(cast({q} as bigint), {8 * k}) & 255), 2, '0')"
+                for k in range(8)
+            )
+            parts.append(f"concat({le})")
+        else:
+            parts.append(f"hex(encode(cast({q} as string), 'utf-8'))")
+    allhex = parts[0] if len(parts) == 1 else "concat(" + ", ".join(parts) + ")"
+    # sequence(1, 0) DESCENDS in Spark (it never yields an empty
+    # array), so the empty-input case short-circuits to the offset
+    agg = (
+        f"if(length(h) = 0, {_FNV_OFFSET}L, "
+        f"aggregate(sequence(1, length(h) div 2), {_FNV_OFFSET}L, "
+        f"(acc, i) -> pmod((acc ^ cast(conv(substring(h, i * 2 - 1, 2), 16, 10) "
+        f"as bigint)) * {_FNV_PRIME}L, {_POW32}L)))"
+    )
+    return F.expr(f"element_at(transform(array({allhex}), h -> {agg}), 1)")
+
+
+def fnv32a(df: DataFrame, field: str) -> Column:
+    """FNV-32a of one string field's UTF-8 bytes (hash/fnv New32a —
+    the kafka message-key hash, partition.go:220). Pure JVM aggregate
+    over the hex rendering; see fnv32a_fields."""
+    return fnv32a_fields(df, [field])
+
+
+def kafka_hash_partition(
+    df: DataFrame, fields: list[str], num_partitions: int
+) -> Column:
+    """Partition id per event: ``(int32(fnv32a) & 0x7FFFFFFF) %
+    numPartitions`` — Hash2Partition (partition.go:275-278) exactly,
+    including the signed-int32 reinterpretation before the mask."""
+    h = fnv32a_fields(df, fields)
+    signed = F.when(h >= F.lit(1 << 31), h - F.lit(_POW32)).otherwise(h)
+    return F.pmod(
+        signed.cast("int").bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions)
+    ).cast("int")

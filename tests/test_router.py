@@ -174,3 +174,68 @@ def test_selector_reference_table(spark):
     assert sel(
         [{"index": "%{[key]}", "mappings": {"v": "value"}}], {"key": "x"}, s
     ) == "NONE"
+
+
+# --- kafka FNV-32a hash partitioner ------------------------------------------
+
+def test_fnv32a_official_vectors(spark):
+    """hash/fnv New32a parity: the published FNV-32a test vectors plus
+    multibyte UTF-8 against a pure-Python fold."""
+    from beats_spark.plans.router import fnv32a
+
+    def py_fnv(b: bytes) -> int:
+        h = 2166136261
+        for x in b:
+            h = ((h ^ x) * 16777619) % (1 << 32)
+        return h
+
+    cases = ["", "a", "foobar", "日本語 text", "conv-12345", None]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r.s: r.h for r in df.select("s", fnv32a(df, "s").alias("h")).collect()}
+    assert got[""] == 2166136261
+    assert got["a"] == 0xE40C292C
+    assert got["foobar"] == 0xBF9CF968
+    for c in cases:
+        if c is not None:
+            assert got[c] == py_fnv(c.encode()), c
+    assert got[None] is None
+
+
+def test_fnv32a_fields_int_le_and_partition(spark):
+    """HashFieldValue semantics: int64 fields hash as 8 LE bytes
+    (binary.Write), strings as UTF-8; Hash2Partition reinterprets the
+    hash as SIGNED int32 before masking (partition.go:275-278)."""
+    import struct
+
+    from beats_spark.plans.router import fnv32a_fields, kafka_hash_partition
+
+    def py_fnv(b: bytes) -> int:
+        h = 2166136261
+        for x in b:
+            h = ((h ^ x) * 16777619) % (1 << 32)
+        return h
+
+    df = spark.createDataFrame(
+        [(i, f"user-{i % 7}") for i in range(-5, 50)], "n long, s string"
+    )
+    rows = df.select(
+        "n", "s",
+        fnv32a_fields(df, ["n", "s"]).alias("h"),
+        kafka_hash_partition(df, ["n", "s"], 12).alias("p"),
+    ).collect()
+    for r in rows:
+        want = py_fnv(struct.pack("<q", r.n) + r.s.encode())
+        assert r.h == want, (r.n, r.s)
+        signed = want - (1 << 32) if want >= (1 << 31) else want
+        assert r.p == ((signed & 0x7FFFFFFF) % 12), (r.n, r.s)
+    # consistency: same fields -> same partition (the reference's
+    # partTestHashInvariant property)
+    again = {(r.n, r.s): r.p for r in df.select(
+        "n", "s", kafka_hash_partition(df, ["n", "s"], 12).alias("p")
+    ).collect()}
+    assert all(again[(r.n, r.s)] == r.p for r in rows)
+
+    import pytest as _pytest
+    dff = spark.createDataFrame([(1.5,)], "f double")
+    with _pytest.raises(ValueError, match="float"):
+        fnv32a_fields(dff, ["f"])
