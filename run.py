@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true", help="skip committed buckets of run-id")
     p.add_argument("--chunk-size", type=int, default=8)
     p.add_argument("--metrics-out", help="write metrics JSON here")
+    p.add_argument(
+        "--net-sink",
+        choices=["redis", "logstash"],
+        help="ALSO ship routed events to a network sink "
+        "(plans/netsinks.py); redis keys on _meta_sink",
+    )
+    p.add_argument("--net-host", default="127.0.0.1")
+    p.add_argument("--net-port", type=int)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -168,6 +176,23 @@ def main(argv: list[str] | None = None) -> int:
             "sink_counts": res.sink_counts,
             "wall_sec": round(time.time() - t0, 3),
         }
+
+    if args.net_sink:
+        if not args.net_port:
+            print("--net-sink needs --net-port", file=sys.stderr)
+            return 2
+        from pyspark.sql import functions as F
+
+        from beats_spark.plans.netsinks import write_logstash, write_redis
+        from beats_spark.plans.pipeline import transform
+        from beats_spark.plans.router import META_SINK
+
+        routed = transform(source, cfg)
+        if args.net_sink == "redis":
+            write_redis(routed, args.net_host, args.net_port, key=F.col(META_SINK))
+        else:
+            write_logstash(routed, args.net_host, args.net_port)
+        payload["net_sink"] = f"{args.net_sink}://{args.net_host}:{args.net_port}"
 
     out = json.dumps(payload)
     print(out)

@@ -343,3 +343,46 @@ def test_logstash_server_close_before_ack_fails(spark):
                        connect_ttl=5.0)
     msg = str(ei.value)
     assert "ACK" in msg or "closed" in msg or "Connection" in msg
+
+
+def test_run_py_net_sink_end_to_end(spark, tmp_path):
+    """The spark-submit surface: run.py --net-sink redis ships every
+    routed event to the RESP server keyed by _meta_sink, alongside the
+    parquet fan-out; per-key counts equal the pipeline's sink_counts."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import run as run_mod
+
+    srv = FakeRedis()
+    try:
+        cfg = {
+            "processors": [
+                {"dissect": {"tokenizer": 'level=%{level} ts=%{event_ts} '
+                                           'caller=%{caller} msg="%{message}"',
+                              "field": "text", "target_prefix": ""}}
+            ],
+            "router_rules": [
+                {"when": {"equals": {"level": "error"}}, "index": "errors"}
+            ],
+            "default_sink": "main",
+            "out_root": str(tmp_path / "sinks"),
+            "n_buckets": 8,
+        }
+        cfg_path = tmp_path / "cfg.json"
+        cfg_path.write_text(_json.dumps(cfg))
+        metrics_path = tmp_path / "m.json"
+        rc = run_mod.main([
+            "--config", str(cfg_path), "--synth", "60",
+            "--metrics-out", str(metrics_path),
+            "--net-sink", "redis", "--net-port", str(srv.port),
+        ])
+        assert rc == 0
+        payload = _json.loads(metrics_path.read_text())
+        with srv.lock:
+            got = {k: len(v) for k, v in srv.lists.items()}
+        want = {k: n for k, n in payload["sink_counts"].items() if n}
+        assert got == want, (got, want)
+    finally:
+        srv.close()
