@@ -148,6 +148,45 @@ def run_stream(
     return writer.start()
 
 
+def run_stream_to_net_sink(
+    source: DataFrame,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    sink: str = "redis",
+    host: str = "127.0.0.1",
+    port: int = 6379,
+    available_now: bool = True,
+    **sink_kwargs,
+):
+    """Stream → transform/route → NETWORK sink — the reference's
+    actual deployment shape (beats tails files and ships to
+    redis/logstash continuously). Each micro-batch fans out through
+    the same per-partition protocol clients as the batch writers
+    (plans/netsinks.py); redis keys on ``_meta_sink``. Delivery is
+    at-least-once across restarts: the checkpoint marks a batch done
+    only after foreachBatch returns, so a crash mid-ship replays the
+    whole batch — exactly the reference's retry unit (the lumberjack
+    window / the RPUSH'd batch). Returns the started query."""
+    from beats_spark.plans.netsinks import write_logstash, write_redis
+
+    routed = transform(source, cfg)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if sink == "redis":
+            write_redis(batch_df, host, port, key=F.col(META_SINK), **sink_kwargs)
+        elif sink == "logstash":
+            write_logstash(batch_df, host, port, **sink_kwargs)
+        else:
+            raise ValueError(f"unknown net sink {sink!r}")
+
+    writer = routed.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_sink_counts(
     source: DataFrame,
     cfg: PipelineConfig,

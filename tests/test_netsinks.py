@@ -386,3 +386,46 @@ def test_run_py_net_sink_end_to_end(spark, tmp_path):
         assert got == want, (got, want)
     finally:
         srv.close()
+
+
+def test_streaming_to_redis_sink(spark, tmp_path):
+    """Streaming deployment shape: file-stream → transform/route →
+    redis, micro-batch at a time; restart against the checkpoint ships
+    nothing twice (the batch is the retry unit)."""
+    from beats_spark.sources import synth_transcripts
+    from beats_spark.plans.pipeline import PipelineConfig
+    from beats_spark.streaming.pipeline import (
+        read_transcript_stream,
+        run_stream_to_net_sink,
+    )
+
+    srv = FakeRedis()
+    try:
+        tx = synth_transcripts(spark, n_convs=40)
+        src_dir = str(tmp_path / "in")
+        tx.write.parquet(src_dir)
+        cfg = PipelineConfig(
+            processors=[],
+            router_rules=[{"when": {"equals": {"role": "user"}},
+                           "index": "inbound"}],
+            default_sink="rest",
+        )
+        ck = str(tmp_path / "ck")
+        src = read_transcript_stream(spark, src_dir, max_files_per_trigger=2)
+        q = run_stream_to_net_sink(src, cfg, ck, sink="redis", host="127.0.0.1",
+                                   port=srv.port)
+        q.awaitTermination(120)
+        with srv.lock:
+            got = {k: len(v) for k, v in srv.lists.items()}
+        n_user = tx.filter(F.col("role") == "user").count()
+        assert got == {"inbound": n_user, "rest": tx.count() - n_user}, got
+        # restart on the same checkpoint: no new batches, no re-ship
+        src2 = read_transcript_stream(spark, src_dir, max_files_per_trigger=2)
+        q2 = run_stream_to_net_sink(src2, cfg, ck, sink="redis",
+                                    host="127.0.0.1", port=srv.port)
+        q2.awaitTermination(120)
+        with srv.lock:
+            again = {k: len(v) for k, v in srv.lists.items()}
+        assert again == got
+    finally:
+        srv.close()
