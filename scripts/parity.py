@@ -5,7 +5,11 @@ on DuckDB over the same parquet tables, compares row count, column
 names, and order-insensitive values (columns sorted by name, rows
 sorted), and prints one PASS/FAIL line per query.
 
-Usage: python scripts/parity.py [sf_dir] [query ...]
+Usage: python scripts/parity.py [sf_dir] [query ...] [--json=PATH]
+
+``--json=PATH`` additionally writes a CORRECTNESS_r*-shaped JSON file
+(per-query rows/schema/values match booleans) — the round's local
+evidence artifact.
 """
 
 from __future__ import annotations
@@ -47,8 +51,11 @@ def normalize(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json=")]
+    json_args = [a for a in sys.argv[1:] if a.startswith("--json=")]
+    json_out = json_args[0].split("=", 1)[1] if json_args else None
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in entry_mod.TABLES:
@@ -59,6 +66,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,12 +77,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
+            results[name] = {"err": f"spark: {ex}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"rows_only": True, "spark_rows": len(srows),
+                             "err": None}
             if len(srows) == 0:
                 print(f"WARN {name}: zero rows")
+                results[name]["err"] = "zero rows"
             continue
         try:
             res = con.execute(oracles[name])
@@ -82,13 +94,23 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            results[name] = {"err": f"duckdb: {ex}"}
             failures += 1
             continue
-        if sorted(scols) != sorted(dcols):
+        rec = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": False,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
+        results[name] = rec
+        if not rec["schema_match"]:
             print(f"FAIL {name}: columns {sorted(scols)} vs {sorted(dcols)}")
             failures += 1
             continue
-        if len(srows) != len(drows):
+        if not rec["rows_match"]:
             print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
             failures += 1
             continue
@@ -99,7 +121,14 @@ def main() -> int:
             print(f"FAIL {name}: values differ; first diffs: {diff}")
             failures += 1
             continue
+        rec["hash_match"] = True
         print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(results, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
