@@ -1020,17 +1020,18 @@ def q_kafka_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_KAFKA_PARTITION = """
 WITH hx AS (
   SELECT event_id,
-         concat(
-           lpad(hex((user_id >> 0) & 255), 2, '0'),
-           lpad(hex((user_id >> 8) & 255), 2, '0'),
-           lpad(hex((user_id >> 16) & 255), 2, '0'),
-           lpad(hex((user_id >> 24) & 255), 2, '0'),
-           lpad(hex((user_id >> 32) & 255), 2, '0'),
-           lpad(hex((user_id >> 40) & 255), 2, '0'),
-           lpad(hex((user_id >> 48) & 255), 2, '0'),
-           lpad(hex((user_id >> 56) & 255), 2, '0'),
-           hex(encode(event_type))
-         ) AS h
+         -- || not concat(): DuckDB concat() SKIPS NULL arguments but
+         -- Spark's concat NULL-propagates; a NULL field must null the
+         -- whole hash on both sides
+         lpad(hex((user_id >> 0) & 255), 2, '0')
+           || lpad(hex((user_id >> 8) & 255), 2, '0')
+           || lpad(hex((user_id >> 16) & 255), 2, '0')
+           || lpad(hex((user_id >> 24) & 255), 2, '0')
+           || lpad(hex((user_id >> 32) & 255), 2, '0')
+           || lpad(hex((user_id >> 40) & 255), 2, '0')
+           || lpad(hex((user_id >> 48) & 255), 2, '0')
+           || lpad(hex((user_id >> 56) & 255), 2, '0')
+           || hex(encode(event_type)) AS h
   FROM events
 ), folded AS (
   SELECT event_id,

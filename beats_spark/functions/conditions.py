@@ -114,6 +114,24 @@ _IPV6_FULL_RE = _ipv6_regex()
 _IPV4_STRICT_RE = rf"^{_V4_STRICT}$"
 
 
+def include_message_keep(col: Column, patterns) -> Column:
+    """Shared keep-predicate of the include_message parser
+    (libbeat/reader/filter/filter.go:32-47 matchAny): true iff the
+    column matches ANY pattern; NULL never matches. Both the reader
+    form (sources/lines.py) and the processor form
+    (operators/conditionals.py) compile through here so the semantics
+    cannot drift. A bare string is rejected — iterating it would
+    silently turn each CHARACTER into a pattern."""
+    if not patterns or isinstance(patterns, (str, bytes)):
+        raise ValueError(
+            "include_message.patterns must be a non-empty list of patterns"
+        )
+    keep = col.rlike(patterns[0])
+    for p in patterns[1:]:
+        keep = keep | col.rlike(p)
+    return F.coalesce(keep, F.lit(False))
+
+
 def ip_parse_valid(c: Column) -> Column:
     """Boolean: would net.ParseIP accept this string? (convert.go:347
     validation — the reference nulls + tags anything ParseIP returns

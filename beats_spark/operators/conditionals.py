@@ -41,14 +41,11 @@ class IncludeMessage(Processor):
     name = "include_message"
 
     def updates(self, df: DataFrame) -> Updates:
-        patterns = self.cfg.get("patterns")
-        if not patterns:
-            raise ValueError("include_message.patterns is required")
+        from beats_spark.functions.conditions import include_message_keep
+
         col = F.col(self.cfg.get("field", "message"))
-        keep = col.rlike(patterns[0])
-        for p in patterns[1:]:
-            keep = keep | col.rlike(p)
-        return Updates(remove_rows=~F.coalesce(keep, F.lit(False)))
+        keep = include_message_keep(col, self.cfg.get("patterns"))
+        return Updates(remove_rows=~keep)
 
 
 class IfThenElse(Processor):

@@ -135,28 +135,40 @@ def url_dedup(
     pushes nothing through the window, so apply upstream filters
     before calling.
 
-    NULL canonicals short-circuit BEFORE the window (ADVICE r3): on a
-    crawl a large non-URL fraction would otherwise all hash to the
-    single NULL partition key and funnel into one window task — a
-    straggler/OOM hazard at 100 TB even though the computed values
-    were discarded. They union back with the constants the old
-    branchless form produced (n_dupes=1, is_keeper=true).
+    NULL canonicals are SALTED out of the hot partition (ADVICE r3):
+    on a crawl a large non-URL fraction would otherwise all hash to
+    the single NULL window key and funnel into one task — a
+    straggler/OOM hazard at 100 TB even though their computed values
+    are discarded. The window partitions on
+    ``coalesce(canonical_url, '\\0null' || hash(id) % 64)`` so NULL
+    rows spread over 64 synthetic keys, and their outputs are
+    overridden to the constants (n_dupes=1, is_keeper=true). Still
+    ONE pass and ONE shuffle — a filter-split + union would execute
+    the upstream canonicalization battery twice (no ReuseExchange for
+    shared subtrees, CLAUDE.md).
     """
     from pyspark.sql.window import Window
 
     out = add_url_canonical(df, url_col)
-    w = Window.partitionBy("canonical_url")
-    deduped = (
-        out.where(F.col("canonical_url").isNotNull())
-        .withColumn("n_dupes", F.count(F.lit(1)).over(w))
-        .withColumn("is_keeper", F.col(id_col) == F.min(id_col).over(w))
+    is_null = F.col("canonical_url").isNull()
+    salt_key = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(
+            F.lit("\x00null"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)).cast("string"),
+        ),
     )
-    passthrough = (
-        out.where(F.col("canonical_url").isNull())
-        .withColumn("n_dupes", F.lit(1).cast("long"))
-        .withColumn("is_keeper", F.lit(True))
+    w = Window.partitionBy(salt_key)
+    return out.withColumns(
+        {
+            "n_dupes": F.when(is_null, F.lit(1).cast("long")).otherwise(
+                F.count(F.lit(1)).over(w)
+            ),
+            "is_keeper": F.when(is_null, F.lit(True)).otherwise(
+                F.col(id_col) == F.min(id_col).over(w)
+            ),
+        }
     )
-    return deduped.unionByName(passthrough)
 
 
 @register

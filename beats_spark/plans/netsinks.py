@@ -223,9 +223,17 @@ def write_redis(
         raise ValueError(f"redis data_type must be list|channel, got {data_type!r}")
     key_col = F.lit(key) if isinstance(key, str) else key
     payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-    frame = df.select(
-        key_col.cast("string").alias("_sink_key"), payload.alias("_payload")
-    ).sortWithinPartitions("_sink_key")
+    # NULL keys drop BEFORE the writer (the reference's per-event
+    # permanent-error path: serializeEvents counts and skips events
+    # whose key selection failed, redis/client.go PermanentErrors) —
+    # a None reaching resp_encode would TypeError the whole task.
+    frame = (
+        df.select(
+            key_col.cast("string").alias("_sink_key"), payload.alias("_payload")
+        )
+        .where(F.col("_sink_key").isNotNull())
+        .sortWithinPartitions("_sink_key")
+    )
     frame.foreachPartition(
         _redis_partition_writer(
             host, port, data_type, password, db, bulk_max_size, timeout,

@@ -200,7 +200,7 @@ def _records_text(spark: SparkSession, paths) -> DataFrame:
     """
     if isinstance(paths, str):
         paths = [paths]
-    from pyspark.sql.window import Window
+    from beats_spark.sources.lines import dense_ordinal
 
     df = spark.read.text(list(paths), lineSep="\n\n").select(
         F.input_file_name().alias("file"),
@@ -208,16 +208,7 @@ def _records_text(spark: SparkSession, paths) -> DataFrame:
         F.monotonically_increasing_id().alias("_mid"),
         F.col("value"),
     )
-    blocks = df.groupBy("file", "_blk").agg(
-        F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n")
-    )
-    wb = Window.partitionBy("file").orderBy("_blk")
-    offsets = blocks.withColumn("_off", F.sum("_n").over(wb) - F.col("_n"))
-    df = df.join(F.broadcast(offsets), ["file", "_blk"]).select(
-        "file",
-        (F.col("_off") + F.col("_mid") - F.col("_mid0")).alias("rec_no"),
-        "value",
-    )
+    df = dense_ordinal(df, "rec_no").select("file", "rec_no", "value")
     pairs = F.expr(
         "transform(filter(split(value, '\\n'), l -> instr(l, '=') > 0), "
         "l -> named_struct('k', substring(l, 1, instr(l, '=') - 1), "

@@ -208,6 +208,29 @@ def _guard_wholetext_size(spark: SparkSession, path: str) -> None:
         pass
 
 
+def dense_ordinal(df: DataFrame, out_col: str) -> DataFrame:
+    """Rebuild a per-file dense 0-based row ordinal WITHOUT a
+    full-data shuffle, for frames carrying ``file``,
+    ``_blk`` (input_file_block_start) and ``_mid``
+    (monotonically_increasing_id): ids are consecutive within one
+    split, so ``id - min(id per split)`` is the in-split index, and
+    the running sum of per-split row counts (a #splits-row aggregate,
+    broadcast back) is each split's base offset. Shared by the chunked
+    line reader and the journald text framing — the trick relies on a
+    subtle engine property (per-split id consecutiveness), so it lives
+    in exactly one place. Consumes the ``_blk``/``_mid`` columns."""
+    blocks = df.groupBy("file", "_blk").agg(
+        F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n")
+    )
+    wb = Window.partitionBy("file").orderBy("_blk")
+    offsets = blocks.withColumn("_off", F.sum("_n").over(wb) - F.col("_n"))
+    return (
+        df.join(F.broadcast(offsets), ["file", "_blk"])
+        .withColumn(out_col, F.col("_off") + F.col("_mid") - F.col("_mid0"))
+        .drop("_blk", "_mid", "_mid0", "_n", "_off")
+    )
+
+
 def read_lines_chunked(spark: SparkSession, path: str) -> DataFrame:
     """(file, line_no, line) with big files SPLIT across tasks.
 
@@ -237,16 +260,7 @@ def read_lines_chunked(spark: SparkSession, path: str) -> DataFrame:
         F.monotonically_increasing_id().alias("_mid"),
         F.regexp_replace(F.col("value"), r"\r$", "").alias("line"),
     )
-    blocks = df.groupBy("file", "_blk").agg(
-        F.min("_mid").alias("_mid0"), F.count(F.lit(1)).alias("_n")
-    )
-    wb = Window.partitionBy("file").orderBy("_blk")
-    offsets = blocks.withColumn("_off", F.sum("_n").over(wb) - F.col("_n"))
-    return df.join(F.broadcast(offsets), ["file", "_blk"]).select(
-        "file",
-        (F.col("_off") + F.col("_mid") - F.col("_mid0")).alias("line_no"),
-        "line",
-    )
+    return dense_ordinal(df, "line_no").select("file", "line_no", "line")
 
 
 def lines_from_wholetext(raw: DataFrame) -> DataFrame:
@@ -530,13 +544,9 @@ def include_message_filter(
     matches (no bytes ⇒ no match), mirroring MatchString on an empty
     content string only matching patterns that accept empty.
     """
-    if not patterns:
-        # Config{Patterns} is validate:"required" in the reference
-        raise ValueError("include_message.patterns is required")
-    keep = F.col(message_col).rlike(patterns[0])
-    for p in patterns[1:]:
-        keep = keep | F.col(message_col).rlike(p)
-    return df.filter(F.coalesce(keep, F.lit(False)))
+    from beats_spark.functions.conditions import include_message_keep
+
+    return df.filter(include_message_keep(F.col(message_col), patterns))
 
 
 def read_multiline(

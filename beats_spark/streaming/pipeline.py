@@ -109,13 +109,16 @@ def socket_transcript_stream(
         .load()
     )
     p = F.split(F.col("value"), r"\|", 6)
+    # try_element_at, not getItem: a malformed line with fewer fields
+    # must yield NULLs (tag-and-continue downstream), not an ANSI
+    # INVALID_ARRAY_INDEX that kills the whole streaming query
     return raw.select(
-        p.getItem(0).alias("conv_id"),
-        p.getItem(1).try_cast("int").alias("turn_idx"),
-        p.getItem(2).alias("role"),
-        p.getItem(5).alias("text"),
-        p.getItem(3).alias("tool"),
-        F.to_timestamp(p.getItem(4).try_cast("long")).alias("ts"),
+        F.try_element_at(p, F.lit(1)).alias("conv_id"),
+        F.try_element_at(p, F.lit(2)).try_cast("int").alias("turn_idx"),
+        F.try_element_at(p, F.lit(3)).alias("role"),
+        F.try_element_at(p, F.lit(6)).alias("text"),
+        F.try_element_at(p, F.lit(4)).alias("tool"),
+        F.to_timestamp(F.try_element_at(p, F.lit(5)).try_cast("long")).alias("ts"),
     )
 
 

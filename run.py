@@ -64,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--net-host", default="127.0.0.1")
     p.add_argument("--net-port", type=int)
     args = p.parse_args(argv)
+    if args.net_sink and not args.net_port:
+        # validate BEFORE the (potentially hours-long) batch runs
+        print("--net-sink needs --net-port", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
@@ -178,9 +182,6 @@ def main(argv: list[str] | None = None) -> int:
         }
 
     if args.net_sink:
-        if not args.net_port:
-            print("--net-sink needs --net-port", file=sys.stderr)
-            return 2
         from pyspark.sql import functions as F
 
         from beats_spark.plans.netsinks import write_logstash, write_redis

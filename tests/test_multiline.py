@@ -577,8 +577,11 @@ def test_include_message_null_and_required(spark):
     )
     out = include_message_filter(df, ["keep"])
     assert [r["message"] for r in out.collect()] == ["keep me"]
-    with pytest.raises(ValueError, match="required"):
+    with pytest.raises(ValueError, match="non-empty list"):
         include_message_filter(df, [])
+    # a bare string must be rejected, not per-character-iterated
+    with pytest.raises(ValueError, match="non-empty list"):
+        include_message_filter(df, "keep")
 
 
 def test_include_message_in_reader_chain(spark, tmp_path):
