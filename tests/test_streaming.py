@@ -394,3 +394,67 @@ def test_stream_minhash_candidates_flags_arriving_copies(spark, tmp_path):
     assert all(len(b) == 16 for b in per_doc.values()), {
         k: len(v) for k, v in per_doc.items()
     }
+
+
+def test_stream_candidates_compose_with_batch_verify(spark, tmp_path):
+    """The full streaming near-dup story: stream candidates (superset)
+    → batch exact-Jaccard verify on the candidate pairs only — near-
+    copies survive the verify, an unrelated band-collision would not."""
+    from beats_spark.operators.dedup import jaccard, shingles
+    from beats_spark.streaming.pipeline import stream_minhash_candidates
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+
+    def text(i):
+        return " ".join(f"{words[(i * 7 + k) % len(words)]}d{i}k{k}"
+                        for k in range(30))
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    out = str(tmp_path / "cand")
+    ck = str(tmp_path / "ck")
+    originals = spark.createDataFrame(
+        [(i, text(i), "2024-06-01 10:00:00") for i in range(12)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    originals.write.parquet(str(src_dir / "b1"))
+    # near-copies: drop the last 3 words (still >0.7 jaccard on
+    # 5-shingles? 27/30 words shared prefix -> high overlap)
+    copies = spark.createDataFrame(
+        [(100 + i, " ".join(text(i).split()[:27]), "2024-06-01 10:20:00")
+         for i in range(12)],
+        "doc_id long, text string, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+    def run_once():
+        src = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(str(src_dir / "*"))
+        cand = stream_minhash_candidates(src, watermark="5 minutes")
+        q = (cand.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    copies.write.parquet(str(src_dir / "b2"))
+    run_once()
+
+    cand_pairs = (
+        spark.read.parquet(out)
+        .select("doc_id", "keeper_id").distinct()
+    )
+    assert cand_pairs.count() > 0  # some bands collided on near-copies
+    # batch verify: join candidate pairs back to the corpus texts
+    corpus = originals.unionByName(copies).select("doc_id", "text")
+    a = corpus.withColumnRenamed("doc_id", "keeper_id").withColumnRenamed("text", "ta")
+    b = corpus.withColumnRenamed("text", "tb")
+    verified = (
+        cand_pairs.join(a, "keeper_id").join(b, "doc_id")
+        .withColumn("j", jaccard(shingles(F.col("ta"), 5), shingles(F.col("tb"), 5)))
+        .where(F.col("j") >= 0.5)
+    )
+    got = {(r.doc_id, r.keeper_id) for r in verified.collect()}
+    # every verified pair is a true near-copy pairing (i+100, i)
+    assert got and all(d == k + 100 for d, k in got), got
