@@ -4314,6 +4314,121 @@ FROM s2
 """
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (textstats.perplexity_buckets):
+    every document ranked by integer-exact unigram surprisal and split
+    into equal-count head/middle/tail tiers — the CCNet keep/sample/
+    drop decision (Wenzek et al. 2020 §4.3) — with value-based cutoffs
+    from a bounded-histogram CDF, so no engine-ordered ntile and no
+    corpus sort. The oracle refits the LM and replays the cutoff rule
+    bit-for-bit."""
+    from beats_spark.operators.textstats import perplexity_buckets
+
+    docs = _load(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "text", "doc_id", n_buckets=3)
+
+
+_SQL_PERPLEXITY_BUCKETS = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+), nz AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*) AS cnt FROM nz GROUP BY tok
+), tot AS (
+  SELECT sum(cnt)::BIGINT AS t FROM counts
+), perdoc AS (
+  SELECT nz.doc_id, count(*)::BIGINT AS n_tokens,
+         sum(length(bin(c.cnt)) - 1)::BIGINT AS sum_fl2
+  FROM nz JOIN counts c USING (tok) GROUP BY nz.doc_id
+), milli AS (
+  SELECT doc_id,
+         ((n_tokens * (length(bin(t)) - 1) - sum_fl2) * 1000
+          // greatest(n_tokens, 1))::BIGINT AS surprisal_milli
+  FROM perdoc, tot
+), hist AS (
+  SELECT surprisal_milli AS v, count(*) AS n FROM milli GROUP BY 1
+), cdf AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM hist
+), total AS (
+  SELECT sum(n) AS tt FROM hist
+), cuts AS (
+  SELECT min(CASE WHEN cum * 3 >= tt * 1 THEN v END) AS c1,
+         min(CASE WHEN cum * 3 >= tt * 2 THEN v END) AS c2
+  FROM cdf, total
+)
+SELECT doc_id, surprisal_milli,
+       CASE WHEN surprisal_milli <= c1 THEN 'head'
+            WHEN surprisal_milli <= c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM milli, cuts
+"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus curation report (textstats.corpus_report):
+    document count, exact-duplicate rate (normalized-md5 distinct vs
+    rows — the same key exact_dedup collapses on), size stats, and
+    language spread per crawl source. Integer-milli outputs only."""
+    from beats_spark.operators.textstats import corpus_report
+
+    docs = _load(spark, sf_dir, "documents")
+    return corpus_report(docs, "source", "text", lang_col="lang")
+
+
+_SQL_DOMAIN_STATS = r"""
+WITH fp AS (
+  SELECT source, lang, length(text)::BIGINT AS n_chars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT f)::BIGINT AS n_unique,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       ((count(*) - count(DISTINCT f)) * 1000 // count(*))::BIGINT AS dup_rate_milli,
+       (sum(n_chars) * 1000 // count(*))::BIGINT AS mean_chars_milli
+FROM fp GROUP BY source
+"""
+
+
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation curation rollup (sessions.conversation_stats)
+    over the event-turn stream: turn count, elapsed span in integer
+    milliseconds, text volume, mean-turn-length milli, and distinct
+    turn types — the pre-assembly filter signals for the
+    transcript→corpus path."""
+    from beats_spark.operators.sessions import conversation_stats
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "line", F.format_string("%s@%d", F.col("event_type"), F.col("event_id"))
+    )
+    return conversation_stats(
+        ev, key_col="user_id", ts_col="ts", text_col="line", role_col="event_type"
+    )
+
+
+_SQL_CONVERSATION_STATS = r"""
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         event_type || '@' || event_id::VARCHAR AS line
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_turns,
+       (date_diff('microsecond', min(ts), max(ts)) // 1000)::BIGINT AS span_ms,
+       sum(length(line))::BIGINT AS total_chars,
+       count(DISTINCT event_type)::BIGINT AS n_roles,
+       (sum(length(line)) * 1000 // greatest(count(*), 1))::BIGINT
+         AS chars_per_turn_milli
+FROM ev GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4330,6 +4445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "perplexity_buckets": q_perplexity_buckets,
+        "domain_stats": q_domain_stats,
+        "conversation_stats": q_conversation_stats,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4422,6 +4540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
+        "domain_stats": _SQL_DOMAIN_STATS,
+        "conversation_stats": _SQL_CONVERSATION_STATS,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,

@@ -86,3 +86,48 @@ def assemble_documents(
         F.count(F.lit(1)).alias("n_turns"),
     )
     return agg
+
+
+def conversation_stats(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    role_col: str | None = None,
+) -> DataFrame:
+    """Per-conversation curation rollup — the transcript-side twin of
+    ``textstats.corpus_report``: before assembling turns into training
+    documents, a curator filters conversations that are too short, too
+    long, single-role, or temporally degenerate (a burst of turns with
+    no elapsed time is usually a replayed log, not a dialogue).
+
+    Per key: ``n_turns``, ``span_ms`` (last-turn minus first-turn
+    timestamp in integer milliseconds), ``total_chars`` of turn text,
+    ``chars_per_turn_milli`` (mean × 1000, exact integer division),
+    and with ``role_col`` the distinct role count ``n_roles``.
+
+    Scale shape: ONE groupBy(key) with map-side partial aggregation —
+    min/max/sum/count combine locally, so the shuffle carries one
+    partial row per (task, key), not the turns. A hot conversation
+    still aggregates correctly (partials merge); no window, no sort.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        # exact microsecond diff floored to ms: timezone-free (works on
+        # TIMESTAMP_NTZ, which unix_millis rejects) and engine-portable
+        # (DuckDB date_diff('microsecond') is the same exact count)
+        F.expr(
+            f"timestampdiff(MICROSECOND, min({ts_col}), max({ts_col})) div 1000"
+        ).alias("span_ms"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+    ]
+    if role_col is not None:
+        aggs.append(F.countDistinct(F.col(role_col)).alias("n_roles"))
+    return (
+        df.groupBy(key_col)
+        .agg(*aggs)
+        .withColumn(
+            "chars_per_turn_milli",
+            F.expr("total_chars * 1000 div greatest(n_turns, 1)"),
+        )
+    )

@@ -569,3 +569,111 @@ def bigram_surprisal(
             F.expr("surprisal_sum * 1000 div greatest(n_bigrams, 1)"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3):
+    rank every document by its LM surprisal and split the corpus into
+    ``n_buckets`` equal-count tiers — CCNet keeps "head" (most fluent
+    vs the LM), samples "middle", and drops "tail". The LM here is the
+    integer-exact ``unigram_surprisal`` signal, so the whole bucketing
+    replays bit-for-bit on any engine.
+
+    Tie + exactness rule (engine-portable): buckets are VALUE-based,
+    never row-ntile — the b-th cutoff is the smallest surprisal_milli
+    value v whose cumulative doc count satisfies
+    ``cdf(v) * n_buckets >= total * b`` (pure integer comparison, no
+    division), and every doc with the same value lands in the same
+    bucket. Returns (id, surprisal_milli, bucket) with bucket labels
+    head/middle/tail for n_buckets=3, else ``b1..bN``.
+
+    Scale shape: the ranking never sorts the corpus. surprisal_milli
+    is a bounded integer (mean floor-log2 bits × 1000 ≤ 64000), so the
+    CDF is a groupBy on ≤64k distinct values → one unpartitioned
+    window over that BOUNDED histogram (not the corpus) → a 1-row
+    cutoff aggregate broadcast back over the docs. The per-doc frame
+    is persisted because both the histogram and the final labeling
+    consume it (recomputing unigram_surprisal would re-shuffle the
+    corpus twice).
+    """
+    from pyspark import StorageLevel
+
+    s = unigram_surprisal(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hist = s.groupBy("surprisal_milli").agg(F.count(F.lit(1)).alias("_n"))
+    cdf = hist.withColumn(
+        "_cum", F.sum("_n").over(Window.orderBy("surprisal_milli"))
+    )
+    totals = hist.agg(F.sum("_n").alias("_total"))
+    cuts = cdf.crossJoin(totals).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("_cum") * n_buckets >= F.col("_total") * b,
+                    F.col("surprisal_milli"),
+                )
+            ).alias(f"_c{b}")
+            for b in range(1, n_buckets)
+        ]
+    )
+    bucket_idx = sum(
+        (F.col("surprisal_milli") > F.col(f"_c{b}")).cast("int")
+        for b in range(1, n_buckets)
+    )
+    if n_buckets == 3:
+        label = (
+            F.when(bucket_idx == 0, F.lit("head"))
+            .when(bucket_idx == 1, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), (bucket_idx + 1).cast("string"))
+    return s.crossJoin(cuts).select(
+        id_col, "surprisal_milli", label.alias("bucket")
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Per-slice corpus curation rollup — the report a crawl curator
+    reads before deciding which sources to keep, re-weight, or drop:
+    per ``group_col`` the document count, exact-duplicate rate
+    (distinct normalized-md5 fingerprints vs rows, the same key
+    ``exact_dedup`` collapses on), size stats, and optionally the
+    language spread.
+
+    Integer-exact outputs only: ``dup_rate_milli`` = duplicated-row
+    fraction × 1000 (integer division), ``mean_chars_milli`` = mean
+    text length × 1000 — both engine-portable, no float aggregation.
+
+    Scale shape: one groupBy(group) with map-side partial aggregation;
+    the only wide value is the 32-hex fingerprint for the distinct
+    count (texts themselves never shuffle). Distinct-count skew on a
+    hot source is AQE's problem, and the key cardinality (sources) is
+    tiny by construction.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(md5_fingerprint(F.col(text_col))).alias("n_unique"),
+        F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.countDistinct(F.col(lang_col)).alias("n_langs"))
+    out = df.groupBy(group_col).agg(*aggs)
+    return out.select(
+        "*",
+        F.expr("(n_docs - n_unique) * 1000 div n_docs").alias(
+            "dup_rate_milli"
+        ),
+        F.expr("total_chars * 1000 div n_docs").alias("mean_chars_milli"),
+    )

@@ -1,0 +1,106 @@
+"""Unit semantics for the corpus-curation rollups: CCNet perplexity
+bucketing (textstats.perplexity_buckets), the per-source corpus report
+(textstats.corpus_report), and the per-conversation rollup
+(sessions.conversation_stats). The DuckDB twins are exercised by
+tests/test_contract_parity.py; these pin the operator semantics on
+hand-built frames where the expected values are computable by eye.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from beats_spark.operators.sessions import conversation_stats
+from beats_spark.operators.textstats import corpus_report, perplexity_buckets
+
+
+def test_perplexity_buckets_equal_tiers_and_tie_cohesion(spark):
+    # 9 docs in three fluency tiers: 3 of corpus-common tokens (low
+    # surprisal), 3 mixed, 3 of hapax soup (high surprisal). Within a
+    # tier the docs are token-identical => identical surprisal_milli,
+    # so tie cohesion is also exercised: a tier can never straddle a
+    # bucket boundary.
+    common = "the the the the the the the the"
+    mixed = "the the the the rare%d_a rare%d_b rare%d_c rare%d_d"
+    soup = "x%d_1 x%d_2 x%d_3 x%d_4 x%d_5 x%d_6 x%d_7 x%d_8"
+    rows = []
+    for i in range(3):
+        rows.append((i, common))
+        rows.append((10 + i, mixed % (i, i, i, i)))
+        rows.append((20 + i, soup % ((i,) * 8)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df, "text", "doc_id", n_buckets=3)
+    got = {r.doc_id: (r.bucket, r.surprisal_milli) for r in out.collect()}
+    assert len(got) == 9
+    # equal-count tiers, lowest surprisal = head (CCNet keeps head)
+    assert {got[i][0] for i in range(3)} == {"head"}
+    assert {got[10 + i][0] for i in range(3)} == {"middle"}
+    assert {got[20 + i][0] for i in range(3)} == {"tail"}
+    # monotone: head milli < middle milli < tail milli
+    assert got[0][1] < got[10][1] < got[20][1]
+
+
+def test_perplexity_buckets_n5_labels(spark):
+    # doc i mixes i hapax tokens with (10 - i) corpus-common ones:
+    # 10 docs, 10 strictly increasing surprisal_milli values
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join([f"u{i}_{k}" for k in range(i)] + ["the"] * (10 - i)),
+            )
+            for i in range(10)
+        ],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(df, "text", "doc_id", n_buckets=5)
+    labels = {r.bucket for r in out.collect()}
+    assert labels <= {"b1", "b2", "b3", "b4", "b5"}
+    assert "b1" in labels and "b5" in labels
+
+
+def test_corpus_report_dup_rate_and_means(spark):
+    df = spark.createDataFrame(
+        [
+            # source a: 4 docs, one exact dup pair (normalized), langs en/de
+            (1, "Hello   World", "en", "a"),
+            (2, "hello world", "en", "a"),  # dup of 1 after normalize
+            (3, "unique one", "de", "a"),
+            (4, "unique two", "en", "a"),
+            # source b: 2 docs, no dups, single lang
+            (5, "alpha", "fr", "b"),
+            (6, "beta", "fr", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r.source: r
+        for r in corpus_report(df, "source", "text", lang_col="lang").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_unique, a.n_langs) == (4, 3, 2)
+    assert a.dup_rate_milli == (4 - 3) * 1000 // 4 == 250
+    # "Hello   World"=13 + "hello world"=11 + "unique one"=10 + "unique two"=10
+    assert a.total_chars == 44 and a.mean_chars_milli == 44 * 1000 // 4
+    assert (b.n_docs, b.n_unique, b.n_langs, b.dup_rate_milli) == (2, 2, 1, 0)
+
+
+def test_conversation_stats_span_and_roles(spark):
+    t0 = datetime.datetime(2024, 6, 1, 10, 0, 0, 250500)
+    rows = [
+        ("c1", t0, "user", "hi"),
+        ("c1", t0 + datetime.timedelta(seconds=5), "assistant", "hello!"),
+        ("c1", t0 + datetime.timedelta(seconds=9, microseconds=999), "user", "ok"),
+        ("c2", t0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, role string, text string")
+    out = {r.conv_id: r for r in conversation_stats(df, "conv_id", "ts", "text", "role").collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert c1.n_turns == 3 and c1.n_roles == 2
+    # exact micro diff 9_000_999us floored to ms
+    assert c1.span_ms == 9000
+    assert c1.total_chars == len("hi") + len("hello!") + len("ok") == 10
+    assert c1.chars_per_turn_milli == 10 * 1000 // 3
+    assert (c2.n_turns, c2.span_ms, c2.n_roles) == (1, 0, 1)
