@@ -4396,6 +4396,89 @@ FROM fp GROUP BY source
 """
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist filter (urlnorm.url_filter): RefinedWeb-
+    style curation gate. Plants deterministic URLs over the documents
+    table — three domains, userinfo and port noise, /casino/ paths,
+    non-URL rows — blocks on a 2-row blocklist (one parent-domain
+    suffix, one exact host) plus a path-pattern battery. The oracle
+    replays the fixture, the host extraction, the dot-suffix explode,
+    and both block rules."""
+    from beats_spark.operators.urlnorm import url_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    domain = (
+        F.when(did % 3 == 0, "ads.example.com")
+        .when(did % 3 == 1, "example.com")
+        .otherwise("media.net")
+    )
+    url = F.when(
+        did % 97 == 0, F.concat(F.lit("bare text "), did.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("http://"),
+            F.when(did % 17 == 0, "crawler@").otherwise(""),
+            F.lit("h"),
+            (did % 50).cast("string"),
+            F.lit("."),
+            domain,
+            F.when(did % 13 == 0, ":8080").otherwise(""),
+            F.lit("/p/"),
+            (did % 20).cast("string"),
+            F.when(did % 11 == 0, "/casino/deals").otherwise(""),
+        )
+    )
+    fixture = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("h7.media.net",)], "domain string"
+    )
+    out = url_filter(fixture, bl, "url", "doc_id", patterns=[r"/casino/"])
+    return out.select(
+        "doc_id", "host", "blocked_domain", "blocked_pattern", "keep"
+    )
+
+
+_SQL_URL_FILTER = r"""
+WITH fx AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'bare text ' || doc_id::VARCHAR
+         ELSE 'http://' ||
+              CASE WHEN doc_id % 17 = 0 THEN 'crawler@' ELSE '' END ||
+              'h' || (doc_id % 50)::VARCHAR || '.' ||
+              CASE WHEN doc_id % 3 = 0 THEN 'ads.example.com'
+                   WHEN doc_id % 3 = 1 THEN 'example.com'
+                   ELSE 'media.net' END ||
+              CASE WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END ||
+              '/p/' || (doc_id % 20)::VARCHAR ||
+              CASE WHEN doc_id % 11 = 0 THEN '/casino/deals' ELSE '' END
+    END AS url
+  FROM documents
+), hostx AS (
+  SELECT doc_id, url,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM fx
+), bl(domain) AS (
+  VALUES ('ads.example.com'), ('h7.media.net')
+), sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split(host, '.')) + 1),
+           i -> array_to_string(string_split(host, '.')[i:], '.'))) AS s
+  FROM hostx WHERE host <> ''
+), blocked AS (
+  SELECT DISTINCT sfx.doc_id FROM sfx JOIN bl ON sfx.s = bl.domain
+)
+SELECT h.doc_id, h.host,
+       (b.doc_id IS NOT NULL) AS blocked_domain,
+       (lower(h.url) LIKE '%/casino/%') AS blocked_pattern,
+       (b.doc_id IS NULL AND lower(h.url) NOT LIKE '%/casino/%') AS keep
+FROM hostx h LEFT JOIN blocked b ON b.doc_id = h.doc_id
+"""
+
+
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation curation rollup (sessions.conversation_stats)
     over the event-turn stream: turn count, elapsed span in integer
@@ -4448,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "conversation_stats": q_conversation_stats,
+        "url_filter": q_url_filter,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4543,6 +4627,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
         "domain_stats": _SQL_DOMAIN_STATS,
         "conversation_stats": _SQL_CONVERSATION_STATS,
+        "url_filter": _SQL_URL_FILTER,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,

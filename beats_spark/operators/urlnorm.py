@@ -194,3 +194,79 @@ class CanonicalizeURL(Processor):
                 df, "url_canonical_error", col.isNotNull() & canon.isNull()
             )
         return Updates(set=out)
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host of an absolute URL: authority minus userinfo
+    and port. '' when the value is not an absolute URL."""
+    auth = F.lower(F.regexp_extract(col, _AUTHORITY_RE, 1))
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(auth, r":[0-9]+$", "")
+
+
+def domain_suffixes(host: Column) -> Column:
+    """Every dot-suffix of a hostname, most-specific first:
+    a.b.example.com -> [a.b.example.com, b.example.com, example.com,
+    com]. Pure codegen (split + transform + slice); the array length
+    is the label count, bounded by the hostname itself."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    blocklist_df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    patterns: list[str] | None = None,
+    blocklist_col: str = "domain",
+) -> DataFrame:
+    """URL/domain blocklist filter — the curation gate web-crawl
+    training pipelines (RefinedWeb §3.1, UT1-style lists) run before
+    any content pass: a document is rejected when its host or ANY
+    parent domain appears in the blocklist, or when the lowercased URL
+    matches a path/keyword pattern.
+
+    Returns the input plus ``host``, ``blocked_domain``,
+    ``blocked_pattern``, and ``keep`` (= neither blocked; non-URL rows
+    have host '' and are never blocked here — content passes own
+    them).
+
+    Scale shape: the blocklist is a DIMENSION table (UT1 is ~4.6M
+    domains, ~100 MB) — broadcast it; the corpus never shuffles for
+    it. Suffix matching explodes each host into its ≤label-count
+    dot-suffixes (narrow), left-semi broadcast-joins the blocklist,
+    and the surviving (rare) blocked id set joins back on the id —
+    AQE broadcasts that side when it is small, which on a healthy
+    crawl it is. The pattern battery is a single codegen rlike — no
+    join at all.
+    """
+    host = url_host(F.col(url_col))
+    with_host = df.withColumn("host", host)
+    cand = with_host.select(
+        F.col(id_col), F.explode(domain_suffixes(F.col("host"))).alias("_sfx")
+    ).where(F.col("_sfx") != "")
+    bl = blocklist_df.select(F.lower(F.col(blocklist_col)).alias("_sfx"))
+    blocked = (
+        cand.join(F.broadcast(bl), "_sfx", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_bd", F.lit(True))
+    )
+    out = with_host.join(blocked, id_col, "left").withColumn(
+        "blocked_domain", F.coalesce(F.col("_bd"), F.lit(False))
+    ).drop("_bd")
+    if patterns:
+        pat = "|".join(f"(?:{p})" for p in patterns)
+        blocked_pat = F.coalesce(
+            F.lower(F.col(url_col)).rlike(pat), F.lit(False)
+        )
+    else:
+        blocked_pat = F.lit(False)
+    return out.withColumn("blocked_pattern", blocked_pat).withColumn(
+        "keep", ~F.col("blocked_domain") & ~F.col("blocked_pattern")
+    )

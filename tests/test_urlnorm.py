@@ -80,3 +80,35 @@ def test_processor_tags_non_url(spark):
     assert rows[0].url == "http://h/x" and rows[0].c == "http://h/x"
     assert rows[0].flags is None
     assert rows[1].c is None and "url_canonical_error" in (rows[1].flags or [])
+
+
+def test_url_filter_suffix_exact_and_pattern(spark):
+    from beats_spark.operators.urlnorm import url_filter
+
+    rows = [
+        (1, "http://sub.ads.example.com/x"),      # parent-suffix block
+        (2, "http://ads.example.com.evil.org/x"), # NOT a suffix match
+        (3, "http://h7.media.net/x"),             # exact-host block
+        (4, "http://deep.h7.media.net/x"),        # subdomain of exact host
+        (5, "http://user:pw@ADS.example.com:8080/x"),  # userinfo+port+case
+        (6, "http://clean.example.com/casino/slots"),  # pattern block
+        (7, "http://clean.example.com/ok"),
+        (8, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("h7.media.net",)], "domain string"
+    )
+    out = {
+        r.doc_id: r
+        for r in url_filter(df, bl, patterns=[r"/casino/"]).collect()
+    }
+    assert out[1].blocked_domain and not out[1].keep
+    assert not out[2].blocked_domain and out[2].keep
+    assert out[3].blocked_domain
+    assert out[4].blocked_domain  # suffix walk reaches h7.media.net
+    assert out[5].host == "ads.example.com" and out[5].blocked_domain
+    assert out[6].blocked_pattern and not out[6].blocked_domain
+    assert not out[6].keep
+    assert out[7].keep
+    assert out[8].host == "" and out[8].keep  # non-URL: content passes own it
