@@ -4456,9 +4456,9 @@ WITH fx AS (
   FROM documents
 ), hostx AS (
   SELECT doc_id, url,
-    regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(
       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-      '^[^@]*@', ''), ':[0-9]+$', '') AS host
+      '^[^@]*@', ''), ':[0-9]*$', ''), '\.$', '') AS host
   FROM fx
 ), bl(domain) AS (
   VALUES ('ads.example.com'), ('h7.media.net')
@@ -4488,7 +4488,11 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.operators.sessions import conversation_stats
 
     ev = _load(spark, sf_dir, "events").withColumn(
-        "line", F.format_string("%s@%d", F.col("event_type"), F.col("event_id"))
+        # concat, not format_string: NULL-propagating like the
+        # oracle's ||, so a NULL event_type/event_id can never skew
+        # total_chars differently across engines
+        "line",
+        F.concat(F.col("event_type"), F.lit("@"), F.col("event_id").cast("string")),
     )
     return conversation_stats(
         ev, key_col="user_id", ts_col="ts", text_col="line", role_col="event_type"

@@ -590,7 +590,10 @@ def perplexity_buckets(
     ``cdf(v) * n_buckets >= total * b`` (pure integer comparison, no
     division), and every doc with the same value lands in the same
     bucket. Returns (id, surprisal_milli, bucket) with bucket labels
-    head/middle/tail for n_buckets=3, else ``b1..bN``.
+    head/middle/tail for n_buckets=3, else ``b1..bN``. Documents with
+    no tokens (empty/whitespace-only text) have no surprisal and are
+    NOT returned — route those through quality_filter's ``too_short``
+    rule; this op ranks only scoreable docs.
 
     Scale shape: the ranking never sorts the corpus. surprisal_milli
     is a bounded integer (mean floor-log2 bits × 1000 ≤ 64000), so the
@@ -603,15 +606,23 @@ def perplexity_buckets(
     """
     from pyspark import StorageLevel
 
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     s = unigram_surprisal(df, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     hist = s.groupBy("surprisal_milli").agg(F.count(F.lit(1)).alias("_n"))
-    cdf = hist.withColumn(
-        "_cum", F.sum("_n").over(Window.orderBy("surprisal_milli"))
+    # running CDF and grand total in ONE window pass over the bounded
+    # histogram (same ordering spec, two frames) — no separate agg of
+    # hist, no crossJoin, no second tiny shuffle
+    w = Window.orderBy("surprisal_milli")
+    cdf = hist.withColumn("_cum", F.sum("_n").over(w)).withColumn(
+        "_total",
+        F.sum("_n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
     )
-    totals = hist.agg(F.sum("_n").alias("_total"))
-    cuts = cdf.crossJoin(totals).agg(
+    cuts = cdf.agg(
         *[
             F.min(
                 F.when(

@@ -198,10 +198,14 @@ class CanonicalizeURL(Processor):
 
 def url_host(col: Column) -> Column:
     """Lowercased host of an absolute URL: authority minus userinfo
-    and port. '' when the value is not an absolute URL."""
+    and port. '' when the value is not an absolute URL (including
+    NULL input). Normalizes the two RFC-legal one-character evasions
+    a blocklist gate must not fall for: an empty port ('host:') and a
+    trailing-dot FQDN ('host.' is the same DNS name as 'host')."""
     auth = F.lower(F.regexp_extract(col, _AUTHORITY_RE, 1))
     auth = F.regexp_replace(auth, r"^[^@]*@", "")
-    return F.regexp_replace(auth, r":[0-9]+$", "")
+    auth = F.regexp_replace(auth, r":[0-9]*$", "")
+    return F.coalesce(F.regexp_replace(auth, r"\.$", ""), F.lit(""))
 
 
 def domain_suffixes(host: Column) -> Column:

@@ -104,3 +104,20 @@ def test_conversation_stats_span_and_roles(spark):
     assert c1.total_chars == len("hi") + len("hello!") + len("ok") == 10
     assert c1.chars_per_turn_milli == 10 * 1000 // 3
     assert (c2.n_turns, c2.span_ms, c2.n_roles) == (1, 0, 1)
+
+
+def test_perplexity_buckets_rejects_single_bucket(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "the the")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(df, n_buckets=1)
+
+
+def test_perplexity_buckets_excludes_tokenless_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "the the the"), (2, ""), (3, "   "), (4, "rare1 rare2 rare3")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in perplexity_buckets(df, n_buckets=2).collect()}
+    assert got == {1, 4}  # documented: token-less docs are not ranked

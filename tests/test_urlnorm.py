@@ -94,6 +94,9 @@ def test_url_filter_suffix_exact_and_pattern(spark):
         (6, "http://clean.example.com/casino/slots"),  # pattern block
         (7, "http://clean.example.com/ok"),
         (8, "not a url at all"),
+        (9, "http://ads.example.com./x"),   # trailing-dot FQDN evasion
+        (10, "http://ads.example.com:/x"),  # empty-port evasion
+        (11, None),                         # NULL url
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     bl = spark.createDataFrame(
@@ -112,3 +115,7 @@ def test_url_filter_suffix_exact_and_pattern(spark):
     assert not out[6].keep
     assert out[7].keep
     assert out[8].host == "" and out[8].keep  # non-URL: content passes own it
+    # one-character evasions normalize back onto the blocklist
+    assert out[9].host == "ads.example.com" and out[9].blocked_domain
+    assert out[10].host == "ads.example.com" and out[10].blocked_domain
+    assert out[11].host == "" and out[11].keep  # NULL url = non-URL row
