@@ -4396,6 +4396,49 @@ FROM fp GROUP BY source
 """
 
 
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5 temperature-sampling weights at T=2 (sampling.
+    temperature_weights): per-language raw share, sqrt-flattened
+    target share, and the mixture boost — all milli integers, with
+    sqrt(n) computed as an EXACT integer sqrt (double candidate + two
+    integer corrections) so the oracle replays it bit-for-bit."""
+    from beats_spark.operators.sampling import temperature_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return temperature_weights(docs, "lang")
+
+
+_SQL_TEMPERATURE_WEIGHTS = r"""
+WITH counts AS (
+  SELECT lang AS stratum, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY lang
+), c0 AS (
+  SELECT stratum, n_docs,
+         floor(sqrt((n_docs * 1000000)::DOUBLE))::BIGINT AS c
+  FROM counts
+), c1 AS (
+  SELECT stratum, n_docs,
+         CASE WHEN (c + 1) * (c + 1) <= n_docs * 1000000
+              THEN c + 1 ELSE c END AS c
+  FROM c0
+), sq AS (
+  SELECT stratum, n_docs,
+         CASE WHEN c * c > n_docs * 1000000 THEN c - 1 ELSE c END AS s
+  FROM c1
+), tot AS (
+  SELECT sum(n_docs)::BIGINT AS nt, sum(s)::BIGINT AS st FROM sq
+), m AS (
+  SELECT stratum, n_docs,
+         (n_docs * 1000 // nt)::BIGINT AS p_milli,
+         (s * 1000 // st)::BIGINT AS q_milli
+  FROM sq, tot
+)
+SELECT stratum, n_docs, p_milli, q_milli,
+       (q_milli * 1000 // greatest(p_milli, 1))::BIGINT AS boost_milli
+FROM m
+"""
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain blocklist filter (urlnorm.url_filter): RefinedWeb-
     style curation gate. Plants deterministic URLs over the documents
@@ -4536,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "conversation_stats": q_conversation_stats,
         "url_filter": q_url_filter,
+        "temperature_weights": q_temperature_weights,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4632,6 +4676,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _SQL_DOMAIN_STATS,
         "conversation_stats": _SQL_CONVERSATION_STATS,
         "url_filter": _SQL_URL_FILTER,
+        "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,

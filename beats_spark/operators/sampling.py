@@ -532,3 +532,66 @@ def mixture_sample(
         F.posexplode(F.array_repeat(F.lit(1), n_copies)).alias(copy_col, "_mix_one"),
     ).drop("_mix_one")
     return out.withColumn(copy_col, F.col(copy_col).cast("long"))
+
+
+def _isqrt(x: Column) -> Column:
+    """Exact integer square root floor(sqrt(x)) for non-negative
+    BIGINT x. The double sqrt gives a candidate within ±1; two integer
+    corrections make the result exact regardless of the engine's
+    float rounding — so a DuckDB oracle replaying the same three
+    steps agrees bit-for-bit. Domain: x <= ~9.2e18 (int64); the
+    (c+1)^2 probe stays in range for any such x except the top
+    ~6e9-wide sliver below int64 max — i.e. safe for
+    temperature_weights up to ~9.2e12 docs per stratum (9x the
+    10^12-turn design target)."""
+    c = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    c = F.when((c + 1) * (c + 1) <= x, c + 1).otherwise(c)
+    return F.when(c * c > x, c - 1).otherwise(c)
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str,
+) -> DataFrame:
+    """mT5-style temperature sampling weights (Xue et al. 2021 §3.1)
+    at T=2 (alpha = 1/2): per stratum (language, source, domain),
+    the raw share p_l = n_l/N, the temperature-flattened target share
+    q_l proportional to sqrt(n_l), and the resulting per-stratum boost
+    q_l/p_l — the weights dict a curator feeds ``mixture_sample`` to
+    up-sample tail languages without letting the head dominate.
+
+    Integer-exact and oracle-portable: shares are milli integers
+    (x1000, floor division); sqrt(n_l) is computed as the EXACT
+    integer sqrt of n_l * 10^6 (double sqrt candidate + two integer
+    corrections — engine float rounding cannot leak into the result),
+    and ``boost_milli`` is derived from the milli-rounded shares by
+    the same integer formula on both engines. alpha other than 1/2
+    needs float powers and is deliberately not offered here.
+
+    Scale shape: one groupBy(stratum) with map-side combine (the only
+    corpus-sized work), then one window pass over the stratum frame —
+    bounded by the number of strata (languages/sources), tiny by
+    construction. Returns (stratum, n_docs, p_milli, q_milli,
+    boost_milli).
+    """
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    s = _isqrt(F.col("n_docs") * F.lit(1000000))
+    w = Window.orderBy("stratum").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = (
+        counts.withColumn("_s", s)
+        .withColumn("_n_tot", F.sum("n_docs").over(w))
+        .withColumn("_s_tot", F.sum("_s").over(w))
+        .withColumn("p_milli", F.expr("n_docs * 1000 div _n_tot"))
+        .withColumn("q_milli", F.expr("_s * 1000 div _s_tot"))
+        .withColumn(
+            "boost_milli",
+            F.expr("q_milli * 1000 div greatest(p_milli, 1)"),
+        )
+    )
+    return out.select(
+        "stratum", "n_docs", "p_milli", "q_milli", "boost_milli"
+    )
