@@ -4396,6 +4396,93 @@ FROM fp GROUP BY source
 """
 
 
+def q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier extraction (html.extract_links): per-doc planted
+    HTML carries absolute links with shuffled tracker params, root-
+    relative / relative / protocol-relative hrefs in all three quoting
+    styles, fragment-only + javascript noise, and an exact duplicate —
+    resolved against the doc's own (mixed-case-host) URL. The oracle
+    constructs the expected (link, canonical_link) set analytically
+    from the same doc_id arithmetic (extraction-regex semantics are
+    pinned by tests/test_html.py's resolution battery)."""
+    from beats_spark.operators.html import extract_links
+    from beats_spark.operators.scale import spread
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://H"),
+        (did % 50).cast("string"),
+        F.lit(".Example.com/d"),
+        (did % 7).cast("string"),
+        F.lit("/index.html"),
+    )
+    abs_link = F.concat(
+        F.lit('<a href="https://ext.example.org/p'),
+        (did % 13).cast("string"),
+        F.lit('?utm_source=x&b=2&a=1">x</a>'),
+    )
+    html = F.concat(
+        F.lit("<p>intro</p>"),
+        abs_link,
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("<a href='/r"),
+                (did % 5).cast("string"),
+                F.lit(".html'>y</a>"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<a href=rel"),
+                (did % 4).cast("string"),
+                F.lit(".html>z</a>"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0, F.lit('<a href="//cdn.example.net/l.js">c</a>')
+        ).otherwise(""),
+        F.lit('<a href="#top">t</a><a href="javascript:void(0)">j</a>'),
+        F.when(did % 11 == 0, abs_link).otherwise(""),
+    )
+    fixture = docs.select("doc_id", html.alias("html"), base.alias("url"))
+    return extract_links(fixture)
+
+
+_SQL_HTML_LINKS = r"""
+WITH b AS (
+  SELECT doc_id,
+         'http://H' || (doc_id % 50)::VARCHAR || '.Example.com' AS origin,
+         'http://h' || (doc_id % 50)::VARCHAR || '.example.com' AS lorigin,
+         '/d' || (doc_id % 7)::VARCHAR || '/' AS dirp
+  FROM documents
+), links AS (
+  SELECT doc_id,
+         'https://ext.example.org/p' || (doc_id % 13)::VARCHAR
+           || '?utm_source=x&b=2&a=1' AS link,
+         'https://ext.example.org/p' || (doc_id % 13)::VARCHAR
+           || '?a=1&b=2' AS canonical_link
+  FROM b
+  UNION ALL
+  SELECT doc_id,
+         origin || '/r' || (doc_id % 5)::VARCHAR || '.html',
+         lorigin || '/r' || (doc_id % 5)::VARCHAR || '.html'
+  FROM b WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id,
+         origin || dirp || 'rel' || (doc_id % 4)::VARCHAR || '.html',
+         lorigin || dirp || 'rel' || (doc_id % 4)::VARCHAR || '.html'
+  FROM b WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'http://cdn.example.net/l.js', 'http://cdn.example.net/l.js'
+  FROM b WHERE doc_id % 5 = 0
+)
+SELECT doc_id, link, canonical_link FROM links
+"""
+
+
 def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5 temperature-sampling weights at T=2 (sampling.
     temperature_weights): per-language raw share, sqrt-flattened
@@ -4580,6 +4667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_stats": q_conversation_stats,
         "url_filter": q_url_filter,
         "temperature_weights": q_temperature_weights,
+        "html_links": q_html_links,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4677,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": _SQL_CONVERSATION_STATS,
         "url_filter": _SQL_URL_FILTER,
         "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
+        "html_links": _SQL_HTML_LINKS,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,

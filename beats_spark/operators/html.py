@@ -119,3 +119,98 @@ class ExtractHtmlText(Processor):
         out: dict[str, Column] = {target: html_to_text(col)}
         out["flags"] = add_flag(df, "html_extract_error", col.isNull())
         return Updates(set=out)
+
+
+# href extraction: group 1 is the attribute value, one pattern per
+# quoting style (double, single, unquoted). Java regex (Spark) and RE2
+# (DuckDB) accept every construct: inline (?i), \b, \s, negated classes.
+HREF_PATTERNS: tuple[str, ...] = (
+    r"(?i)<a\b[^>]*\shref\s*=\s*\"([^\"]*)\"",
+    r"(?i)<a\b[^>]*\shref\s*=\s*'([^']*)'",
+    r"(?i)<a\b[^>]*\shref\s*=\s*([^\"'\s>][^\s>]*)",
+)
+
+# non-navigational schemes a crawl frontier never follows
+SKIP_SCHEME_RE = r"(?i)^(javascript|mailto|data|tel|about):"
+_ABS_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Anchor-href extraction + resolution: the crawl-frontier builder.
+
+    Pulls every ``<a href>`` value (double-, single-, and unquoted),
+    resolves it against the document's own URL with the common RFC
+    3986 cases — absolute kept, ``//host`` gets the base scheme,
+    ``/path`` gets the base origin, other relatives join the base
+    directory — drops fragment-only and non-navigational links
+    (javascript:/mailto:/data:/tel:/about:), de-duplicates within the
+    document, and emits one row per (id, link) with the
+    ``canonical_link`` the URL-dedup/filter ops key on. Composes
+    directly with ``url_filter`` (blocklist the frontier) and
+    ``url_dedup`` (visited-set collapse).
+
+    Documented limits (regex extractor, mirrored by the oracle): no
+    entity decoding inside href values, no ``<base href>`` override,
+    no ../ dot-segment normalization (canonicalize_url collapses
+    duplicate slashes only), and a non-URL base drops that document's
+    RELATIVE links (absolute ones still extract). Docs with no
+    surviving links emit no rows.
+
+    Scale shape: extraction + resolution is one codegen projection
+    (base-URL parts materialized once as columns, so the per-link
+    lambda re-inlines only cheap column refs) followed by a narrow
+    explode — zero shuffles; whatever consumes the frontier
+    (url_dedup's window, url_filter's broadcast join) pays the first
+    data movement.
+    """
+    base = F.col(base_col)
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    tmp = (
+        df.withColumn("_scheme", scheme)
+        .withColumn("_origin", F.concat(scheme, F.lit("://"), auth))
+        .withColumn(
+            "_basedir",
+            F.concat(
+                F.col("_origin"),
+                F.when(path == "", "/").otherwise(
+                    F.regexp_replace(path, r"[^/]*$", "")
+                ),
+            ),
+        )
+    )
+    c = F.col(html_col)
+    raw = F.concat(*[F.regexp_extract_all(c, F.lit(p), 1) for p in HREF_PATTERNS])
+
+    def resolve(link: Column) -> Column:
+        return (
+            F.when(
+                (link == "")
+                | link.startswith("#")
+                | link.rlike(SKIP_SCHEME_RE),
+                F.lit(None).cast("string"),
+            )
+            .when(link.rlike(_ABS_SCHEME_RE), link)
+            .when(
+                F.col("_scheme") == "", F.lit(None).cast("string")
+            )  # non-URL base: relatives are unresolvable
+            .when(link.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), link))
+            .when(link.startswith("/"), F.concat(F.col("_origin"), link))
+            .otherwise(F.concat(F.col("_basedir"), link))
+        )
+
+    links = F.array_distinct(
+        F.filter(F.transform(raw, resolve), lambda x: x.isNotNull())
+    )
+    from beats_spark.operators.urlnorm import canonicalize_url
+
+    return (
+        tmp.select(F.col(id_col), F.explode(links).alias("link"))
+        .withColumn("canonical_link", canonicalize_url(F.col("link")))
+    )

@@ -87,3 +87,46 @@ def test_composition_with_line_dedup(spark):
     for i in range(6):
         assert out[i]["text"] == f"unique body number {i} with words", out[i]
         assert out[i]["n_removed"] == 4  # title, 2 nav items, footer
+
+
+def test_extract_links_resolution_battery(spark):
+    from beats_spark.operators.html import extract_links
+
+    html = (
+        '<a href="https://abs.example.com/x">a</a>'
+        "<A HREF='/root.html'>b</A>"
+        "<a class=\"z\" href=rel/page.html>c</a>"
+        '<a href="//cdn.example.net/lib.js">d</a>'
+        '<a href="#frag">e</a>'
+        '<a href="javascript:void(0)">f</a>'
+        '<a href="MAILTO:x@y.z">g</a>'
+        '<a href="https://abs.example.com/x">dup</a>'
+        '<a href="sub.html#sec">h</a>'
+    )
+    df = spark.createDataFrame(
+        [
+            (1, html, "http://H7.Example.com:8080/dir/page.html?q=1"),
+            (2, '<a href="https://abs.example.com/y">i</a><a href="rel.html">j</a>',
+             "not a url"),
+            (3, "<p>no links</p>", "http://a.example.com/"),
+        ],
+        "doc_id long, html string, url string",
+    )
+    out = extract_links(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.link)
+    assert by_doc[1] == {
+        "https://abs.example.com/x",
+        "http://H7.Example.com:8080/root.html",
+        "http://H7.Example.com:8080/dir/rel/page.html",
+        "http://cdn.example.net/lib.js",
+        "http://H7.Example.com:8080/dir/sub.html#sec",
+    }
+    # canonical drops the fragment and lowercases the host
+    canon = {r.canonical_link for r in out if r.doc_id == 1}
+    assert "http://h7.example.com:8080/dir/sub.html" in canon
+    # non-URL base: absolute links survive, relatives are dropped
+    assert by_doc[2] == {"https://abs.example.com/y"}
+    # no links -> no rows
+    assert 3 not in by_doc
