@@ -4483,6 +4483,58 @@ SELECT doc_id, link, canonical_link FROM links
 """
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-frontier build: extract_links (the
+    html_links fixture) → url_filter blocklist gate (ads/cdn domains
+    blocked by suffix) → canonical-URL dedup with in-degree — one row
+    per surviving frontier URL with how many documents link to it
+    (n_refs) and the lowest referring doc_id. With html_corpus
+    (fetch→text) and corpus_build (text→training set) this closes the
+    crawl loop end-to-end. The oracle rebuilds the whole chain from
+    the same analytic link set."""
+    from beats_spark.operators.html import extract_links
+    from beats_spark.operators.urlnorm import url_filter
+
+    links = q_html_links(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [("ext.example.org",), ("cdn.example.net",)], "domain string"
+    )
+    # id_col = the URL itself: on a multi-link frame rows sharing an
+    # id get the OR of their block decisions (url_filter docstring),
+    # and the URL fully determines its own decision
+    gated = url_filter(
+        links, bl, url_col="canonical_link", id_col="canonical_link"
+    ).where(F.col("keep"))
+    return gated.groupBy(F.col("canonical_link").alias("frontier_url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_SQL_CRAWL_FRONTIER = r"""
+WITH b AS (
+  SELECT doc_id,
+         'http://h' || (doc_id % 50)::VARCHAR || '.example.com' AS lorigin,
+         '/d' || (doc_id % 7)::VARCHAR || '/' AS dirp
+  FROM documents
+), links AS (
+  -- the surviving canonical links: ext.example.org (abs) and
+  -- cdn.example.net (protocol-relative) are blocklisted upstream
+  SELECT doc_id,
+         lorigin || '/r' || (doc_id % 5)::VARCHAR || '.html' AS canonical_link
+  FROM b WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id,
+         lorigin || dirp || 'rel' || (doc_id % 4)::VARCHAR || '.html'
+  FROM b WHERE doc_id % 3 = 0
+)
+SELECT canonical_link AS frontier_url,
+       count(*)::BIGINT AS n_refs,
+       min(doc_id) AS first_doc
+FROM links GROUP BY canonical_link
+"""
+
+
 def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5 temperature-sampling weights at T=2 (sampling.
     temperature_weights): per-language raw share, sqrt-flattened
@@ -4668,6 +4720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "temperature_weights": q_temperature_weights,
         "html_links": q_html_links,
+        "crawl_frontier": q_crawl_frontier,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4766,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _SQL_URL_FILTER,
         "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
         "html_links": _SQL_HTML_LINKS,
+        "crawl_frontier": _SQL_CRAWL_FRONTIER,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,

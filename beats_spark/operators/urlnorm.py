@@ -238,7 +238,10 @@ def url_filter(
     Returns the input plus ``host``, ``blocked_domain``,
     ``blocked_pattern``, and ``keep`` (= neither blocked; non-URL rows
     have host '' and are never blocked here — content passes own
-    them).
+    them). ``id_col`` keys the blocked-set join-back: rows SHARING an
+    id receive the OR of their block decisions, so on a multi-URL
+    frame (e.g. an extract_links frontier, many links per doc_id)
+    pass a row-unique id or the URL column itself — never the doc id.
 
     Scale shape: the blocklist is a DIMENSION table (UT1 is ~4.6M
     domains, ~100 MB) — broadcast it; the corpus never shuffles for
