@@ -1,0 +1,134 @@
+"""Training-corpus build CLI — the corpus-side twin of run.py.
+
+Composes the oracle-proven operators into the standard curation
+chain over a documents parquet table:
+
+    [HTML -> text] -> quality filter -> exact dedup ->
+    [temperature mixture] -> sequence pack -> manifest parquet
+
+Every stage is an existing operator (operators/html.py, textstats.py,
+dedup.py, sampling.py); this file only wires flags to them, so the
+CLI inherits each stage's scale shape unchanged. Prints ONE JSON
+stats line (stage counts) and writes the packed manifest to
+``--out``; the per-rule reject report lands next to it.
+
+Examples:
+    python scripts/corpus.py --input /root/testdata/sf0.001/documents.parquet \
+        --out /tmp/corpus --temperature --budget 256
+    python scripts/corpus.py --input crawl.parquet --html --tokenizer bpe
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--lang-col", default="lang")
+    p.add_argument("--html", action="store_true",
+                   help="input text column is raw HTML: extract first")
+    p.add_argument("--no-quality", action="store_true",
+                   help="skip the Gopher quality filter")
+    p.add_argument("--dedup", choices=["exact", "none"], default="exact")
+    p.add_argument("--temperature", action="store_true",
+                   help="mT5 T=2 language-balanced mixture resampling")
+    p.add_argument("--budget", type=int, default=2048,
+                   help="tokens per packed window")
+    p.add_argument("--buckets", type=int, default=64,
+                   help="independent packing streams")
+    p.add_argument("--tokenizer", choices=["whitespace", "bpe"],
+                   default="whitespace")
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--seed", type=int, default=17)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from beats_spark.session import get_spark
+    from beats_spark.operators.dedup import exact_dedup
+    from beats_spark.operators.sampling import (
+        mixture_sample,
+        pack_sequences,
+        temperature_weights,
+    )
+    from beats_spark.operators.textstats import quality_filter
+
+    spark = get_spark(cores=args.cores)
+    stats: dict[str, object] = {}
+    df = spark.read.parquet(args.input)
+    stats["docs_in"] = df.count()
+    text_col, id_col = args.text_col, args.id_col
+
+    if args.html:
+        from beats_spark.operators.html import extract_html_text
+
+        df = extract_html_text(df, text_col, "_extracted").drop(
+            text_col
+        ).withColumnRenamed("_extracted", text_col)
+
+    if not args.no_quality:
+        annotated = quality_filter(df, text_col, id_col)
+        rejects = (
+            annotated.where(~F.col("keep"))
+            .select(id_col, "reasons")
+            .withColumn("reason", F.explode(F.split("reasons", ",")))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rejects.write.mode("overwrite").parquet(f"{args.out}/reject_report")
+        df = annotated.where("keep").select(*df.columns)
+        stats["docs_kept"] = df.count()
+
+    if args.dedup == "exact":
+        df = exact_dedup(df, text_col, id_col)
+        stats["docs_unique"] = df.count()
+
+    if args.temperature:
+        tw = temperature_weights(df, args.lang_col)
+        weights = {
+            r["stratum"]: r["boost_milli"] / 1000.0 for r in tw.collect()
+        }  # bounded collect: one row per language/stratum
+        stats["mixture_weights"] = weights
+        df = mixture_sample(df, args.lang_col, weights, key_col=id_col,
+                            seed=args.seed)
+        pid = (F.col(id_col) * 10 + F.col("mix_copy")).alias("_pid")
+    else:
+        pid = F.col(id_col).alias("_pid")
+
+    packed = pack_sequences(
+        df.select(pid, text_col),
+        text_col,
+        "_pid",
+        budget=args.budget,
+        n_buckets=args.buckets,
+        token_counter=args.tokenizer,
+    )
+    packed.write.mode("overwrite").parquet(f"{args.out}/manifest")
+    manifest = spark.read.parquet(f"{args.out}/manifest")
+    stats["rows_packed"] = manifest.count()
+    # window ordinals are per packing bucket: total = sum over buckets
+    stats["windows"] = (
+        manifest.groupBy("bucket")
+        .agg(F.max("pack_last").alias("_m"))
+        .agg(F.sum(F.col("_m") + 1).cast("long").alias("w"))
+        .collect()[0]["w"]
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
