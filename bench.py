@@ -171,6 +171,29 @@ BENCH_QUERIES = [
     "filter_report",
 ]
 
+# Round-4 additions, measured ONLY under BEATS_BENCH_EXT=1 and
+# reported as "queries_ext" OUTSIDE the headline total — the r3↔r4
+# per-query comparison stays protocol-identical while round 5 still
+# gets a measured baseline for the new surface.
+EXT_QUERIES = [
+    "include_message",
+    "convert_ip",
+    "kafka_partition",
+    "extract_html_text",
+    "html_corpus",
+    "pack_sequences_bpe",
+    "pack_manifest",
+    "paragraph_dedup",
+    "transcript_corpus_bpe",
+    "perplexity_buckets",
+    "domain_stats",
+    "conversation_stats",
+    "url_filter",
+    "temperature_weights",
+    "html_links",
+    "crawl_frontier",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -219,6 +242,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    ext: dict[str, float] = {}
+    if os.environ.get("BEATS_BENCH_EXT") == "1":
+        for name in EXT_QUERIES:
+            best = None
+            for _ in range(_iters()):
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best or 1e9, time.time() - t0)
+                spark.catalog.clearCache()
+            ext[name] = round(best, 3)
     print(
         json.dumps(
             {
@@ -230,6 +266,7 @@ def main() -> None:
                 "cpus": cpus,
                 "pipeline_turns": turns,
                 "pipeline_turns_per_sec": round(turns / pipe_sec, 1),
+                **({"queries_ext": ext} if ext else {}),
             }
         )
     )

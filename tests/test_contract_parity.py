@@ -137,6 +137,8 @@ def test_contract_surface_invariants():
     qs = set(entry_mod.queries())
     oracles = set(entry_mod.oracle_sql())
     assert set(bench_mod.BENCH_QUERIES) <= qs
+    assert set(bench_mod.EXT_QUERIES) <= qs
+    assert not set(bench_mod.EXT_QUERIES) & set(bench_mod.BENCH_QUERIES)
     assert oracles <= qs
     # documented-by-design rows-only entries (COVERAGE.md): simhash's
     # 60-bit sampling (gated by its md5 bit-equal twin), the two
