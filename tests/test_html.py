@@ -130,3 +130,38 @@ def test_extract_links_resolution_battery(spark):
     assert by_doc[2] == {"https://abs.example.com/y"}
     # no links -> no rows
     assert 3 not in by_doc
+
+
+def test_extract_links_resolution_matches_urljoin(spark):
+    """Independent oracle: on the documented subset (no dot segments,
+    no empty/fragment-only hrefs — those drop by design), resolution
+    must agree with Python's RFC-3986 urljoin for every (base, href)
+    combination."""
+    from itertools import product
+    from urllib.parse import urljoin
+
+    from beats_spark.operators.html import extract_links
+
+    bases = [
+        "http://h.example.com/a/b/c.html",
+        "https://x.org/",
+        "http://u:p@h.net:8080/d/",
+        "ftp://f.example.net/pub/x",
+        "http://q.example.com/a?q=1",
+    ]
+    hrefs = [
+        "p.html",
+        "q/r.html",
+        "/root",
+        "//cdn.net/x",
+        "https://abs.io/z",
+        "x?y=1&a=2",
+    ]
+    rows = [
+        (i, f'<a href="{h}">l</a>', b)
+        for i, (b, h) in enumerate(product(bases, hrefs))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    got = {r.doc_id: r.link for r in extract_links(df).collect()}
+    for i, (b, h) in enumerate(product(bases, hrefs)):
+        assert got[i] == urljoin(b, h), (b, h, got[i])
