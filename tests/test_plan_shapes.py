@@ -383,3 +383,56 @@ def test_fanout_files_per_sink_with_map_columns(spark, tmp_path):
     for sink in ("alerts", "inbound"):
         files = glob.glob(f"{root}/_meta_sink={sink}/*.parquet")
         assert 1 <= len(files) <= 2, (sink, files)
+
+
+def test_url_filter_blocklist_join_is_broadcast_semi(spark):
+    """The blocklist is a broadcast DIMENSION: the corpus must never
+    shuffle toward it — LeftSemi BroadcastHashJoin, no SortMergeJoin
+    on the suffix key."""
+    from beats_spark.operators.urlnorm import url_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fx = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example.com/p"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame([("h3.example.com",)], "domain string")
+    plan = plan_of(url_filter(fx, bl))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+    # the suffix-match side must not sort-merge anywhere
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_perplexity_buckets_windows_only_the_histogram(spark):
+    """The tier cutoffs must come from the bounded histogram — the
+    single-partition window may only ever see the post-aggregation
+    frame (hist), never the per-doc rows: every Window node sits above
+    a HashAggregate of the milli key, and the corpus-side frames reach
+    it only through that aggregate."""
+    from beats_spark.operators.textstats import perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(perplexity_buckets(docs, "text", "doc_id"))
+    # window exists, and the plan aggregates surprisal_milli BEFORE it
+    w = plan.index("Window")
+    assert "surprisal_milli" in plan[:w]
+    assert re.search(r"HashAggregate.*count\(1\)", plan[:w]) or \
+        "HashAggregate" in plan[:w], plan[:w]
+
+
+def test_temperature_weights_single_corpus_shuffle(spark):
+    """One corpus-sized exchange (the stratum groupBy, map-side
+    combined); everything after runs on the bounded stratum frame."""
+    from beats_spark.operators.sampling import temperature_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(temperature_weights(docs, "lang"))
+    # partial_count before the exchange = map-side combine fired
+    assert re.search(r"partial_count|partial.*count", plan), plan
+    ex_before_window = plan.split("Window")[0].count("Exchange")
+    # scan -> partial agg -> ONE hash exchange -> final agg (+ the
+    # single-partition exchange feeding the window is on the tiny frame)
+    assert ex_before_window <= 2, plan
