@@ -98,9 +98,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.temperature:
         tw = temperature_weights(df, args.lang_col)
+        # bounded collect: one row per language/stratum. Boost capped
+        # at 9.999: the packing pid below encodes the copy index in
+        # one decimal digit, and >10x upsampling of a stratum is
+        # degenerate curation, not a mixture.
         weights = {
-            r["stratum"]: r["boost_milli"] / 1000.0 for r in tw.collect()
-        }  # bounded collect: one row per language/stratum
+            r["stratum"]: min(r["boost_milli"] / 1000.0, 9.999)
+            for r in tw.collect()
+        }
         stats["mixture_weights"] = weights
         df = mixture_sample(df, args.lang_col, weights, key_col=id_col,
                             seed=args.seed)
