@@ -119,3 +119,31 @@ def test_url_filter_suffix_exact_and_pattern(spark):
     assert out[9].host == "ads.example.com" and out[9].blocked_domain
     assert out[10].host == "ads.example.com" and out[10].blocked_domain
     assert out[11].host == "" and out[11].keep  # NULL url = non-URL row
+
+
+def test_canonicalize_url_idempotent_property(spark):
+    """canon(canon(x)) == canon(x): canonical output must be a fixed
+    point, over generated URLs covering every rule (case, default and
+    non-default ports, dup slashes, trailing slash, trackers, param
+    order, fragments) plus non-URL junk."""
+    from itertools import product
+
+    from beats_spark.operators.urlnorm import canonicalize_url
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["A.Example.COM", "x.y", "h7.example.com."]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a//b/", "/p/q.html"]
+    queries = ["", "?b=2&a=1", "?utm_source=x&z=9", "#frag", "?a=1#f"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}"
+        for s, h, po, pa, q in product(schemes, hosts, ports, paths, queries)
+    ] + ["not a url", "", "relative/path"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    rows = df.select(
+        "u",
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (r.u, r.c1, r.c2)
