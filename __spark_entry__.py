@@ -4569,11 +4569,13 @@ WITH counts AS (
 ), m AS (
   SELECT stratum, n_docs,
          (n_docs * 1000 // nt)::BIGINT AS p_milli,
-         (s * 1000 // st)::BIGINT AS q_milli
+         (s * 1000 // st)::BIGINT AS q_milli,
+         (s * 1000000 // st)::BIGINT AS q_micro,
+         (n_docs * 1000000 // nt)::BIGINT AS p_micro
   FROM sq, tot
 )
 SELECT stratum, n_docs, p_milli, q_milli,
-       (q_milli * 1000 // greatest(p_milli, 1))::BIGINT AS boost_milli
+       (q_micro * 1000 // greatest(p_micro, 1))::BIGINT AS boost_milli
 FROM m
 """
 

@@ -184,6 +184,13 @@ def extract_links(
                 ),
             ),
         )
+        # query-only hrefs replace the base QUERY, keeping its path
+        .withColumn(
+            "_basepath",
+            F.concat(
+                F.col("_origin"), F.when(path == "", "/").otherwise(path)
+            ),
+        )
     )
     c = F.col(html_col)
     raw = F.concat(*[F.regexp_extract_all(c, F.lit(p), 1) for p in HREF_PATTERNS])
@@ -202,6 +209,7 @@ def extract_links(
             )  # non-URL base: relatives are unresolvable
             .when(link.startswith("//"), F.concat(F.col("_scheme"), F.lit(":"), link))
             .when(link.startswith("/"), F.concat(F.col("_origin"), link))
+            .when(link.startswith("?"), F.concat(F.col("_basepath"), link))
             .otherwise(F.concat(F.col("_basedir"), link))
         )
 

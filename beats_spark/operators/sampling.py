@@ -587,9 +587,19 @@ def temperature_weights(
         .withColumn("_s_tot", F.sum("_s").over(w))
         .withColumn("p_milli", F.expr("n_docs * 1000 div _n_tot"))
         .withColumn("q_milli", F.expr("_s * 1000 div _s_tot"))
+        # boost from MICRO-precision shares, not the reported milli
+        # ones: at milli precision a stratum with share < 1e-3 of the
+        # sqrt mass quantizes to q_milli = 0 and its boost collapses
+        # to 0 (deleting the tail the flattening exists to protect).
+        # Micro shares stay int64-safe (_s <= ~3e9 so _s * 1e6 fits;
+        # n * 1e6 fits for corpora to ~9e12 docs) and push that cliff
+        # to shares < 1e-12 — an effectively empty stratum.
         .withColumn(
             "boost_milli",
-            F.expr("q_milli * 1000 div greatest(p_milli, 1)"),
+            F.expr(
+                "(_s * 1000000 div _s_tot) * 1000"
+                " div greatest(n_docs * 1000000 div _n_tot, 1)"
+            ),
         )
     )
     return out.select(

@@ -15,7 +15,8 @@ stats line (stage counts) and writes the packed manifest to
 Examples:
     python scripts/corpus.py --input /root/testdata/sf0.001/documents.parquet \
         --out /tmp/corpus --temperature --budget 256
-    python scripts/corpus.py --input crawl.parquet --html --tokenizer bpe
+    python scripts/corpus.py --input crawl.parquet --out /tmp/corpus \
+        --html --tokenizer bpe
 """
 
 from __future__ import annotations
@@ -80,7 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         ).withColumnRenamed("_extracted", text_col)
 
     if not args.no_quality:
-        annotated = quality_filter(df, text_col, id_col)
+        # persist: the annotated frame feeds the reject report, the
+        # kept-count, AND the downstream chain — without it the full
+        # Gopher battery re-executes per consumer (3-4 corpus passes)
+        annotated = quality_filter(df, text_col, id_col).persist()
         rejects = (
             annotated.where(~F.col("keep"))
             .select(id_col, "reasons")
@@ -93,18 +97,23 @@ def main(argv: list[str] | None = None) -> int:
         stats["docs_kept"] = df.count()
 
     if args.dedup == "exact":
-        df = exact_dedup(df, text_col, id_col)
+        df = exact_dedup(df, text_col, id_col).persist()
         stats["docs_unique"] = df.count()
 
     if args.temperature:
         tw = temperature_weights(df, args.lang_col)
-        # bounded collect: one row per language/stratum. Boost capped
-        # at 9.999: the packing pid below encodes the copy index in
-        # one decimal digit, and >10x upsampling of a stratum is
-        # degenerate curation, not a mixture.
+        # bounded collect: one row per language/stratum. Boost clamped
+        # to [0.001, 9.999]: the packing pid below encodes the copy
+        # index in one decimal digit (>10x upsampling is degenerate
+        # curation), and the floor keeps an effectively-empty stratum
+        # (share < 1e-12, boost quantized to 0) sampled rather than
+        # silently deleted. NULL strata are skipped — mixture_sample's
+        # equality can never match NULL, so those rows pass through at
+        # default weight 1.0 and reporting a boost would be a lie.
         weights = {
-            r["stratum"]: min(r["boost_milli"] / 1000.0, 9.999)
+            r["stratum"]: min(max(r["boost_milli"], 1) / 1000.0, 9.999)
             for r in tw.collect()
+            if r["stratum"] is not None
         }
         stats["mixture_weights"] = weights
         df = mixture_sample(df, args.lang_col, weights, key_col=id_col,

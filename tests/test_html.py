@@ -156,6 +156,7 @@ def test_extract_links_resolution_matches_urljoin(spark):
         "//cdn.net/x",
         "https://abs.io/z",
         "x?y=1&a=2",
+        "?page=2",
     ]
     rows = [
         (i, f'<a href="{h}">l</a>', b)
