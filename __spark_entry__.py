@@ -4535,6 +4535,82 @@ FROM links GROUP BY canonical_link
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness gate (operators/robots.py):
+    per-host robots bodies — comments, a ``*`` group with a
+    Disallow/Allow pair, and on every 4th host a decoy exact-agent
+    group that MUST be ignored under agent='*' — parsed to a rule
+    table, then frontier URLs filtered by REP longest-match (Allow
+    beats Disallow on ties; unmatched and non-URL rows allowed). The
+    oracle computes the verdicts analytically from the fixture
+    arithmetic; parsing/precedence semantics are pinned by
+    tests/test_robots.py."""
+    from beats_spark.operators.robots import parse_robots, robots_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host_id = did % 20
+    hosts = docs.select(host_id.alias("hid")).distinct()
+    k = (F.col("hid") % 7).cast("string")
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("hid").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: *\nDisallow: /p"),
+            k,
+            F.lit("/\nAllow: /p"),
+            k,
+            F.lit("/ok/\n"),
+            F.when(
+                F.col("hid") % 4 == 0,
+                F.lit("\nUser-agent: decoybot\nDisallow: /\n"),
+            ).otherwise(""),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots, agent="*")
+    b = (did % 5).cast("string")
+    path = (
+        F.when(did % 3 == 0, F.concat(F.lit("/p"), b, F.lit("/x")))
+        .when(did % 3 == 1, F.concat(F.lit("/p"), b, F.lit("/ok/y")))
+        .otherwise(F.concat(F.lit("/free/"), did.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.when(
+            did % 97 == 0, F.concat(F.lit("bare text "), did.cast("string"))
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"), host_id.cast("string"),
+                F.lit(".example.com"), path,
+            )
+        )
+        .alias("url"),
+    )
+    out = robots_filter(urls, rules)
+    return out.select("doc_id", "host", "allowed", "rule_path")
+
+
+_SQL_ROBOTS_FILTER = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 97 = 0 THEN ''
+            ELSE 'h' || (doc_id % 20)::VARCHAR || '.example.com' END AS host,
+       CASE WHEN doc_id % 97 <> 0
+                 AND doc_id % 3 = 0
+                 AND doc_id % 5 = (doc_id % 20) % 7
+            THEN FALSE ELSE TRUE END AS allowed,
+       CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = (doc_id % 20) % 7
+                 AND doc_id % 3 = 0
+            THEN '/p' || (doc_id % 5)::VARCHAR || '/'
+            WHEN doc_id % 97 <> 0 AND doc_id % 5 = (doc_id % 20) % 7
+                 AND doc_id % 3 = 1
+            THEN '/p' || (doc_id % 5)::VARCHAR || '/ok/'
+            ELSE NULL END AS rule_path
+FROM documents
+"""
+
+
 def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mT5 temperature-sampling weights at T=2 (sampling.
     temperature_weights): per-language raw share, sqrt-flattened
@@ -4723,6 +4799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "html_links": q_html_links,
         "crawl_frontier": q_crawl_frontier,
+        "robots_filter": q_robots_filter,
         "include_message": q_include_message,
         "convert_ip": q_convert_ip,
         "kafka_partition": q_kafka_partition,
@@ -4822,6 +4899,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
         "html_links": _SQL_HTML_LINKS,
         "crawl_frontier": _SQL_CRAWL_FRONTIER,
+        "robots_filter": _SQL_ROBOTS_FILTER,
         "pipeline_fanout": _SQL_PIPELINE_FANOUT,
         "pipeline_rows": _SQL_PIPELINE_ROWS,
         "rate_limit": _SQL_RATE_LIMIT,
