@@ -192,6 +192,7 @@ EXT_QUERIES = [
     "temperature_weights",
     "html_links",
     "crawl_frontier",
+    "robots_filter",
 ]
 
 
