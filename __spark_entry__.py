@@ -4777,6 +4777,319 @@ FROM ev GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# conversation curation (operators/chat.py) + crawl politeness scheduling
+# ---------------------------------------------------------------------------
+
+# events → transcript shape: deterministic role mapping + planted
+# defects (every 71st event an unknown role, every 53rd a blank turn,
+# every 89th a NULL turn) so each validity rule actually fires.
+_ROLE_SQL = (
+    "CASE WHEN event_id % 71 = 0 THEN 'bot' ELSE "
+    "CASE event_type WHEN 'click' THEN 'assistant' WHEN 'purchase' THEN 'tool' "
+    "WHEN 'error' THEN 'system' ELSE 'user' END END"
+)
+_CHAT_TEXT_SQL = (
+    "CASE WHEN event_id % 53 = 0 THEN '  ' "
+    "WHEN event_id % 89 = 0 THEN NULL "
+    "ELSE event_type || '#' || event_id::VARCHAR END"
+)
+
+
+def _chat_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    role = F.when(F.col("event_id") % 71 == 0, F.lit("bot")).otherwise(
+        F.when(F.col("event_type") == "click", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("user")
+    )
+    text = (
+        F.when(F.col("event_id") % 53 == 0, F.lit("  "))
+        .when(F.col("event_id") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+            )
+        )
+    )
+    return ev.select(
+        "user_id", "ts", "event_id", role.alias("role"), text.alias("text")
+    )
+
+
+def q_conversation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural validity gate
+    (chat.validate_conversations): empty/NULL turns, unknown roles,
+    missing assistant turn, bad opening role, dangling user turn —
+    reason-tagged per conversation, quality_filter-style."""
+    from beats_spark.operators.chat import validate_conversations
+
+    return validate_conversations(
+        _chat_turns(spark, sf_dir),
+        key_col="user_id",
+        role_col="role",
+        text_col="text",
+        order_cols=("ts", "event_id"),
+    )
+
+
+_SQL_CONVERSATION_FILTER = rf"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         {_ROLE_SQL} AS role,
+         {_CHAT_TEXT_SQL} AS text
+  FROM events
+), o AS (
+  SELECT *,
+    first_value(role) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS fr,
+    last_value(role) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lr
+  FROM t
+), a AS (
+  SELECT user_id, count(*) AS n_turns,
+    max(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS anyempty,
+    max(CASE WHEN role IS NULL
+              OR role NOT IN ('system','user','assistant','tool')
+             THEN 1 ELSE 0 END) AS anybad,
+    max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS hasreq,
+    min(fr) AS fr, min(lr) AS lr
+  FROM o GROUP BY user_id
+)
+SELECT user_id, n_turns::BIGINT AS n_turns,
+  coalesce(array_to_string(list_sort(list_filter([
+    CASE WHEN anyempty = 1 THEN 'empty_turn' END,
+    CASE WHEN anybad = 1 THEN 'bad_role' END,
+    CASE WHEN hasreq = 0 THEN 'missing_required' END,
+    CASE WHEN NOT coalesce(fr IN ('system','user'), false) THEN 'bad_opening' END,
+    CASE WHEN coalesce(lr = 'user', false) THEN 'dangling_turn' END
+  ], x -> x IS NOT NULL)), ','), '') AS reasons,
+  coalesce(array_to_string(list_sort(list_filter([
+    CASE WHEN anyempty = 1 THEN 'empty_turn' END,
+    CASE WHEN anybad = 1 THEN 'bad_role' END,
+    CASE WHEN hasreq = 0 THEN 'missing_required' END,
+    CASE WHEN NOT coalesce(fr IN ('system','user'), false) THEN 'bad_opening' END,
+    CASE WHEN coalesce(lr = 'user', false) THEN 'dangling_turn' END
+  ], x -> x IS NOT NULL)), ','), '') = '' AS keep
+FROM a
+"""
+
+
+def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template rendering with loss-mask spans
+    (chat.render_chat): each conversation becomes one
+    ``<|role|>text<|end|>`` document plus the character spans of every
+    assistant payload — the column a trainer unmasks. The oracle
+    rebuilds the rendering AND the span arithmetic (running piece
+    offsets) in SQL; the rendered strings and span lists must match
+    byte-for-byte."""
+    from beats_spark.operators.chat import render_chat
+
+    ev = _load(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "click", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("user")
+    )
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("text"),
+    )
+    return render_chat(
+        turns,
+        key_col="user_id",
+        role_col="role",
+        text_col="text",
+        order_cols=("ts", "event_id"),
+    )
+
+
+_SQL_RENDER_CHAT = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'assistant'
+              WHEN 'purchase' THEN 'tool' WHEN 'error' THEN 'system'
+              ELSE 'user' END AS role,
+         event_type || '#' || event_id::VARCHAR AS text
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id, role,
+         '<|' || role || '|>' || text || '<|end|>' AS piece,
+         2 + len(role) + 2 AS head_len, len(text) AS text_len
+  FROM t
+), o AS (
+  SELECT *,
+    coalesce(sum(len(piece) + 1) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM p
+)
+SELECT user_id,
+  string_agg(piece, chr(10) ORDER BY ts, event_id) AS rendered,
+  coalesce(string_agg(
+    CASE WHEN role = 'assistant'
+         THEN (off + head_len)::VARCHAR || ':' || (off + head_len + text_len)::VARCHAR
+    END, ',' ORDER BY ts, event_id), '') AS loss_spans,
+  count(*)::BIGINT AS n_turns,
+  sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_loss_turns
+FROM o GROUP BY user_id
+"""
+
+
+def q_truncate_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window truncation at turn boundaries
+    (chat.truncate_context): keep the longest suffix of whole turns
+    fitting a 12-token budget, with the opening turn pinned (system
+    prompt). Token counts are planted analytically (event_id %% 5 + 1
+    whitespace tokens) so the oracle replays the exact suffix sums."""
+    from beats_spark.operators.chat import truncate_context
+
+    ev = _load(spark, sf_dir, "events")
+    text = F.concat(
+        F.repeat(F.lit("x "), (F.col("event_id") % 5).cast("int")), F.lit("end")
+    )
+    turns = ev.select("user_id", "ts", "event_id", text.alias("text"))
+    out = truncate_context(
+        turns,
+        budget=12,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        text_col="text",
+        pin_first=True,
+    )
+    return out.select("user_id", "event_id", "tok_count", "suffix_toks", "kept")
+
+
+_SQL_TRUNCATE_CONTEXT = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id, (event_id % 5 + 1) AS tok FROM events
+), o AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    first_value(tok) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ft
+  FROM t
+), s AS (
+  SELECT *,
+    sum(CASE WHEN rn = 1 THEN 0 ELSE tok END) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS suffix_toks
+  FROM o
+)
+SELECT user_id, event_id, tok::BIGINT AS tok_count, suffix_toks,
+       (rn = 1 OR suffix_toks <= greatest(12 - ft, 0)) AS kept
+FROM s
+"""
+
+
+def q_anonymize_speakers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable speaker pseudonyms (chat.anonymize_speakers): per
+    conversation, the first distinct speaker to appear becomes
+    speaker_1, the next speaker_2, … NULL speakers (every 29th event)
+    keep a NULL alias. The oracle replays first-appearance ranking
+    with a window + join."""
+    from beats_spark.operators.chat import anonymize_speakers
+
+    ev = _load(spark, sf_dir, "events")
+    speaker = F.when(F.col("event_id") % 29 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("u"), (F.col("event_id") % 7).cast("string"))
+    )
+    turns = ev.select("user_id", "ts", "event_id", speaker.alias("speaker"))
+    out = anonymize_speakers(
+        turns, key_col="user_id", speaker_col="speaker", order_cols=("ts", "event_id")
+    )
+    return out.select("user_id", "event_id", "speaker", "speaker_alias")
+
+
+_SQL_ANONYMIZE_SPEAKERS = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 29 = 0 THEN NULL
+              ELSE 'u' || (event_id % 7)::VARCHAR END AS speaker
+  FROM events
+), o AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM t
+), f AS (
+  SELECT user_id, speaker, min(rn) AS mn
+  FROM o WHERE speaker IS NOT NULL GROUP BY user_id, speaker
+), r AS (
+  SELECT user_id, speaker,
+         'speaker_' || (row_number() OVER (PARTITION BY user_id ORDER BY mn))::VARCHAR
+           AS speaker_alias
+  FROM f
+)
+SELECT t.user_id, t.event_id, t.speaker, r.speaker_alias
+FROM t LEFT JOIN r ON t.user_id = r.user_id AND t.speaker = r.speaker
+"""
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness scheduling (robots.parse_crawl_delays →
+    robots.fetch_schedule): per-host Crawl-delay from robots bodies,
+    then a per-host fetch queue over frontier URLs — slot order by
+    priority then URL, earliest offset = slot × delay, defaults where
+    robots gives none, non-URL rows short-circuited past the window."""
+    from beats_spark.operators.robots import fetch_schedule, parse_crawl_delays
+
+    hosts = spark.range(10)
+    body = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(
+            F.col("id") % 3 != 0,
+            F.concat(F.lit("Crawl-delay: "), F.col("id").cast("string"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Disallow: /private/\n"),
+    )
+    bodies = hosts.select(
+        F.format_string("h%d.example.com", F.col("id")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    delays = parse_crawl_delays(bodies)
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.when(
+        did % 97 == 0, F.concat(F.lit("bare text "), did.cast("string"))
+    ).otherwise(
+        F.format_string("http://h%d.example.com/p/%d", (did % 10), did)
+    )
+    urls = docs.select(
+        did, url.alias("url"), (did % 5).cast("int").alias("prio")
+    )
+    out = fetch_schedule(urls, delays, default_delay_ms=700, priority_col="prio")
+    return out.select("doc_id", "host", "slot", "delay_ms", "fetch_offset_ms")
+
+
+_SQL_FETCH_SCHEDULE = r"""
+WITH fx AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN 'bare text ' || doc_id::VARCHAR
+         ELSE 'http://h' || (doc_id % 10)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR
+    END AS url,
+    (doc_id % 5) AS prio,
+    CASE WHEN doc_id % 97 = 0 THEN ''
+         ELSE 'h' || (doc_id % 10)::VARCHAR || '.example.com' END AS host
+  FROM documents
+), real AS (
+  SELECT doc_id, host,
+    CASE WHEN (doc_id % 10) % 3 <> 0 THEN (doc_id % 10) * 1000 ELSE 700 END AS delay_ms,
+    row_number() OVER (PARTITION BY host ORDER BY prio DESC, url) - 1 AS slot
+  FROM fx WHERE host <> ''
+)
+SELECT doc_id, host, slot::BIGINT AS slot, delay_ms::BIGINT AS delay_ms,
+       (slot * delay_ms)::BIGINT AS fetch_offset_ms
+FROM real
+UNION ALL
+SELECT doc_id, host, 0::BIGINT, 700::BIGINT, 0::BIGINT
+FROM fx WHERE host = ''
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -4792,6 +5105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "conversation_filter": q_conversation_filter,
+        "render_chat": q_render_chat,
+        "truncate_context": q_truncate_context,
+        "anonymize_speakers": q_anonymize_speakers,
+        "fetch_schedule": q_fetch_schedule,
         "perplexity_buckets": q_perplexity_buckets,
         "domain_stats": q_domain_stats,
         "conversation_stats": q_conversation_stats,
@@ -4892,6 +5210,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "conversation_filter": _SQL_CONVERSATION_FILTER,
+        "render_chat": _SQL_RENDER_CHAT,
+        "truncate_context": _SQL_TRUNCATE_CONTEXT,
+        "anonymize_speakers": _SQL_ANONYMIZE_SPEAKERS,
+        "fetch_schedule": _SQL_FETCH_SCHEDULE,
         "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
         "domain_stats": _SQL_DOMAIN_STATS,
         "conversation_stats": _SQL_CONVERSATION_STATS,

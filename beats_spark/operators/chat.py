@@ -1,0 +1,322 @@
+"""Conversation curation for training corpora — the trainer-facing
+steps between turn rows and packed sequences.
+
+The reference pipeline has no chat semantics (libbeat publishes
+opaque events; see sessions.py for the ordering guarantees it does
+have); these operators implement the standard public SFT-corpus
+practice over the transcript shape from BASELINE.json's input_hint
+(conv_id, turn_idx, role, text, tool, ts):
+
+- ``validate_conversations`` — per-conversation structural gate
+  (empty turns, unknown roles, missing assistant turn, bad opening
+  role, dangling user turn, broken alternation), reason-tagged in the
+  same keep/reasons shape as textstats.quality_filter.
+- ``render_chat`` — deterministic chat-template rendering
+  (``<|role|>text<|end|>`` blocks) plus LOSS-MASK SPANS: character
+  offsets of every target-role payload in the rendered string, the
+  column an SFT trainer needs to mask non-assistant tokens.
+- ``truncate_context`` — longest-suffix-of-whole-turns context-window
+  fit (optionally pinning the opening system turn), the turn-boundary
+  truncation rule used when a conversation exceeds the model context.
+- ``anonymize_speakers`` — stable first-appearance pseudonyms per
+  conversation (speaker_1, speaker_2, …), the transcript-side
+  companion of operators/redact.py's content PII pass.
+
+Scale shape: every operator is one hash shuffle on the conversation
+key (window + groupBy reuse the same partitioning), except
+``anonymize_speakers`` which aggregates the tiny (conv, speaker)
+frame and joins it back. No Python UDFs anywhere — all pure Catalyst
+expressions, ANSI-safe on NULL/blank text and roles. A hot
+conversation is inherently one stream (same argument as sessions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_struct(order_cols: tuple[str, ...]) -> Column:
+    return F.struct(*[F.col(c) for c in order_cols])
+
+
+def _order_asc(order_cols: tuple[str, ...]) -> list[Column]:
+    return [F.col(c).asc() for c in order_cols]
+
+
+def validate_conversations(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant", "tool"),
+    required_role: str | None = "assistant",
+    opening_roles: tuple[str, ...] = ("system", "user"),
+    dangling_roles: tuple[str, ...] = ("user",),
+    strict_alternation: bool = False,
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Per-conversation structural validity gate.
+
+    Returns one row per conversation: ``n_turns``, ``reasons``
+    (comma-joined sorted rule tags, '' = clean) and ``keep`` — the
+    quality_filter contract, so the two gates compose into one
+    reject-rate report. Rules (each contributes its tag when hit):
+
+    - ``empty_turn``    — any turn with NULL or whitespace-only text
+    - ``bad_role``      — any role outside ``allowed_roles`` (NULL too)
+    - ``missing_required`` — no turn with ``required_role``
+    - ``bad_opening``   — first turn's role not in ``opening_roles``
+    - ``dangling_turn`` — last turn's role in ``dangling_roles``
+      (a conversation that ends on a user prompt has no target)
+    - ``repeated_role`` — consecutive same-role turns
+      (only when ``strict_alternation``)
+    - ``too_many_turns`` — more than ``max_turns`` turns (when set)
+
+    Plan: one Window (lag for alternation) + one groupBy on the SAME
+    key — Spark reuses the hash partitioning, so ONE Exchange total.
+    min_by/max_by on the order struct pick first/last roles without a
+    second sort pass.
+    """
+    role = F.col(role_col)
+    text = F.col(text_col)
+    ordk = _order_struct(order_cols)
+    w = Window.partitionBy(key_col).orderBy(*_order_asc(order_cols))
+    rep = (F.lag(role).over(w).isNotNull() & (F.lag(role).over(w) == role)).cast(
+        "int"
+    )
+    flagged = df.select(
+        F.col(key_col),
+        ordk.alias("_ord"),
+        role.alias("_role"),
+        (text.isNull() | (F.trim(text) == "")).cast("int").alias("_empty"),
+        (role.isNull() | ~role.isin(*allowed_roles)).cast("int").alias("_badrole"),
+        (
+            (role == required_role).cast("int")
+            if required_role is not None
+            else F.lit(1)
+        ).alias("_req"),
+        rep.alias("_rep"),
+    )
+    agg = flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("_empty").alias("_any_empty"),
+        F.max("_badrole").alias("_any_badrole"),
+        F.max("_req").alias("_has_req"),
+        F.max("_rep").alias("_any_rep"),
+        F.min_by("_role", F.col("_ord")).alias("_first_role"),
+        F.max_by("_role", F.col("_ord")).alias("_last_role"),
+    )
+    tags = [
+        F.when(F.col("_any_empty") == 1, F.lit("empty_turn")),
+        F.when(F.col("_any_badrole") == 1, F.lit("bad_role")),
+        F.when(F.col("_has_req") == 0, F.lit("missing_required")),
+        F.when(
+            ~F.coalesce(
+                F.col("_first_role").isin(*opening_roles), F.lit(False)
+            ),
+            F.lit("bad_opening"),
+        ),
+        F.when(
+            F.coalesce(F.col("_last_role").isin(*dangling_roles), F.lit(False)),
+            F.lit("dangling_turn"),
+        ),
+    ]
+    if strict_alternation:
+        tags.append(F.when(F.col("_any_rep") == 1, F.lit("repeated_role")))
+    if max_turns is not None:
+        tags.append(F.when(F.col("n_turns") > max_turns, F.lit("too_many_turns")))
+    reasons = F.array_sort(
+        F.filter(F.array(*tags), lambda t: t.isNotNull())
+    )
+    return (
+        agg.withColumn("reasons", F.array_join(reasons, ","))
+        .withColumn("keep", F.col("reasons") == "")
+        .select(key_col, "n_turns", "reasons", "keep")
+    )
+
+
+def render_chat(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    sep: str = "\n",
+    open_prefix: str = "<|",
+    open_suffix: str = "|>",
+    close_tok: str = "<|end|>",
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Render each conversation into one training string with
+    loss-mask spans.
+
+    Each turn becomes ``<|role|>text<|end|>``; turns are joined with
+    ``sep`` in stable order. ``loss_spans`` is ``"start:end"`` pairs
+    (comma-joined, in turn order) — the CHARACTER offsets of every
+    ``loss_role`` turn's text payload inside ``rendered``, i.e. the
+    spans an SFT trainer unmasks. NULL role/text render as '' (the
+    row still occupies a block, so offsets stay aligned with n_turns).
+
+    Plan: per-turn piece + exclusive running length over one Window,
+    then groupBy the SAME key (sort_array(collect_list(struct)) makes
+    assembly partition-independent) — ONE Exchange. Offsets are plain
+    column arithmetic; the rendered string is built once by
+    array_join, never by iterative concat.
+    """
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    piece = F.concat(
+        F.lit(open_prefix), role, F.lit(open_suffix), text, F.lit(close_tok)
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*_order_asc(order_cols))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    piece_off = F.coalesce(
+        F.sum(F.length(piece) + F.lit(len(sep))).over(w), F.lit(0)
+    )
+    text_start = piece_off + F.lit(len(open_prefix) + len(open_suffix)) + F.length(
+        role
+    )
+    text_end = text_start + F.length(text)
+    span = F.concat(
+        text_start.cast("string"), F.lit(":"), text_end.cast("string")
+    )
+    ordk = _order_struct(order_cols)
+    per_turn = df.select(
+        F.col(key_col),
+        F.struct(ordk.alias("_o"), piece.alias("_p")).alias("_piece"),
+        # collect_list drops NULLs — non-loss turns vanish from spans
+        F.when(
+            F.col(role_col) == loss_role,
+            F.struct(ordk.alias("_o"), span.alias("_s")),
+        ).alias("_span"),
+        F.when(F.col(role_col) == loss_role, 1).otherwise(0).alias("_is_loss"),
+    )
+    return per_turn.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_piece")), lambda s: s.getField("_p")
+            ),
+            sep,
+        ).alias("rendered"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_span")), lambda s: s.getField("_s")
+            ),
+            ",",
+        ).alias("loss_spans"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_is_loss").cast("long").alias("n_loss_turns"),
+    )
+
+
+def truncate_context(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    text_col: str = "text",
+    token_counter: str = "whitespace",
+    pin_first: bool = False,
+) -> DataFrame:
+    """Fit each conversation into a ``budget``-token context window by
+    keeping the longest SUFFIX of whole turns (chat history truncates
+    from the front; answers need the most recent turns). With
+    ``pin_first`` the opening turn (system prompt) is always kept and
+    its tokens are charged against the budget first.
+
+    Returns every turn row (key, order cols, ``tok_count``,
+    ``suffix_toks`` = tokens from this turn to the end, ``kept``) —
+    a flag column, not a filter, so the caller can audit drop rates
+    before filtering (the tag-and-continue discipline).
+
+    Plan: one Window partition on the key; ``pin_first`` needs the
+    row_number materialized before the reverse running sum (window
+    functions can't nest), still the same single Exchange.
+    ``token_counter="bpe"`` prices in subword tokens via the Arrow
+    UDF (functions/bpe.py) — same tradeoff as pack_sequences.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if token_counter == "whitespace":
+        from beats_spark.operators.textstats import token_count_whitespace
+
+        toks = token_count_whitespace(F.col(text_col))
+    elif token_counter == "bpe":
+        from beats_spark.functions.bpe import bpe_token_count
+
+        toks = bpe_token_count(F.col(text_col))
+    else:
+        raise ValueError(f"unknown token_counter {token_counter!r}")
+    asc = Window.partitionBy(key_col).orderBy(*_order_asc(order_cols))
+    base = df.withColumn("tok_count", toks.cast("long")).withColumns(
+        {
+            "_rn": F.row_number().over(asc),
+            "_first_tok": F.first(F.col("tok_count")).over(asc),
+        }
+    )
+    desc = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c).desc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if pin_first:
+        # suffix sums exclude the pinned first turn; its cost comes out
+        # of the budget instead (exact: no double charge when the
+        # suffix reaches all the way back)
+        eff = F.when(F.col("_rn") == 1, F.lit(0)).otherwise(F.col("tok_count"))
+        remaining = F.greatest(
+            F.lit(budget) - F.col("_first_tok"), F.lit(0)
+        )
+        suffix = F.sum(eff).over(desc)
+        kept = (F.col("_rn") == 1) | (suffix <= remaining)
+    else:
+        suffix = F.sum(F.col("tok_count")).over(desc)
+        kept = suffix <= budget
+    return (
+        base.withColumn("suffix_toks", suffix.cast("long"))
+        .withColumn("kept", kept)
+        .drop("_rn", "_first_tok")
+    )
+
+
+def anonymize_speakers(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    speaker_col: str = "speaker",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    alias_prefix: str = "speaker_",
+) -> DataFrame:
+    """Stable per-conversation speaker pseudonyms: the first distinct
+    speaker to appear becomes ``speaker_1``, the next ``speaker_2``, …
+    — the order a reader encounters them, reproducible at any
+    parallelism. NULL speakers get the alias NULL (they are not a
+    speaker; content-level PII is operators/redact.py's job).
+
+    Plan: aggregate first-appearance order on the TINY (conv, speaker)
+    frame (one shuffle of that frame, map-side combined), rank it with
+    row_number per conversation, join back on (conv, speaker) — a
+    plain equi-join, so NULL speakers never match (alias NULL). The
+    join key includes the conversation, so AQE can pick the strategy;
+    the turn frame itself is never windowed.
+    """
+    firsts = (
+        df.filter(F.col(speaker_col).isNotNull())
+        .groupBy(F.col(key_col), F.col(speaker_col))
+        .agg(F.min(_order_struct(order_cols)).alias("_first_ord"))
+    )
+    rank_w = Window.partitionBy(key_col).orderBy(
+        F.col("_first_ord").asc(), F.col(speaker_col).asc()
+    )
+    aliases = firsts.select(
+        F.col(key_col),
+        F.col(speaker_col),
+        F.concat(
+            F.lit(alias_prefix), F.row_number().over(rank_w).cast("string")
+        ).alias("speaker_alias"),
+    )
+    return df.join(aliases, on=[key_col, speaker_col], how="left")

@@ -16,13 +16,16 @@ group allows it. Both halves are expressible as DataFrame plans:
   on a length tie Allow wins; no matching rule ⇒ allowed. The join is
   host-keyed (rules are a per-host dimension — broadcast when small),
   then a row_number window picks the governing rule per URL.
+- ``parse_crawl_delays`` + ``fetch_schedule``: the politeness half —
+  the governing group's Crawl-delay per host, and a per-host fetch
+  queue (slot + earliest offset) over the frontier.
 
 Documented simplifications (each one rule away if ever needed):
 literal path prefixes only (no ``*``/``$`` wildcards), the group
 chosen per host is the exact ``agent`` match when one exists anywhere
 in that host's file else the ``*`` group (RFC picks the most specific
 match; with one configured agent string the two coincide), and only
-Allow/Disallow directives are read (Crawl-delay/Sitemap ignored).
+Allow/Disallow/Crawl-delay directives are read (Sitemap ignored).
 Empty ``Disallow:`` (allow-all) contributes no rule, per the RFC.
 
 The reference (a log shipper) has no crawl surface; this is an engine
@@ -35,18 +38,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def parse_robots(
-    df: DataFrame,
-    host_col: str = "host",
-    text_col: str = "robots_txt",
-    agent: str = "*",
-) -> DataFrame:
-    """robots.txt bodies → rule table (host, rule, path).
-
-    ``rule`` is 'allow' or 'disallow'; ``path`` is the literal prefix.
-    Only the group governing ``agent`` is returned (exact match
-    preferred over ``*`` per host, case-insensitive).
-    """
+def _robots_groups(
+    df: DataFrame, host_col: str, text_col: str, agent: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared robots.txt group machinery: returns (``ann``, ``chosen``)
+    where ``ann`` is the comment-stripped annotated line frame
+    (host, pos, _line, _ua, rule, path, _gid) and ``chosen`` is the
+    per-host governing group ids (exact ``agent`` match when the file
+    names it anywhere, else the ``*`` group, case-insensitive)."""
     agent_lc = agent.lower()
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -56,7 +55,12 @@ def parse_robots(
     rule = F.lower(F.regexp_extract("_line", r"(?i)^(allow|disallow)\s*:", 1))
     path = F.regexp_extract("_line", r"(?i)^(?:allow|disallow)\s*:\s*(\S*)", 1)
     ann = lines.select(
-        "host", "pos", ua.alias("_ua"), rule.alias("rule"), path.alias("path")
+        "host",
+        "pos",
+        "_line",
+        ua.alias("_ua"),
+        rule.alias("rule"),
+        path.alias("path"),
     )
     # group id: a User-agent line starting a new run (previous line was
     # not a UA line) opens a new group. Two window passes — lag flag
@@ -76,9 +80,6 @@ def parse_robots(
         ),
     )
     uas = ann.where(F.col("_ua") != "").select("host", "_gid", "_ua")
-    rules = ann.where(
-        (F.col("rule") != "") & (F.col("path") != "")
-    ).select("host", "_gid", "rule", "path")
     # per-host group choice: exact agent if the file names it, else '*'
     exact_hosts = (
         uas.where(F.col("_ua") == agent_lc)
@@ -97,9 +98,65 @@ def parse_robots(
         .select("host", "_gid")
         .distinct()
     )
+    return ann, chosen
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies → rule table (host, rule, path).
+
+    ``rule`` is 'allow' or 'disallow'; ``path`` is the literal prefix.
+    Only the group governing ``agent`` is returned (exact match
+    preferred over ``*`` per host, case-insensitive).
+    """
+    ann, chosen = _robots_groups(df, host_col, text_col, agent)
+    rules = ann.where(
+        (F.col("rule") != "") & (F.col("path") != "")
+    ).select("host", "_gid", "rule", "path")
     return rules.join(chosen, ["host", "_gid"], "left_semi").select(
         "host", "rule", "path"
     )
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt bodies → per-host Crawl-delay table
+    (host, crawl_delay_ms).
+
+    Crawl-delay is the de-facto politeness directive (not in RFC 9309
+    but honored by most large crawlers); only the governing group's
+    directives count — the same group-selection rule as parse_robots.
+    Fractional seconds are honored at millisecond precision
+    (floor(x·1000)); a malformed value contributes nothing (try_cast,
+    never an ANSI error); with several valid directives in the group
+    the LARGEST wins (the polite reading). Hosts without a governing
+    crawl-delay are absent — join with a default downstream
+    (fetch_schedule does).
+    """
+    ann, chosen = _robots_groups(df, host_col, text_col, agent)
+    secs = F.regexp_extract(
+        "_line", r"(?i)^crawl-delay\s*:\s*(\S+)", 1
+    ).try_cast("double")
+    delays = (
+        ann.withColumn("_secs", secs)
+        .where(F.col("_secs").isNotNull() & (F.col("_secs") >= 0))
+        .join(chosen, ["host", "_gid"], "left_semi")
+        .groupBy("host")
+        .agg(
+            F.max(F.floor(F.col("_secs") * 1000))
+            .cast("long")
+            .alias("crawl_delay_ms")
+        )
+    )
+    return delays
 
 
 def robots_filter(
@@ -165,3 +222,60 @@ def robots_filter(
         .withColumn("rule_path", F.col("_mpath"))
         .drop("_rn", "_path", "_mrule", "_mpath", "rule", "path")
     )
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    default_delay_ms: int = 1000,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Per-host politeness schedule for a crawl frontier: each URL gets
+    a 0-based ``slot`` in its host's fetch queue and the earliest
+    ``fetch_offset_ms`` it may be fetched at (slot × the host's
+    crawl-delay) — the scheduling step between crawl_frontier and the
+    fetchers.
+
+    ``delays`` is a per-host dimension (host, crawl_delay_ms), e.g.
+    parse_crawl_delays' output; hosts without a row use
+    ``default_delay_ms``. Queue order within a host is ``priority_col``
+    DESC first (when given), then the URL string — deterministic at
+    any parallelism. Rows that are not absolute URLs (host '') bypass
+    the window with slot 0 / offset 0 (same NULL-funnel discipline as
+    url_dedup: a large non-URL fraction must not pile into one window
+    task) and carry ``host`` '' so the caller can route them out.
+
+    Scale: one equi-join on host (a per-host dimension — AQE picks
+    broadcast when small) + one row_number window per host. The
+    per-host queue is inherently one stream; a giant host's queue
+    length, not this plan, is the bottleneck — shard giant hosts
+    upstream by path prefix if that ever matters.
+    """
+    from beats_spark.operators.urlnorm import url_host
+
+    base = urls.withColumn("host", url_host(F.col(url_col)))
+    real = base.where(F.col("host") != "")
+    stray = base.where(F.col("host") == "")
+    if delays is not None:
+        real = real.join(
+            delays.select("host", "crawl_delay_ms"), "host", "left"
+        )
+    else:
+        real = real.withColumn("crawl_delay_ms", F.lit(None).cast("long"))
+    order = [F.col(url_col).asc()]
+    if priority_col is not None:
+        order = [F.col(priority_col).desc_nulls_last()] + order
+    w = Window.partitionBy("host").orderBy(*order)
+    real = (
+        real.withColumn("delay_ms", F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms)).cast("long"))
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("fetch_offset_ms", F.col("slot") * F.col("delay_ms"))
+        .drop("crawl_delay_ms")
+    )
+    stray = (
+        stray.withColumn("delay_ms", F.lit(default_delay_ms).cast("long"))
+        .withColumn("slot", F.lit(0).cast("long"))
+        .withColumn("fetch_offset_ms", F.lit(0).cast("long"))
+    )
+    return real.unionByName(stray)

@@ -193,6 +193,11 @@ EXT_QUERIES = [
     "html_links",
     "crawl_frontier",
     "robots_filter",
+    "conversation_filter",
+    "render_chat",
+    "truncate_context",
+    "anonymize_speakers",
+    "fetch_schedule",
 ]
 
 

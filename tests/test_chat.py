@@ -1,0 +1,227 @@
+"""Conversation curation operators (operators/chat.py): validity
+gate, chat-template rendering with loss-mask spans, context-window
+truncation, speaker anonymization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.operators.chat import (
+    anonymize_speakers,
+    render_chat,
+    truncate_context,
+    validate_conversations,
+)
+
+_SCHEMA = "conv_id string, turn_idx int, role string, text string"
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _reasons(spark, rows, **kw):
+    out = validate_conversations(_turns(spark, rows), **kw)
+    return {r.conv_id: (r.reasons, r.keep, r.n_turns) for r in out.collect()}
+
+
+def test_validate_clean_conversation(spark):
+    got = _reasons(
+        spark,
+        [
+            ("c1", 0, "system", "be nice"),
+            ("c1", 1, "user", "hi"),
+            ("c1", 2, "assistant", "hello"),
+        ],
+    )
+    assert got["c1"] == ("", True, 3)
+
+
+def test_validate_each_rule_tags(spark):
+    rows = [
+        # empty turn (whitespace-only)
+        ("c_empty", 0, "user", "hi"),
+        ("c_empty", 1, "assistant", "   "),
+        # bad role
+        ("c_role", 0, "user", "hi"),
+        ("c_role", 1, "bot", "beep"),
+        ("c_role", 2, "assistant", "ok"),
+        # no assistant turn AND ends on user
+        ("c_dangle", 0, "user", "hi"),
+        ("c_dangle", 1, "user", "anyone?"),
+        # opens with assistant (not in opening_roles)
+        ("c_open", 0, "assistant", "unprompted"),
+        ("c_open", 1, "user", "?"),
+        ("c_open", 2, "assistant", "answer"),
+    ]
+    got = _reasons(spark, rows)
+    assert got["c_empty"] == ("empty_turn", False, 2)
+    assert got["c_role"] == ("bad_role", False, 3)
+    assert got["c_dangle"] == ("dangling_turn,missing_required", False, 2)
+    assert got["c_open"] == ("bad_opening", False, 3)
+
+
+def test_validate_null_text_and_role(spark):
+    got = _reasons(spark, [("c", 0, None, None), ("c", 1, "assistant", "ok")])
+    assert got["c"][0] == "bad_opening,bad_role,empty_turn"
+    assert got["c"][1] is False
+
+
+def test_validate_alternation_and_max_turns(spark):
+    rows = [
+        ("c", 0, "user", "a"),
+        ("c", 1, "assistant", "b"),
+        ("c", 2, "assistant", "c"),  # repeated role
+        ("c", 3, "user", "d"),
+        ("c", 4, "assistant", "e"),
+    ]
+    # default: repeats allowed
+    assert _reasons(spark, rows)["c"][0] == ""
+    assert (
+        _reasons(spark, rows, strict_alternation=True)["c"][0] == "repeated_role"
+    )
+    assert _reasons(spark, rows, max_turns=4)["c"][0] == "too_many_turns"
+
+
+def test_validate_order_cols_decide_first_last(spark):
+    # rows arrive shuffled; (turn_idx) order decides opening/closing
+    rows = [
+        ("c", 2, "assistant", "end"),
+        ("c", 0, "user", "start"),
+        ("c", 1, "assistant", "mid"),
+    ]
+    assert _reasons(spark, rows)["c"] == ("", True, 3)
+    # reversed order column flips the verdict: opens assistant, ends user
+    out = validate_conversations(
+        _turns(spark, rows).withColumn("neg", -F.col("turn_idx")),
+        order_cols=("neg",),
+    )
+    assert out.collect()[0].reasons == "bad_opening,dangling_turn"
+
+
+def test_render_chat_exact(spark):
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello!"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "assistant", None),  # NULL text still occupies a block
+    ]
+    out = {
+        r.conv_id: r
+        for r in render_chat(_turns(spark, rows)).collect()
+    }
+    c1 = out["c1"]
+    assert c1.rendered == "<|user|>hi<|end|>\n<|assistant|>hello!<|end|>\n<|user|>bye<|end|>"
+    # the assistant payload 'hello!' starts after '<|user|>hi<|end|>\n<|assistant|>'
+    start = len("<|user|>hi<|end|>\n<|assistant|>")
+    assert c1.loss_spans == f"{start}:{start + len('hello!')}"
+    assert c1.rendered[start : start + len("hello!")] == "hello!"
+    assert (c1.n_turns, c1.n_loss_turns) == (3, 1)
+    c2 = out["c2"]
+    assert c2.rendered == "<|assistant|><|end|>"
+    assert c2.loss_spans == "13:13"  # empty payload, offsets still aligned
+    assert (c2.n_turns, c2.n_loss_turns) == (1, 1)
+
+
+def test_render_chat_spans_self_consistent(transcripts):
+    """Property over the synth corpus: slicing `rendered` at every
+    loss span must reproduce exactly the assistant turns' texts, in
+    turn order."""
+    rendered = render_chat(transcripts)
+    spans = rendered.where(F.col("loss_spans") != "").select(
+        "conv_id",
+        F.col("rendered"),
+        F.posexplode(F.split("loss_spans", ",")).alias("k", "span"),
+    )
+    sliced = spans.select(
+        "conv_id",
+        "k",
+        F.expr(
+            "substring(rendered, cast(split(span, ':')[0] as int) + 1, "
+            "cast(split(span, ':')[1] as int) - cast(split(span, ':')[0] as int))"
+        ).alias("got"),
+    )
+    w_texts = transcripts.where(F.col("role") == "assistant").select(
+        "conv_id",
+        "text",
+        F.struct("turn_idx").alias("_o"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("_o").asc())
+    expected = w_texts.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).alias("k"),
+        F.col("text").alias("want"),
+    )
+    joined = sliced.join(expected, ["conv_id", "k"], "full")
+    bad = joined.where(
+        F.col("got").isNull()
+        | F.col("want").isNull()
+        | (F.col("got") != F.col("want"))
+    ).count()
+    assert bad == 0
+
+
+def test_truncate_context_suffix(spark):
+    rows = [
+        ("c", 0, "user", "a b c d"),   # 4 toks
+        ("c", 1, "assistant", "a b c"),  # 3
+        ("c", 2, "user", "a b"),       # 2
+        ("c", 3, "assistant", "a"),    # 1
+    ]
+    out = truncate_context(_turns(spark, rows), budget=3)
+    got = {r.turn_idx: (r.suffix_toks, r.kept) for r in out.collect()}
+    assert got == {0: (10, False), 1: (6, False), 2: (3, True), 3: (1, True)}
+
+
+def test_truncate_context_pin_first(spark):
+    rows = [
+        ("c", 0, "system", "a b c d"),  # 4 toks, pinned
+        ("c", 1, "user", "a b c"),      # 3
+        ("c", 2, "assistant", "a"),     # 1
+    ]
+    out = truncate_context(_turns(spark, rows), budget=5, pin_first=True)
+    got = {r.turn_idx: r.kept for r in out.collect()}
+    # remaining budget 5-4=1: only the last turn fits, first is pinned
+    assert got == {0: True, 1: False, 2: True}
+    # whole conversation fits: everything kept
+    out2 = truncate_context(_turns(spark, rows), budget=100, pin_first=True)
+    assert all(r.kept for r in out2.collect())
+
+
+def test_truncate_context_flags_not_filters(spark):
+    rows = [("c", 0, "user", "one two three")]
+    out = truncate_context(_turns(spark, rows), budget=1)
+    r = out.collect()[0]
+    assert r.kept is False and r.tok_count == 3  # row survives, flagged
+
+
+def test_anonymize_speakers_first_appearance(spark):
+    rows = [
+        ("c1", 0, "alice", "hi"),
+        ("c1", 1, "bob", "hey"),
+        ("c1", 2, "alice", "bye"),
+        ("c2", 0, "bob", "solo"),  # numbering restarts per conversation
+        ("c2", 1, None, "ghost"),  # NULL speaker -> NULL alias
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, speaker string, text string"
+    )
+    out = anonymize_speakers(df)
+    got = {(r.conv_id, r.turn_idx): r.speaker_alias for r in out.collect()}
+    assert got[("c1", 0)] == "speaker_1"
+    assert got[("c1", 1)] == "speaker_2"
+    assert got[("c1", 2)] == "speaker_1"
+    assert got[("c2", 0)] == "speaker_1"
+    assert got[("c2", 1)] is None
+    assert out.count() == len(rows)  # no row lost or duplicated
+
+
+def test_single_exchange_plans(spark, transcripts):
+    """validate/render/truncate are ONE hash shuffle on the key."""
+    from tests.test_plan_shapes import plan_of
+
+    assert plan_of(validate_conversations(transcripts)).count("Exchange") == 1
+    assert plan_of(render_chat(transcripts)).count("Exchange") == 1
+    assert plan_of(truncate_context(transcripts, budget=64)).count("Exchange") == 1

@@ -88,3 +88,100 @@ def test_robots_filter_longest_match_and_ties(spark):
     assert out[4].allowed and out[4].rule_path is None
     assert not out[5].allowed
     assert out[6].allowed and out[7].allowed and out[8].allowed
+
+
+ROBOTS_DELAYS = """User-agent: *
+Crawl-delay: 2
+Disallow: /private/
+
+User-agent: fastbot
+Crawl-delay: 0.5
+"""
+
+ROBOTS_DELAY_JUNK = """User-agent: *
+Crawl-delay: soon
+Crawl-delay: 1.25
+Crawl-delay: 3
+"""
+
+ROBOTS_DELAY_OUTSIDE = """User-agent: otherbot
+Crawl-delay: 9
+
+User-agent: *
+Disallow: /x
+"""
+
+
+def test_parse_crawl_delays(spark):
+    from beats_spark.operators.robots import parse_crawl_delays
+
+    df = spark.createDataFrame(
+        [
+            ("a.com", ROBOTS_DELAYS),
+            ("b.com", ROBOTS_DELAY_JUNK),
+            ("c.com", ROBOTS_DELAY_OUTSIDE),
+        ],
+        "host string, robots_txt string",
+    )
+    star = {r.host: r.crawl_delay_ms for r in parse_crawl_delays(df).collect()}
+    # * group's delay; fastbot's 0.5 belongs to another group
+    assert star == {"a.com": 2000, "b.com": 3000}  # junk ignored, max wins
+    fast = {
+        r.host: r.crawl_delay_ms
+        for r in parse_crawl_delays(df, agent="FastBot").collect()
+    }
+    # exact group preferred where named; fractional seconds -> ms
+    assert fast["a.com"] == 500
+    # c.com's only delay sits in a non-governing group: absent both times
+    assert "c.com" not in star and "c.com" not in fast
+
+
+def test_fetch_schedule(spark):
+    from beats_spark.operators.robots import fetch_schedule, parse_crawl_delays
+
+    bodies = spark.createDataFrame(
+        [("slow.com", "User-agent: *\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    delays = parse_crawl_delays(bodies)
+    urls = spark.createDataFrame(
+        [
+            (1, "http://slow.com/b", 0),
+            (2, "http://slow.com/a", 0),
+            (3, "http://slow.com/vip", 9),   # priority jumps the queue
+            (4, "http://fast.org/only", 0),  # no delay row -> default
+            (5, "plain text", 0),            # non-URL: bypasses the window
+        ],
+        "doc_id long, url string, prio int",
+    )
+    out = {
+        r.doc_id: r
+        for r in fetch_schedule(
+            urls, delays, default_delay_ms=100, priority_col="prio"
+        ).collect()
+    }
+    assert len(out) == 5
+    # slow.com queue: vip (prio 9), then /a, /b by URL order
+    assert (out[3].slot, out[3].fetch_offset_ms) == (0, 0)
+    assert (out[2].slot, out[2].fetch_offset_ms) == (1, 2000)
+    assert (out[1].slot, out[1].fetch_offset_ms) == (2, 4000)
+    assert out[1].delay_ms == 2000
+    # unknown host gets the default delay
+    assert (out[4].slot, out[4].delay_ms) == (0, 100)
+    # non-URL row: host '', slot 0, offset 0
+    assert (out[5].host, out[5].slot, out[5].fetch_offset_ms) == ("", 0, 0)
+
+
+def test_fetch_schedule_deterministic_without_priority(spark):
+    from beats_spark.operators.robots import fetch_schedule
+
+    urls = spark.createDataFrame(
+        [(i, f"http://h.com/p{i}") for i in range(20)],
+        "doc_id long, url string",
+    )
+    a = {r.doc_id: r.slot for r in fetch_schedule(urls).collect()}
+    b = {
+        r.doc_id: r.slot
+        for r in fetch_schedule(urls.repartition(7)).collect()
+    }
+    assert a == b  # slot assignment independent of partitioning
