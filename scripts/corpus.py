@@ -12,11 +12,26 @@ CLI inherits each stage's scale shape unchanged. Prints ONE JSON
 stats line (stage counts) and writes the packed manifest to
 ``--out``; the per-rule reject report lands next to it.
 
+With ``--transcripts`` the input is a TURNS table (the BASELINE
+input_hint shape: conv_id, turn_idx, role, text, …) and the chain
+front-loads the conversation stages (operators/chat.py):
+
+    validate conversations -> [context truncation] ->
+    render chat templates (+ loss-mask spans) -> document chain
+
+The rendered SFT frame (with ``loss_spans``) lands at
+``--out/rendered``; the per-rule conversation reject report at
+``--out/conv_reject_report``. The Gopher quality rules are tuned for
+prose, not chat markup — pass ``--no-quality`` for transcripts unless
+you have retuned thresholds.
+
 Examples:
     python scripts/corpus.py --input /root/testdata/sf0.001/documents.parquet \
         --out /tmp/corpus --temperature --budget 256
     python scripts/corpus.py --input crawl.parquet --out /tmp/corpus \
         --html --tokenizer bpe
+    python scripts/corpus.py --input turns.parquet --out /tmp/corpus \
+        --transcripts --order-cols turn_idx --context-budget 1024 --no-quality
 """
 
 from __future__ import annotations
@@ -40,6 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-col", default="lang")
     p.add_argument("--html", action="store_true",
                    help="input text column is raw HTML: extract first")
+    p.add_argument("--transcripts", action="store_true",
+                   help="input is a TURNS table (conv/role/order/text): "
+                        "validate -> [truncate] -> render chat templates "
+                        "before the document chain")
+    p.add_argument("--conv-col", default="conv_id")
+    p.add_argument("--role-col", default="role")
+    p.add_argument("--order-cols", default="turn_idx",
+                   help="comma-separated turn-order columns")
+    p.add_argument("--context-budget", type=int, default=0,
+                   help=">0: keep the longest suffix of whole turns per "
+                        "conversation fitting this many tokens (system "
+                        "turn pinned)")
     p.add_argument("--no-quality", action="store_true",
                    help="skip the Gopher quality filter")
     p.add_argument("--dedup", choices=["exact", "none"], default="exact")
@@ -67,11 +94,76 @@ def main(argv: list[str] | None = None) -> int:
     )
     from beats_spark.operators.textstats import quality_filter
 
+    if args.transcripts and args.html:
+        build_parser().error("--transcripts and --html are exclusive")
+    if args.transcripts and args.temperature:
+        build_parser().error(
+            "--temperature needs a per-document language column, which "
+            "rendered transcripts don't carry"
+        )
+
     spark = get_spark(cores=args.cores)
     stats: dict[str, object] = {}
     df = spark.read.parquet(args.input)
-    stats["docs_in"] = df.count()
     text_col, id_col = args.text_col, args.id_col
+
+    if args.transcripts:
+        # turns -> validity gate -> [context truncation] -> rendered
+        # SFT documents (with loss spans); the document chain below
+        # then runs over the rendered frame unchanged.
+        from beats_spark.operators.chat import (
+            render_chat,
+            truncate_context,
+            validate_conversations,
+        )
+
+        order_cols = tuple(args.order_cols.split(","))
+        stats["turns_in"] = df.count()
+        gate = validate_conversations(
+            df,
+            key_col=args.conv_col,
+            role_col=args.role_col,
+            text_col=text_col,
+            order_cols=order_cols,
+        ).persist()
+        stats["convs_in"] = gate.count()
+        conv_rejects = (
+            gate.where(~F.col("keep"))
+            .withColumn("reason", F.explode(F.split("reasons", ",")))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        conv_rejects.write.mode("overwrite").parquet(
+            f"{args.out}/conv_reject_report"
+        )
+        valid = gate.where("keep").select(args.conv_col)
+        stats["convs_valid"] = valid.count()
+        df = df.join(valid, args.conv_col, "left_semi")
+        if args.context_budget > 0:
+            df = truncate_context(
+                df,
+                args.context_budget,
+                key_col=args.conv_col,
+                order_cols=order_cols,
+                text_col=text_col,
+                token_counter=args.tokenizer,
+                pin_first=True,
+            )
+            df = df.where("kept").drop("tok_count", "suffix_toks", "kept")
+            stats["turns_kept"] = df.count()
+        rendered = render_chat(
+            df,
+            key_col=args.conv_col,
+            role_col=args.role_col,
+            text_col=text_col,
+            order_cols=order_cols,
+        )
+        rendered.write.mode("overwrite").parquet(f"{args.out}/rendered")
+        df = spark.read.parquet(f"{args.out}/rendered")
+        text_col, id_col = "rendered", args.conv_col
+        stats["docs_in"] = df.count()
+    else:
+        stats["docs_in"] = df.count()
 
     if args.html:
         from beats_spark.operators.html import extract_html_text

@@ -60,3 +60,51 @@ def test_corpus_cli_minimal_flags(spark, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["docs_in"] == 500 and stats["rows_packed"] == 500
     assert "docs_kept" not in stats and "docs_unique" not in stats
+
+
+def test_corpus_cli_transcripts_mode(spark, transcripts, tmp_path, capsys):
+    turns_path = str(tmp_path / "turns")
+    transcripts.write.mode("overwrite").parquet(turns_path)
+    out = str(tmp_path / "chat_corpus")
+    rc = corpus_cli.main(
+        [
+            "--input", turns_path,
+            "--out", out,
+            "--transcripts",
+            "--order-cols", "turn_idx",
+            "--context-budget", "64",
+            "--no-quality",
+            "--budget", "128", "--buckets", "4", "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["turns_in"] == transcripts.count()
+    assert stats["convs_in"] == 300
+    assert 0 < stats["convs_valid"] < stats["convs_in"]  # gate really fires
+    assert 0 < stats["turns_kept"] <= stats["turns_in"]
+    assert stats["docs_in"] == stats["convs_valid"]
+    assert 0 < stats["rows_packed"] <= stats["docs_in"]
+    rendered = spark.read.parquet(f"{out}/rendered")
+    assert {"rendered", "loss_spans", "n_turns", "n_loss_turns"} <= set(
+        rendered.columns
+    )
+    assert rendered.count() == stats["convs_valid"]
+    report = spark.read.parquet(f"{out}/conv_reject_report")
+    reasons = {r.reason for r in report.collect()}
+    assert reasons  # synth corpus trips at least one validity rule
+    assert reasons <= {
+        "empty_turn", "bad_role", "missing_required",
+        "bad_opening", "dangling_turn",
+    }
+
+
+def test_corpus_cli_transcripts_flag_conflicts(tmp_path):
+    import pytest
+
+    for extra in (["--html"], ["--temperature"]):
+        with pytest.raises(SystemExit):
+            corpus_cli.main(
+                ["--input", "x", "--out", str(tmp_path), "--transcripts"]
+                + extra
+            )
