@@ -5089,6 +5089,293 @@ FROM fx WHERE host = ''
 """
 
 
+def q_frontier_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-frontier merge (crawl.frontier_update): new
+    links deduped with summed in-degrees, anti-joined against the
+    frontier and the seen set, per-host capped at 10 — the wave-N →
+    wave-N+1 step of the crawl loop. The oracle replays the whole
+    merge from the same fixture arithmetic."""
+    from beats_spark.operators.crawl import frontier_update
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url_of = lambda k: F.format_string(  # noqa: E731
+        "http://h%d.example.com/p/%d", k % 10, k
+    )
+    frontier = docs.where(did % 4 == 0).select(url_of(did).alias("url"))
+    new_links = docs.select(
+        url_of(did % 300).alias("canonical_link"),
+        (did % 7 + 1).cast("int").alias("n_refs"),
+    )
+    seen = docs.where(did % 5 == 0).select(url_of(did).alias("url"))
+    return frontier_update(
+        frontier, new_links, seen, rank_col="n_refs", max_per_host=10
+    )
+
+
+_SQL_FRONTIER_UPDATE = r"""
+WITH fr AS (
+  SELECT 'http://h' || (doc_id % 10)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS url,
+         'h' || (doc_id % 10)::VARCHAR || '.example.com' AS host
+  FROM documents WHERE doc_id % 4 = 0
+), nl AS (
+  SELECT 'http://h' || ((doc_id % 300) % 10)::VARCHAR || '.example.com/p/' || (doc_id % 300)::VARCHAR AS url,
+         'h' || ((doc_id % 300) % 10)::VARCHAR || '.example.com' AS host,
+         (doc_id % 7 + 1) AS r
+  FROM documents
+), agg AS (
+  SELECT url, host, sum(r)::BIGINT AS rank FROM nl GROUP BY url, host
+), sn AS (
+  SELECT 'http://h' || (doc_id % 10)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS url
+  FROM documents WHERE doc_id % 5 = 0
+), cand AS (
+  SELECT a.* FROM agg a
+  WHERE NOT EXISTS (SELECT 1 FROM fr WHERE fr.url = a.url)
+    AND NOT EXISTS (SELECT 1 FROM sn WHERE sn.url = a.url)
+), capped AS (
+  SELECT url, host FROM (
+    SELECT url, host,
+           row_number() OVER (PARTITION BY host ORDER BY rank DESC, url) AS rn
+    FROM cand
+  ) WHERE rn <= 10
+)
+SELECT url, host, false AS is_new FROM fr
+UNION ALL
+SELECT url, host, true AS is_new FROM capped
+"""
+
+
+def q_parse_sitemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (crawl.parse_sitemap): urlset and
+    sitemapindex documents → (kind, loc, lastmod) rows, entity-decoded
+    and trimmed; loc-less entries dropped. The oracle constructs the
+    expected rows analytically from the same fixture arithmetic — the
+    regex extractor and its SQL twin cannot drift apart without a
+    hash mismatch."""
+    from beats_spark.operators.crawl import parse_sitemap
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urlset = F.format_string(
+        "<urlset><url><loc> http://h%d.example.com/p/%d?a=1&amp;b=2 </loc>"
+        "<lastmod>2026-01-%02d</lastmod></url>"
+        "<url><loc>/rel/%d</loc></url>"
+        "<url><lastmod>2026-03-01</lastmod></url></urlset>",
+        did % 10,
+        did,
+        did % 28 + 1,
+        did,
+    )
+    index = F.format_string(
+        "<sitemapindex><sitemap><loc>http://h%d.example.com/sitemap-%d.xml</loc>"
+        "<lastmod>2026-02-02</lastmod></sitemap>"
+        "<sitemap><loc> nested.xml </loc></sitemap></sitemapindex>",
+        did % 10,
+        did,
+    )
+    xml = F.when(did % 13 == 0, index).otherwise(urlset)
+    return parse_sitemap(docs.select(did, xml.alias("sitemap_xml")))
+
+
+_SQL_PARSE_SITEMAP = r"""
+WITH u AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0),
+     i AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0)
+SELECT doc_id, 'url' AS kind,
+       'http://h' || (doc_id % 10)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR || '?a=1&b=2' AS loc,
+       '2026-01-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS lastmod
+FROM u
+UNION ALL
+SELECT doc_id, 'url', '/rel/' || doc_id::VARCHAR, '' FROM u
+UNION ALL
+SELECT doc_id, 'sitemap',
+       'http://h' || (doc_id % 10)::VARCHAR || '.example.com/sitemap-' || doc_id::VARCHAR || '.xml',
+       '2026-02-02'
+FROM i
+UNION ALL
+SELECT doc_id, 'sitemap', 'nested.xml', '' FROM i
+"""
+
+
+def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage rollup (sessions.tool_stats) over the event
+    turns: calls, distinct conversations, mean queue position —
+    NULL/'none' sentinel rows excluded as non-calls."""
+    from beats_spark.operators.sessions import tool_stats
+
+    ev = _load(spark, sf_dir, "events")
+    tool = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit("t"), (F.col("event_id") % 4).cast("string")),
+        )
+        .when(F.col("event_type") == "click", F.lit("none"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    turns = ev.select(
+        "user_id", tool.alias("tool"), (F.col("event_id") % 100).alias("pos")
+    )
+    return tool_stats(turns, tool_col="tool", key_col="user_id", pos_col="pos")
+
+
+_SQL_TOOL_STATS = r"""
+WITH t AS (
+  SELECT user_id, 't' || (event_id % 4)::VARCHAR AS tool, (event_id % 100) AS pos
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT tool, count(*)::BIGINT AS n_calls,
+       count(DISTINCT user_id)::BIGINT AS n_convs,
+       (sum(pos) * 1000 // greatest(count(*), 1))::BIGINT AS mean_pos_milli
+FROM t GROUP BY tool
+"""
+
+
+def _warc_fixture_blob(did, body):
+    """Per-doc WARC blob: a response record wrapping an HTTP payload
+    whose body is ``body``; every 11th document is prefixed with a
+    warcinfo record (multi-record framing)."""
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body
+    )
+    resp = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.format_string("http://h%d.example.com/p/%d", did % 10, did),
+        F.lit("\r\nWARC-Date: 2026-01-02T03:04:05Z\r\nWARC-Record-ID: <urn:uuid:"),
+        did.cast("string"),
+        F.lit(">\r\nContent-Type: application/http;msgtype=response"),
+        F.lit("\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    info = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info-"),
+        did.cast("string"),
+        F.lit(">\r\nContent-Type: application/warc-fields"),
+        F.lit("\r\nContent-Length: 21\r\n\r\nsoftware: spark-graft\r\n\r\n"),
+    )
+    return F.when(did % 11 == 0, F.concat(info, resp)).otherwise(resp)
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parsing (sources/warc.py): per-document WARC blobs
+    — a response record wrapping an HTTP payload, every 11th document
+    prefixed with a warcinfo record — framed by Content-Length byte
+    counts and split into (type, uri, id, http status/content-type,
+    body). The oracle constructs every expected row analytically from
+    the fixture arithmetic, so framing and the HTTP sub-parse are
+    value-exact; payloads compare as decoded text (DuckDB hashes
+    strings, not blobs)."""
+    from beats_spark.sources.warc import parse_warc_records
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.concat(
+        F.lit("body-"),
+        did.cast("string"),
+        F.lit("-"),
+        F.repeat(F.lit("x"), (did % 7).cast("int")),
+    )
+    blob = _warc_fixture_blob(did, body)
+    frame = docs.select(
+        did.cast("string").alias("path"),
+        F.encode(blob, "UTF-8").alias("content"),
+    )
+    out = parse_warc_records(frame, "content", "path")
+    return out.select(
+        F.col("file").cast("long").alias("doc_id"),
+        "rec_no",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "record_id",
+        "content_type",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        F.decode(F.col("payload"), "UTF-8").alias("payload_text"),
+        "truncated",
+    )
+
+
+_SQL_WARC_PARSE = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END::BIGINT AS rec_no,
+       'response' AS warc_type,
+       'http://h' || (doc_id % 10)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS target_uri,
+       '2026-01-02T03:04:05Z' AS warc_date,
+       '<urn:uuid:' || doc_id::VARCHAR || '>' AS record_id,
+       'application/http;msgtype=response' AS content_type,
+       (44 + 6 + len(doc_id::VARCHAR) + doc_id % 7)::BIGINT AS content_length,
+       200 AS http_status,
+       'text/html' AS http_content_type,
+       'body-' || doc_id::VARCHAR || '-' || repeat('x', (doc_id % 7)::INT) AS payload_text,
+       false AS truncated
+FROM documents
+UNION ALL
+SELECT doc_id, 0::BIGINT, 'warcinfo', NULL, NULL,
+       '<urn:uuid:info-' || doc_id::VARCHAR || '>',
+       'application/warc-fields', 21::BIGINT, NULL, NULL,
+       'software: spark-graft', false
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_warc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-in/corpus-out front half composed end-to-end: WARC
+    response records → HTTP body → HTML → extracted text. The WARC
+    framing must deliver the HTML payload byte-exact for the
+    extraction oracle (the html_steps_sql battery over the same
+    analytic HTML) to hash-match."""
+    from beats_spark.operators.html import extract_html_text
+    from beats_spark.sources.warc import parse_warc_records
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = F.format_string(
+        "<html><head><title>T%d</title><script>sj()</script></head>"
+        "<body><h1>Head %d</h1><p>para one of %d</p>"
+        "<p>&amp; two &lt;ok&gt;</p><!-- c --></body></html>",
+        did % 20,
+        did,
+        did,
+    )
+    frame = docs.select(
+        did.cast("string").alias("path"),
+        F.encode(_warc_fixture_blob(did, body), "UTF-8").alias("content"),
+    )
+    recs = parse_warc_records(frame, "content", "path").where(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    html = recs.select(
+        F.col("file").cast("long").alias("doc_id"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    out = extract_html_text(html, "html", "text_out")
+    return out.select(
+        "doc_id", "text_out", F.length("text_out").cast("long").alias("n_chars")
+    )
+
+
+def _sql_warc_corpus() -> str:
+    from beats_spark.operators.html import html_steps_sql
+
+    body = (
+        "'<html><head><title>T' || (doc_id % 20)::VARCHAR || "
+        "'</title><script>sj()</script></head>"
+        "<body><h1>Head ' || doc_id::VARCHAR || "
+        "'</h1><p>para one of ' || doc_id::VARCHAR || "
+        "'</p><p>&amp; two &lt;ok&gt;</p><!-- c --></body></html>'"
+    )
+    return f"""
+WITH html AS (SELECT doc_id, {body} AS html FROM documents)
+SELECT doc_id,
+       {html_steps_sql('html')} AS text_out,
+       length({html_steps_sql('html')})::BIGINT AS n_chars
+FROM html
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5105,6 +5392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "warc_parse": q_warc_parse,
+        "warc_corpus": q_warc_corpus,
+        "frontier_update": q_frontier_update,
+        "parse_sitemap": q_parse_sitemap,
+        "tool_stats": q_tool_stats,
         "conversation_filter": q_conversation_filter,
         "render_chat": q_render_chat,
         "truncate_context": q_truncate_context,
@@ -5210,6 +5502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "warc_parse": _SQL_WARC_PARSE,
+        "warc_corpus": _sql_warc_corpus(),
+        "frontier_update": _SQL_FRONTIER_UPDATE,
+        "parse_sitemap": _SQL_PARSE_SITEMAP,
+        "tool_stats": _SQL_TOOL_STATS,
         "conversation_filter": _SQL_CONVERSATION_FILTER,
         "render_chat": _SQL_RENDER_CHAT,
         "truncate_context": _SQL_TRUNCATE_CONTEXT,

@@ -1,0 +1,154 @@
+"""Crawl-loop operators: incremental frontier maintenance and sitemap
+ingestion.
+
+Together with extract_links (operators/html.py), url_filter/url_dedup
+(operators/urlnorm.py) and the robots gate + politeness scheduler
+(operators/robots.py), these close the crawl loop: fetch wave N →
+extract links → ``frontier_update`` merges the unseen ones into the
+frontier (per-host cap against crawler traps) → robots/url gates →
+``fetch_schedule`` orders wave N+1. ``parse_sitemap`` feeds the same
+frontier from the other public discovery channel (sitemaps.org
+protocol: <urlset>/<sitemapindex> documents referenced by robots.txt).
+
+The reference (a log shipper) has no crawl surface; both operators are
+engine additions for the corpus path, pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def frontier_update(
+    frontier: DataFrame,
+    new_links: DataFrame,
+    seen: DataFrame | None = None,
+    url_col: str = "url",
+    link_col: str = "canonical_link",
+    rank_col: str | None = None,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Merge newly extracted links into the crawl frontier.
+
+    The next frontier is the current one plus every distinct new link
+    that is in neither the frontier nor the ``seen`` set (already
+    fetched). New links are deduplicated (summing ``rank_col`` — e.g.
+    extract_links in-degrees — across duplicates) and optionally
+    capped per host at ``max_per_host``, keeping the highest-ranked
+    (then lexicographically first) URLs: the standard defense against
+    crawler traps minting unbounded URLs under one host.
+
+    Output: ``url_col``, ``host``, ``is_new``. Rows that are not
+    absolute URLs get host '' and BYPASS the per-host cap window (the
+    NULL-funnel discipline — junk must not pile into one task); route
+    them out with url_filter if they should not survive.
+
+    Scale shape: one distinct-aggregate on the new-link key, two
+    anti-joins keyed on the URL (both sides hash-partition on the same
+    key; AQE broadcasts small frontiers/seen sets), and one bounded
+    row_number window per host for the cap. The frontier itself is
+    never windowed or sorted.
+    """
+    from beats_spark.operators.urlnorm import url_host
+
+    rank = (
+        F.sum(F.col(rank_col)) if rank_col is not None else F.count(F.lit(1))
+    )
+    new = (
+        new_links.select(F.col(link_col).alias(url_col), *(
+            [F.col(rank_col)] if rank_col is not None else []
+        ))
+        .groupBy(url_col)
+        .agg(rank.cast("long").alias("_rank"))
+    )
+    new = new.join(frontier.select(url_col), url_col, "left_anti")
+    if seen is not None:
+        new = new.join(seen.select(url_col), url_col, "left_anti")
+    new = new.withColumn("host", url_host(F.col(url_col)))
+    if max_per_host is not None:
+        if max_per_host <= 0:
+            raise ValueError("max_per_host must be positive")
+        real = new.where(F.col("host") != "")
+        stray = new.where(F.col("host") == "")
+        w = Window.partitionBy("host").orderBy(
+            F.col("_rank").desc(), F.col(url_col).asc()
+        )
+        real = (
+            real.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_per_host)
+            .drop("_rn")
+        )
+        new = real.unionByName(stray)
+    old = frontier.select(
+        F.col(url_col),
+        url_host(F.col(url_col)).alias("host"),
+        F.lit(False).alias("is_new"),
+    )
+    return old.unionByName(
+        new.select(F.col(url_col), "host", F.lit(True).alias("is_new"))
+    )
+
+
+# minimal XML entity table for <loc> values (sitemaps are XML, so '&'
+# in URLs arrives as '&amp;'); '&amp;' decodes LAST — single-pass
+# order, same discipline as html.py's entity step
+_LOC_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sitemap / sitemap-index documents → one row per referenced URL.
+
+    Handles both sitemaps.org document kinds: ``<urlset>`` entries
+    (kind 'url' — page URLs for the frontier) and ``<sitemapindex>``
+    entries (kind 'sitemap' — nested sitemap URLs to fetch next).
+    Emits (id, kind, loc, lastmod): ``loc`` whitespace-trimmed and
+    XML-entity-decoded (the five predefined entities), ``lastmod`` the
+    raw W3C datetime string ('' when absent — parse downstream with
+    try_to_timestamp). Entries without a ``<loc>`` are dropped.
+
+    Documented subset (regex extractor, mirrored by the oracle): no
+    CDATA sections, no XML namespaces/prefixes on the entry tags, and
+    a 50k-entry document (the protocol's own cap) is one row's arrays
+    — fine at any scale since nothing aggregates.
+
+    Scale shape: one codegen projection + a narrow explode; zero
+    shuffles until the frontier consumes the rows.
+    """
+    xml = F.col(xml_col)
+
+    def entry(kind: str, seg):
+        loc = F.trim(F.regexp_extract(seg, r"(?s)<loc>\s*(.*?)\s*</loc>", 1))
+        for ent, ch in _LOC_ENTITIES:
+            loc = F.replace(loc, F.lit(ent), F.lit(ch))
+        lastmod = F.trim(
+            F.regexp_extract(seg, r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+        )
+        return F.struct(
+            F.lit(kind).alias("kind"), loc.alias("loc"), lastmod.alias("lastmod")
+        )
+
+    urls = F.transform(
+        F.regexp_extract_all(xml, F.lit(r"(?s)<url>(.*?)</url>"), F.lit(1)),
+        lambda s: entry("url", s),
+    )
+    maps = F.transform(
+        F.regexp_extract_all(
+            xml, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), F.lit(1)
+        ),
+        lambda s: entry("sitemap", s),
+    )
+    entries = F.filter(
+        F.concat(urls, maps), lambda e: e.getField("loc") != ""
+    )
+    ex = df.select(F.col(id_col), F.explode(entries).alias("_e"))
+    return ex.select(
+        id_col,
+        F.col("_e.kind").alias("kind"),
+        F.col("_e.loc").alias("loc"),
+        F.col("_e.lastmod").alias("lastmod"),
+    )

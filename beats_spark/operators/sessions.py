@@ -131,3 +131,42 @@ def conversation_stats(
             F.expr("total_chars * 1000 div greatest(n_turns, 1)"),
         )
     )
+
+
+def tool_stats(
+    df: DataFrame,
+    tool_col: str = "tool",
+    key_col: str = "conv_id",
+    pos_col: str = "turn_idx",
+    none_values: tuple[str, ...] = ("none", ""),
+) -> DataFrame:
+    """Per-tool usage rollup over agent transcripts: how often each
+    tool is called, across how many conversations, and where in the
+    conversation it tends to appear — the signals a curator uses to
+    spot degenerate tool loops and dead tools before assembling
+    training documents. Rows whose tool is NULL or in ``none_values``
+    are not tool calls and are ignored.
+
+    Per tool: ``n_calls``, ``n_convs`` (distinct conversations), and
+    ``mean_pos_milli`` = mean ``pos_col`` × 1000 as an exact integer
+    division (engine-portable, no float).
+
+    Scale shape: one groupBy(tool) with map-side partial aggregation;
+    the distinct-conversation count rekeys on (tool, conv) first —
+    two small shuffles of (tool, conv) pairs, never the turn text.
+    """
+    calls = df.where(
+        F.col(tool_col).isNotNull() & ~F.col(tool_col).isin(*none_values)
+    )
+    return (
+        calls.groupBy(F.col(tool_col).alias("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.countDistinct(F.col(key_col)).alias("n_convs"),
+            F.sum(F.col(pos_col)).cast("long").alias("_pos_sum"),
+        )
+        .withColumn(
+            "mean_pos_milli", F.expr("_pos_sum * 1000 div greatest(n_calls, 1)")
+        )
+        .drop("_pos_sum")
+    )

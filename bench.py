@@ -198,6 +198,11 @@ EXT_QUERIES = [
     "truncate_context",
     "anonymize_speakers",
     "fetch_schedule",
+    "frontier_update",
+    "parse_sitemap",
+    "tool_stats",
+    "warc_parse",
+    "warc_corpus",
 ]
 
 

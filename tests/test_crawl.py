@@ -1,0 +1,127 @@
+"""Crawl-loop operators (operators/crawl.py): incremental frontier
+merge and sitemap ingestion; plus the tool-usage rollup
+(sessions.tool_stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.operators.crawl import frontier_update, parse_sitemap
+
+
+def test_frontier_update_merge(spark):
+    frontier = spark.createDataFrame(
+        [("http://a.com/1",), ("http://a.com/2",)], "url string"
+    )
+    new = spark.createDataFrame(
+        [
+            ("http://a.com/2", 5),   # already in frontier -> dropped
+            ("http://a.com/3", 2),
+            ("http://a.com/3", 1),   # duplicate link: ranks sum to 3
+            ("http://b.com/1", 9),
+            ("http://b.com/2", 1),   # seen -> dropped
+            ("junk not a url", 1),   # host '' bypasses the cap window
+        ],
+        "canonical_link string, n_refs int",
+    )
+    seen = spark.createDataFrame([("http://b.com/2",)], "url string")
+    out = frontier_update(
+        frontier, new, seen, rank_col="n_refs", max_per_host=10
+    )
+    rows = {(r.url, r.host, r.is_new) for r in out.collect()}
+    assert rows == {
+        ("http://a.com/1", "a.com", False),
+        ("http://a.com/2", "a.com", False),
+        ("http://a.com/3", "a.com", True),
+        ("http://b.com/1", "b.com", True),
+        ("junk not a url", "", True),
+    }
+
+
+def test_frontier_update_per_host_cap(spark):
+    frontier = spark.createDataFrame([("http://z.org/seed",)], "url string")
+    new = spark.createDataFrame(
+        [(f"http://trap.com/{i:03d}", 100 - i) for i in range(50)]
+        + [("http://ok.org/x", 1)],
+        "canonical_link string, n_refs int",
+    )
+    out = frontier_update(frontier, new, rank_col="n_refs", max_per_host=3)
+    added = sorted(r.url for r in out.collect() if r.is_new and r.host == "trap.com")
+    # highest rank = lowest index; cap keeps the top 3
+    assert added == ["http://trap.com/000", "http://trap.com/001", "http://trap.com/002"]
+    assert {r.url for r in out.collect() if r.host == "ok.org"} == {"http://ok.org/x"}
+
+
+def test_frontier_update_without_rank_counts_refs(spark):
+    frontier = spark.createDataFrame([("http://x.com/f",)], "url string")
+    new = spark.createDataFrame(
+        [("http://x.com/a",), ("http://x.com/a",), ("http://x.com/b",)],
+        "canonical_link string",
+    )
+    out = frontier_update(frontier, new, max_per_host=1)
+    # without rank_col the in-degree (count) ranks: /a (2 refs) wins
+    assert {r.url for r in out.collect() if r.is_new} == {"http://x.com/a"}
+
+
+SITEMAP = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc> http://e.com/a?x=1&amp;y=2 </loc>
+    <lastmod>2026-01-05</lastmod>
+  </url>
+  <url><loc>http://e.com/b</loc></url>
+  <url><lastmod>2026-03-01</lastmod></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>http://e.com/maps/one.xml</loc><lastmod>2026-02-02T10:00:00Z</lastmod></sitemap>
+  <sitemap><loc>http://e.com/maps/two.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap(spark):
+    df = spark.createDataFrame(
+        [(1, SITEMAP), (2, SITEMAP_INDEX), (3, "<urlset></urlset>")],
+        "doc_id long, sitemap_xml string",
+    )
+    rows = {
+        (r.doc_id, r.kind, r.loc, r.lastmod)
+        for r in parse_sitemap(df).collect()
+    }
+    assert rows == {
+        (1, "url", "http://e.com/a?x=1&y=2", "2026-01-05"),  # entity + trim
+        (1, "url", "http://e.com/b", ""),
+        (2, "sitemap", "http://e.com/maps/one.xml", "2026-02-02T10:00:00Z"),
+        (2, "sitemap", "http://e.com/maps/two.xml", ""),
+    }  # loc-less entry and empty doc emit nothing
+
+
+def test_parse_sitemap_zero_shuffle_plan(spark):
+    from tests.test_plan_shapes import plan_of
+
+    df = spark.createDataFrame([(1, SITEMAP)], "doc_id long, sitemap_xml string")
+    assert "Exchange" not in plan_of(parse_sitemap(df))
+
+
+def test_tool_stats(spark):
+    from beats_spark.operators.sessions import tool_stats
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "search"),
+            ("c1", 2, "search"),
+            ("c1", 4, "calc"),
+            ("c2", 1, "search"),
+            ("c2", 3, None),      # not a call
+            ("c2", 5, "none"),    # sentinel: not a call
+        ],
+        "conv_id string, turn_idx int, tool string",
+    )
+    got = {
+        r.tool: (r.n_calls, r.n_convs, r.mean_pos_milli)
+        for r in tool_stats(df).collect()
+    }
+    assert got == {
+        "search": (3, 2, 1000),  # positions 0,2,1 -> mean 1.000
+        "calc": (1, 1, 4000),
+    }

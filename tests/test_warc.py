@@ -1,0 +1,104 @@
+"""WARC record reader (sources/warc.py): framing, HTTP sub-parse,
+member-gzip, truncation tolerance, per-file parallel read."""
+
+from __future__ import annotations
+
+import gzip
+
+from beats_spark.sources.warc import parse_warc_bytes, read_warc
+
+CRLF = b"\r\n"
+
+
+def _record(
+    warc_type: bytes,
+    payload: bytes,
+    uri: bytes | None = None,
+    extra: bytes = b"",
+) -> bytes:
+    hdr = b"WARC/1.0" + CRLF
+    hdr += b"WARC-Type: " + warc_type + CRLF
+    if uri is not None:
+        hdr += b"WARC-Target-URI: " + uri + CRLF
+    hdr += b"WARC-Date: 2026-01-02T03:04:05Z" + CRLF
+    hdr += b"WARC-Record-ID: <urn:uuid:" + warc_type + b"-1>" + CRLF
+    hdr += extra
+    hdr += b"Content-Length: " + str(len(payload)).encode() + CRLF
+    return hdr + CRLF + payload + CRLF + CRLF
+
+
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"Server: x\r\n\r\n<html>hi\r\n\r\nbody with blank lines</html>"
+)
+
+WARC_BLOB = (
+    _record(b"warcinfo", b"software: testcrawler", extra=b"Content-Type: application/warc-fields\r\n")
+    + _record(b"request", b"GET / HTTP/1.1\r\nHost: e.com\r\n\r\n", uri=b"http://e.com/")
+    + _record(b"response", HTTP_PAYLOAD, uri=b"http://e.com/")
+)
+
+
+def test_parse_warc_bytes_frames_and_http():
+    recs = parse_warc_bytes(WARC_BLOB)
+    assert [r[1] for r in recs] == ["warcinfo", "request", "response"]
+    info, req, resp = recs
+    assert info[5] == "application/warc-fields"
+    assert info[9] == b"software: testcrawler" and info[10] is False
+    # request payload starts with an HTTP REQUEST line -> not a response:
+    # http fields stay NULL, payload untouched
+    assert req[2] == "http://e.com/" and req[7] is None
+    assert req[9].startswith(b"GET / ")
+    # response: status + content-type split out, payload = body only
+    assert resp[7] == 200
+    assert resp[8] == "text/html; charset=utf-8"
+    assert resp[9] == b"<html>hi\r\n\r\nbody with blank lines</html>"
+    assert resp[3] == "2026-01-02T03:04:05Z"
+    assert resp[4] == "<urn:uuid:response-1>"
+    assert resp[6] == len(HTTP_PAYLOAD)
+
+
+def test_parse_warc_bytes_member_gzip_and_padding():
+    members = b"".join(
+        gzip.compress(_record(b"response", HTTP_PAYLOAD, uri=f"http://e.com/{i}".encode()))
+        for i in range(3)
+    )
+    recs = parse_warc_bytes(members)
+    assert [r[2] for r in recs] == [f"http://e.com/{i}" for i in range(3)]
+    assert all(r[7] == 200 for r in recs)
+    # stray padding between plain records is skipped
+    padded = WARC_BLOB.replace(CRLF + CRLF + b"WARC/", CRLF + CRLF + b"junk\r\nWARC/")
+    assert len(parse_warc_bytes(padded)) == 3
+
+
+def test_parse_warc_bytes_lf_only_and_truncated():
+    lf_rec = (
+        b"WARC/1.0\nWARC-Type: metadata\nContent-Length: 4\n\nabcd\n\n"
+    )
+    recs = parse_warc_bytes(lf_rec)
+    assert recs[0][1] == "metadata" and recs[0][9] == b"abcd"
+    # payload cut short at EOF -> truncated flag, partial payload kept
+    cut = _record(b"response", HTTP_PAYLOAD)[: -(len(CRLF) * 2 + 10)]
+    recs = parse_warc_bytes(cut)
+    assert recs[0][10] is True and len(recs[0][9]) > 0
+    # header block that never terminates
+    recs = parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert recs[0][1] == "conversion" and recs[0][10] is True
+
+
+def test_read_warc_files(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(WARC_BLOB)
+    (d / "b.warc.gz").write_bytes(
+        gzip.compress(_record(b"response", HTTP_PAYLOAD, uri=b"http://g.com/z"))
+    )
+    out = read_warc(spark, str(d)).collect()
+    assert len(out) == 4
+    by_uri = {(r.file.split("/")[-1], r.rec_no): r for r in out}
+    a2 = by_uri[("a.warc", 2)]
+    assert a2.warc_type == "response" and a2.http_status == 200
+    assert bytes(a2.payload) == b"<html>hi\r\n\r\nbody with blank lines</html>"
+    b0 = by_uri[("b.warc.gz", 0)]
+    assert b0.target_uri == "http://g.com/z" and b0.http_status == 200
+    assert not any(r.truncated for r in out)
