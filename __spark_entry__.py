@@ -5376,6 +5376,38 @@ FROM html
 """
 
 
+def q_boilerplate_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level boilerplate detection (chat.flag_boilerplate_turns):
+    every third event carries one of five canned replies recurring
+    across many conversations; the rest are unique. Canned turns must
+    flag is_boilerplate with their exact distinct-conversation count."""
+    from beats_spark.operators.chat import flag_boilerplate_turns
+
+    ev = _load(spark, sf_dir, "events")
+    text = F.when(
+        F.col("event_id") % 3 == 0,
+        F.format_string("canned reply %d", F.col("event_id") % 5),
+    ).otherwise(F.format_string("unique msg %d", F.col("event_id")))
+    turns = ev.select("user_id", "event_id", text.alias("text"))
+    out = flag_boilerplate_turns(turns, key_col="user_id", min_convs=3)
+    return out.select("user_id", "event_id", "turn_convs", "is_boilerplate")
+
+
+_SQL_BOILERPLATE_TURNS = r"""
+WITH t AS (
+  SELECT user_id, event_id,
+    CASE WHEN event_id % 3 = 0 THEN 'canned reply ' || (event_id % 5)::VARCHAR
+         ELSE 'unique msg ' || event_id::VARCHAR END AS text
+  FROM events
+), f AS (
+  SELECT text, count(DISTINCT user_id) AS c FROM t GROUP BY text
+)
+SELECT t.user_id, t.event_id, f.c::BIGINT AS turn_convs,
+       (f.c >= 3) AS is_boilerplate
+FROM t JOIN f USING (text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5394,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions ------------------------------------------
         "warc_parse": q_warc_parse,
         "warc_corpus": q_warc_corpus,
+        "boilerplate_turns": q_boilerplate_turns,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5504,6 +5537,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "warc_parse": _SQL_WARC_PARSE,
         "warc_corpus": _sql_warc_corpus(),
+        "boilerplate_turns": _SQL_BOILERPLATE_TURNS,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

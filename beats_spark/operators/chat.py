@@ -320,3 +320,41 @@ def anonymize_speakers(
         ).alias("speaker_alias"),
     )
     return df.join(aliases, on=[key_col, speaker_col], how="left")
+
+
+def flag_boilerplate_turns(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    text_col: str = "text",
+    min_convs: int = 3,
+) -> DataFrame:
+    """Turn-level boilerplate detection — the transcript twin of the
+    CCNet line pass (dedup.line_level_dedup): a turn whose normalized
+    text (lowercased, whitespace-collapsed, trimmed) appears in at
+    least ``min_convs`` DISTINCT conversations is template chrome
+    (canned greetings, boilerplate refusals, tool banners), not
+    dialogue. Adds ``turn_convs`` (distinct conversations sharing the
+    turn text; NULL-text turns get 0) and ``is_boilerplate`` — a flag,
+    not a filter (tag-and-continue; filter or mask downstream).
+
+    Scale shape: the frequency frame shuffles 16-byte md5 keys plus
+    the conv id — never the turn text — with map-side distinct
+    partials; the join back is key-hashed and AQE-planned. Identical
+    to the line-pass cost class.
+    """
+    norm = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    )
+    freq = (
+        df.select(F.col(key_col), norm.alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.countDistinct(F.col(key_col)).alias("turn_convs"))
+    )
+    return (
+        df.withColumn("_k", norm)
+        .join(freq, "_k", "left")
+        .withColumn("turn_convs", F.coalesce(F.col("turn_convs"), F.lit(0)))
+        .withColumn("is_boilerplate", F.col("turn_convs") >= min_convs)
+        .drop("_k")
+    )

@@ -203,6 +203,7 @@ EXT_QUERIES = [
     "tool_stats",
     "warc_parse",
     "warc_corpus",
+    "boilerplate_turns",
 ]
 
 

@@ -32,6 +32,8 @@ Examples:
         --html --tokenizer bpe
     python scripts/corpus.py --input turns.parquet --out /tmp/corpus \
         --transcripts --order-cols turn_idx --context-budget 1024 --no-quality
+    python scripts/corpus.py --input segments/ --input-format warc \
+        --out /tmp/corpus   # WARC 200-OK responses -> html -> the chain
 """
 
 from __future__ import annotations
@@ -49,6 +51,10 @@ from pyspark.sql import functions as F
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--input-format", choices=["parquet", "warc"],
+                   default="parquet",
+                   help="warc: --input is a WARC file/dir; 200-OK response "
+                        "records become HTML documents (implies --html)")
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
@@ -102,10 +108,30 @@ def main(argv: list[str] | None = None) -> int:
             "rendered transcripts don't carry"
         )
 
+    if args.input_format == "warc" and args.transcripts:
+        build_parser().error("--input-format warc and --transcripts are exclusive")
+
     spark = get_spark(cores=args.cores)
     stats: dict[str, object] = {}
-    df = spark.read.parquet(args.input)
     text_col, id_col = args.text_col, args.id_col
+    if args.input_format == "warc":
+        from beats_spark.sources.warc import read_warc
+
+        recs = read_warc(spark, args.input)
+        stats["warc_records"] = recs.count()
+        ok = recs.where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & ~F.col("truncated")
+        )
+        df = ok.select(
+            F.concat_ws(":", F.col("file"), F.col("rec_no")).alias(id_col),
+            F.col("target_uri").alias("url"),
+            F.decode(F.col("payload"), "UTF-8").alias(text_col),
+        )
+        args.html = True
+    else:
+        df = spark.read.parquet(args.input)
 
     if args.transcripts:
         # turns -> validity gate -> [context truncation] -> rendered

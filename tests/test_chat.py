@@ -225,3 +225,56 @@ def test_single_exchange_plans(spark, transcripts):
     assert plan_of(validate_conversations(transcripts)).count("Exchange") == 1
     assert plan_of(render_chat(transcripts)).count("Exchange") == 1
     assert plan_of(truncate_context(transcripts, budget=64)).count("Exchange") == 1
+
+
+def test_render_chat_unicode_span_property(spark):
+    """Loss spans are CHARACTER offsets: random multibyte/emoji/CJK
+    texts must slice back out of the rendered string exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text_st = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), min_codepoint=32
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(text_st, min_size=1, max_size=5))
+    def check(texts):
+        rows = [
+            ("c", i, "assistant" if i % 2 else "user", t)
+            for i, t in enumerate(texts)
+        ]
+        r = render_chat(_turns(spark, rows)).collect()[0]
+        spans = [s for s in r.loss_spans.split(",") if s]
+        want = [t for i, t in enumerate(texts) if i % 2]
+        assert len(spans) == len(want)
+        for span, t in zip(spans, want):
+            a, b = map(int, span.split(":"))
+            assert r.rendered[a:b] == t
+
+    check()
+
+
+def test_flag_boilerplate_turns(spark):
+    from beats_spark.operators.chat import flag_boilerplate_turns
+
+    rows = [
+        ("c1", 0, "assistant", "How can I help?"),
+        ("c2", 0, "assistant", "  how   can i HELP? "),  # same normalized
+        ("c3", 0, "assistant", "How can I help?"),
+        ("c1", 1, "user", "explain monads"),
+        ("c1", 2, "assistant", None),  # NULL text: never boilerplate
+        ("c1", 3, "user", "How can I help?"),  # same conv as c1 turn 0
+    ]
+    out = flag_boilerplate_turns(_turns(spark, rows), min_convs=3)
+    got = {(r.conv_id, r.turn_idx): (r.turn_convs, r.is_boilerplate) for r in out.collect()}
+    assert got[("c1", 0)] == (3, True)   # c1,c2,c3 share it (c1 twice = once)
+    assert got[("c2", 0)] == (3, True)
+    assert got[("c1", 3)] == (3, True)
+    assert got[("c1", 1)] == (1, False)
+    assert got[("c1", 2)] == (0, False)
+    assert out.count() == len(rows)

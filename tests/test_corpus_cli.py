@@ -108,3 +108,36 @@ def test_corpus_cli_transcripts_flag_conflicts(tmp_path):
                 ["--input", "x", "--out", str(tmp_path), "--transcripts"]
                 + extra
             )
+
+
+def test_corpus_cli_warc_input(spark, tmp_path, capsys):
+    from tests.test_warc import _record
+
+    d = tmp_path / "segments"
+    d.mkdir()
+    html = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><h1>Title</h1><p>a real paragraph of text here "
+        b"that should survive the quality gate in spirit</p></body></html>"
+    )
+    blob = b"".join(
+        _record(b"response", html.replace(b"Title", b"Title %d" % i),
+                uri=b"http://e.com/%d" % i)
+        for i in range(5)
+    ) + _record(b"request", b"GET / HTTP/1.1\r\n\r\n", uri=b"http://e.com/0")
+    (d / "seg-0.warc").write_bytes(blob)
+    out = str(tmp_path / "warc_corpus")
+    rc = corpus_cli.main(
+        [
+            "--input", str(d),
+            "--input-format", "warc",
+            "--out", out,
+            "--no-quality", "--dedup", "none",
+            "--budget", "64", "--buckets", "2", "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["warc_records"] == 6   # 5 responses + 1 request
+    assert stats["docs_in"] == 5        # request filtered out
+    assert stats["rows_packed"] == 5

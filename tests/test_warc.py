@@ -102,3 +102,39 @@ def test_read_warc_files(spark, tmp_path):
     b0 = by_uri[("b.warc.gz", 0)]
     assert b0.target_uri == "http://g.com/z" and b0.http_status == 200
     assert not any(r.truncated for r in out)
+
+
+def test_parse_warc_bytes_roundtrip_property():
+    """Serialize random records -> parse -> field-exact round trip.
+    Payloads are arbitrary bytes (blank lines, CR/LF runs, gzip magic
+    inside payloads) — framing must rely on Content-Length alone."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec_st = st.tuples(
+        st.sampled_from([b"response", b"request", b"metadata", b"conversion"]),
+        st.binary(min_size=0, max_size=200),
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(rec_st, min_size=1, max_size=6))
+    def check(recs):
+        blob = b"".join(
+            _record(t, payload, uri=uri.encode()) for t, payload, uri in recs
+        )
+        parsed = parse_warc_bytes(blob)
+        assert len(parsed) == len(recs)
+        for got, (t, payload, uri) in zip(parsed, recs):
+            assert got[1] == t.decode()
+            assert got[2] == uri
+            assert got[6] == len(payload)
+            assert got[10] is False
+            if not payload.startswith(b"HTTP/"):
+                assert got[9] == payload
+
+    check()
