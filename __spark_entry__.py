@@ -5408,6 +5408,133 @@ FROM t JOIN f USING (text)
 """
 
 
+def q_sft_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcripts-side SFT flagship composed end-to-end:
+    turn rows → conversation validity gate (keepers only) → PII
+    redaction on every turn → chat-template rendering with loss
+    spans → GPT-style sequence packing. Planted emails/IPs must be
+    masked BEFORE rendering (the spans and token counts see the
+    masks), and only structurally valid conversations reach the pack.
+    The oracle rebuilds all four stages in SQL."""
+    from beats_spark.operators.chat import render_chat, validate_conversations
+    from beats_spark.operators.redact import redact_pii
+    from beats_spark.operators.sampling import pack_sequences
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    role = (
+        F.when(F.col("event_type") == "click", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("user")
+    )
+    text = F.concat(
+        F.col("event_type"),
+        F.lit("#"),
+        eid.cast("string"),
+        F.when(
+            eid % 23 == 0,
+            F.concat(F.lit(" mail u"), eid.cast("string"), F.lit("@x.io")),
+        ).otherwise(F.lit("")),
+        F.when(eid % 31 == 0, F.lit(" ip 10.9.8.7")).otherwise(F.lit("")),
+    )
+    turns = ev.select(
+        "user_id", "ts", "event_id", role.alias("role"), text.alias("text")
+    )
+    gate = validate_conversations(
+        turns, key_col="user_id", order_cols=("ts", "event_id")
+    )
+    keepers = gate.where("keep").select("user_id")
+    kept = turns.join(keepers, "user_id", "left_semi").withColumn(
+        "text", redact_pii(F.col("text"))
+    )
+    rendered = render_chat(
+        kept, key_col="user_id", order_cols=("ts", "event_id")
+    )
+    # docs feeds both the pack and the n_loss_turns join-back: persist,
+    # or the whole gate->redact->render chain recomputes per consumer
+    docs = rendered.select(
+        F.col("user_id").alias("doc_id"),
+        F.col("rendered").alias("text"),
+        "n_loss_turns",
+    ).persist()
+    packed = pack_sequences(docs, budget=256, n_buckets=8)
+    return packed.join(
+        docs.select("doc_id", "n_loss_turns"), "doc_id"
+    ).select(
+        "doc_id",
+        "bucket",
+        "tok_count",
+        "start_off",
+        "pack_first",
+        "pack_last",
+        "n_loss_turns",
+    )
+
+
+_SQL_SFT_CORPUS = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'assistant'
+              WHEN 'purchase' THEN 'tool' WHEN 'error' THEN 'system'
+              ELSE 'user' END AS role,
+         event_type || '#' || event_id::VARCHAR
+           || CASE WHEN event_id % 23 = 0
+                   THEN ' mail u' || event_id::VARCHAR || '@x.io' ELSE '' END
+           || CASE WHEN event_id % 31 = 0 THEN ' ip 10.9.8.7' ELSE '' END
+           AS text
+  FROM events
+), o AS (
+  SELECT *,
+    first_value(role) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS fr,
+    last_value(role) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lr
+  FROM t
+), a AS (
+  SELECT user_id,
+    max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS hasreq,
+    min(fr) AS fr, min(lr) AS lr
+  FROM o GROUP BY user_id
+), keepers AS (
+  SELECT user_id FROM a
+  WHERE hasreq = 1 AND fr IN ('system','user') AND lr <> 'user'
+), red AS (
+  SELECT t.user_id, t.ts, t.event_id, t.role,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      t.text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+  FROM t JOIN keepers USING (user_id)
+), docs AS (
+  SELECT user_id AS doc_id,
+    string_agg('<|' || role || '|>' || text || '<|end|>', chr(10)
+               ORDER BY ts, event_id) AS text,
+    sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_loss_turns
+  FROM red GROUP BY user_id
+), tok AS (
+  SELECT doc_id, n_loss_turns,
+    ('0x' || substr(md5('s0|' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok_count
+  FROM docs
+), s AS (
+  SELECT doc_id, bucket, tok_count, n_loss_turns,
+    coalesce(sum(tok_count + 1) OVER (
+      PARTITION BY bucket ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM tok
+)
+SELECT doc_id, bucket::BIGINT AS bucket, tok_count::BIGINT AS tok_count,
+       start_off, (start_off // 256)::BIGINT AS pack_first,
+       ((start_off + greatest(tok_count, 1) - 1) // 256)::BIGINT AS pack_last,
+       n_loss_turns
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5427,6 +5554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse": q_warc_parse,
         "warc_corpus": q_warc_corpus,
         "boilerplate_turns": q_boilerplate_turns,
+        "sft_corpus": q_sft_corpus,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5538,6 +5666,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_parse": _SQL_WARC_PARSE,
         "warc_corpus": _sql_warc_corpus(),
         "boilerplate_turns": _SQL_BOILERPLATE_TURNS,
+        "sft_corpus": _SQL_SFT_CORPUS,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

@@ -137,14 +137,19 @@ def parse_crawl_delays(
     Fractional seconds are honored at millisecond precision
     (floor(x·1000)); a malformed value contributes nothing (try_cast,
     never an ANSI error); with several valid directives in the group
-    the LARGEST wins (the polite reading). Hosts without a governing
-    crawl-delay are absent — join with a default downstream
-    (fetch_schedule does).
+    the LARGEST wins (the polite reading), clamped to one day — a
+    hostile 'Crawl-delay: 1e18' must slow that host, not overflow the
+    scheduler's slot×delay arithmetic (ANSI job-killer otherwise).
+    Hosts without a governing crawl-delay are absent — join with a
+    default downstream (fetch_schedule does).
     """
     ann, chosen = _robots_groups(df, host_col, text_col, agent)
     secs = F.regexp_extract(
         "_line", r"(?i)^crawl-delay\s*:\s*(\S+)", 1
     ).try_cast("double")
+    # clamp in the DOUBLE domain: a huge finite value would overflow
+    # the long cast below before any clamp applied after it
+    secs = F.least(secs, F.lit(86400.0))
     delays = (
         ann.withColumn("_secs", secs)
         .where(F.col("_secs").isNotNull() & (F.col("_secs") >= 0))

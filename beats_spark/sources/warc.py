@@ -79,11 +79,14 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     non-HTTP payload returns (None, None, payload) unchanged."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
+    # whichever blank line comes FIRST ends the headers (same
+    # earlier-separator rule as the record framing): LF-terminated
+    # headers must not defer to a CRLF pair later inside the body
     head_end = payload.find(b"\r\n\r\n")
     sep_len = 4
-    if head_end == -1:
-        head_end = payload.find(b"\n\n")
-        sep_len = 2
+    lf = payload.find(b"\n\n")
+    if lf != -1 and (head_end == -1 or lf + 1 < head_end):
+        head_end, sep_len = lf, 2
     if head_end == -1:
         return None, None, payload
     head = payload[:head_end]

@@ -204,6 +204,7 @@ EXT_QUERIES = [
     "warc_parse",
     "warc_corpus",
     "boilerplate_turns",
+    "sft_corpus",
 ]
 
 

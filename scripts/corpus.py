@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.input_format == "warc" and args.transcripts:
         build_parser().error("--input-format warc and --transcripts are exclusive")
+    if args.input_format == "warc" and args.temperature:
+        build_parser().error(
+            "--temperature needs a language column; WARC-derived documents "
+            "don't carry one (and their string ids don't support the "
+            "mixture copy-index arithmetic)"
+        )
 
     spark = get_spark(cores=args.cores)
     stats: dict[str, object] = {}
@@ -117,7 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.input_format == "warc":
         from beats_spark.sources.warc import read_warc
 
-        recs = read_warc(spark, args.input)
+        # persist: the Python WARC parse (binaryFile + gzip + Arrow) is
+        # the most expensive stage; without it every downstream count/
+        # write re-parses the whole crawl
+        recs = read_warc(spark, args.input).persist()
         stats["warc_records"] = recs.count()
         ok = recs.where(
             (F.col("warc_type") == "response")

@@ -185,3 +185,22 @@ def test_fetch_schedule_deterministic_without_priority(spark):
         for r in fetch_schedule(urls.repartition(7)).collect()
     }
     assert a == b  # slot assignment independent of partitioning
+
+
+def test_parse_crawl_delays_hostile_value_clamped(spark):
+    """ANSI job-killer regression: 'Crawl-delay: 1e18' must clamp (one
+    day), not overflow slot*delay in the scheduler."""
+    from beats_spark.operators.robots import fetch_schedule, parse_crawl_delays
+
+    bodies = spark.createDataFrame(
+        [("evil.com", "User-agent: *\nCrawl-delay: 1e18\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    delays = parse_crawl_delays(bodies)
+    assert delays.collect()[0].crawl_delay_ms == 86_400_000
+    urls = spark.createDataFrame(
+        [(i, f"http://evil.com/p{i}") for i in range(4)],
+        "doc_id long, url string",
+    )
+    out = fetch_schedule(urls, delays).collect()  # must not raise
+    assert max(r.fetch_offset_ms for r in out) == 3 * 86_400_000

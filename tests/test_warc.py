@@ -138,3 +138,16 @@ def test_parse_warc_bytes_roundtrip_property():
                 assert got[9] == payload
 
     check()
+
+
+def test_parse_http_lf_headers_with_crlf_in_body():
+    """Earlier-separator regression: LF-terminated HTTP headers with a
+    CRLF blank line later in the body must split at the LF pair."""
+    payload = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+        b"bodystart\r\n\r\nbodyend"
+    )
+    rec = _record(b"response", payload)
+    got = parse_warc_bytes(rec)[0]
+    assert got[7] == 200 and got[8] == "text/html"
+    assert got[9] == b"bodystart\r\n\r\nbodyend"
