@@ -5535,6 +5535,38 @@ FROM s
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (sampling.chunk_documents) over the
+    real documents table: 32-token windows stepping by 24 (8-token
+    overlap), final chunk short, blank docs emit nothing. The oracle
+    replays the window arithmetic and the token re-join."""
+    from beats_spark.operators.sampling import chunk_documents
+    from beats_spark.operators.scale import spread
+
+    # single parquet file = one scan partition (CLAUDE.md); the chunk
+    # plan is zero-shuffle so nothing downstream would widen it
+    docs = spread(_load(spark, sf_dir, "documents"))
+    return chunk_documents(docs, chunk_tokens=32, overlap_tokens=8)
+
+
+_SQL_CHUNK_DOCUMENTS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       (start // 24)::BIGINT AS chunk_idx,
+       start::BIGINT AS chunk_start,
+       (least(start + 32, n) - start)::BIGINT AS chunk_len,
+       array_to_string(toks[start + 1 : least(start + 32, n)], ' ') AS chunk_text
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5555,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_corpus": q_warc_corpus,
         "boilerplate_turns": q_boilerplate_turns,
         "sft_corpus": q_sft_corpus,
+        "chunk_documents": q_chunk_documents,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5667,6 +5700,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_corpus": _sql_warc_corpus(),
         "boilerplate_turns": _SQL_BOILERPLATE_TURNS,
         "sft_corpus": _SQL_SFT_CORPUS,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

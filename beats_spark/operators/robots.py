@@ -148,8 +148,10 @@ def parse_crawl_delays(
         "_line", r"(?i)^crawl-delay\s*:\s*(\S+)", 1
     ).try_cast("double")
     # clamp in the DOUBLE domain: a huge finite value would overflow
-    # the long cast below before any clamp applied after it
-    secs = F.least(secs, F.lit(86400.0))
+    # the long cast below before any clamp applied after it. NOT
+    # F.least — least() skips NULLs and would turn every non-delay
+    # line (secs NULL) into an 86400 s delay
+    secs = F.when(secs > 86400.0, F.lit(86400.0)).otherwise(secs)
     delays = (
         ann.withColumn("_secs", secs)
         .where(F.col("_secs").isNotNull() & (F.col("_secs") >= 0))

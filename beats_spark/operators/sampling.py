@@ -605,3 +605,63 @@ def temperature_weights(
     return out.select(
         "stratum", "n_docs", "p_milli", "q_milli", "boost_milli"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/eval-prep
+    sibling of pack_sequences: each document becomes overlapping
+    ``chunk_tokens``-token windows stepping by ``chunk_tokens −
+    overlap_tokens``, so every token is covered and adjacent chunks
+    share ``overlap_tokens`` of context (the standard RAG/eval
+    chunking rule). Start offsets are 0, step, 2·step, … up to the
+    last offset that contributes at least one NEW token beyond the
+    overlap; the final chunk may be shorter. Blank/NULL documents
+    emit no chunks.
+
+    Returns one row per chunk: id, ``chunk_idx``, ``chunk_start``
+    (token offset), ``chunk_len`` (tokens in this chunk), and
+    ``chunk_text`` (tokens re-joined with single spaces — whitespace
+    runs normalize, same convention as token_count_whitespace).
+
+    Scale shape: split + transform(sequence) + one narrow explode —
+    ZERO shuffles; a document's chunks materialize in its own task.
+    Downstream consumers (embedding, dedup) pay the first shuffle.
+    """
+    if chunk_tokens <= 0 or overlap_tokens < 0 or overlap_tokens >= chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - overlap_tokens - 1, F.lit(0)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("chunk_start"),
+            (F.least(s + chunk_tokens, n) - s).alias("chunk_len"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    ex = base.select(F.col(id_col), F.explode(chunks).alias("_c"))
+    return ex.select(
+        id_col,
+        F.col("_c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.chunk_start").cast("long").alias("chunk_start"),
+        F.col("_c.chunk_len").cast("long").alias("chunk_len"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

@@ -205,6 +205,7 @@ EXT_QUERIES = [
     "warc_corpus",
     "boilerplate_turns",
     "sft_corpus",
+    "chunk_documents",
 ]
 
 
