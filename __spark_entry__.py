@@ -5551,8 +5551,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CHUNK_DOCUMENTS = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+    AND regexp_replace(text, '^\s+|\s+$', '', 'g') <> ''
 ), s AS (
   SELECT doc_id, toks, len(toks) AS n,
          unnest(range(0, greatest(len(toks) - 8 - 1, 0) + 1, 24)) AS start

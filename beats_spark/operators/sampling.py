@@ -636,27 +636,36 @@ def chunk_documents(
     if chunk_tokens <= 0 or overlap_tokens < 0 or overlap_tokens >= chunk_tokens:
         raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
     step = chunk_tokens - overlap_tokens
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(n - overlap_tokens - 1, F.lit(0)),
-        F.lit(step),
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            s.alias("chunk_start"),
-            (F.least(s + chunk_tokens, n) - s).alias("chunk_len"),
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
-                "chunk_text"
+    # regexp strip, NOT F.trim: trim removes only ASCII spaces, so a
+    # trailing newline/tab would leave a phantom empty token
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+
+    def _chunks_of(toks):
+        n = F.size(toks)
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(n - overlap_tokens - 1, F.lit(0)),
+            F.lit(step),
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                s.alias("chunk_start"),
+                (F.least(s + chunk_tokens, n) - s).alias("chunk_len"),
+                F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
             ),
-        ),
+        )
+
+    # let-binding idiom (CLAUDE.md): bind the token array ONCE per row;
+    # referencing the split expr directly inside the lambda would
+    # re-tokenize the full text per chunk (O(chunks × text))
+    chunks = F.element_at(
+        F.transform(F.array(F.split(stripped, r"\s+")), _chunks_of), 1
     )
-    base = df.where(
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
-    )
+    base = df.where(F.col(text_col).isNotNull() & (stripped != ""))
     ex = base.select(F.col(id_col), F.explode(chunks).alias("_c"))
     return ex.select(
         id_col,

@@ -42,7 +42,15 @@ def count_matches(col: Column, pattern: str) -> Column:
 
 
 def token_count_whitespace(col: Column) -> Column:
-    """Whitespace token count (0 for empty/blank)."""
+    """Whitespace token count (0 for empty/blank).
+
+    Convention caveat (mirrored exactly by every DuckDB oracle, so it
+    is load-bearing — change both sides or neither): F.trim strips
+    only ASCII spaces, so edge whitespace like a trailing newline
+    contributes one empty token ('a\\n' counts 2). Fine for the
+    relative-size signals this feeds (quality, packing budgets — the
+    precise path is BPE anyway); chunk_documents uses a regex strip
+    where token identity matters."""
     trimmed = F.trim(col)
     return F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))

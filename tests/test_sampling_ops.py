@@ -10,6 +10,8 @@ def test_chunk_documents_sliding_windows(spark):
             (3, "   "),                                 # blank: no chunks
             (4, None),                                  # NULL: no chunks
             (5, "x  y\n z"),                            # whitespace runs
+            (6, "hello world\n"),                       # trailing newline
+            (7, "\n\t "),                               # ws-only: no chunks
         ],
         "doc_id long, text string",
     )
@@ -23,8 +25,11 @@ def test_chunk_documents_sliding_windows(spark):
     assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9"
     assert rows[(1, 2)].chunk_len == 4 and rows[(1, 2)].chunk_start == 6
     assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].chunk_len == 3
-    assert not any(k[0] in (3, 4) for k in rows)
+    assert not any(k[0] in (3, 4, 7) for k in rows)
     assert rows[(5, 0)].chunk_text == "x y z"  # runs normalize
+    # edge whitespace beyond spaces: no phantom empty tokens
+    assert rows[(6, 0)].chunk_text == "hello world"
+    assert rows[(6, 0)].chunk_len == 2
     # every token covered exactly: union of [start, start+len) == [0, n)
     for d, n in ((1, 10), (2, 3), (5, 3)):
         covered = set()
