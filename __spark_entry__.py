@@ -5571,6 +5571,47 @@ FROM s
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup (dedup.incremental_dedup): a new
+    batch (the non-indexed two-thirds of documents plus 30 verbatim
+    replays at id+200000) collapses within itself (min-id keeper) and
+    drops everything whose content key is already in the persistent
+    corpus index (content_index over the indexed third). The oracle
+    replays both stages on normalized text — the xxhash64 index keys
+    must behave exactly like text identity."""
+    from beats_spark.operators.dedup import content_index, incremental_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    idx = content_index(docs.where(did % 3 == 0))
+    replays = docs.where(did < 30).select(
+        (did + 200000).alias("doc_id"), "text"
+    )
+    batch = docs.where(did % 3 != 0).select("doc_id", "text").unionByName(
+        replays
+    )
+    out = incremental_dedup(batch, idx)
+    return out.select("doc_id")
+
+
+_SQL_INCREMENTAL_DEDUP = r"""
+WITH nt AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM documents
+), idx AS (
+  SELECT DISTINCT n FROM nt WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, n FROM nt WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 200000, n FROM nt WHERE doc_id < 30
+), keep AS (
+  SELECT min(doc_id) AS doc_id, n FROM batch GROUP BY n
+)
+SELECT k.doc_id FROM keep k
+WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.n = k.n)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5592,6 +5633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_turns": q_boilerplate_turns,
         "sft_corpus": q_sft_corpus,
         "chunk_documents": q_chunk_documents,
+        "incremental_dedup": q_incremental_dedup,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5705,6 +5747,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_turns": _SQL_BOILERPLATE_TURNS,
         "sft_corpus": _SQL_SFT_CORPUS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

@@ -206,6 +206,7 @@ EXT_QUERIES = [
     "boilerplate_turns",
     "sft_corpus",
     "chunk_documents",
+    "incremental_dedup",
 ]
 
 
