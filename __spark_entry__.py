@@ -5612,6 +5612,57 @@ WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.n = k.n)
 """
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact host PageRank (crawl.host_pagerank, 3 iterations)
+    over a deterministic 10-host link graph derived from documents.
+    Floor-division milli-integer arithmetic means the DuckDB oracle
+    (the three iterations unrolled as CTEs) must agree bit-for-bit."""
+    from beats_spark.operators.crawl import host_pagerank
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    edges = docs.select(
+        F.format_string("h%d", did % 10).alias("src_host"),
+        F.format_string("h%d", (did * 7 + 3) % 10).alias("dst_host"),
+    )
+    return host_pagerank(edges, iterations=3)
+
+
+_SQL_HOST_PAGERANK = r"""
+WITH e AS (
+  SELECT DISTINCT 'h' || (doc_id % 10)::VARCHAR AS src,
+                  'h' || ((doc_id * 7 + 3) % 10)::VARCHAR AS dst
+  FROM documents
+), hosts AS (
+  SELECT src AS host FROM e UNION SELECT dst FROM e
+), deg AS (
+  SELECT src, count(*) AS d FROM e GROUP BY src
+), s0 AS (
+  SELECT host, 1000000::BIGINT AS score FROM hosts
+), i1 AS (
+  SELECT e.dst AS host, sum(s0.score // deg.d) AS inb
+  FROM s0 JOIN deg ON s0.host = deg.src JOIN e ON e.src = s0.host
+  GROUP BY e.dst
+), s1 AS (
+  SELECT h.host, (150000 + coalesce(i1.inb, 0) * 850 // 1000)::BIGINT AS score
+  FROM hosts h LEFT JOIN i1 ON h.host = i1.host
+), i2 AS (
+  SELECT e.dst AS host, sum(s1.score // deg.d) AS inb
+  FROM s1 JOIN deg ON s1.host = deg.src JOIN e ON e.src = s1.host
+  GROUP BY e.dst
+), s2 AS (
+  SELECT h.host, (150000 + coalesce(i2.inb, 0) * 850 // 1000)::BIGINT AS score
+  FROM hosts h LEFT JOIN i2 ON h.host = i2.host
+), i3 AS (
+  SELECT e.dst AS host, sum(s2.score // deg.d) AS inb
+  FROM s2 JOIN deg ON s2.host = deg.src JOIN e ON e.src = s2.host
+  GROUP BY e.dst
+)
+SELECT h.host, (150000 + coalesce(i3.inb, 0) * 850 // 1000)::BIGINT AS score
+FROM hosts h LEFT JOIN i3 ON h.host = i3.host
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5634,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_corpus": q_sft_corpus,
         "chunk_documents": q_chunk_documents,
         "incremental_dedup": q_incremental_dedup,
+        "host_pagerank": q_host_pagerank,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5748,6 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "sft_corpus": _SQL_SFT_CORPUS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "host_pagerank": _SQL_HOST_PAGERANK,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

@@ -152,3 +152,72 @@ def parse_sitemap(
         F.col("_e.loc").alias("loc"),
         F.col("_e.lastmod").alias("lastmod"),
     )
+
+
+def host_pagerank(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    iterations: int = 3,
+    damping_milli: int = 850,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Integer-exact PageRank over the host link graph — the classic
+    crawl-prioritization signal (feed it to fetch_schedule's
+    priority_col). Scores are maintained as integers at ``scale``
+    (1e6) with FLOOR at every division, so Spark and a SQL oracle
+    agree bit-for-bit; float PageRank would diverge across engines.
+
+    Per iteration: each host ships floor(score / outdeg) along each
+    outedge; a host's next score is floor((1-d)·scale) +
+    floor(d · inbound_sum / 1000). Dangling hosts (no outlinks) leak
+    their mass — the standard simplification, documented; total mass
+    therefore shrinks slightly per round, which is fine for a RANKING
+    signal. Duplicate edges count once (the host graph, not the link
+    multiset).
+
+    Scale shape: the iteration state is one (host, score) row per
+    HOST — tiny next to the link corpus. Each round is one join
+    (score × edges, key = src host) + one groupBy (dst host): two
+    hash shuffles of the host-level frame per round, same cost class
+    as connected_components' label iteration. ``iterations`` is fixed
+    and small (rank stabilizes fast at host granularity); no
+    convergence loop, no driver collect.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).where(
+        F.col("_src").isNotNull()
+        & F.col("_dst").isNotNull()
+        & (F.col("_src") != "")
+        & (F.col("_dst") != "")
+    ).distinct()
+    hosts = (
+        e.select(F.col("_src").alias("host"))
+        .unionByName(e.select(F.col("_dst").alias("host")))
+        .distinct()
+    )
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = int((1000 - damping_milli) * scale) // 1000
+    scores = hosts.withColumn("score", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            scores.join(outdeg, scores["host"] == outdeg["_src"], "inner")
+            .join(e, "_src")
+            .select(
+                F.col("_dst").alias("host"),
+                # integer `div`, never float `/`+floor: at 1e8 hosts the
+                # inbound sums exceed double's 2^53 exact-integer range
+                F.expr("score div _deg").alias("_c"),
+            )
+        )
+        inbound = contrib.groupBy("host").agg(F.sum("_c").alias("_in"))
+        scores = hosts.join(inbound, "host", "left").select(
+            "host",
+            F.expr(
+                f"{base}L + (coalesce(_in, 0L) * {damping_milli} div 1000)"
+            ).cast("long").alias("score"),
+        )
+    return scores

@@ -207,6 +207,7 @@ EXT_QUERIES = [
     "sft_corpus",
     "chunk_documents",
     "incremental_dedup",
+    "host_pagerank",
 ]
 
 

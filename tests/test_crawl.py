@@ -125,3 +125,46 @@ def test_tool_stats(spark):
         "search": (3, 2, 1000),  # positions 0,2,1 -> mean 1.000
         "calc": (1, 1, 4000),
     }
+
+
+def test_host_pagerank_hand_computed(spark):
+    from beats_spark.operators.crawl import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("A", "B")],
+        "src_host string, dst_host string",
+    )  # duplicate A->B counts once
+    got = {
+        r.host: r.score
+        for r in host_pagerank(edges, iterations=2).collect()
+    }
+    # iter1: in A=1000000 B=500000 C=1500000
+    #   -> A=1000000 B=575000 C=1425000
+    # iter2: in A=1425000 B=500000 C=1075000
+    assert got == {"A": 1361250, "B": 575000, "C": 1063750}
+
+
+def test_host_pagerank_dangling_leaks(spark):
+    from beats_spark.operators.crawl import host_pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B")], "src_host string, dst_host string"
+    )
+    got = {r.host: r.score for r in host_pagerank(edges, iterations=2).collect()}
+    # B has no outlinks: its mass leaks, A settles at the base rank
+    assert got == {"A": 150000, "B": 277500}
+
+
+def test_host_pagerank_deterministic_any_partitioning(spark):
+    from beats_spark.operators.crawl import host_pagerank
+
+    edges = spark.createDataFrame(
+        [(f"h{i % 7}", f"h{(3 * i + 1) % 7}") for i in range(40)],
+        "src_host string, dst_host string",
+    )
+    a = {r.host: r.score for r in host_pagerank(edges).collect()}
+    b = {
+        r.host: r.score
+        for r in host_pagerank(edges.repartition(13)).collect()
+    }
+    assert a == b and len(a) == 7
