@@ -4562,6 +4562,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/\nAllow: /p"),
             k,
             F.lit("/ok/\n"),
+            F.lit("Disallow: /dl/*.exe$\nAllow: /dl/okay*.exe$\n"),
             F.when(
                 F.col("hid") % 4 == 0,
                 F.lit("\nUser-agent: decoybot\nDisallow: /\n"),
@@ -4570,10 +4571,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = parse_robots(robots, agent="*")
     b = (did % 5).cast("string")
+    ds = did.cast("string")
     path = (
-        F.when(did % 3 == 0, F.concat(F.lit("/p"), b, F.lit("/x")))
-        .when(did % 3 == 1, F.concat(F.lit("/p"), b, F.lit("/ok/y")))
-        .otherwise(F.concat(F.lit("/free/"), did.cast("string")))
+        F.when(did % 6 == 0, F.concat(F.lit("/p"), b, F.lit("/x")))
+        .when(did % 6 == 1, F.concat(F.lit("/p"), b, F.lit("/ok/y")))
+        .when(did % 6 == 2, F.concat(F.lit("/free/"), ds))
+        .when(did % 6 == 3, F.concat(F.lit("/dl/f"), ds, F.lit(".exe")))
+        .when(did % 6 == 4, F.concat(F.lit("/dl/okay"), ds, F.lit(".exe")))
+        .otherwise(F.concat(F.lit("/dl/f"), ds, F.lit(".exe.bak")))
     )
     urls = docs.select(
         "doc_id",
@@ -4596,16 +4601,17 @@ _SQL_ROBOTS_FILTER = r"""
 SELECT doc_id,
        CASE WHEN doc_id % 97 = 0 THEN ''
             ELSE 'h' || (doc_id % 20)::VARCHAR || '.example.com' END AS host,
-       CASE WHEN doc_id % 97 <> 0
-                 AND doc_id % 3 = 0
-                 AND doc_id % 5 = (doc_id % 20) % 7
-            THEN FALSE ELSE TRUE END AS allowed,
-       CASE WHEN doc_id % 97 <> 0 AND doc_id % 5 = (doc_id % 20) % 7
-                 AND doc_id % 3 = 0
+       CASE WHEN doc_id % 97 = 0 THEN TRUE
+            WHEN doc_id % 6 = 0 AND doc_id % 5 = (doc_id % 20) % 7 THEN FALSE
+            WHEN doc_id % 6 = 3 THEN FALSE
+            ELSE TRUE END AS allowed,
+       CASE WHEN doc_id % 97 = 0 THEN NULL
+            WHEN doc_id % 6 = 0 AND doc_id % 5 = (doc_id % 20) % 7
             THEN '/p' || (doc_id % 5)::VARCHAR || '/'
-            WHEN doc_id % 97 <> 0 AND doc_id % 5 = (doc_id % 20) % 7
-                 AND doc_id % 3 = 1
+            WHEN doc_id % 6 = 1 AND doc_id % 5 = (doc_id % 20) % 7
             THEN '/p' || (doc_id % 5)::VARCHAR || '/ok/'
+            WHEN doc_id % 6 = 3 THEN '/dl/*.exe$'
+            WHEN doc_id % 6 = 4 THEN '/dl/okay*.exe$'
             ELSE NULL END AS rule_path
 FROM documents
 """

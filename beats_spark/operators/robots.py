@@ -20,13 +20,19 @@ group allows it. Both halves are expressible as DataFrame plans:
   the governing group's Crawl-delay per host, and a per-host fetch
   queue (slot + earliest offset) over the frontier.
 
-Documented simplifications (each one rule away if ever needed):
-literal path prefixes only (no ``*``/``$`` wildcards), the group
-chosen per host is the exact ``agent`` match when one exists anywhere
-in that host's file else the ``*`` group (RFC picks the most specific
-match; with one configured agent string the two coincide), and only
-Allow/Disallow/Crawl-delay directives are read (Sitemap ignored).
-Empty ``Disallow:`` (allow-all) contributes no rule, per the RFC.
+Rule paths support the FULL RFC 9309 matching grammar: ``*`` matches
+any character run and a trailing ``$`` anchors the end; precedence is
+the longest PATTERN (raw octets, the RFC's rule), Allow winning ties.
+Literal-prefix rules keep the cheap ``startswith`` path; only rules
+containing a wildcard pay the regex.
+
+Documented simplifications (each one rule away if ever needed): the
+group chosen per host is the exact ``agent`` match when one exists
+anywhere in that host's file else the ``*`` group (RFC picks the most
+specific match; with one configured agent string the two coincide),
+and only Allow/Disallow/Crawl-delay directives are read (Sitemap
+ignored). Empty ``Disallow:`` (allow-all) contributes no rule, per
+the RFC.
 
 The reference (a log shipper) has no crawl surface; this is an engine
 addition for the corpus path, next to extract_links/url_filter.
@@ -166,6 +172,22 @@ def parse_crawl_delays(
     return delays
 
 
+def rule_pattern_regex(path: Column) -> Column:
+    """REP rule path → anchored Java/RE2 regex: specials escaped,
+    ``*`` → ``.*``, trailing ``$`` → end anchor (a ``$`` anywhere else
+    is a literal). Built entirely from string expressions so the rule
+    table stays a plain DataFrame."""
+    esc = F.regexp_replace(path, r"([.$+?(){}\[\]^|\\])", r"\\$1")
+    esc = F.replace(esc, F.lit("*"), F.lit(".*"))
+    # a trailing '$' was escaped to '\$' (2 chars): strip and re-anchor
+    return F.when(
+        path.endswith("$"),
+        F.concat(
+            F.lit("^"), F.substring(esc, F.lit(1), F.length(esc) - 2), F.lit("$")
+        ),
+    ).otherwise(F.concat(F.lit("^"), esc))
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -174,12 +196,15 @@ def robots_filter(
 ) -> DataFrame:
     """Frontier URLs × rule table → REP verdict per URL.
 
-    Adds ``host``, ``rule_path`` (the governing rule's prefix, NULL
-    when no rule matched), and ``allowed``. Longest matching prefix
-    governs; 'allow' < 'disallow' alphabetically, so the tie-break
-    (Allow wins on equal length) is one ascending sort key. URLs whose
-    host has no matching rule — including non-URL rows — are allowed
-    (robots absence means crawl-permitted; route non-URLs elsewhere).
+    Adds ``host``, ``rule_path`` (the governing rule's pattern, NULL
+    when no rule matched), and ``allowed``. Full RFC 9309 matching:
+    literal rules match as prefixes (cheap startswith), rules with
+    ``*``/trailing ``$`` match as anchored regexes
+    (rule_pattern_regex). The longest matching PATTERN governs;
+    'allow' < 'disallow' alphabetically, so the tie-break (Allow wins
+    on equal length) is one ascending sort key. URLs whose host has
+    no matching rule — including non-URL rows — are allowed (robots
+    absence means crawl-permitted; route non-URLs elsewhere).
 
     Scale: rules are a per-host dimension — the equi-join on host is
     broadcastable (AQE decides); the governing-rule pick is one
@@ -192,7 +217,7 @@ def robots_filter(
         F.when(
             F.regexp_extract(
                 F.col(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)",
+                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
                 1,
             )
             == "",
@@ -200,18 +225,26 @@ def robots_filter(
         ).otherwise(
             F.regexp_extract(
                 F.col(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)",
+                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
                 1,
             )
         ),
     )
-    joined = u.join(rules, "host", "left")
+    wild = F.col("path").contains("*") | F.col("path").endswith("$")
+    joined = u.join(
+        rules.withColumn(
+            "_re",
+            F.when(wild, rule_pattern_regex(F.col("path"))),
+        ),
+        "host",
+        "left",
+    )
     # non-matching candidates are NULLIFIED, never filtered: a URL
     # whose host has rules but none matching must survive (allowed),
     # not vanish from the output
-    match = F.col("rule").isNotNull() & F.col("_path").startswith(
-        F.col("path")
-    )
+    match = F.col("rule").isNotNull() & F.when(
+        F.col("_re").isNotNull(), F.expr("_path rlike _re")
+    ).otherwise(F.col("_path").startswith(F.col("path")))
     cand = joined.withColumn(
         "_mrule", F.when(match, F.col("rule"))
     ).withColumn("_mpath", F.when(match, F.col("path")))
@@ -227,7 +260,7 @@ def robots_filter(
             F.coalesce(F.col("_mrule") != "disallow", F.lit(True)),
         )
         .withColumn("rule_path", F.col("_mpath"))
-        .drop("_rn", "_path", "_mrule", "_mpath", "rule", "path")
+        .drop("_rn", "_path", "_mrule", "_mpath", "rule", "path", "_re")
     )
 
 

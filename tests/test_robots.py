@@ -204,3 +204,50 @@ def test_parse_crawl_delays_hostile_value_clamped(spark):
     )
     out = fetch_schedule(urls, delays).collect()  # must not raise
     assert max(r.fetch_offset_ms for r in out) == 3 * 86_400_000
+
+
+ROBOTS_WILDCARDS = """User-agent: *
+Disallow: /fish*
+Allow: /fish*.html$
+Disallow: /*.php$
+Disallow: /private*/secret
+Disallow: /lit$eral
+"""
+
+
+def test_robots_filter_rfc9309_wildcards(spark):
+    """The RFC 9309 / Google-spec wildcard battery: * spans any run,
+    trailing $ anchors, longest PATTERN governs, Allow wins ties."""
+    from beats_spark.operators.robots import parse_robots, robots_filter
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("w.com", ROBOTS_WILDCARDS)], "host string, robots_txt string"
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://w.com/fish"),            # /fish* -> blocked
+            (2, "http://w.com/fishheads/x"),     # /fish* -> blocked
+            (3, "http://w.com/fishy.html"),      # Allow /fish*.html$ (len 13 > 6)
+            (4, "http://w.com/fishy.html?q=1"),  # $ breaks the allow -> /fish*
+            (5, "http://w.com/name.php"),        # /*.php$ -> blocked
+            (6, "http://w.com/a/b/name.php"),    # * spans slashes -> blocked
+            (7, "http://w.com/name.php5"),       # $ mismatch -> allowed
+            (8, "http://w.com/privateZZ/secret"),# mid-pattern * -> blocked
+            (9, "http://w.com/lit$eral"),        # non-trailing $ is literal
+            (10, "http://w.com/literal"),        # ... and only literal
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in robots_filter(urls, rules).collect()}
+    assert not out[1].allowed and out[1].rule_path == "/fish*"
+    assert not out[2].allowed
+    assert out[3].allowed and out[3].rule_path == "/fish*.html$"
+    assert not out[4].allowed and out[4].rule_path == "/fish*"
+    assert not out[5].allowed and out[5].rule_path == "/*.php$"
+    assert not out[6].allowed
+    assert out[7].allowed and out[7].rule_path is None
+    assert not out[8].allowed and out[8].rule_path == "/private*/secret"
+    assert not out[9].allowed and out[9].rule_path == "/lit$eral"
+    assert out[10].allowed and out[10].rule_path is None
