@@ -26,13 +26,12 @@ the longest PATTERN (raw octets, the RFC's rule), Allow winning ties.
 Literal-prefix rules keep the cheap ``startswith`` path; only rules
 containing a wildcard pay the regex.
 
-Documented simplifications (each one rule away if ever needed): the
-group chosen per host is the exact ``agent`` match when one exists
-anywhere in that host's file else the ``*`` group (RFC picks the most
-specific match; with one configured agent string the two coincide),
-and only Allow/Disallow/Crawl-delay directives are read (Sitemap
-ignored). Empty ``Disallow:`` (allow-all) contributes no rule, per
-the RFC.
+Group selection is RFC 9309 most-specific: the longest user-agent
+value that case-insensitively prefixes the crawler's product token
+governs (all groups naming that value merge, per the RFC), with ``*``
+as the fallback. Documented simplification: only
+Allow/Disallow/Crawl-delay directives are read (Sitemap ignored).
+Empty ``Disallow:`` (allow-all) contributes no rule, per the RFC.
 
 The reference (a log shipper) has no crawl surface; this is an engine
 addition for the corpus path, next to extract_links/url_filter.
@@ -50,8 +49,11 @@ def _robots_groups(
     """Shared robots.txt group machinery: returns (``ann``, ``chosen``)
     where ``ann`` is the comment-stripped annotated line frame
     (host, pos, _line, _ua, rule, path, _gid) and ``chosen`` is the
-    per-host governing group ids (exact ``agent`` match when the file
-    names it anywhere, else the ``*`` group, case-insensitive)."""
+    per-host governing group ids per RFC 9309 §2.2.1 most-specific
+    matching: among user-agent values that are a case-insensitive
+    PREFIX of the crawler's product token (``agent``), the longest
+    wins (every group sharing that winning value is obeyed — the RFC's
+    merge rule); hosts with no matching value fall back to ``*``."""
     agent_lc = agent.lower()
     lines = df.select(
         F.col(host_col).alias("host"),
@@ -86,24 +88,25 @@ def _robots_groups(
         ),
     )
     uas = ann.where(F.col("_ua") != "").select("host", "_gid", "_ua")
-    # per-host group choice: exact agent if the file names it, else '*'
-    exact_hosts = (
-        uas.where(F.col("_ua") == agent_lc)
-        .select("host")
-        .distinct()
-        .withColumn("_has_exact", F.lit(True))
+    # per-host group choice (RFC most-specific): longest UA value that
+    # prefixes the crawler's product token; '*' only as fallback
+    specific = uas.where(
+        (F.col("_ua") != "*") & F.lit(agent_lc).startswith(F.col("_ua"))
     )
-    chosen = (
-        uas.join(exact_hosts, "host", "left")
-        .where(
-            F.when(
-                F.coalesce(F.col("_has_exact"), F.lit(False)),
-                F.col("_ua") == agent_lc,
-            ).otherwise(F.col("_ua") == "*")
-        )
+    best = specific.groupBy("host").agg(
+        F.max(F.length("_ua")).alias("_best_len")
+    )
+    chosen_specific = (
+        specific.join(best, "host")
+        .where(F.length("_ua") == F.col("_best_len"))
         .select("host", "_gid")
-        .distinct()
     )
+    star = (
+        uas.where(F.col("_ua") == "*")
+        .join(best, "host", "left_anti")
+        .select("host", "_gid")
+    )
+    chosen = chosen_specific.unionByName(star).distinct()
     return ann, chosen
 
 

@@ -251,3 +251,41 @@ def test_robots_filter_rfc9309_wildcards(spark):
     assert not out[8].allowed and out[8].rule_path == "/private*/secret"
     assert not out[9].allowed and out[9].rule_path == "/lit$eral"
     assert out[10].allowed and out[10].rule_path is None
+
+
+ROBOTS_SPECIFIC = """User-agent: train
+Disallow: /short/
+
+User-agent: trainingbot
+Disallow: /specific/
+
+User-agent: trainingbot
+Allow: /specific/merged/
+
+User-agent: *
+Disallow: /star/
+"""
+
+
+def test_parse_robots_most_specific_agent(spark):
+    """RFC 9309 §2.2.1: the LONGEST user-agent value prefixing the
+    crawler's product token wins; groups sharing it merge; '*' is only
+    the fallback."""
+    from beats_spark.operators.robots import parse_robots
+
+    df = spark.createDataFrame(
+        [("s.com", ROBOTS_SPECIFIC)], "host string, robots_txt string"
+    )
+    # product token 'trainingbot-images/1.2' -> 'trainingbot' (len 11)
+    # beats 'train' (len 5) and '*'; BOTH trainingbot groups merge
+    got = {
+        (r.rule, r.path)
+        for r in parse_robots(df, agent="TrainingBot-Images/1.2").collect()
+    }
+    assert got == {("disallow", "/specific/"), ("allow", "/specific/merged/")}
+    # token matching neither named value -> '*' fallback
+    star = {(r.rule, r.path) for r in parse_robots(df, agent="otherbot").collect()}
+    assert star == {("disallow", "/star/")}
+    # 'train' exactly -> the short group, not trainingbot
+    tr = {(r.rule, r.path) for r in parse_robots(df, agent="train").collect()}
+    assert tr == {("disallow", "/short/")}
