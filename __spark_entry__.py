@@ -5669,6 +5669,51 @@ FROM hosts h LEFT JOIN i3 ON h.host = i3.host
 """
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (robots.parse_sitemap_urls):
+    the group-independent ``Sitemap:`` directive collected per host,
+    deduplicated — comments stripped, case-insensitive, directives
+    inside foreign agent groups still collected (they bind to the
+    file). Feeds crawl.parse_sitemap."""
+    from beats_spark.operators.robots import parse_sitemap_urls
+
+    docs = _load(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 20).alias("hid")
+    hosts = docs.select(hid).distinct()
+    h = F.col("hid").cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /p\n"),
+        F.lit("Sitemap: http://h"), h, F.lit(".example.com/sitemap.xml\n"),
+        F.lit("Sitemap: http://h"), h,
+        F.lit(".example.com/sitemap.xml  # duplicate + comment\n"),
+        F.when(
+            F.col("hid") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: otherbot\nsitemap: http://cdn.example.com/h"),
+                h,
+                F.lit(".xml\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), h, F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return parse_sitemap_urls(robots)
+
+
+_SQL_SITEMAP_DISCOVERY = r"""
+WITH h AS (SELECT DISTINCT (doc_id % 20) AS hid FROM documents)
+SELECT 'h' || hid::VARCHAR || '.example.com' AS host,
+       'http://h' || hid::VARCHAR || '.example.com/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT 'h' || hid::VARCHAR || '.example.com',
+       'http://cdn.example.com/h' || hid::VARCHAR || '.xml'
+FROM h WHERE hid % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5692,6 +5737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "incremental_dedup": q_incremental_dedup,
         "host_pagerank": q_host_pagerank,
+        "sitemap_discovery": q_sitemap_discovery,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5807,6 +5853,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,
+        "sitemap_discovery": _SQL_SITEMAP_DISCOVERY,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

@@ -29,9 +29,10 @@ containing a wildcard pay the regex.
 Group selection is RFC 9309 most-specific: the longest user-agent
 value that case-insensitively prefixes the crawler's product token
 governs (all groups naming that value merge, per the RFC), with ``*``
-as the fallback. Documented simplification: only
-Allow/Disallow/Crawl-delay directives are read (Sitemap ignored).
-Empty ``Disallow:`` (allow-all) contributes no rule, per the RFC.
+as the fallback. ``Sitemap:`` discovery directives are read
+group-independently by ``parse_sitemap_urls`` (feeding
+crawl.parse_sitemap). Empty ``Disallow:`` (allow-all) contributes no
+rule, per the RFC.
 
 The reference (a log shipper) has no crawl surface; this is an engine
 addition for the corpus path, next to extract_links/url_filter.
@@ -118,9 +119,10 @@ def parse_robots(
 ) -> DataFrame:
     """robots.txt bodies → rule table (host, rule, path).
 
-    ``rule`` is 'allow' or 'disallow'; ``path`` is the literal prefix.
-    Only the group governing ``agent`` is returned (exact match
-    preferred over ``*`` per host, case-insensitive).
+    ``rule`` is 'allow' or 'disallow'; ``path`` is the REP pattern
+    (matched by robots_filter — literal prefix or ``*``/``$``
+    grammar). Only the group governing ``agent`` is returned (RFC
+    most-specific selection, see _robots_groups).
     """
     ann, chosen = _robots_groups(df, host_col, text_col, agent)
     rules = ann.where(
@@ -322,3 +324,31 @@ def fetch_schedule(
         .withColumn("fetch_offset_ms", F.lit(0).cast("long"))
     )
     return real.unionByName(stray)
+
+
+def parse_sitemap_urls(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """robots.txt bodies → (host, sitemap_url): the ``Sitemap:``
+    discovery directive. Per the sitemaps.org protocol and RFC 9309
+    the directive is GROUP-INDEPENDENT (it binds to the file, not to
+    any user-agent group), so this reads every line — no group
+    machinery. Values must be absolute URLs per the spec; whatever is
+    present is emitted verbatim (the fetcher validates), deduplicated
+    per host. Feeds crawl.parse_sitemap after fetching.
+
+    Scale shape: one narrow split/extract projection + a distinct on
+    (host, url) — one shuffle of the tiny directive rows.
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).withColumn("_line", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+    url = F.regexp_extract("_line", r"(?i)^sitemap\s*:\s*(\S+)", 1)
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

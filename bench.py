@@ -208,6 +208,7 @@ EXT_QUERIES = [
     "chunk_documents",
     "incremental_dedup",
     "host_pagerank",
+    "sitemap_discovery",
 ]
 
 

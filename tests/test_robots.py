@@ -289,3 +289,26 @@ def test_parse_robots_most_specific_agent(spark):
     # 'train' exactly -> the short group, not trainingbot
     tr = {(r.rule, r.path) for r in parse_robots(df, agent="train").collect()}
     assert tr == {("disallow", "/short/")}
+
+
+def test_parse_sitemap_urls_group_independent(spark):
+    from beats_spark.operators.robots import parse_sitemap_urls
+
+    body = """User-agent: specialbot
+Sitemap: http://a.com/maps/special.xml
+Disallow: /x
+
+User-agent: *
+Disallow: /y
+Sitemap: http://a.com/sitemap.xml   # trailing comment
+Sitemap: http://a.com/sitemap.xml
+sitemap: http://cdn.a.com/other.xml
+"""
+    df = spark.createDataFrame([("a.com", body)], "host string, robots_txt string")
+    got = {r.sitemap_url for r in parse_sitemap_urls(df).collect()}
+    # all directives collected regardless of group, case, duplicates
+    assert got == {
+        "http://a.com/maps/special.xml",
+        "http://a.com/sitemap.xml",
+        "http://cdn.a.com/other.xml",
+    }
