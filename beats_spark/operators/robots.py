@@ -44,6 +44,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _robots_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """robots bodies → per-line frame (host, pos, _line): split,
+    comment-stripped, trimmed — shared by the group machinery and
+    the group-independent Sitemap parser."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
+    ).withColumn("_line", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+
+
 def _robots_groups(
     df: DataFrame, host_col: str, text_col: str, agent: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -56,10 +66,7 @@ def _robots_groups(
     wins (every group sharing that winning value is obeyed — the RFC's
     merge rule); hosts with no matching value fall back to ``*``."""
     agent_lc = agent.lower()
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
-    ).withColumn("_line", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+    lines = _robots_lines(df, host_col, text_col)
     ua = F.lower(F.regexp_extract("_line", r"(?i)^user-agent:\s*(\S+)", 1))
     rule = F.lower(F.regexp_extract("_line", r"(?i)^(allow|disallow)\s*:", 1))
     path = F.regexp_extract("_line", r"(?i)^(?:allow|disallow)\s*:\s*(\S*)", 1)
@@ -88,26 +95,29 @@ def _robots_groups(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    uas = ann.where(F.col("_ua") != "").select("host", "_gid", "_ua")
     # per-host group choice (RFC most-specific): longest UA value that
-    # prefixes the crawler's product token; '*' only as fallback
-    specific = uas.where(
-        (F.col("_ua") != "*") & F.lit(agent_lc).startswith(F.col("_ua"))
+    # prefixes the crawler's product token; '*' only as fallback. ONE
+    # ranked window over the candidate UA lines — two equal-length
+    # prefixes of one token are the same string, so dense_rank==1 is
+    # exactly "every group naming the winning value" (the merge rule)
+    cand = ann.where(
+        (F.col("_ua") == "*")
+        | ((F.col("_ua") != "") & F.lit(agent_lc).startswith(F.col("_ua")))
+    ).select(
+        "host",
+        "_gid",
+        (F.col("_ua") == "*").cast("int").alias("_is_star"),
+        F.length("_ua").alias("_ua_len"),
     )
-    best = specific.groupBy("host").agg(
-        F.max(F.length("_ua")).alias("_best_len")
+    rank_w = Window.partitionBy("host").orderBy(
+        F.col("_is_star").asc(), F.col("_ua_len").desc()
     )
-    chosen_specific = (
-        specific.join(best, "host")
-        .where(F.length("_ua") == F.col("_best_len"))
+    chosen = (
+        cand.withColumn("_rk", F.dense_rank().over(rank_w))
+        .where(F.col("_rk") == 1)
         .select("host", "_gid")
+        .distinct()
     )
-    star = (
-        uas.where(F.col("_ua") == "*")
-        .join(best, "host", "left_anti")
-        .select("host", "_gid")
-    )
-    chosen = chosen_specific.unionByName(star).distinct()
     return ann, chosen
 
 
@@ -211,28 +221,27 @@ def robots_filter(
     no matching rule — including non-URL rows — are allowed (robots
     absence means crawl-permitted; route non-URLs elsewhere).
 
+    Output is one row per distinct (id, url) pair — frames carrying
+    several URLs under one id (extract_links frontiers) keep every
+    URL, each judged on its own rules (the url_filter id-funnel
+    gotcha, CLAUDE.md).
+
     Scale: rules are a per-host dimension — the equi-join on host is
     broadcastable (AQE decides); the governing-rule pick is one
-    row_number window keyed by the URL row id.
+    row_number window keyed by (id, url).
     """
     from beats_spark.operators.urlnorm import url_host
 
+    # matchable string = path PLUS query (RFC 9309 / Google: /*.php$
+    # must not match /x.php?y); query-only URLs ('http://h?q') have an
+    # empty path — normalize to start at '/': '' -> '/', '?q' -> '/?q'
+    raw_path = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
     u = urls.withColumn("host", url_host(F.col(url_col))).withColumn(
         "_path",
-        F.when(
-            F.regexp_extract(
-                F.col(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
-                1,
-            )
-            == "",
-            "/",
-        ).otherwise(
-            F.regexp_extract(
-                F.col(url_col),
-                r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)",
-                1,
-            )
+        F.when(raw_path.startswith("/"), raw_path).otherwise(
+            F.concat(F.lit("/"), raw_path)
         ),
     )
     wild = F.col("path").contains("*") | F.col("path").endswith("$")
@@ -253,7 +262,7 @@ def robots_filter(
     cand = joined.withColumn(
         "_mrule", F.when(match, F.col("rule"))
     ).withColumn("_mpath", F.when(match, F.col("path")))
-    w = Window.partitionBy(id_col).orderBy(
+    w = Window.partitionBy(id_col, url_col).orderBy(
         F.length(F.col("_mpath")).desc_nulls_last(),
         F.col("_mrule").asc_nulls_last(),
     )
@@ -342,10 +351,7 @@ def parse_sitemap_urls(
     Scale shape: one narrow split/extract projection + a distinct on
     (host, url) — one shuffle of the tiny directive rows.
     """
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
-    ).withColumn("_line", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+    lines = _robots_lines(df, host_col, text_col)
     url = F.regexp_extract("_line", r"(?i)^sitemap\s*:\s*(\S+)", 1)
     return (
         lines.select("host", url.alias("sitemap_url"))

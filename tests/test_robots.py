@@ -312,3 +312,31 @@ sitemap: http://cdn.a.com/other.xml
         "http://a.com/sitemap.xml",
         "http://cdn.a.com/other.xml",
     }
+
+
+def test_robots_filter_query_only_url_and_multi_url_ids(spark):
+    """Regressions: a query-only URL ('http://h.com?q=1') has path
+    '/?q=1' and a blanket Disallow: / must block it; frames with
+    several URLs under one id keep EVERY URL, each judged alone."""
+    from beats_spark.operators.robots import parse_robots, robots_filter
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h.com", "User-agent: *\nDisallow: /\nAllow: /open/\n")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://h.com?q=1"),       # query-only: path '/?q=1'
+            (2, "http://h.com/open/a"),    # multi-URL id below
+            (2, "http://h.com/closed/b"),
+        ],
+        "doc_id long, url string",
+    )
+    out = robots_filter(urls, rules)
+    rows = {(r.doc_id, r.url): (r.allowed, r.rule_path) for r in out.collect()}
+    assert len(rows) == 3  # no URL vanished
+    assert rows[(1, "http://h.com?q=1")] == (False, "/")
+    assert rows[(2, "http://h.com/open/a")] == (True, "/open/")
+    assert rows[(2, "http://h.com/closed/b")] == (False, "/")
