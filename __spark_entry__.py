@@ -5714,6 +5714,93 @@ FROM h WHERE hid % 3 = 0
 """
 
 
+def q_crawl_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE crawl loop composed end-to-end in one query:
+    robots bodies → rule table + Crawl-delays + Sitemap discovery →
+    sitemap fetch (deterministic) → parse_sitemap → frontier_update
+    (seed + new links, within-sitemap dup collapsed) → robots gate
+    (/blocked/ dropped) → fetch_schedule (per-host slots at the
+    host's crawl-delay). The oracle constructs the surviving schedule
+    analytically — every stage must round-trip exactly for the hash
+    to match."""
+    from beats_spark.operators.crawl import frontier_update, parse_sitemap
+    from beats_spark.operators.robots import (
+        fetch_schedule,
+        parse_crawl_delays,
+        parse_robots,
+        parse_sitemap_urls,
+        robots_filter,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 10).alias("i")).distinct()
+    i = F.col("i").cast("string")
+    origin = F.concat(F.lit("http://h"), i, F.lit(".example.com"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /blocked/\n"),
+        F.when(
+            F.col("i") % 3 != 0,
+            F.concat(F.lit("Crawl-delay: "), i, F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Sitemap: "), origin, F.lit("/sm.xml\n"),
+    )
+    bodies = hosts.select(
+        F.concat(F.lit("h"), i, F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+        origin.alias("_origin"),
+    )
+    rules = parse_robots(bodies)
+    delays = parse_crawl_delays(bodies)
+    smurls = parse_sitemap_urls(bodies)
+    # deterministic "fetch": each discovered sitemap URL resolves to a
+    # urlset naming 2 pages, 1 blocked page, and a duplicate entry
+    o = F.regexp_replace(F.col("sitemap_url"), r"/sm\.xml$", "")
+    xml = F.concat(
+        F.lit("<urlset>"),
+        F.lit("<url><loc>"), o, F.lit("/p/a</loc></url>"),
+        F.lit("<url><loc>"), o, F.lit("/p/b</loc></url>"),
+        F.lit("<url><loc>"), o, F.lit("/blocked/x</loc></url>"),
+        F.lit("<url><loc>"), o, F.lit("/p/a</loc></url>"),
+        F.lit("</urlset>"),
+    )
+    links = parse_sitemap(
+        smurls.select(F.col("host"), xml.alias("sitemap_xml")), id_col="host"
+    )
+    seeds = bodies.select(F.concat(F.col("_origin"), F.lit("/")).alias("url"))
+    frontier = frontier_update(
+        seeds,
+        links.select(F.col("loc").alias("canonical_link")),
+        max_per_host=10,
+    )
+    gated = robots_filter(
+        frontier.select(F.col("url")), rules, url_col="url", id_col="url"
+    )
+    sched = fetch_schedule(
+        gated.where("allowed").select("url"), delays, default_delay_ms=500
+    )
+    return sched.select("url", "host", "slot", "delay_ms", "fetch_offset_ms")
+
+
+_SQL_CRAWL_LOOP = r"""
+WITH h AS (SELECT DISTINCT (doc_id % 10) AS i FROM documents),
+fx AS (
+  SELECT 'http://h' || i::VARCHAR || '.example.com/' AS url,
+         'h' || i::VARCHAR || '.example.com' AS host, 0 AS slot, i FROM h
+  UNION ALL
+  SELECT 'http://h' || i::VARCHAR || '.example.com/p/a',
+         'h' || i::VARCHAR || '.example.com', 1, i FROM h
+  UNION ALL
+  SELECT 'http://h' || i::VARCHAR || '.example.com/p/b',
+         'h' || i::VARCHAR || '.example.com', 2, i FROM h
+)
+SELECT url, host, slot::BIGINT AS slot,
+       (CASE WHEN i % 3 <> 0 THEN i * 1000 ELSE 500 END)::BIGINT AS delay_ms,
+       (slot * CASE WHEN i % 3 <> 0 THEN i * 1000 ELSE 500 END)::BIGINT
+         AS fetch_offset_ms
+FROM fx
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5738,6 +5825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "host_pagerank": q_host_pagerank,
         "sitemap_discovery": q_sitemap_discovery,
+        "crawl_loop": q_crawl_loop,
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
@@ -5854,6 +5942,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "sitemap_discovery": _SQL_SITEMAP_DISCOVERY,
+        "crawl_loop": _SQL_CRAWL_LOOP,
         "frontier_update": _SQL_FRONTIER_UPDATE,
         "parse_sitemap": _SQL_PARSE_SITEMAP,
         "tool_stats": _SQL_TOOL_STATS,

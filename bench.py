@@ -209,6 +209,7 @@ EXT_QUERIES = [
     "incremental_dedup",
     "host_pagerank",
     "sitemap_discovery",
+    "crawl_loop",
 ]
 
 
