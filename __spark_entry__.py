@@ -5801,6 +5801,235 @@ FROM fx
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/reward-model preference-pair construction over the
+    transcript shape: events become turns (the sft_corpus role
+    mapping), assistant turns carry their ``value`` as a preference
+    score, and each conversation with >=2 scored responses and a
+    strict best>worst margin emits one (prompt, chosen, rejected)
+    row. Margin is floor((best-worst)*1e6) — integer, IEEE-exact in
+    both engines; raw doubles never reach the output. The oracle
+    replays the ranking windows, the tie-breaks, and the first-user-
+    turn prompt lookup."""
+    from beats_spark.operators.chat import preference_pairs
+
+    ev = _load(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_type") == "click", "assistant")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("event_type") == "error", "system")
+        .otherwise("user")
+    )
+    turns = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        role.alias("role"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("event_id").cast("string")
+        ).alias("text"),
+        F.when(role == "assistant", F.col("value")).alias("score"),
+    )
+    pp = preference_pairs(
+        turns, key_col="user_id", order_cols=("ts", "event_id")
+    )
+    return pp.select(
+        "user_id", "prompt", "chosen", "rejected", "margin_micro",
+        "n_candidates",
+    )
+
+
+_SQL_PREFERENCE_PAIRS = r"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'assistant'
+              WHEN 'purchase' THEN 'tool' WHEN 'error' THEN 'system'
+              ELSE 'user' END AS role,
+         event_type || '#' || event_id::VARCHAR AS text,
+         value AS score
+  FROM events
+), cand AS (
+  SELECT * FROM t
+  WHERE role = 'assistant' AND score IS NOT NULL AND text IS NOT NULL
+), r AS (
+  SELECT user_id, text, score,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY score DESC, ts ASC, event_id ASC) AS rb,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY score ASC, ts DESC, event_id DESC) AS rw
+  FROM cand
+), p AS (
+  SELECT user_id,
+    max(CASE WHEN rb = 1 THEN text END) AS chosen,
+    max(CASE WHEN rb = 1 THEN score END) AS cs,
+    max(CASE WHEN rw = 1 THEN text END) AS rejected,
+    max(CASE WHEN rw = 1 THEN score END) AS rs,
+    count(*)::BIGINT AS n_candidates
+  FROM r GROUP BY user_id
+), pr AS (
+  SELECT user_id, text AS prompt FROM (
+    SELECT user_id, text,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM t WHERE role = 'user'
+  ) WHERE rn = 1
+)
+SELECT p.user_id, COALESCE(pr.prompt, '') AS prompt, chosen, rejected,
+       floor((cs - rs) * 1e6)::BIGINT AS margin_micro, n_candidates
+FROM p LEFT JOIN pr USING (user_id)
+WHERE n_candidates >= 2 AND cs > rs
+"""
+
+
+def q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (keep-first): plants a
+    repeated header line, a thrice-repeated footer (one copy with
+    trailing spaces, proving trimmed-identity matching) and a blank
+    separator into every document, then strips the repeats with the
+    zero-shuffle higher-order-filter operator. The oracle replays the
+    construction and the keep-first rule via a min(pos) window."""
+    from beats_spark.operators.dedup import strip_repeated_lines
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hdr = F.concat(F.lit("hdr "), (did % 7).cast("string"))
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            hdr, F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n"), hdr,
+            F.when(
+                did % 3 == 0,
+                F.lit("\n\nfooter line\nfooter line  \nfooter line"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_repeated_lines(planted, "text", "doc_id")
+
+
+_SQL_STRIP_REPEATED_LINES = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    'hdr ' || (doc_id % 7)::VARCHAR || chr(10)
+    || COALESCE(text, '')
+    || chr(10) || 'hdr ' || (doc_id % 7)::VARCHAR
+    || (CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || chr(10) || 'footer line' || chr(10)
+                  || 'footer line  ' || chr(10) || 'footer line'
+             ELSE '' END)
+    AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+       unnest(list_transform(range(1, len(l) + 1),
+                             i -> {'pos': i, 'line': l[i]})) AS u(s)
+), k AS (
+  SELECT doc_id, pos, line,
+         min(pos) OVER (PARTITION BY doc_id, trim(line)) AS firstpos
+  FROM lines
+), kept AS (
+  SELECT doc_id, pos, line FROM k
+  WHERE trim(line) = '' OR pos = firstpos
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS n_lines
+  FROM docs2
+)
+SELECT t.doc_id, COALESCE(r.clean, '') AS text, t.n_lines,
+       COALESCE(r.n_kept, 0)::BIGINT AS n_kept,
+       (t.n_lines - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair: plants the three dominant real-corpus mojibake
+    families (curly-quote/dash punctuation, Latin-1 letters, Â-prefixed
+    NBSP/guillemets/degree) into deterministic document subsets, then
+    repairs them with the frozen-table single-pass operator. Both
+    engines run the SAME frozen replace chain (encoding.py builds the
+    oracle expression from the table), so fixed text must match
+    byte-for-byte and the changed-flag must agree."""
+    from beats_spark.operators.encoding import fix_mojibake
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                did % 4 == 0, F.lit(" donâ€™t â€” stop â€¦")
+            ).when(
+                did % 4 == 1, F.lit(" caffÃ© crÃ¨me Ã¼ber niÃ±o")
+            ).when(
+                # NB: the NBSP mojibake is Â + \xa0 (0xC2 0xA0 read as
+                # cp1252), not Â + ASCII space — escape it explicitly.
+                did % 4 == 2, F.lit(" Â«quotedÂ» atÂ\xa0100Â°")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    fixed = fix_mojibake(planted, "text")
+    return fixed.select("doc_id", "text", "had_mojibake")
+
+
+def _sql_fix_mojibake() -> str:
+    from beats_spark.operators.encoding import mojibake_oracle_expr
+
+    planted = (
+        "COALESCE(text, '') || (CASE"
+        " WHEN doc_id % 4 = 0 THEN ' donâ€™t"
+        " â€” stop â€¦'"
+        " WHEN doc_id % 4 = 1 THEN ' caffÃ© crÃ¨me"
+        " Ã¼ber niÃ±o'"
+        " WHEN doc_id % 4 = 2 THEN ' Â«quotedÂ»"
+        " atÂ 100Â°'"
+        " ELSE '' END)"
+    )
+    fixed = mojibake_oracle_expr("raw")
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, {planted} AS raw FROM documents
+)
+SELECT doc_id, {fixed} AS text,
+       length(raw) > length({fixed}) AS had_mojibake
+FROM docs2
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    (shard, pos) address from one md5 hash — shard by modulus,
+    position by per-shard hash order — with no global sort anywhere.
+    The oracle replays the 60-bit hash, the modulus and the window."""
+    from beats_spark.operators.sampling import shuffle_shards
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    sh = shuffle_shards(docs, "doc_id", n_shards=16, seed=3)
+    return sh.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+_SQL_SHUFFLE_SHARDS = r"""
+WITH h AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('s3|' || doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM documents
+)
+SELECT doc_id, (hh % 16)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id)
+        - 1)::BIGINT AS pos
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5817,6 +6046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "preference_pairs": q_preference_pairs,
+        "strip_repeated_lines": q_strip_repeated_lines,
+        "fix_mojibake": q_fix_mojibake,
+        "shuffle_shards": q_shuffle_shards,
         "warc_parse": q_warc_parse,
         "warc_corpus": q_warc_corpus,
         "boilerplate_turns": q_boilerplate_turns,
@@ -5934,6 +6167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "preference_pairs": _SQL_PREFERENCE_PAIRS,
+        "strip_repeated_lines": _SQL_STRIP_REPEATED_LINES,
+        "fix_mojibake": _sql_fix_mojibake(),
+        "shuffle_shards": _SQL_SHUFFLE_SHARDS,
         "warc_parse": _SQL_WARC_PARSE,
         "warc_corpus": _sql_warc_corpus(),
         "boilerplate_turns": _SQL_BOILERPLATE_TURNS,

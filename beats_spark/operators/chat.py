@@ -358,3 +358,94 @@ def flag_boilerplate_turns(
         .withColumn("is_boilerplate", F.col("turn_convs") >= min_convs)
         .drop("_k")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    score_col: str = "score",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    response_role: str = "assistant",
+    prompt_role: str = "user",
+    min_candidates: int = 2,
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF reward-modeling) construction: within
+    each conversation, rank the ``response_role`` turns by score and
+    emit one (prompt, chosen, rejected) row pairing the best-scored
+    response against the worst. Conversations with fewer than
+    ``min_candidates`` responses, or whose best and worst scores tie,
+    produce no pair (a tied pair carries no preference signal).
+
+    The prompt is the first ``prompt_role`` turn in conversation
+    order — the standard single-prompt framing; multi-context pairing
+    composes upstream via render_chat on the prefix.
+
+    Ties inside the ranking break deterministically on ``order_cols``
+    (earliest turn wins the 'chosen' slot, latest the 'rejected') so
+    the output is stable across partitionings and engines.
+
+    Output: key, prompt, chosen, rejected, chosen_score,
+    rejected_score, margin_micro (floor((chosen-rejected)*1e6) —
+    integer, IEEE-exact cross-engine), n_candidates.
+
+    Scale: one hash shuffle on the conversation key; both rank
+    windows and the final groupBy reuse that partitioning, and the
+    prompt lookup is the same key again (self-joins co-located, AQE
+    keeps them shuffle-free after the first Exchange). Shuffle rows
+    carry only candidate turns, not whole conversations; a hot
+    conversation is one stream (sessions.py argument).
+    """
+    if min_candidates < 2:
+        raise ValueError("min_candidates must be >= 2 (a pair needs two)")
+    key, score = F.col(key_col), F.col(score_col)
+    asc = _order_asc(order_cols)
+    desc = [F.col(c).desc() for c in order_cols]
+    cand = df.where(
+        (F.col(role_col) == response_role)
+        & score.isNotNull()
+        & F.col(text_col).isNotNull()
+    )
+    w_best = Window.partitionBy(key_col).orderBy(score.desc(), *asc)
+    w_worst = Window.partitionBy(key_col).orderBy(score.asc(), *desc)
+    ranked = cand.select(
+        key_col,
+        score_col,
+        text_col,
+        F.row_number().over(w_best).alias("_rb"),
+        F.row_number().over(w_worst).alias("_rw"),
+    )
+    pairs = ranked.groupBy(key_col).agg(
+        F.max(F.when(F.col("_rb") == 1, F.col(text_col))).alias("chosen"),
+        F.max(F.when(F.col("_rb") == 1, score)).alias("chosen_score"),
+        F.max(F.when(F.col("_rw") == 1, F.col(text_col))).alias("rejected"),
+        F.max(F.when(F.col("_rw") == 1, score)).alias("rejected_score"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    w_prompt = Window.partitionBy(key_col).orderBy(*asc)
+    prompts = (
+        df.where(F.col(role_col) == prompt_role)
+        .select(key_col, text_col, F.row_number().over(w_prompt).alias("_rn"))
+        .where(F.col("_rn") == 1)
+        .select(key, F.col(text_col).alias("prompt"))
+    )
+    return (
+        pairs.where(
+            (F.col("n_candidates") >= min_candidates)
+            & (F.col("chosen_score") > F.col("rejected_score"))
+        )
+        .join(prompts, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("prompt"), F.lit("")).alias("prompt"),
+            "chosen",
+            "rejected",
+            "chosen_score",
+            "rejected_score",
+            F.floor(
+                (F.col("chosen_score") - F.col("rejected_score")) * 1e6
+            ).cast("long").alias("margin_micro"),
+            "n_candidates",
+        )
+    )

@@ -1256,3 +1256,56 @@ def incremental_dedup(
     )
     fresh = keyed.join(index, ["_ck", "_ck2"], "left_anti")
     return fresh.drop("_ck", "_ck2")
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unit: str = "line",
+) -> DataFrame:
+    """WITHIN-document repetition removal (the Gopher/RefinedWeb
+    intra-doc cleanup that precedes the cross-corpus line pass):
+    drop every repeat of a line already seen earlier in the SAME
+    document, keeping the first occurrence. Catches scraped pages
+    that duplicate their nav/footer blocks inline, chat logs that
+    re-echo the same status line, and template expansions — none of
+    which the cross-doc frequency pass (line_level_dedup) can touch
+    without also deleting the first, legitimate occurrence.
+
+    Matching is trimmed-identity (same rule as line_level_dedup);
+    blank/whitespace-only lines are document structure and always
+    kept. Returns ``id_col``, ``text`` (cleaned), ``n_lines``,
+    ``n_kept``, ``n_removed`` — the same shape as line_level_dedup so
+    the two passes compose.
+
+    Scale: ZERO shuffles — the whole operator is one higher-order
+    filter per row (whole-stage codegen), so it rides the scan and
+    composes with any downstream shuffle for free. keep-first is
+    array_position == own index, O(lines²) per document worst-case:
+    right for web/transcript docs (≤ thousands of lines); a
+    pathological million-line document should go through the
+    explode+window form instead (same semantics, one shuffle keyed
+    by the doc's own id).
+    """
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f"unit must be line|paragraph, got {unit!r}")
+    sep = "\n" if unit == "line" else "\n{2,}"
+    joiner = "\n" if unit == "line" else "\n\n"
+    lines = F.split(F.col(text_col), sep)
+    # One SQL string: the lambda references the split array and its
+    # trimmed twin; emitting via F.expr keeps plan-build O(1) py4j
+    # calls (CLAUDE.md: hundreds of Column calls cost real seconds).
+    kept = F.expr(
+        f"filter(split({text_col}, '{sep}'), (x, i) -> "
+        f"trim(x) = '' OR "
+        f"array_position(transform(split({text_col}, '{sep}'), y -> trim(y)),"
+        f" trim(x)) = i + 1)"
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, joiner).alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
+    )

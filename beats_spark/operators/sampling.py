@@ -674,3 +674,43 @@ def chunk_documents(
         F.col("_c.chunk_len").cast("long").alias("chunk_len"),
         F.col("_c.chunk_text").alias("chunk_text"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment: the
+    step between a curated corpus and the files a data loader reads.
+    Every row gets ``shard = hash % n_shards`` and ``pos`` = its
+    0-based position within the shard in hash order — a reproducible
+    global permutation addressable as (shard, pos), independent of
+    input partitioning or cluster size. Writing partitioned by
+    ``shard`` with ``sortWithinPartitions(pos)`` then yields the
+    standard pre-shuffled training shards.
+
+    Deliberately NOT a global orderBy: a total order is a range
+    shuffle whose skew is the sort key's, and no loader needs it —
+    per-shard order plus a shard-level read schedule is the same
+    permutation. One hash shuffle on the shard key, per-shard local
+    sort; ties (hash collisions) break on ``key_col`` so the
+    permutation is total. At 10^10 docs and 4096 shards each shard
+    sorts ~2.4M (hash, key) pairs — kilobytes per row never move,
+    only the projection being written.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = sample_hash(F.col(key_col), seed)
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_h", h)
+        .withColumn(shard_col, F.pmod(F.col("_h"), F.lit(n_shards)))
+        .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+        .drop("_h")
+    )

@@ -210,6 +210,10 @@ EXT_QUERIES = [
     "host_pagerank",
     "sitemap_discovery",
     "crawl_loop",
+    "preference_pairs",
+    "strip_repeated_lines",
+    "fix_mojibake",
+    "shuffle_shards",
 ]
 
 
