@@ -6001,6 +6001,82 @@ FROM docs2
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: the frozen fastText-style hashed
+    bag-of-words logistic classifier (functions/quality_model.py,
+    trained by the deterministic scripts/train_quality.py) scores
+    every document in integer milli units. Junk is planted into two
+    deterministic subsets (keyword stuffing, nav boilerplate) so both
+    classes appear; pure single-token repetition is out of scope for
+    a BoW model (the quality_filter repetition battery owns that
+    signal). The oracle indexes the SAME literal weight table —
+    the SQL is generated from it."""
+    from beats_spark.operators.textstats import quality_classifier
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            did % 7 == 0,
+            F.lit(
+                "cheap buy now click here free offer deal sale discount"
+                " casino winner prize cheap buy now"
+            ),
+        )
+        .when(
+            did % 7 == 3,
+            F.lit("HOME | ABOUT | CONTACT | LOGIN | PRIVACY | TERMS | FAQ"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return quality_classifier(planted, "text", "doc_id")
+
+
+def _sql_quality_classifier() -> str:
+    from beats_spark.functions.quality_model import (
+        QUALITY_BIAS_MILLI,
+        QUALITY_BUCKETS,
+        QUALITY_SEED,
+        QUALITY_WEIGHTS_MILLI,
+    )
+
+    table = ", ".join(str(v) for v in QUALITY_WEIGHTS_MILLI)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'cheap buy now click here free offer deal sale discount'
+              || ' casino winner prize cheap buy now'
+         WHEN doc_id % 7 = 3
+         THEN 'HOME | ABOUT | CONTACT | LOGIN | PRIVACY | TERMS | FAQ'
+         ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+    list_filter(string_split(trim(regexp_replace(lower(text),
+                                                 '\\s+', ' ', 'g')), ' '),
+                t -> t <> '') AS tk
+  FROM docs2
+), s AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+    CASE WHEN tk IS NULL OR len(tk) = 0 THEN NULL
+         ELSE {QUALITY_BIAS_MILLI} +
+           (list_sum(list_transform(tk, t ->
+              ([{table}])[
+                ((('0x' || substr(md5('s{QUALITY_SEED}|' || t), 1, 15))
+                  ::BIGINT) % {QUALITY_BUCKETS}) + 1]
+            ))::BIGINT // len(tk))
+    END AS quality_milli
+  FROM toks
+)
+SELECT doc_id, n_tokens, quality_milli,
+       quality_milli >= 0 AS keep_quality
+FROM s
+"""
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: every document gets a
     (shard, pos) address from one md5 hash — shard by modulus,
@@ -6046,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "quality_classifier": q_quality_classifier,
         "preference_pairs": q_preference_pairs,
         "strip_repeated_lines": q_strip_repeated_lines,
         "fix_mojibake": q_fix_mojibake,
@@ -6167,6 +6244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_classifier": _sql_quality_classifier(),
         "preference_pairs": _SQL_PREFERENCE_PAIRS,
         "strip_repeated_lines": _SQL_STRIP_REPEATED_LINES,
         "fix_mojibake": _sql_fix_mojibake(),

@@ -696,3 +696,83 @@ def corpus_report(
         ),
         F.expr("total_chars * 1000 div n_docs").alias("mean_chars_milli"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Model-based quality scoring — the fastText-style linear
+    classifier gate the CCNet / GPT-3 / FineWeb pipelines run after
+    the heuristic battery (quality_filter): a logistic regression over
+    md5-hashed bag-of-words buckets, MEAN-pooled so length cancels.
+    The weights are FROZEN integers trained offline by the
+    deterministic scripts/train_quality.py (synthetic prose-vs-junk
+    corpus — repetition, stuffing, shouting, symbol soup, nav
+    boilerplate; 99.5% held-out after quantization) and checked in as
+    functions/quality_model.py, the bpe_merges precedent: model = data.
+
+    Score (integer milli, engine-exact): ``bias + (Σ_tokens
+    weight[sample_hash(tok, seed) % 256]) div n_tokens`` over
+    normalize_text whitespace tokens; ``keep_quality = score ≥
+    threshold``. Both engines replay the identical arithmetic — the
+    DuckDB oracle indexes the same literal table.
+
+    Scale: ZERO shuffles and zero fit phase — the whole score is one
+    ``aggregate()`` higher-order expression over the token array with
+    the 256-weight table compiled in as an array literal (one F.expr
+    string: the dsir literal-map lesson, no thousand py4j calls), so
+    it rides the scan inside whole-stage codegen. Per-doc cost is one
+    md5 per token; there is nothing to broadcast, skew, or collect.
+    """
+    from beats_spark.functions.quality_model import (
+        QUALITY_BIAS_MILLI,
+        QUALITY_BUCKETS,
+        QUALITY_SEED,
+        QUALITY_WEIGHTS_MILLI,
+    )
+
+    table = ", ".join(str(v) for v in QUALITY_WEIGHTS_MILLI)
+    # let-binding idiom (CLAUDE.md): bind the token array once so the
+    # three consumers (n, sum, score) don't re-inline the normalize+
+    # split tree per reference.
+    score = F.expr(
+        f"""
+        element_at(transform(array(
+          filter(split(trim(regexp_replace(lower({text_col}),
+                                           '\\\\s+', ' ')), ' '),
+                 t -> t <> '')
+        ), toks ->
+          CASE WHEN size(toks) = 0 THEN CAST(NULL AS BIGINT)
+               ELSE {QUALITY_BIAS_MILLI}L + aggregate(toks,
+                 CAST(0 AS BIGINT),
+                 (acc, t) -> acc + element_at(array({table}),
+                   cast(cast(conv(substring(md5(concat(
+                     's{QUALITY_SEED}|', t)), 1, 15), 16, 10)
+                     AS BIGINT) % {QUALITY_BUCKETS} AS INT) + 1))
+                 div size(toks)
+          END), 1)
+        """
+    )
+    toks_n = F.size(
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            ),
+            lambda t: t != "",
+        )
+    )
+    scored = df.select(
+        F.col(id_col),
+        toks_n.cast("long").alias("n_tokens"),
+        score.cast("long").alias("quality_milli"),
+    )
+    # Separate projection so the md5 aggregate evaluates ONCE — the
+    # keep flag reads the materialized column, and NULL (null/empty
+    # text: unscorable) propagates into a NULL flag.
+    return scored.withColumn(
+        "keep_quality", F.col("quality_milli") >= F.lit(threshold_milli)
+    )

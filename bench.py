@@ -214,6 +214,7 @@ EXT_QUERIES = [
     "strip_repeated_lines",
     "fix_mojibake",
     "shuffle_shards",
+    "quality_classifier",
 ]
 
 
