@@ -436,3 +436,22 @@ def test_temperature_weights_single_corpus_shuffle(spark):
     # scan -> partial agg -> ONE hash exchange -> final agg (+ the
     # single-partition exchange feeding the window is on the tiny frame)
     assert ex_before_window <= 2, plan
+
+
+def test_late_round4_curation_ops_stay_narrow(spark):
+    """The per-row curation tail must ride the scan: mojibake repair,
+    intra-doc repetition strip, and the frozen-model quality gate are
+    pure projections (zero Exchange); the training-order shuffle is
+    exactly its one hash Exchange."""
+    from beats_spark.operators.dedup import strip_repeated_lines
+    from beats_spark.operators.encoding import fix_mojibake
+    from beats_spark.operators.sampling import shuffle_shards
+    from beats_spark.operators.textstats import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na"), (2, "x y z")], "doc_id long, text string"
+    )
+    assert "Exchange" not in plan_of(fix_mojibake(docs))
+    assert "Exchange" not in plan_of(strip_repeated_lines(docs))
+    assert "Exchange" not in plan_of(quality_classifier(docs))
+    assert plan_of(shuffle_shards(docs, "doc_id", 8)).count("Exchange") == 1
