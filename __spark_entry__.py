@@ -6001,6 +6001,64 @@ FROM docs2
 """
 
 
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-script composition: replaces deterministic document
+    subsets with CJK (Han+kana), Cyrillic, Arabic and digit-heavy
+    text so every dominant-script branch and the precedence
+    tie-break are exercised, then counts the five script classes.
+    The oracle uses the IDENTICAL \\x{...} char-class ranges (they
+    parse the same in Java regex and RE2)."""
+    from beats_spark.operators.textstats import script_composition
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.lit("你好世界 こんにちは 世界 조선말"))
+        .when(did % 5 == 1, F.lit("привет мир снова и снова"))
+        .when(did % 5 == 2, F.lit("مرحبا بالعالم مرة أخرى"))
+        .when(did % 5 == 3, F.lit("12345 67890 +-/*"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_composition(planted, "text", "doc_id")
+
+
+_SQL_SCRIPT_STATS = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN '你好世界 こんにちは 世界 조선말'
+         WHEN doc_id % 5 = 1 THEN 'привет мир снова и снова'
+         WHEN doc_id % 5 = 2 THEN 'مرحبا بالعالم مرة أخرى'
+         WHEN doc_id % 5 = 3 THEN '12345 67890 +-/*'
+         ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    COALESCE(length(text), 0)::BIGINT AS n_chars,
+    COALESCE(len(regexp_extract_all(text,
+      '[A-Za-z\x{00c0}-\x{024f}]')), 0)::BIGINT AS latin,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]')),
+      0)::BIGINT AS cjk,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{0400}-\x{04ff}]')), 0)::BIGINT AS cyrillic,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{0600}-\x{06ff}]')), 0)::BIGINT AS arabic,
+    COALESCE(len(regexp_extract_all(text, '[0-9]')), 0)::BIGINT AS digit
+  FROM docs2
+)
+SELECT doc_id, n_chars, latin, cjk, cyrillic, arabic, digit,
+  CASE WHEN latin >= cjk AND latin >= cyrillic AND latin >= arabic
+            AND latin > 0 THEN 'latin'
+       WHEN cjk >= cyrillic AND cjk >= arabic AND cjk > 0 THEN 'cjk'
+       WHEN cyrillic >= arabic AND cyrillic > 0 THEN 'cyrillic'
+       WHEN arabic > 0 THEN 'arabic'
+       ELSE 'none' END AS dominant_script
+FROM c
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: the frozen fastText-style hashed
     bag-of-words logistic classifier (functions/quality_model.py,
@@ -6122,6 +6180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "script_stats": q_script_stats,
         "quality_classifier": q_quality_classifier,
         "preference_pairs": q_preference_pairs,
         "strip_repeated_lines": q_strip_repeated_lines,
@@ -6244,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "script_stats": _SQL_SCRIPT_STATS,
         "quality_classifier": _sql_quality_classifier(),
         "preference_pairs": _SQL_PREFERENCE_PAIRS,
         "strip_repeated_lines": _SQL_STRIP_REPEATED_LINES,

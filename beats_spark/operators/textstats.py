@@ -776,3 +776,59 @@ def quality_classifier(
     return scored.withColumn(
         "keep_quality", F.col("quality_milli") >= F.lit(threshold_milli)
     )
+
+
+# (class, regex char-class) — \x{...} ranges parse identically in Java
+# regex (Spark) and RE2 (DuckDB), unlike \uXXXX which RE2 rejects.
+# CJK bundles Han + kana + Hangul (the routing signal is "CJK-script
+# doc", not per-language — lang_id owns finer splits).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", r"[A-Za-z\x{00c0}-\x{024f}]"),
+    ("cjk", r"[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]"),
+    ("cyrillic", r"[\x{0400}-\x{04ff}]"),
+    ("arabic", r"[\x{0600}-\x{06ff}]"),
+    ("digit", r"[0-9]"),
+)
+
+
+def script_composition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document writing-script composition — the router signal a
+    multilingual curation pipeline needs before any per-language
+    stage (tokenizer choice, mT5 temperature strata, CJK-aware
+    pricing): counts of Latin / CJK / Cyrillic / Arabic letters and
+    ASCII digits, total chars, and the dominant script with a fixed
+    precedence tie-break (latin > cjk > cyrillic > arabic; all-zero
+    or NULL text → 'none'). Complements lang_id (which assumes
+    Latin-alphabet n-grams) rather than replacing it.
+
+    Scale: zero shuffles — five regexp_count projections in one
+    codegen stage riding the scan. The char-class table is shared
+    verbatim with the DuckDB oracle (same \\x{{...}} ranges parse in
+    Java regex and RE2), so both engines count identically.
+    """
+    counts = {
+        name: F.regexp_count(F.col(text_col), F.lit(pat))
+        for name, pat in SCRIPT_CLASSES
+    }
+    lat, cjk = counts["latin"], counts["cjk"]
+    cyr, ara = counts["cyrillic"], counts["arabic"]
+    dominant = (
+        F.when((lat >= cjk) & (lat >= cyr) & (lat >= ara) & (lat > 0), "latin")
+        .when((cjk >= cyr) & (cjk >= ara) & (cjk > 0), "cjk")
+        .when((cyr >= ara) & (cyr > 0), "cyrillic")
+        .when(ara > 0, "arabic")
+        .otherwise("none")
+    )
+    return df.select(
+        F.col(id_col),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
+        *[
+            F.coalesce(counts[n], F.lit(0)).cast("long").alias(n)
+            for n, _ in SCRIPT_CLASSES
+        ],
+        dominant.alias("dominant_script"),
+    )

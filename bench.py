@@ -215,6 +215,7 @@ EXT_QUERIES = [
     "fix_mojibake",
     "shuffle_shards",
     "quality_classifier",
+    "script_stats",
 ]
 
 

@@ -228,3 +228,41 @@ def test_shuffle_shards_validation(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", 0)
+
+
+# ------------------------------------------------------------ script stats
+
+
+def test_script_composition_branches(spark):
+    from beats_spark.operators.textstats import script_composition
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "你好世界 こんにちは"),
+            (3, "привет мир"),
+            (4, "مرحبا بالعالم"),
+            (5, "12345 +-*/"),
+            (6, ""),
+            (7, None),
+            (8, "abc 你好"),  # tie-break: latin wins ties by precedence
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_composition(df).collect()}
+    assert rows[1]["dominant_script"] == "latin"
+    assert rows[2]["dominant_script"] == "cjk"
+    assert rows[2]["cjk"] == 9
+    assert rows[3]["dominant_script"] == "cyrillic"
+    assert rows[4]["dominant_script"] == "arabic"
+    assert rows[5]["dominant_script"] == "none"
+    assert rows[5]["digit"] == 5
+    assert rows[6]["dominant_script"] == "none" and rows[6]["n_chars"] == 0
+    assert rows[7]["dominant_script"] == "none" and rows[7]["latin"] == 0
+    assert rows[8]["latin"] == 3 and rows[8]["cjk"] == 2
+    # latin==3 > cjk==2, so latin; shrink latin to force the tie path
+    [tie] = script_composition(
+        spark.createDataFrame([(9, "ab 你好")], "doc_id long, text string")
+    ).collect()
+    assert tie["latin"] == 2 and tie["cjk"] == 2
+    assert tie["dominant_script"] == "latin"  # precedence on exact tie
