@@ -458,3 +458,85 @@ def test_stream_candidates_compose_with_batch_verify(spark, tmp_path):
     got = {(r.doc_id, r.keeper_id) for r in verified.collect()}
     # every verified pair is a true near-copy pairing (i+100, i)
     assert got and all(d == k + 100 for d, k in got), got
+
+
+def test_curation_tail_runs_on_streams(spark, tmp_path):
+    """The per-row curation tail (mojibake repair, frozen-model quality
+    gate, script composition) is stateless and narrow, so the SAME
+    operator code runs unchanged on a streaming frame — no batch/
+    stream fork anywhere. Mojibake is planted on even turns; the
+    streamed output must carry repaired text and quality scores that
+    match the pure-Python model replay bit-for-bit."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.encoding import fix_mojibake
+    from beats_spark.operators.textstats import (
+        quality_classifier,
+        script_composition,
+    )
+    from beats_spark.streaming.pipeline import rate_transcript_stream
+
+    src = rate_transcript_stream(spark, rows_per_batch=100, num_partitions=2)
+    v = F.regexp_extract(F.col("text"), r"turn-(\d+)", 1).cast("int")
+    dirty = src.select(
+        F.when(v % 2 == 0, F.concat(F.col("text"), F.lit(" caffÃ© donâ€™t")))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    # all three analyze as streaming plans (stream/batch code identity)
+    assert script_composition(dirty, "text", "text").isStreaming
+    out_df = quality_classifier(fix_mojibake(dirty, "text"), "text", "text")
+    assert out_df.isStreaming
+
+    out, ck = tmp_path / "qout", tmp_path / "qck"
+    q = (
+        out_df.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= 200:
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) >= 200
+    import hashlib
+    import re as _re
+
+    from beats_spark.functions.quality_model import (
+        QUALITY_BIAS_MILLI,
+        QUALITY_BUCKETS,
+        QUALITY_SEED,
+        QUALITY_WEIGHTS_MILLI,
+    )
+
+    def replay(text):
+        toks = [t for t in _re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        s = sum(
+            QUALITY_WEIGHTS_MILLI[
+                int(hashlib.md5(f"s{QUALITY_SEED}|{t}".encode()).hexdigest()[:15], 16)
+                % QUALITY_BUCKETS
+            ]
+            for t in toks
+        )
+        q_ = abs(s) // len(toks)
+        return QUALITY_BIAS_MILLI + (q_ if s >= 0 else -q_)
+
+    for r in rows[:50]:
+        assert "Ã©" not in r["text"] and "â€™" not in r["text"]  # repaired
+        if r["text"].endswith("don’t"):
+            assert "caffé" in r["text"]
+        assert r["quality_milli"] == replay(r["text"])
