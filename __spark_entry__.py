@@ -6164,6 +6164,152 @@ FROM h
 """
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnosis (operators/scale.py key_skew_stats): two hot
+    user_ids are planted (every 3rd event → user 7, every 11th →
+    user 13) so the heavy-hitter filter and the salt recommendation
+    both fire; the oracle replays the identical integer arithmetic."""
+    from beats_spark.operators.scale import key_skew_stats
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    planted = ev.select(
+        F.when(eid % 3 == 0, F.lit(7))
+        .when(eid % 11 == 0, F.lit(13))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("user_id")
+    )
+    out = key_skew_stats(planted, "user_id", n_partitions=64, heavy_milli=2000)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("share_ppm").cast("long").alias("share_ppm"),
+        F.col("rec_salt").cast("long").alias("rec_salt"),
+        F.col("avg_cnt").cast("long").alias("avg_cnt"),
+    )
+
+
+_SQL_KEY_SKEW = r"""
+WITH ev AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 7
+              WHEN event_id % 11 = 0 THEN 13
+              ELSE user_id END AS user_id
+  FROM events
+), c AS (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM ev GROUP BY user_id
+), t AS (
+  SELECT sum(cnt)::BIGINT AS total_rows, count(*)::BIGINT AS n_keys FROM c
+)
+SELECT user_id::BIGINT AS user_id, cnt,
+       (cnt * 1000000 // total_rows)::BIGINT AS share_ppm,
+       ((cnt * 64 + total_rows - 1) // total_rows)::BIGINT AS rec_salt,
+       (total_rows // n_keys)::BIGINT AS avg_cnt
+FROM c, t
+WHERE cnt * 1000 >= 2000 * (total_rows // n_keys)
+"""
+
+
+_MIX_WEIGHTS = {
+    "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
+    "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
+}
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget repeat-factor planner (sampling.mixture_epochs):
+    explicit mixture weights over ten sources (the other ten get
+    weight 0 → epochs 0), a 100k-token budget so the high-weight
+    sources hit the 4-epoch cap while the low-weight ones land under
+    it — every branch of the planner appears in the output."""
+    from beats_spark.operators.sampling import mixture_epochs
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mixture_epochs(
+        docs,
+        "source",
+        token_count_whitespace(F.col("text")).cast("long"),
+        budget_tokens=100_000,
+        weights_milli=_MIX_WEIGHTS,
+        max_epochs_milli=4000,
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("tokens").cast("long").alias("tokens"),
+        F.col("weight_milli").cast("long").alias("weight_milli"),
+        F.col("target_tokens").cast("long").alias("target_tokens"),
+        F.col("epochs_milli").cast("long").alias("epochs_milli"),
+        F.col("planned_tokens").cast("long").alias("planned_tokens"),
+    )
+
+
+def _sql_mixture_epochs() -> str:
+    case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH ps AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    COALESCE(sum(CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\\s+')) END), 0)::BIGINT
+      AS tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, (CASE source {case} ELSE 0 END)::BIGINT AS weight_milli FROM ps
+), t AS (
+  SELECT *, (100000 * weight_milli // 1000)::BIGINT AS target_tokens FROM w
+), e AS (
+  SELECT *, (CASE WHEN tokens <= 0 THEN 0
+                  WHEN target_tokens * 1000 // tokens > 4000 THEN 4000
+                  ELSE target_tokens * 1000 // tokens END)::BIGINT
+            AS epochs_milli
+  FROM t
+)
+SELECT source, n_docs, tokens, weight_milli, target_tokens, epochs_milli,
+       (tokens * epochs_milli // 1000)::BIGINT AS planned_tokens
+FROM e
+"""
+
+
+def q_padding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket padding audit (sampling.padding_stats): documents
+    binned by whitespace-token count rounded up to a 32-token cap;
+    per bucket the padding a pad-to-cap batcher would waste and the
+    ppm efficiency — the measured case for pack_sequences."""
+    from beats_spark.operators.sampling import padding_stats
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    docs = _load(spark, sf_dir, "documents")
+    out = padding_stats(
+        docs, token_count_whitespace(F.col("text")).cast("long"), bucket=32
+    )
+    return out.select(
+        F.col("cap").cast("long").alias("cap"),
+        F.col("n_seqs").cast("long").alias("n_seqs"),
+        F.col("token_sum").cast("long").alias("token_sum"),
+        F.col("padding").cast("long").alias("padding"),
+        F.col("eff_ppm").cast("long").alias("eff_ppm"),
+    )
+
+
+_SQL_PADDING_STATS = r"""
+WITH tk AS (
+  SELECT COALESCE(CASE WHEN trim(text) = '' THEN 0
+    ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS toks
+  FROM documents
+), b AS (
+  SELECT toks, ((greatest(toks, 1) + 31) // 32) * 32 AS cap FROM tk
+)
+SELECT cap::BIGINT AS cap, count(*)::BIGINT AS n_seqs,
+       sum(toks)::BIGINT AS token_sum,
+       (count(*) * cap - sum(toks))::BIGINT AS padding,
+       (sum(toks) * 1000000 // (count(*) * cap))::BIGINT AS eff_ppm
+FROM b GROUP BY cap
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6180,6 +6326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "key_skew": q_key_skew,
+        "mixture_epochs": q_mixture_epochs,
+        "padding_stats": q_padding_stats,
         "script_stats": q_script_stats,
         "quality_classifier": q_quality_classifier,
         "preference_pairs": q_preference_pairs,
@@ -6303,6 +6452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "key_skew": _SQL_KEY_SKEW,
+        "mixture_epochs": _sql_mixture_epochs(),
+        "padding_stats": _SQL_PADDING_STATS,
         "script_stats": _SQL_SCRIPT_STATS,
         "quality_classifier": _sql_quality_classifier(),
         "preference_pairs": _SQL_PREFERENCE_PAIRS,

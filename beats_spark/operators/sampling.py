@@ -714,3 +714,109 @@ def shuffle_shards(
         .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
         .drop("_h")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    source_col: str,
+    token_col: Column,
+    budget_tokens: int,
+    weights_milli: dict[str, int] | None = None,
+    max_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Repeat-factor planner for a token-budgeted training mixture.
+
+    Given per-document token counts and a total training budget,
+    compute — per source — how many epochs (in milli-epochs, so 1500
+    = "see this source 1.5 times") the trainer should take to hit the
+    mixture weights without exceeding the data-repetition cap
+    (Muennighoff et al. 2023 show returns diminish past ~4 epochs,
+    hence the default cap of 4000 milli).
+
+    ``weights_milli`` maps source → desired share in milli (parts per
+    1000); sources absent from the map get weight 0. ``None`` means
+    uniform: each source gets floor(1000 / n_sources) — computed from
+    the aggregated frame itself, so the plan stays one shuffle.
+
+    Outputs per source: ``n_docs``, ``tokens`` (available),
+    ``weight_milli``, ``target_tokens`` = floor(budget·w/1000),
+    ``epochs_milli`` = min(cap, floor(target·1000/tokens)) and
+    ``planned_tokens`` = floor(tokens·epochs_milli/1000). Pure 64-bit
+    integer arithmetic (budget ≤ ~9·10¹⁵ before the ·1000 step can
+    overflow — far above any real token budget), DuckDB-exact.
+
+    Scale: one groupBy on source (map-side combine; sources number in
+    the dozens), then scalar math on a tiny frame. The weights map is
+    compiled into the plan as a literal CASE — no join.
+    """
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(token_col, F.lit(0))).cast("long").alias("tokens"),
+    )
+    if weights_milli is None:
+        totals = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
+        per_source = per_source.crossJoin(F.broadcast(totals))
+        weight = F.expr("1000 div n_sources")
+    else:
+        weight = F.lit(0)
+        for src, w in sorted(weights_milli.items()):
+            weight = F.when(F.col(source_col) == src, F.lit(int(w))).otherwise(
+                weight
+            )
+    stage = per_source.select(
+        F.col(source_col),
+        "n_docs",
+        "tokens",
+        weight.cast("long").alias("weight_milli"),
+    )
+    target = F.expr(f"{int(budget_tokens)} * weight_milli div 1000")
+    stage = stage.withColumn("target_tokens", target)
+    epochs = F.when(F.col("tokens") <= 0, F.lit(0)).otherwise(
+        F.when(
+            F.expr("target_tokens * 1000 div tokens") > max_epochs_milli,
+            F.lit(int(max_epochs_milli)),
+        ).otherwise(F.expr("target_tokens * 1000 div tokens"))
+    )
+    stage = stage.withColumn("epochs_milli", epochs.cast("long"))
+    return stage.withColumn(
+        "planned_tokens", F.expr("tokens * epochs_milli div 1000")
+    )
+
+
+def padding_stats(
+    df: DataFrame, token_col: Column, bucket: int = 128
+) -> DataFrame:
+    """Length-bucket padding audit: what a fixed-length batcher wastes.
+
+    Sequences are binned by their padded length (``cap`` = token count
+    rounded UP to the next multiple of ``bucket``; empty docs land in
+    the first bucket). Per bucket: sequence count, real tokens, padding
+    tokens a naive pad-to-cap batcher would burn, and the packing
+    efficiency in ppm. The corpus-level roll-up of ``padding`` is the
+    business case for pack_sequences — this operator produces the
+    number.
+
+    Integer-exact (DuckDB-oracle-safe), one shuffle on a small integer
+    key with map-side combine; output is ≤ max_len/bucket rows.
+    """
+    if bucket <= 0:
+        raise ValueError(f"bucket must be positive, got {bucket}")
+    toks = F.coalesce(token_col, F.lit(0)).cast("long")
+    cap = F.expr(
+        f"((greatest(_toks, 1) + {int(bucket)} - 1) div {int(bucket)})"
+        f" * {int(bucket)}"
+    )
+    binned = df.select(toks.alias("_toks")).select(
+        "_toks", cap.alias("cap")
+    )
+    agg = binned.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("_toks").cast("long").alias("token_sum"),
+    )
+    return agg.select(
+        "cap",
+        "n_seqs",
+        "token_sum",
+        F.expr("n_seqs * cap - token_sum").alias("padding"),
+        F.expr("token_sum * 1000000 div (n_seqs * cap)").alias("eff_ppm"),
+    )

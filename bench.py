@@ -216,6 +216,9 @@ EXT_QUERIES = [
     "shuffle_shards",
     "quality_classifier",
     "script_stats",
+    "key_skew",
+    "mixture_epochs",
+    "padding_stats",
 ]
 
 

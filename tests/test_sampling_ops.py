@@ -56,3 +56,98 @@ def test_chunk_documents_bad_params(spark):
     for ct, ot in ((0, 0), (4, 4), (4, -1)):
         with pytest.raises(ValueError):
             chunk_documents(docs, chunk_tokens=ct, overlap_tokens=ot)
+
+
+def test_mixture_epochs_uniform_weights(spark):
+    """None weights → floor(1000/n_sources) each, computed in-plan."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sampling import mixture_epochs
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 40), ("c", 0)],
+        "source string, toks long",
+    )
+    out = mixture_epochs(
+        df, "source", F.col("toks"), budget_tokens=120, max_epochs_milli=9000
+    ).collect()
+    rows = {r.source: r for r in out}
+    assert set(rows) == {"a", "b", "c"}
+    for r in out:
+        assert r.weight_milli == 333  # 1000 div 3
+        assert r.target_tokens == 39  # 120*333 div 1000
+    assert rows["a"].epochs_milli == 1950  # 39*1000 div 20
+    assert rows["a"].planned_tokens == 39  # 20*1950 div 1000
+    assert rows["b"].epochs_milli == 975  # 39*1000 div 40
+    assert rows["c"].epochs_milli == 0  # zero tokens → no epochs
+    assert rows["c"].planned_tokens == 0
+
+
+def test_mixture_epochs_cap_and_missing_source(spark):
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sampling import mixture_epochs
+
+    df = spark.createDataFrame(
+        [("a", 10), ("z", 1000)], "source string, toks long"
+    )
+    rows = {
+        r.source: r
+        for r in mixture_epochs(
+            df,
+            "source",
+            F.col("toks"),
+            budget_tokens=1000,
+            weights_milli={"a": 1000},
+            max_epochs_milli=4000,
+        ).collect()
+    }
+    assert rows["a"].epochs_milli == 4000  # 100 epochs wanted → capped
+    assert rows["a"].planned_tokens == 40
+    assert rows["z"].weight_milli == 0  # absent from the map
+    assert rows["z"].epochs_milli == 0
+
+
+def test_padding_stats_exact(spark):
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sampling import padding_stats
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (31,), (32,), (33,), (None,)], "toks long"
+    )
+    rows = {
+        r.cap: r
+        for r in padding_stats(df, F.col("toks"), bucket=32).collect()
+    }
+    # 0, 1, 31, NULL→0 all land in cap 32; 32 exactly fills it; 33 → 64
+    assert rows[32].n_seqs == 5 and rows[32].token_sum == 64
+    assert rows[32].padding == 5 * 32 - 64
+    assert rows[32].eff_ppm == 64 * 1_000_000 // (5 * 32)
+    assert rows[64].n_seqs == 1 and rows[64].padding == 31
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        padding_stats(df, F.col("toks"), bucket=0)
+
+
+def test_key_skew_stats_uniform_is_empty(spark):
+    """No key ≥ 2× the mean → empty report; hot key → salt that
+    levels it across reducers."""
+    from beats_spark.operators.scale import key_skew_stats
+
+    uniform = spark.createDataFrame(
+        [(i % 8,) for i in range(80)], "k long"
+    )
+    assert key_skew_stats(uniform, "k", n_partitions=16).count() == 0
+
+    hot = spark.createDataFrame(
+        [(0,)] * 92 + [(i,) for i in range(1, 9)], "k long"
+    )
+    rows = key_skew_stats(hot, "k", n_partitions=10).collect()
+    assert len(rows) == 1 and rows[0].k == 0
+    assert rows[0].cnt == 92
+    assert rows[0].share_ppm == 92 * 1_000_000 // 100
+    assert rows[0].rec_salt == (92 * 10 + 99) // 100  # 10 sub-buckets
+    assert rows[0].avg_cnt == 100 // 9
