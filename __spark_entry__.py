@@ -6310,6 +6310,125 @@ FROM b GROUP BY cap
 """
 
 
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection sampling (chat.best_of_n): documents grouped into
+    50 candidate pools, scored by whitespace token count, top-2 per
+    pool kept with a deterministic doc_id tie-break — the RFT
+    best-of-n keep step. The oracle replays the identical window."""
+    from beats_spark.operators.chat import best_of_n
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    docs = _load(spark, sf_dir, "documents")
+    cand = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("long").alias("prompt_id"),
+        token_count_whitespace(F.col("text")).cast("long").alias("score"),
+    )
+    out = best_of_n(cand, "prompt_id", "score", "doc_id", n=2)
+    return out.select(
+        "doc_id", "prompt_id", "score",
+        F.col("bon_rank").cast("long").alias("bon_rank"),
+    )
+
+
+_SQL_BEST_OF_N = r"""
+WITH cand AS (
+  SELECT doc_id, (doc_id % 50)::BIGINT AS prompt_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+'))
+          END)::BIGINT AS score
+  FROM documents
+), r AS (
+  SELECT doc_id, prompt_id, score,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, doc_id ASC) AS bon_rank
+  FROM cand
+)
+SELECT doc_id, prompt_id, score, bon_rank::BIGINT AS bon_rank
+FROM r WHERE bon_rank <= 2
+"""
+
+
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus quality battery (textstats.code_stats): four
+    deterministic subsets are replaced with code pathologies — a
+    1200-char minified line, an auto-generated header, a 64-char hex
+    digest blob, and a symbol-soup low-alnum doc — so every signal
+    and the composed keep_code gate fire both ways."""
+    from beats_spark.operators.textstats import code_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 6 == 0, F.repeat(F.lit("x=1;"), 300))
+        .when(
+            did % 6 == 1,
+            F.lit(
+                "// Auto-generated by protoc. DO NOT EDIT.\n"
+                "int main() { return 0; }"
+            ),
+        )
+        .when(
+            did % 6 == 2,
+            F.concat(
+                F.lit('digest = "'),
+                F.repeat(F.lit("a1b2c3d4"), 8),
+                F.lit('"\nreturn digest'),
+            ),
+        )
+        .when(did % 6 == 3, F.lit("!!! ??? ... ---\n### $$$ %%% &&&"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return code_stats(planted, "text", "doc_id")
+
+
+_SQL_CODE_STATS = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 6 = 0 THEN repeat('x=1;', 300)
+         WHEN doc_id % 6 = 1 THEN '// Auto-generated by protoc. DO NOT EDIT.'
+                                  || chr(10) || 'int main() { return 0; }'
+         WHEN doc_id % 6 = 2 THEN 'digest = "' || repeat('a1b2c3d4', 8)
+                                  || '"' || chr(10) || 'return digest'
+         WHEN doc_id % 6 = 3 THEN '!!! ??? ... ---' || chr(10)
+                                  || '### $$$ %%% &&&'
+         ELSE text END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM docs2
+), c AS (
+  SELECT doc_id,
+    len(string_split(t, chr(10)))::BIGINT AS n_lines,
+    COALESCE(list_max(list_transform(string_split(t, chr(10)),
+                                     x -> length(x))), 0)::BIGINT
+      AS max_line_len,
+    COALESCE(list_sum(list_transform(string_split(t, chr(10)),
+                                     x -> length(x))), 0)::BIGINT
+      AS sum_lens,
+    length(t)::BIGINT AS n_chars,
+    len(regexp_extract_all(t, '[A-Za-z0-9]'))::BIGINT AS alnum_n,
+    len(regexp_extract_all(t, '[0-9a-fA-F]{32,}'))::BIGINT AS n_hex_blobs,
+    regexp_matches(t,
+      '(?i)auto-?generated|do not edit|generated by|@generated')
+      AS is_autogen
+  FROM s
+), m AS (
+  SELECT doc_id, n_lines, max_line_len,
+    (sum_lens * 1000 // greatest(n_lines, 1))::BIGINT AS avg_line_milli,
+    (alnum_n * 1000 // greatest(n_chars, 1))::BIGINT AS alnum_milli,
+    n_hex_blobs, is_autogen
+  FROM c
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_milli, alnum_milli,
+       n_hex_blobs, is_autogen,
+       (max_line_len <= 1000 AND avg_line_milli <= 100000
+        AND alnum_milli >= 250 AND NOT is_autogen) AS keep_code
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6326,6 +6445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "best_of_n": q_best_of_n,
+        "code_stats": q_code_stats,
         "key_skew": q_key_skew,
         "mixture_epochs": q_mixture_epochs,
         "padding_stats": q_padding_stats,
@@ -6452,6 +6573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "best_of_n": _SQL_BEST_OF_N,
+        "code_stats": _SQL_CODE_STATS,
         "key_skew": _SQL_KEY_SKEW,
         "mixture_epochs": _sql_mixture_epochs(),
         "padding_stats": _SQL_PADDING_STATS,

@@ -449,3 +449,39 @@ def preference_pairs(
             "n_candidates",
         )
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    tie_col: str,
+    n: int = 1,
+    rank_col: str = "bon_rank",
+) -> DataFrame:
+    """Rejection sampling (best-of-n): keep the top ``n`` candidates
+    per key by descending score.
+
+    The standard RFT/rejection-sampling data step: a policy emits N
+    candidate responses per prompt, a reward signal scores them, and
+    only the best survive into the fine-tuning set (Touvron et al.
+    2023, Llama 2 §3.2.3). This is the keep step — compose it with
+    any integer scorer in this repo (quality_classifier,
+    quality_score, surprisal) as the reward.
+
+    Ties are broken deterministically by ``tie_col`` ascending, so the
+    same corpus yields the same winners on every run and every cluster
+    size (the repo-wide determinism rule). Output keeps every input
+    column plus ``rank_col`` (1 = best).
+
+    Scale: one hash shuffle on ``key_col`` and a per-key window sort —
+    the group is the candidate set for one prompt (N ≈ 4–64), so no
+    skew concern; the window never sees more than N rows per key.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    ranked = df.withColumn(rank_col, F.row_number().over(w))
+    return ranked.filter(F.col(rank_col) <= n)

@@ -832,3 +832,89 @@ def script_composition(
         ],
         dominant.alias("dominant_script"),
     )
+
+
+# Code-corpus quality battery (StarCoder/BigCode-style preprocessing,
+# Li et al. 2023 §3.1; The Stack v2, Lozhkov et al. 2024): source-code
+# files fail on signals prose filters never see — one minified
+# 100k-char line, auto-generated headers, embedded hex/base64 blobs.
+_AUTOGEN_PATTERN = (
+    r"(?i)auto-?generated|do not edit|generated by|@generated"
+)
+_HEX_BLOB_PATTERN = r"[0-9a-fA-F]{32,}"
+
+
+def code_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_line: int = 1000,
+    max_avg_line_milli: int = 100_000,
+    min_alnum_milli: int = 250,
+) -> DataFrame:
+    """Per-document code-quality signals and the composed keep flag.
+
+    Emitted per document (all integers, DuckDB-exact):
+
+    - ``n_lines``            newline-split line count
+    - ``max_line_len``       longest line (minified/generated files)
+    - ``avg_line_milli``     floor(sum(line lens)·1000 / n_lines)
+    - ``alnum_milli``        alphanumeric chars per 1000 chars
+    - ``n_hex_blobs``        runs of ≥32 hex chars (digests, blobs)
+    - ``is_autogen``         auto-generated marker present
+    - ``keep_code``          max_line ≤ cap ∧ avg ≤ cap ∧ alnum ≥
+      floor ∧ no autogen marker — the StarCoder-shaped gate
+
+    Pure JVM projection (split + transform + regexp counts): zero
+    Exchange, rides the scan, scale-bounded by bytes read. Empty/NULL
+    text degrades to one empty line (n_lines 1, everything else 0).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n", -1)
+    lens = F.transform(lines, lambda x: F.length(x).cast("long"))
+    n_lines = F.size(lines).cast("long")
+    sum_lens = F.aggregate(
+        lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    max_len = F.coalesce(F.array_max(lens), F.lit(0).cast("long"))
+    n_chars = F.length(txt).cast("long")
+    alnum = F.size(
+        F.regexp_extract_all(txt, F.lit("[A-Za-z0-9]"), F.lit(0))
+    ).cast("long")
+    avg_milli = F.expr(
+        f"sum_lens * 1000 div greatest(n_lines, 1)"
+    )
+    alnum_milli = F.expr("alnum_n * 1000 div greatest(n_chars, 1)")
+    n_hex = F.size(
+        F.regexp_extract_all(txt, F.lit(_HEX_BLOB_PATTERN), F.lit(0))
+    ).cast("long")
+    is_autogen = txt.rlike(_AUTOGEN_PATTERN)
+    staged = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        max_len.alias("max_line_len"),
+        sum_lens.alias("sum_lens"),
+        n_chars.alias("n_chars"),
+        alnum.alias("alnum_n"),
+        n_hex.alias("n_hex_blobs"),
+        is_autogen.alias("is_autogen"),
+    )
+    staged = staged.withColumn("avg_line_milli", avg_milli).withColumn(
+        "alnum_milli", alnum_milli
+    )
+    keep = (
+        (F.col("max_line_len") <= max_line)
+        & (F.col("avg_line_milli") <= max_avg_line_milli)
+        & (F.col("alnum_milli") >= min_alnum_milli)
+        & ~F.col("is_autogen")
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        "max_line_len",
+        "avg_line_milli",
+        "alnum_milli",
+        "n_hex_blobs",
+        "is_autogen",
+        keep.alias("keep_code"),
+    )

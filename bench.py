@@ -219,6 +219,8 @@ EXT_QUERIES = [
     "key_skew",
     "mixture_epochs",
     "padding_stats",
+    "best_of_n",
+    "code_stats",
 ]
 
 

@@ -278,3 +278,30 @@ def test_flag_boilerplate_turns(spark):
     assert got[("c1", 1)] == (1, False)
     assert got[("c1", 2)] == (0, False)
     assert out.count() == len(rows)
+
+
+def test_best_of_n_rank_and_ties(spark):
+    """Top-n by score desc, deterministic tie-break ascending; n
+    larger than the pool keeps everything ranked."""
+    import pytest
+
+    from beats_spark.operators.chat import best_of_n
+
+    df = spark.createDataFrame(
+        [
+            ("p1", 1, 50), ("p1", 2, 90), ("p1", 3, 90), ("p1", 4, 10),
+            ("p2", 5, 7),
+        ],
+        "prompt string, cand long, score long",
+    )
+    top2 = {
+        (r.prompt, r.cand): r.bon_rank
+        for r in best_of_n(df, "prompt", "score", "cand", n=2).collect()
+    }
+    # tie at 90 broken by cand asc: 2 before 3; the 50 never appears
+    assert top2 == {("p1", 2): 1, ("p1", 3): 2, ("p2", 5): 1}
+
+    all_ranked = best_of_n(df, "prompt", "score", "cand", n=99).collect()
+    assert len(all_ranked) == 5
+    with pytest.raises(ValueError):
+        best_of_n(df, "prompt", "score", "cand", n=0)

@@ -455,3 +455,31 @@ def test_late_round4_curation_ops_stay_narrow(spark):
     assert "Exchange" not in plan_of(strip_repeated_lines(docs))
     assert "Exchange" not in plan_of(quality_classifier(docs))
     assert plan_of(shuffle_shards(docs, "doc_id", 8)).count("Exchange") == 1
+
+
+def test_scale_planning_ops_shuffle_budget(spark):
+    """The planning trio stays cheap: padding_stats is exactly its one
+    groupBy Exchange; key_skew_stats and mixture_epochs are the
+    per-key/per-source groupBy plus the 1-row totals broadcast back
+    (no second hash Exchange on the big frame, totals side arrives
+    over a BroadcastExchange, and no SortMergeJoin anywhere)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sampling import mixture_epochs, padding_stats
+    from beats_spark.operators.scale import key_skew_stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "source string, k long, toks long"
+    )
+    assert plan_of(padding_stats(df, F.col("toks"))).count("Exchange") == 1
+
+    skew = plan_of(key_skew_stats(df, "k", n_partitions=16))
+    mix = plan_of(
+        mixture_epochs(df, "source", F.col("toks"), budget_tokens=100)
+    )
+    for p in (skew, mix):
+        assert "SortMergeJoin" not in p
+        assert "BroadcastExchange" in p
+        # the only shuffle Exchanges are the two aggregations' (per-key
+        # + totals); the broadcast side adds no hashpartitioning
+        assert p.count("Exchange hashpartitioning") <= 2
