@@ -6429,6 +6429,64 @@ FROM m
 """
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rate-spike detection (flowctl.rate_anomaly): every
+    event on Jan 15 is remapped to event_type 'error', so 'error'
+    bursts ~5× over its trailing-7-day mean (spike fires) while the
+    other four types LOSE their day-15 bucket entirely — exercising
+    the observed-buckets window semantics on both sides. The oracle
+    replays the identical ROWS window and cross-multiplied integer
+    threshold."""
+    from beats_spark.operators.flowctl import rate_anomaly
+
+    ev = _load(spark, sf_dir, "events")
+    planted = ev.select(
+        "ts",
+        F.when(F.dayofmonth("ts") == 15, F.lit("error"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+    )
+    out = rate_anomaly(
+        planted, "ts", "event_type", bucket="day",
+        trail=7, threshold_milli=1500, min_trail=3,
+    )
+    return out.select(
+        "event_type", "bucket_ts",
+        F.col("cnt").cast("long").alias("cnt"),
+        "trail_sum", "trail_n",
+        F.col("ratio_milli").cast("long").alias("ratio_milli"),
+        "is_spike",
+    )
+
+
+_SQL_RATE_ANOMALY = r"""
+WITH ev AS (
+  SELECT ts,
+         CASE WHEN extract(day FROM ts) = 15 THEN 'error'
+              ELSE event_type END AS event_type
+  FROM events
+), c AS (
+  SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS bucket_ts,
+         count(*)::BIGINT AS cnt
+  FROM ev GROUP BY event_type, date_trunc('day', ts)::TIMESTAMP
+), w AS (
+  SELECT event_type, bucket_ts, cnt,
+    COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS trail_sum,
+    count(cnt) OVER (PARTITION BY event_type ORDER BY bucket_ts
+      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS trail_n
+  FROM c
+)
+SELECT event_type, bucket_ts, cnt, trail_sum, trail_n,
+  CASE WHEN trail_n >= 3 AND trail_sum > 0
+       THEN (cnt * 1000 * trail_n // trail_sum)::BIGINT END AS ratio_milli,
+  CASE WHEN trail_n >= 3 AND trail_sum > 0
+       THEN cnt * 1000 * trail_n >= 1500 * trail_sum
+       ELSE false END AS is_spike
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6445,6 +6503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "rate_anomaly": q_rate_anomaly,
         "best_of_n": q_best_of_n,
         "code_stats": q_code_stats,
         "key_skew": q_key_skew,
@@ -6573,6 +6632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rate_anomaly": _SQL_RATE_ANOMALY,
         "best_of_n": _SQL_BEST_OF_N,
         "code_stats": _SQL_CODE_STATS,
         "key_skew": _SQL_KEY_SKEW,

@@ -73,3 +73,76 @@ class RateLimit(Processor):
         if cond is not None:
             keep = keep | ~F.coalesce(cond, F.lit(False))
         return ranked.filter(keep).drop("_rl_rn")
+
+
+def rate_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "day",
+    trail: int = 7,
+    threshold_milli: int = 1500,
+    min_trail: int = 3,
+) -> DataFrame:
+    """Windowed rate-spike detection over event streams.
+
+    The observability step a log pipeline runs on its own counts
+    (metricbeat/Watcher territory): bucket events by ``bucket``
+    (date_trunc unit), count per (key, bucket), then compare each
+    bucket against the trailing ``trail``-bucket mean — a spike is
+    ``cnt ≥ threshold_milli/1000 × trailing mean``, evaluated in
+    cross-multiplied 64-bit integers (``cnt·1000·n ≥ thr·sum``) so
+    no float division leaks between engines. Buckets with fewer than
+    ``min_trail`` trailing observations report NULL ratio and never
+    flag (cold start).
+
+    Emitted per (key, bucket): ``cnt``, ``trail_sum``/``trail_n``
+    (the evidence), ``ratio_milli`` = floor(cnt·1000·n / sum), and
+    ``is_spike``. Zero-count buckets are simply absent (a groupBy
+    cannot see them); the trailing window is therefore over OBSERVED
+    buckets — the standard streaming-counts caveat, and exactly what
+    a calendar densification join would fix if absence itself must
+    alarm.
+
+    Scale: one shuffle on (key, bucket) with map-side combine — the
+    windowed frame holds one row per key per bucket, so a year of
+    minute buckets is ~526k rows per key; the per-key window sort is
+    over that aggregate, never the raw events.
+    """
+    if trail < 1:
+        raise ValueError(f"trail must be >= 1, got {trail}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    counts = (
+        df.select(F.col(key_col), b.alias("bucket_ts"))
+        .groupBy(key_col, "bucket_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(-trail, -1)
+    )
+    staged = counts.select(
+        key_col,
+        "bucket_ts",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("long").alias(
+            "trail_sum"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
+    ok = (F.col("trail_n") >= min_trail) & (F.col("trail_sum") > 0)
+    ratio = F.expr("cnt * 1000 * trail_n div trail_sum")
+    spike = (
+        F.col("cnt") * F.lit(1000) * F.col("trail_n")
+        >= F.lit(int(threshold_milli)) * F.col("trail_sum")
+    )
+    return staged.select(
+        key_col,
+        "bucket_ts",
+        "cnt",
+        "trail_sum",
+        "trail_n",
+        F.when(ok, ratio).alias("ratio_milli"),
+        F.when(ok, spike).otherwise(F.lit(False)).alias("is_spike"),
+    )

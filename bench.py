@@ -221,6 +221,7 @@ EXT_QUERIES = [
     "padding_stats",
     "best_of_n",
     "code_stats",
+    "rate_anomaly",
 ]
 
 

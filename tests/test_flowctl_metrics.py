@@ -108,3 +108,47 @@ def test_iceberg_fallback_roundtrip(spark, tmp_path):
     assert read_table(spark, path).count() == 20
     overwrite_partitions(df, str(tmp_path / "tbl2"))
     assert read_table(spark, str(tmp_path / "tbl2")).count() == 10
+
+
+def test_rate_anomaly_spike_cold_start_and_gaps(spark):
+    """Cold start never flags, a 3x burst flags, and a key's missing
+    bucket is simply absent (observed-buckets window)."""
+    import datetime as dt
+
+    import pytest
+
+    from beats_spark.operators.flowctl import rate_anomaly
+
+    def day(d):
+        return dt.datetime(2024, 1, d, 12, 0, 0)
+
+    rows = []
+    # key 'a': 2/day on days 1-6, burst of 6 on day 7
+    for d in range(1, 7):
+        rows += [("a", day(d))] * 2
+    rows += [("a", day(7))] * 6
+    # key 'b': 1/day on days 1,2,4 (day-3 gap)
+    rows += [("b", day(1)), ("b", day(2)), ("b", day(4))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r.event_type, r.bucket_ts.day): r
+        for r in rate_anomaly(
+            df, trail=7, threshold_milli=2000, min_trail=3
+        ).collect()
+    }
+    # day 1-3 for 'a': fewer than 3 trailing buckets -> NULL ratio, no flag
+    for d in (1, 2, 3):
+        assert out[("a", d)].ratio_milli is None
+        assert out[("a", d)].is_spike is False
+    # day 7: cnt 6 vs trailing mean 2 -> ratio 3000, spike
+    r7 = out[("a", 7)]
+    assert (r7.trail_sum, r7.trail_n) == (12, 6)
+    assert r7.ratio_milli == 3000 and r7.is_spike
+    # steady days never flag
+    assert out[("a", 6)].ratio_milli == 1000 and not out[("a", 6)].is_spike
+    # 'b' has no day-3 bucket at all; day 4's window saw 2 observed
+    assert ("b", 3) not in out
+    assert out[("b", 4)].trail_n == 2
+
+    with pytest.raises(ValueError):
+        rate_anomaly(df, trail=0)
