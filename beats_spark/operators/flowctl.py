@@ -117,12 +117,40 @@ def rate_anomaly(
         .groupBy(key_col, "bucket_ts")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return trailing_spike(
+        counts,
+        key_col=key_col,
+        trail=trail,
+        threshold_milli=threshold_milli,
+        min_trail=min_trail,
+    )
+
+
+def trailing_spike(
+    counts: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "bucket_ts",
+    cnt_col: str = "cnt",
+    trail: int = 7,
+    threshold_milli: int = 1500,
+    min_trail: int = 3,
+) -> DataFrame:
+    """The verdict stage of ``rate_anomaly``, factored out so batch and
+    streaming run the SAME code: batch feeds it the groupBy counts
+    above; streaming feeds it the FINALIZED windowed counts a
+    watermarked append-mode aggregation emits
+    (streaming/pipeline.py::stream_rate_counts) — the count frame is
+    identical by construction, so the spike report is too."""
     w = (
         Window.partitionBy(key_col)
-        .orderBy("bucket_ts")
+        .orderBy(bucket_col)
         .rowsBetween(-trail, -1)
     )
     staged = counts.select(
+        key_col,
+        F.col(bucket_col).alias("bucket_ts"),
+        F.col(cnt_col).cast("long").alias("cnt"),
+    ).select(
         key_col,
         "bucket_ts",
         "cnt",

@@ -583,3 +583,38 @@ def run_text_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rate_counts(
+    source: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The counts stage of rate-spike detection as a stream: a
+    watermarked tumbling-window aggregation whose append-mode output
+    is exactly the (key, bucket_ts, cnt) frame batch
+    ``operators.flowctl.rate_anomaly`` builds with its groupBy —
+    each window emits ONCE, finalized, after the watermark passes it.
+
+    Feed the accumulated finalized counts (e.g. a parquet sink
+    appended per micro-batch) to ``operators.flowctl.trailing_spike``
+    — the identical verdict code batch uses — for the spike report;
+    tests/test_streaming.py proves the composed stream report equals
+    the batch report row-for-row on the finalized horizon.
+
+    Scale: the standard streaming windowed-count shape — state is one
+    row per (key, open window) bounded by the watermark horizon; the
+    verdict stage downstream touches only the tiny counts table.
+    """
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("bucket_ts"),
+            F.col("cnt"),
+        )
+    )

@@ -540,3 +540,44 @@ def test_curation_tail_runs_on_streams(spark, tmp_path):
         if r["text"].endswith("don’t"):
             assert "caffé" in r["text"]
         assert r["quality_milli"] == replay(r["text"])
+
+
+def test_stream_rate_anomaly_matches_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming counts stage + the batch verdict stage equals the
+    all-batch rate_anomaly on the finalized horizon: stream_rate_counts
+    emits each (key, bucket) once after the watermark passes it, and
+    trailing_spike is literally the same code both paths run."""
+    from beats_spark.operators.flowctl import rate_anomaly, trailing_spike
+    from beats_spark.streaming.pipeline import stream_rate_counts
+
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    counts = stream_rate_counts(
+        src, ts_col="ts", key_col="role", bucket="1 hour",
+        watermark="30 minutes",
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    finalized = spark.table("rate_counts")
+    assert finalized.count() > 0, "watermark should finalize some windows"
+
+    got = trailing_spike(
+        finalized, key_col="role", trail=6, threshold_milli=1500,
+        min_trail=3,
+    )
+    expected = rate_anomaly(
+        transcripts, ts_col="ts", key_col="role", bucket="hour",
+        trail=6, threshold_milli=1500, min_trail=3,
+    ).join(finalized.select("role", "bucket_ts"), ["role", "bucket_ts"], "semi")
+
+    cols = ["role", "bucket_ts", "cnt", "trail_sum", "trail_n",
+            "ratio_milli", "is_spike"]
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    e = sorted(map(tuple, expected.select(*cols).collect()))
+    assert g == e and len(g) == finalized.count()
