@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent packing streams")
     p.add_argument("--tokenizer", choices=["whitespace", "bpe"],
                    default="whitespace")
+    p.add_argument("--plan-report", action="store_true",
+                   help="also emit the scale-planning report: per-"
+                        "stratum skew diagnosis (salt recommendation) "
+                        "and the padding audit a pad-to-cap batcher "
+                        "would cost vs this packed layout")
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--seed", type=int, default=17)
     return p
@@ -248,6 +253,32 @@ def main(argv: list[str] | None = None) -> int:
         pid = (F.col(id_col) * 10 + F.col("mix_copy")).alias("_pid")
     else:
         pid = F.col(id_col).alias("_pid")
+
+    if args.plan_report:
+        # the measurement pair behind the packing/salting choices:
+        # what padding a pad-to-budget batcher would burn on these
+        # docs, and which strata are hot enough to need salting
+        from beats_spark.operators.sampling import padding_stats
+        from beats_spark.operators.scale import key_skew_stats
+        from beats_spark.operators.textstats import token_count_whitespace
+
+        pad = padding_stats(
+            df, token_count_whitespace(F.col(text_col)).cast("long"),
+            bucket=args.budget,
+        ).persist()
+        pad.write.mode("overwrite").parquet(f"{args.out}/padding_report")
+        tot = pad.agg(
+            F.sum("padding").cast("long").alias("p"),
+            F.sum("token_sum").cast("long").alias("t"),
+        ).collect()[0]
+        stats["padding_tokens_naive"] = tot["p"]
+        stats["tokens_real"] = tot["t"]
+        pad.unpersist()
+        skew = key_skew_stats(df, args.lang_col, n_partitions=args.buckets)
+        skew.write.mode("overwrite").parquet(f"{args.out}/skew_report")
+        stats["skew_heavy_strata"] = (
+            spark.read.parquet(f"{args.out}/skew_report").count()
+        )
 
     packed = pack_sequences(
         df.select(pid, text_col),

@@ -141,3 +141,34 @@ def test_corpus_cli_warc_input(spark, tmp_path, capsys):
     assert stats["warc_records"] == 6   # 5 responses + 1 request
     assert stats["docs_in"] == 5        # request filtered out
     assert stats["rows_packed"] == 5
+
+
+def test_corpus_cli_plan_report(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus_plan")
+    rc = corpus_cli.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--budget", "256",
+            "--buckets", "8",
+            "--plan-report",
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # naive pad-to-budget always costs at least as much as the real
+    # token mass is short of full windows; both are positive here
+    assert stats["tokens_real"] > 0
+    assert stats["padding_tokens_naive"] > 0
+    assert stats["skew_heavy_strata"] >= 0
+    pad = spark.read.parquet(f"{out}/padding_report")
+    assert {"cap", "n_seqs", "token_sum", "padding", "eff_ppm"} <= set(
+        pad.columns
+    )
+    # padding report internally consistent with the stats line
+    agg = pad.agg({"padding": "sum", "token_sum": "sum"}).collect()[0]
+    assert agg["sum(padding)"] == stats["padding_tokens_naive"]
+    assert agg["sum(token_sum)"] == stats["tokens_real"]
+    skew = spark.read.parquet(f"{out}/skew_report")
+    assert {"cnt", "share_ppm", "rec_salt", "avg_cnt"} <= set(skew.columns)
