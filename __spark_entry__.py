@@ -6431,12 +6431,13 @@ FROM m
 
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed rate-spike detection (flowctl.rate_anomaly): every
-    event on Jan 15 is remapped to event_type 'error', so 'error'
-    bursts ~5× over its trailing-7-day mean (spike fires) while the
-    other four types LOSE their day-15 bucket entirely — exercising
-    the observed-buckets window semantics on both sides. The oracle
-    replays the identical ROWS window and cross-multiplied integer
-    threshold."""
+    event on the 15TH OF EACH MONTH is remapped to event_type 'error'
+    (the events table spans one month at these SFs, so one planted
+    burst), making 'error' spike ~5× over its trailing-7-day mean
+    while the other four types LOSE their day-15 bucket(s) entirely —
+    exercising the observed-buckets window semantics on both sides.
+    The oracle replays the identical ROWS window and cross-multiplied
+    integer threshold."""
     from beats_spark.operators.flowctl import rate_anomaly
 
     ev = _load(spark, sf_dir, "events")

@@ -141,9 +141,11 @@ def trailing_spike(
     watermarked append-mode aggregation emits
     (streaming/pipeline.py::stream_rate_counts) — the count frame is
     identical by construction, so the spike report is too."""
+    # the frame below renames bucket_col -> bucket_ts, so the window
+    # must order by the POST-rename name
     w = (
         Window.partitionBy(key_col)
-        .orderBy(bucket_col)
+        .orderBy("bucket_ts")
         .rowsBetween(-trail, -1)
     )
     staged = counts.select(

@@ -754,6 +754,11 @@ def mixture_epochs(
         F.sum(F.coalesce(token_col, F.lit(0))).cast("long").alias("tokens"),
     )
     if weights_milli is None:
+        # persist: per_source feeds both the n_sources agg and the
+        # crossJoin — without it the corpus groupBy runs twice
+        # (ReuseExchange doesn't fire under joins; CLAUDE.md). The
+        # frame is one row per source, so the cache is trivial.
+        per_source = per_source.persist()
         totals = per_source.agg(F.count(F.lit(1)).alias("n_sources"))
         per_source = per_source.crossJoin(F.broadcast(totals))
         weight = F.expr("1000 div n_sources")
@@ -813,10 +818,17 @@ def padding_stats(
         F.count(F.lit(1)).alias("n_seqs"),
         F.sum("_toks").cast("long").alias("token_sum"),
     )
+    # eff_ppm widens through decimal(38,0): a single bucket of a
+    # 100 TB corpus can hold > 9.2e12 tokens, where the bare int64
+    # ·10⁶ multiply would ANSI-overflow (DuckDB promotes to HUGEINT
+    # silently, so only Spark would crash — widen to match).
     return agg.select(
         "cap",
         "n_seqs",
         "token_sum",
         F.expr("n_seqs * cap - token_sum").alias("padding"),
-        F.expr("token_sum * 1000000 div (n_seqs * cap)").alias("eff_ppm"),
+        F.expr(
+            "cast(cast(token_sum as decimal(38,0)) * 1000000"
+            " div (n_seqs * cap) as bigint)"
+        ).alias("eff_ppm"),
     )

@@ -57,7 +57,13 @@ def key_skew_stats(
     """
     from pyspark.sql import functions as F
 
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # persist: the counts frame feeds BOTH the totals agg and the
+    # crossJoin — ReuseExchange does not fire for shared aggregate
+    # subtrees under joins (CLAUDE.md), so without this the full
+    # corpus scan+shuffle runs twice. |keys|×16 B, spills if huge.
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
     totals = counts.agg(
         F.sum("cnt").alias("total_rows"),
         F.count(F.lit(1)).alias("n_keys"),

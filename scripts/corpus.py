@@ -260,11 +260,21 @@ def main(argv: list[str] | None = None) -> int:
         # docs, and which strata are hot enough to need salting
         from beats_spark.operators.sampling import padding_stats
         from beats_spark.operators.scale import key_skew_stats
-        from beats_spark.operators.textstats import token_count_whitespace
 
+        # price the audit in the SAME tokens the packer budgets with,
+        # or the padding numbers are apples-to-oranges vs the manifest
+        if args.tokenizer == "bpe":
+            from beats_spark.functions.bpe import bpe_token_count
+
+            tok_col = bpe_token_count(F.col(text_col))
+        else:
+            from beats_spark.operators.textstats import (
+                token_count_whitespace,
+            )
+
+            tok_col = token_count_whitespace(F.col(text_col))
         pad = padding_stats(
-            df, token_count_whitespace(F.col(text_col)).cast("long"),
-            bucket=args.budget,
+            df, tok_col.cast("long"), bucket=args.budget
         ).persist()
         pad.write.mode("overwrite").parquet(f"{args.out}/padding_report")
         tot = pad.agg(
@@ -274,11 +284,18 @@ def main(argv: list[str] | None = None) -> int:
         stats["padding_tokens_naive"] = tot["p"]
         stats["tokens_real"] = tot["t"]
         pad.unpersist()
-        skew = key_skew_stats(df, args.lang_col, n_partitions=args.buckets)
-        skew.write.mode("overwrite").parquet(f"{args.out}/skew_report")
-        stats["skew_heavy_strata"] = (
-            spark.read.parquet(f"{args.out}/skew_report").count()
-        )
+        # transcripts/WARC frames carry no stratum column — skip the
+        # skew leg instead of crashing after padding already wrote
+        if args.lang_col in df.columns:
+            skew = key_skew_stats(
+                df, args.lang_col, n_partitions=args.buckets
+            )
+            skew.write.mode("overwrite").parquet(f"{args.out}/skew_report")
+            stats["skew_heavy_strata"] = (
+                spark.read.parquet(f"{args.out}/skew_report").count()
+            )
+        else:
+            stats["skew_heavy_strata"] = None
 
     packed = pack_sequences(
         df.select(pid, text_col),

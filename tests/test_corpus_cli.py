@@ -172,3 +172,26 @@ def test_corpus_cli_plan_report(spark, tmp_path, capsys):
     assert agg["sum(token_sum)"] == stats["tokens_real"]
     skew = spark.read.parquet(f"{out}/skew_report")
     assert {"cnt", "share_ppm", "rec_salt", "avg_cnt"} <= set(skew.columns)
+
+
+def test_corpus_cli_plan_report_transcripts_no_stratum(spark, transcripts, tmp_path, capsys):
+    """Regression: --plan-report on --transcripts input (no lang
+    column) must skip the skew leg, not crash after padding wrote."""
+    turns_path = str(tmp_path / "turns2")
+    transcripts.write.mode("overwrite").parquet(turns_path)
+    out = str(tmp_path / "chat_plan")
+    rc = corpus_cli.main(
+        [
+            "--input", turns_path,
+            "--out", out,
+            "--transcripts",
+            "--no-quality",
+            "--plan-report",
+            "--budget", "128", "--buckets", "4", "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["skew_heavy_strata"] is None
+    assert stats["tokens_real"] > 0
+    assert spark.read.parquet(f"{out}/padding_report").count() > 0

@@ -152,3 +152,27 @@ def test_rate_anomaly_spike_cold_start_and_gaps(spark):
 
     with pytest.raises(ValueError):
         rate_anomaly(df, trail=0)
+
+
+def test_trailing_spike_custom_column_names(spark):
+    """Regression: non-default bucket_col/cnt_col must work — the
+    window runs over the post-rename frame (a stream sink keeping
+    'window_start'/'n' is the advertised caller)."""
+    import datetime as dt
+
+    from beats_spark.operators.flowctl import trailing_spike
+
+    counts = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, d, 0, 0), c)
+         for d, c in ((1, 2), (2, 2), (3, 2), (4, 2), (5, 8))],
+        "event_type string, window_start timestamp, n long",
+    )
+    rows = {
+        r.bucket_ts.day: r
+        for r in trailing_spike(
+            counts, bucket_col="window_start", cnt_col="n",
+            trail=4, threshold_milli=2000, min_trail=3,
+        ).collect()
+    }
+    assert rows[5].ratio_milli == 4000 and rows[5].is_spike
+    assert rows[4].ratio_milli == 1000 and not rows[4].is_spike

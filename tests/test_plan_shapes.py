@@ -480,6 +480,9 @@ def test_scale_planning_ops_shuffle_budget(spark):
     for p in (skew, mix):
         assert "SortMergeJoin" not in p
         assert "BroadcastExchange" in p
-        # the only shuffle Exchanges are the two aggregations' (per-key
-        # + totals); the broadcast side adds no hashpartitioning
-        assert p.count("Exchange hashpartitioning") <= 2
+        # both consumers of the shared per-key/per-source aggregate
+        # (totals agg + crossJoin side) must read the PERSISTED frame —
+        # ReuseExchange does not fire for shared aggregate subtrees
+        # under joins (CLAUDE.md), so without the cache the corpus
+        # groupBy would execute twice
+        assert p.count("InMemoryTableScan") >= 2
