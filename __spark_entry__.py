@@ -6488,6 +6488,147 @@ FROM w
 """
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (textstats.fuzzy_decontaminate):
+    MinHash-LSH candidate generation between the training corpus and
+    a derived eval set, exact-Jaccard verified at 0.5. The eval set is
+    a deterministic plant — every 97th document truncated to 70% of
+    its characters, simulating a benchmark item excerpted from a page
+    that is also in the training set (the case exact 32-token window
+    fingerprints in `decontaminate` can miss when the cut crosses
+    every window). Oracle: brute-force exact Jaccard of all
+    train × eval pairs in DuckDB (6 eval docs ⇒ trivially small).
+
+    Equality gate note (same argument as q_dedup_minhash_lsh): verify
+    makes precision exact; candidates use rows=1 banding (any one of
+    64 minhash agreements — recall-first, see the operator docstring
+    for the measured affine-family bias that rules out rows≥2 band
+    math), and all hashes are deterministic, so on the fixed corpora
+    output == oracle, checked at sf0.001 and sf0.01, cannot flake."""
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    evals = docs.filter(
+        (F.col("doc_id") % 97 == 3) & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.expr("substring(text, 1, greatest(length(text) * 7 div 10, 1))")
+        .alias("text"),
+    )
+    return fuzzy_decontaminate(
+        docs, evals, shingle_n=5, num_hashes=64, bands=64, threshold=0.5
+    )
+
+
+_SQL_DECONTAMINATE_FUZZY = r"""
+WITH ev AS (
+  SELECT doc_id AS eval_id,
+         substr(text, 1, greatest((length(text) * 7) // 10, 1)) AS text
+  FROM documents WHERE doc_id % 97 = 3 AND text IS NOT NULL
+), tsh AS (
+  SELECT doc_id AS train_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM documents)
+), esh AS (
+  SELECT eval_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT eval_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM ev)
+)
+SELECT t.train_id, e.eval_id,
+       len(list_intersect(t.grams, e.grams))::DOUBLE
+         / len(list_distinct(t.grams || e.grams))::DOUBLE AS jaccard
+FROM tsh t CROSS JOIN esh e
+WHERE len(list_intersect(t.grams, e.grams))::DOUBLE
+        / len(list_distinct(t.grams || e.grams))::DOUBLE >= 0.5
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-script tokenizer fertility (textstats.tokenizer_fertility)
+    over the script_stats multilingual plant: chars-per-token for the
+    whitespace and BPE-ish tokenizers, stratified by dominant script.
+    The CJK stratum prices ~1 char/BPE-token vs many chars/ws-token —
+    exactly the correction factor a token budget needs. All-integer
+    output; the oracle replays the identical regex batteries."""
+    from beats_spark.operators.textstats import tokenizer_fertility
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 5 == 0, F.lit("你好世界 こんにちは 世界 조선말"))
+        .when(did % 5 == 1, F.lit("привет мир снова и снова"))
+        .when(did % 5 == 2, F.lit("مرحبا بالعالم مرة أخرى"))
+        .when(did % 5 == 3, F.lit("12345 67890 +-/*"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return tokenizer_fertility(planted, "text", "doc_id")
+
+
+_SQL_TOKENIZER_FERTILITY = r"""
+WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN '你好世界 こんにちは 世界 조선말'
+         WHEN doc_id % 5 = 1 THEN 'привет мир снова и снова'
+         WHEN doc_id % 5 = 2 THEN 'مرحبا بالعالم مرة أخرى'
+         WHEN doc_id % 5 = 3 THEN '12345 67890 +-/*'
+         ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT
+    COALESCE(len(regexp_extract_all(text,
+      '[A-Za-z\x{00c0}-\x{024f}]')), 0)::BIGINT AS latin,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}\x{ac00}-\x{d7af}]')),
+      0)::BIGINT AS cjk,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{0400}-\x{04ff}]')), 0)::BIGINT AS cyrillic,
+    COALESCE(len(regexp_extract_all(text,
+      '[\x{0600}-\x{06ff}]')), 0)::BIGINT AS arabic,
+    COALESCE(length(text), 0)::BIGINT AS n_chars,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS tws,
+    len(regexp_extract_all(text,
+      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tbpe
+  FROM docs2
+), d AS (
+  SELECT n_chars, tws, tbpe,
+    CASE WHEN latin >= cjk AND latin >= cyrillic AND latin >= arabic
+              AND latin > 0 THEN 'latin'
+         WHEN cjk >= cyrillic AND cjk >= arabic AND cjk > 0 THEN 'cjk'
+         WHEN cyrillic >= arabic AND cyrillic > 0 THEN 'cyrillic'
+         WHEN arabic > 0 THEN 'arabic'
+         ELSE 'none' END AS dominant_script
+  FROM c
+)
+SELECT dominant_script,
+  count(*)::BIGINT AS n_docs,
+  sum(n_chars)::BIGINT AS sum_chars,
+  sum(tws)::BIGINT AS sum_tokens_ws,
+  sum(tbpe)::BIGINT AS sum_tokens_bpe,
+  (sum(n_chars)::BIGINT * 1000
+     // greatest(COALESCE(sum(tws)::BIGINT, 0), 1)) AS chars_per_ws_token_milli,
+  (sum(n_chars)::BIGINT * 1000
+     // greatest(COALESCE(sum(tbpe)::BIGINT, 0), 1)) AS chars_per_bpe_token_milli
+FROM d
+GROUP BY dominant_script
+ORDER BY dominant_script
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6504,6 +6645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "rate_anomaly": q_rate_anomaly,
         "best_of_n": q_best_of_n,
         "code_stats": q_code_stats,
@@ -6633,6 +6776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "decontaminate_fuzzy": _SQL_DECONTAMINATE_FUZZY,
+        "tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,
         "rate_anomaly": _SQL_RATE_ANOMALY,
         "best_of_n": _SQL_BEST_OF_N,
         "code_stats": _SQL_CODE_STATS,

@@ -791,6 +791,25 @@ SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
 )
 
 
+def _script_exprs(col: Column) -> tuple[dict[str, Column], Column]:
+    """(per-class count exprs, dominant-script expr) for one text
+    column — shared by :func:`script_composition` and
+    :func:`tokenizer_fertility` so both price scripts identically."""
+    counts = {
+        name: F.regexp_count(col, F.lit(pat)) for name, pat in SCRIPT_CLASSES
+    }
+    lat, cjk = counts["latin"], counts["cjk"]
+    cyr, ara = counts["cyrillic"], counts["arabic"]
+    dominant = (
+        F.when((lat >= cjk) & (lat >= cyr) & (lat >= ara) & (lat > 0), "latin")
+        .when((cjk >= cyr) & (cjk >= ara) & (cjk > 0), "cjk")
+        .when((cyr >= ara) & (cyr > 0), "cyrillic")
+        .when(ara > 0, "arabic")
+        .otherwise("none")
+    )
+    return counts, dominant
+
+
 def script_composition(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -808,19 +827,7 @@ def script_composition(
     verbatim with the DuckDB oracle (same \\x{{...}} ranges parse in
     Java regex and RE2), so both engines count identically.
     """
-    counts = {
-        name: F.regexp_count(F.col(text_col), F.lit(pat))
-        for name, pat in SCRIPT_CLASSES
-    }
-    lat, cjk = counts["latin"], counts["cjk"]
-    cyr, ara = counts["cyrillic"], counts["arabic"]
-    dominant = (
-        F.when((lat >= cjk) & (lat >= cyr) & (lat >= ara) & (lat > 0), "latin")
-        .when((cjk >= cyr) & (cjk >= ara) & (cjk > 0), "cjk")
-        .when((cyr >= ara) & (cyr > 0), "cyrillic")
-        .when(ara > 0, "arabic")
-        .otherwise("none")
-    )
+    counts, dominant = _script_exprs(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.coalesce(F.length(F.col(text_col)), F.lit(0))
@@ -918,3 +925,179 @@ def code_stats(
         "is_autogen",
         keep.alias("keep_code"),
     )
+
+
+def fuzzy_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 64,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Fuzzy train/eval contamination sweep: (train_id, eval_id,
+    jaccard) for every train document whose word-shingle Jaccard with
+    an eval/benchmark document is ≥ ``threshold``.
+
+    Default banding is rows=1 (bands == num_hashes): a train doc is a
+    candidate if ANY single minhash agrees with an eval doc's.
+    Decontamination is recall-first — a missed contamination silently
+    poisons an eval number, while a false candidate only costs one
+    exact-verify row against a tiny eval set. rows=1 also hedges a
+    measured estimator bias: the affine ``(a·x+b) mod (2^61-1)``
+    family over 32-bit base hashes wraps at most 4 times, so it is
+    piecewise-monotone rather than a random permutation, and observed
+    per-hash agreement runs well BELOW true Jaccard (a fixture pair
+    at J=0.65 agreed on only 16/64 minhashes — the idealized band
+    curve would call that a 1-in-10^8 event). Band-curve recall math
+    does not apply to this family; rows=1 keeps recall robust anyway
+    (any one of 64 agreements suffices).
+
+    Complements :func:`contamination_pairs` (exact rolling-window
+    fingerprints — catches verbatim inclusions only): a benchmark
+    item that was lightly paraphrased, truncated, or re-wrapped
+    shares no exact 32-token window but keeps high shingle overlap,
+    which is what this operator measures — the fuzzy decontamination
+    pass from Gopher (Rae et al. 2021 §A.2, 13-gram Jaccard) / GPT-3
+    (Brown et al. 2020 §C).
+
+    Plan (the cross-frame variant of ``minhash_lsh_pairs``):
+
+    1. band signatures on BOTH frames with the shared let-bound
+       single-expression SQL (zero shuffle, rides each scan);
+    2. eval side collapses to one row per (band, sig) bucket holding
+       its eval-id list — the eval frame is a benchmark (thousands of
+       rows), so this aggregate is tiny; buckets larger than
+       ``max_bucket`` (degenerate boilerplate signatures) are dropped
+       whole, mirroring the dedup discipline;
+    3. train bands equi-join the bucket frame on (band, sig) — AQE
+       broadcasts the eval side at any realistic benchmark size, so
+       the 100 TB train scan never shuffles; candidates dedup on
+       (train_id, eval_id);
+    4. exact shingle-Jaccard verify on the candidate pairs only —
+       false positives cannot escape; every hash is deterministic, so
+       on a fixed corpus the output is fixed.
+
+    100 TB: the only full-corpus shuffle is the candidate dedup,
+    keyed on (train_id, eval_id) — bounded by matches, not corpus
+    size. Texts are re-read for candidates only.
+    """
+    from beats_spark.operators.dedup import (
+        _band_signature_sql,
+        jaccard,
+        shingles,
+    )
+    from beats_spark.operators.scale import spread
+
+    assert num_hashes % bands == 0, "num_hashes must divide into bands"
+
+    def _bands(df: DataFrame, idc: str, out: str, do_spread: bool) -> DataFrame:
+        base = spread(df) if do_spread else df
+        sh = base.select(
+            F.col(idc).alias(out),
+            shingles(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        return sh.select(
+            out,
+            F.explode(
+                F.expr(_band_signature_sql("_sh", num_hashes, bands, seed))
+            ).alias("bb"),
+        ).select(out, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+
+    eval_buckets = (
+        _bands(eval_df, eval_id_col, "eval_id", do_spread=False)
+        .groupBy("band", "sig")
+        .agg(F.collect_list("eval_id").alias("_eids"))
+        .filter(F.size("_eids") <= max_bucket)
+    )
+    cand = (
+        _bands(train_df, id_col, "train_id", do_spread=True)
+        .join(eval_buckets, ["band", "sig"])
+        .select("train_id", F.explode("_eids").alias("eval_id"))
+        .dropDuplicates(["train_id", "eval_id"])
+    )
+    t_texts = train_df.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
+    )
+    e_texts = eval_df.select(
+        F.col(eval_id_col).alias("_eid"), F.col(text_col).alias("_etext")
+    )
+    verified = (
+        cand.join(t_texts, cand["train_id"] == t_texts["_tid"])
+        .join(e_texts, cand["eval_id"] == e_texts["_eid"])
+        .withColumn(
+            "jaccard",
+            jaccard(
+                shingles(F.col("_ttext"), shingle_n),
+                shingles(F.col("_etext"), shingle_n),
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "train_id", "eval_id", "jaccard"
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level tokenizer fertility per dominant writing script:
+    how many characters one token buys, for the whitespace tokenizer
+    and the BPE-ish regex tokenizer, stratified by script class.
+
+    This is the pricing table a multilingual budget needs: a token
+    budget priced on whitespace tokens undercounts CJK by ~10× (no
+    spaces ⇒ one "token" per run), while the BPE-ish regex prices
+    each CJK codepoint as its own token — the per-script
+    chars-per-token ratio is exactly the correction factor between
+    the two regimes (mT5, Xue et al. 2021 §3.1 measure the same
+    statistic for SentencePiece).
+
+    Emitted per ``dominant_script`` stratum (all BIGINT, engine-
+    portable):
+
+    - ``n_docs``, ``sum_chars``, ``sum_tokens_ws``, ``sum_tokens_bpe``
+    - ``chars_per_ws_token_milli``  = floor(sum_chars·1000 / tokens)
+    - ``chars_per_bpe_token_milli`` (same, BPE-ish tokens)
+
+    Plan: the script counts and both token counts are one zero-
+    Exchange projection riding the scan (regexp_count batteries);
+    the stratified rollup is one groupBy on a ≤5-value key with full
+    map-side partial aggregation — at 100 TB the shuffle carries a
+    handful of rows per task.
+    """
+    col = F.col(text_col)
+    _, dominant = _script_exprs(col)
+    per_doc = df.select(
+        dominant.alias("dominant_script"),
+        F.coalesce(F.length(col), F.lit(0)).cast("long").alias("n_chars"),
+        token_count_whitespace(col).alias("_tws"),
+        token_count_bpe_ish(col).alias("_tbpe"),
+    )
+    agg = per_doc.groupBy("dominant_script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("_tws").cast("long").alias("sum_tokens_ws"),
+        F.sum("_tbpe").cast("long").alias("sum_tokens_bpe"),
+    )
+    return agg.select(
+        "dominant_script",
+        "n_docs",
+        "sum_chars",
+        "sum_tokens_ws",
+        "sum_tokens_bpe",
+        # coalesce before greatest: an all-NULL-text stratum sums to
+        # NULL, and greatest() SKIPS NULLs in Spark but not DuckDB —
+        # the exact landmine CLAUDE.md documents for least/greatest
+        F.expr(
+            "sum_chars * 1000 div greatest(coalesce(sum_tokens_ws, 0), 1)"
+        ).alias("chars_per_ws_token_milli"),
+        F.expr(
+            "sum_chars * 1000 div greatest(coalesce(sum_tokens_bpe, 0), 1)"
+        ).alias("chars_per_bpe_token_milli"),
+    ).orderBy("dominant_script")

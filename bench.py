@@ -222,6 +222,8 @@ EXT_QUERIES = [
     "best_of_n",
     "code_stats",
     "rate_anomaly",
+    "decontaminate_fuzzy",
+    "tokenizer_fertility",
 ]
 
 

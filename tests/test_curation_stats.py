@@ -121,3 +121,82 @@ def test_perplexity_buckets_excludes_tokenless_docs(spark):
     )
     got = {r.doc_id for r in perplexity_buckets(df, n_buckets=2).collect()}
     assert got == {1, 4}  # documented: token-less docs are not ranked
+
+
+def test_fuzzy_decontaminate_planted_paraphrase(spark):
+    """A truncated/paraphrased copy of a train doc is flagged; an
+    unrelated doc is not; output jaccard is the exact value."""
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different content about spark physical plans and shuffles joining"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        # first 12 of 15 words: jaccard of 5-shingles = 8/11
+        [(100, "the quick brown fox jumps over the lazy dog and then runs")],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_decontaminate(train, evals, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["train_id"], r["eval_id"]) == (1, 100)
+    assert abs(r["jaccard"] - 8 / 11) < 1e-12
+
+
+def test_fuzzy_decontaminate_below_threshold_excluded(spark):
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    # shares a 5-gram (so it IS a candidate) but jaccard 1/11 < 0.5
+    evals = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon one two three four five six")],
+        "doc_id long, text string",
+    )
+    assert fuzzy_decontaminate(train, evals, threshold=0.5).count() == 0
+
+
+def test_tokenizer_fertility_cjk_vs_latin(spark):
+    """CJK prices ~1 char per BPE-ish token but many chars per
+    whitespace token; Latin prose sits near word length for both."""
+    from beats_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [
+            (1, "你好世界再见 世界你好"),   # 10 CJK chars + 1 space, 2 ws tokens
+            (2, "plain english words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["dominant_script"]: r for r in tokenizer_fertility(df).collect()}
+    cjk, lat = out["cjk"], out["latin"]
+    assert cjk["sum_tokens_ws"] == 2 and cjk["sum_tokens_bpe"] == 10
+    assert cjk["chars_per_ws_token_milli"] == 11 * 1000 // 2
+    assert cjk["chars_per_bpe_token_milli"] == 11 * 1000 // 10
+    assert lat["sum_tokens_ws"] == 4 and lat["sum_tokens_bpe"] == 4
+    assert lat["chars_per_ws_token_milli"] == 24 * 1000 // 4
+
+
+def test_tokenizer_fertility_null_and_empty_text(spark):
+    """NULL/empty texts land in the 'none' stratum with zero token
+    sums and the guarded division returns sum_chars*1000 (÷1)."""
+    from beats_spark.operators.textstats import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = tokenizer_fertility(df).collect()
+    assert len(rows) == 1 and rows[0]["dominant_script"] == "none"
+    r = rows[0]
+    assert r["n_docs"] == 3 and r["sum_chars"] == 3
+    # NULL text contributes NULL token counts (sum skips), blank rows 0
+    assert (r["sum_tokens_ws"] or 0) == 0
+    assert r["chars_per_ws_token_milli"] == 3000
