@@ -6629,6 +6629,41 @@ ORDER BY dominant_script
 """
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling (sampling.cluster_balance): the
+    oracle-proven integer cell assignment (same fixed ±1 centroids as
+    `ivf_assign`), per-cell counts, and the portable-md5 hash gate
+    thinning over-cap clusters to ~cap members. cap=40 against ~62
+    vectors/cell at sf0.01 so every branch (keep-all vs thin) is
+    exercised. All comparisons int64-exact; oracle replays assignment,
+    counts, and the 40-bit threshold rule."""
+    from beats_spark.operators.sampling import cluster_balance
+    from beats_spark.operators.similarity import fixed_centroids
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cluster_balance(
+        emb, fixed_centroids(8, 64), cap_per_cluster=40
+    ).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "n_cluster", "kept"
+    )
+
+
+def _sql_cluster_balance() -> str:
+    cap = 40
+    numer = (1 << 40) * cap
+    return f"""
+WITH cells AS ({_sql_ivf_assign()}),
+counts AS (
+  SELECT cell, count(*)::BIGINT AS n_cluster FROM cells GROUP BY cell
+)
+SELECT c.vec_id, c.cell::BIGINT AS cell, n.n_cluster,
+       (n.n_cluster <= {cap}) OR
+       ((('0x' || substr(md5('s0|' || c.vec_id::VARCHAR), 1, 15))::BIGINT
+           // 1048576) < ({numer} // n.n_cluster)) AS kept
+FROM cells c JOIN counts n USING (cell)
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6645,6 +6680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "cluster_balance": q_cluster_balance,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "tokenizer_fertility": q_tokenizer_fertility,
         "rate_anomaly": q_rate_anomaly,
@@ -6776,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cluster_balance": _sql_cluster_balance(),
         "decontaminate_fuzzy": _SQL_DECONTAMINATE_FUZZY,
         "tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,
         "rate_anomaly": _SQL_RATE_ANOMALY,

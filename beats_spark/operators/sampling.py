@@ -832,3 +832,70 @@ def padding_stats(
             " div (n_seqs * cap) as bigint)"
         ).alias("eff_ppm"),
     )
+
+
+def cluster_balance(
+    df: DataFrame,
+    centroids: list[list[int]],
+    cap_per_cluster: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Cluster-balanced downsampling over embedding cells: assign each
+    vector to its nearest centroid, then thin every over-represented
+    cluster down to ~``cap_per_cluster`` members with a deterministic
+    hash gate — the topic-balancing pass that keeps one boilerplate-
+    heavy cluster (license pages, SEO spam) from dominating a
+    pretraining mixture (cluster-based curation à la DataComp, Gadre
+    et al. 2023 §4.2; SemDeDup's cluster-prune stage, Abbas et al.
+    2023).
+
+    Emits (id, cell, n_cluster, kept): clusters at/below the cap keep
+    everything; above it each member survives with probability
+    cap/n_cluster via the portable 60-bit md5 hash — expected
+    survivors ≈ cap, deterministic for a fixed corpus and seed, and
+    reproducible at any parallelism (no rank window, no global sort).
+
+    Integer discipline: the gate compares the hash's top 40 bits
+    against floor(2^40·cap / n_cluster) — all int64-exact, DuckDB-
+    replayable (`cap_per_cluster` ≤ 2^22 so the numerator cannot
+    overflow; a trainer cap is thousands, not millions).
+
+    100 TB plan: cell assignment is a zero-shuffle codegen projection
+    (:func:`~beats_spark.operators.similarity.assign_cells_quantized`);
+    cluster counts are one map-side-combined groupBy on a ≤n_cells
+    key; the counts frame (n_cells rows) broadcast-joins back, so the
+    corpus itself never shuffles. An exact-quota variant would need a
+    per-cluster rank window — a straggler on exactly the mega-clusters
+    this op exists to thin — so the hash gate is the scale design,
+    not a shortcut.
+    """
+    if not 0 < cap_per_cluster <= (1 << 22):
+        raise ValueError(
+            f"cap_per_cluster must be in (0, 2^22], got {cap_per_cluster}"
+        )
+    from beats_spark.operators.scale import spread
+    from beats_spark.operators.similarity import assign_cells_quantized
+
+    # spread: a single-file embeddings scan is one input partition;
+    # persist: the assignment frame feeds BOTH the counts aggregate and
+    # the join back, and the n_cells×dim dot-product tree re-inlines
+    # per consumer otherwise (the CLAUDE.md invariant — this operator
+    # measured 7.5 s → 1.1 s at sf0.1 with spread+persist plus the
+    # let-bound single-expr assignment)
+    cells = assign_cells_quantized(
+        spread(df), centroids, vec_col, id_col
+    ).persist()
+    counts = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    joined = cells.join(counts, "cell")
+    h40 = F.shiftright(sample_hash(F.col(id_col), seed), 20)
+    numer = (1 << 40) * cap_per_cluster
+    kept = (F.col("n_cluster") <= cap_per_cluster) | (
+        h40 < F.expr(f"{numer} div n_cluster")
+    )
+    return joined.select(
+        F.col(id_col), "cell", "n_cluster", kept.alias("kept")
+    )

@@ -468,20 +468,27 @@ def assign_cells_quantized(
     plan, zero shuffles, whole-stage codegen — the 100 TB shape for a
     bulk assignment pass. tests/test_dedup_similarity.py pins that the
     production float kernel agrees with this on the test corpora.
+
+    Emitted as ONE let-bound F.expr string (the CLAUDE.md idiom): the
+    quantized vector binds to a lambda var so the n_cells×dim terms
+    read it instead of re-inlining floor(x·1e6) per term, and plan
+    build is a single parse instead of ~n_cells×dim py4j Column calls
+    (which alone cost seconds per query at 8×64).
     """
-    v = F.col(vec_col)
-    dots = []
-    for j, cent in enumerate(centroids):
-        acc = None
-        for d, c in enumerate(cent):
-            term = F.floor(v[d].cast("double") * 1000000).cast("long")
-            term = term if c > 0 else -term
-            acc = term if acc is None else acc + term
-        dots.append(F.struct(acc.alias("s"), F.lit(-j).alias("nj")))
-    best = F.array_max(F.array(*dots))
-    return corpus.select(
-        F.col(id_col), (-best["nj"]).cast("int").alias("cell")
+    structs = ", ".join(
+        "named_struct('s', "
+        + " + ".join(
+            ("" if c > 0 else "-") + f"qv[{d}]" for d, c in enumerate(cent)
+        )
+        + f", 'nj', {-j}L)"
+        for j, cent in enumerate(centroids)
     )
+    cell = F.expr(
+        f"element_at(transform(array(transform(`{vec_col}`, "
+        "x -> cast(floor(cast(x as double) * 1000000) as bigint))), "
+        f"qv -> cast(-array_max(array({structs})).nj as int)), 1)"
+    )
+    return corpus.select(F.col(id_col), cell.alias("cell"))
 
 
 def pq_train(

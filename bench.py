@@ -224,6 +224,7 @@ EXT_QUERIES = [
     "rate_anomaly",
     "decontaminate_fuzzy",
     "tokenizer_fertility",
+    "cluster_balance",
 ]
 
 

@@ -151,3 +151,34 @@ def test_key_skew_stats_uniform_is_empty(spark):
     assert rows[0].share_ppm == 92 * 1_000_000 // 100
     assert rows[0].rec_salt == (92 * 10 + 99) // 100  # 10 sub-buckets
     assert rows[0].avg_cnt == 100 // 9
+
+
+def test_cluster_balance_thins_overcap_cluster(spark):
+    """Cluster at/below cap keeps everything; over-cap cluster thins
+    by the md5 hash gate — replayed here in pure Python."""
+    import hashlib
+
+    from beats_spark.operators.sampling import cluster_balance
+
+    cents = [[1, 1, 1, 1], [-1, -1, -1, -1]]
+    rows = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(8)]          # cell 0
+    rows += [(100 + i, [-0.5, -0.5, -0.5, -0.5]) for i in range(2)]  # cell 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in cluster_balance(df, cents, cap_per_cluster=3).collect()}
+    assert len(out) == 10
+    assert all(out[i]["cell"] == 0 and out[i]["n_cluster"] == 8 for i in range(8))
+    assert all(out[100 + i]["kept"] for i in range(2))  # ≤ cap: keep all
+    thresh = ((1 << 40) * 3) // 8
+    for i in range(8):
+        h = int(hashlib.md5(f"s0|{i}".encode()).hexdigest()[:15], 16)
+        assert out[i]["kept"] == ((h >> 20) < thresh), i
+
+
+def test_cluster_balance_rejects_huge_cap(spark):
+    import pytest
+
+    from beats_spark.operators.sampling import cluster_balance
+
+    df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        cluster_balance(df, [[1]], cap_per_cluster=(1 << 22) + 1)
