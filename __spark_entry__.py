@@ -6629,6 +6629,99 @@ ORDER BY dominant_script
 """
 
 
+def q_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical make-your-own-benchmark flow composed end-to-end:
+    deterministic hash split (sampling.split_train_eval, 5% eval) →
+    fuzzy decontamination of the TRAIN side against the EVAL side
+    (textstats.fuzzy_decontaminate, exact-Jaccard ≥ 0.5 verify) →
+    per-doc verdict. A train doc that is a near-copy of an eval doc
+    is flagged contaminated and dropped from the kept set; eval docs
+    always keep (they ARE the benchmark). Contamination is planted
+    AFTER the split, deterministically on both sides (train docs at
+    doc_id%97==2 get a 15-word passage; eval docs at doc_id%5==0 get
+    its 13-word prefix — shingle Jaccard 9/11), so the contaminated
+    branch is provably non-empty at every SF and the oracle (which
+    re-splits, re-plants, brute-forces exact Jaccard over
+    train × eval, and replays the flags) checks every branch. Plant
+    predicates are deliberately sparse: k identical planted train
+    docs × m planted eval docs materialize k·m candidate pairs — the
+    same duplicate-heavy blowup the dedup family documents (measured
+    here: %7 planting 17.1 s → %97 planting 9.3 s at sf0.1)."""
+    from beats_spark.operators.sampling import split_train_eval
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    raw = split_train_eval(docs, "doc_id", eval_fraction=0.05, seed=5)
+    did, sp = F.col("doc_id"), F.col("split")
+    split = raw.withColumn(
+        "text",
+        F.when((sp == "train") & (did % 97 == 2), F.lit(_CLEAN_SPLIT_PASSAGE))
+        .when((sp == "eval") & (did % 5 == 0), F.lit(_CLEAN_SPLIT_PREFIX))
+        .otherwise(F.col("text")),
+    )
+    train = split.filter(F.col("split") == "train")
+    evals = split.filter(F.col("split") == "eval")
+    dirty = (
+        fuzzy_decontaminate(train, evals, threshold=0.5)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out = split.join(dirty, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+        (
+            (F.col("split") == "eval")
+            | F.col("contaminated").isNull()
+        ).alias("kept"),
+    )
+    return out
+
+
+_CLEAN_SPLIT_PASSAGE = (
+    "planted benchmark passage about gradient descent convergence"
+    " rates in deep networks and beyond today"
+)
+_CLEAN_SPLIT_PREFIX = " ".join(_CLEAN_SPLIT_PASSAGE.split()[:13])
+
+_SQL_CLEAN_SPLIT = rf"""
+WITH sp0 AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5('s5|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   < 57646075230342352 THEN 'eval' ELSE 'train' END AS split
+  FROM documents
+), sp AS (
+  SELECT doc_id, split,
+         CASE WHEN split = 'train' AND doc_id % 97 = 2
+                THEN '{_CLEAN_SPLIT_PASSAGE}'
+              WHEN split = 'eval' AND doc_id % 5 = 0
+                THEN '{_CLEAN_SPLIT_PREFIX}'
+              ELSE text END AS text
+  FROM sp0
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id, split,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM sp)
+), dirty AS (
+  SELECT DISTINCT t.doc_id
+  FROM sh t JOIN sh e ON t.split = 'train' AND e.split = 'eval'
+  WHERE len(list_intersect(t.grams, e.grams))::DOUBLE
+          / len(list_distinct(t.grams || e.grams))::DOUBLE >= 0.5
+)
+SELECT s.doc_id, s.split,
+       (d.doc_id IS NOT NULL) AS contaminated,
+       (s.split = 'eval' OR d.doc_id IS NULL) AS kept
+FROM sp s LEFT JOIN dirty d USING (doc_id)
+"""
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced downsampling (sampling.cluster_balance): the
     oracle-proven integer cell assignment (same fixed ±1 centroids as
@@ -6680,6 +6773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "clean_split": q_clean_split,
         "cluster_balance": q_cluster_balance,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6812,6 +6906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "clean_split": _SQL_CLEAN_SPLIT,
         "cluster_balance": _sql_cluster_balance(),
         "decontaminate_fuzzy": _SQL_DECONTAMINATE_FUZZY,
         "tokenizer_fertility": _SQL_TOKENIZER_FERTILITY,

@@ -225,6 +225,7 @@ EXT_QUERIES = [
     "decontaminate_fuzzy",
     "tokenizer_fertility",
     "cluster_balance",
+    "clean_split",
 ]
 
 
