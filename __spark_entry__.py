@@ -6534,7 +6534,8 @@ WITH ev AS (
   FROM (
     SELECT doc_id,
            string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-    FROM documents)
+    FROM documents
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
 ), esh AS (
   SELECT eval_id,
          list_distinct(list_transform(
@@ -6544,7 +6545,8 @@ WITH ev AS (
   FROM (
     SELECT eval_id,
            string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-    FROM ev)
+    FROM ev
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
 )
 SELECT t.train_id, e.eval_id,
        len(list_intersect(t.grams, e.grams))::DOUBLE
@@ -6708,7 +6710,8 @@ WITH sp0 AS (
   FROM (
     SELECT doc_id, split,
            string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-    FROM sp)
+    FROM sp
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
 ), dirty AS (
   SELECT DISTINCT t.doc_id
   FROM sh t JOIN sh e ON t.split = 'train' AND e.split = 'eval'

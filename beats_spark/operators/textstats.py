@@ -994,10 +994,28 @@ def fuzzy_decontaminate(
     )
     from beats_spark.operators.scale import spread
 
-    assert num_hashes % bands == 0, "num_hashes must divide into bands"
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+
+    # NULL/whitespace-only texts are excluded from matching entirely:
+    # shingles() degenerates to [''] for them in Spark (the NULL slice
+    # is swallowed by concat_ws) while DuckDB oracles produce [] — and
+    # semantically a blank train doc is not "contaminated" by a blank
+    # eval doc. The emptiness test mirrors the shingle normalization
+    # (lower + \s+ collapse + trim), NOT bare F.trim, which strips
+    # only ASCII spaces (CLAUDE.md gotcha).
+    def _has_text(df: DataFrame) -> DataFrame:
+        norm = F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        )
+        return df.filter(norm != "")
 
     def _bands(df: DataFrame, idc: str, out: str, do_spread: bool) -> DataFrame:
-        base = spread(df) if do_spread else df
+        base = spread(_has_text(df)) if do_spread else _has_text(df)
         sh = base.select(
             F.col(idc).alias(out),
             shingles(F.col(text_col), shingle_n).alias("_sh"),

@@ -200,3 +200,31 @@ def test_tokenizer_fertility_null_and_empty_text(spark):
     # NULL text contributes NULL token counts (sum skips), blank rows 0
     assert (r["sum_tokens_ws"] or 0) == 0
     assert r["chars_per_ws_token_milli"] == 3000
+
+
+def test_fuzzy_decontaminate_ignores_null_and_blank_text(spark):
+    """NULL/whitespace-only docs must not 'contaminate' each other:
+    shingles() degenerates to [''] for them (jaccard 1.0) while the
+    DuckDB oracle produces [] — the operator excludes them on both
+    engines, and a blank doc is semantically not a benchmark leak."""
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    train = spark.createDataFrame(
+        [(1, None), (2, "  \n "), (3, "real content words here five six seven")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(9, ""), (10, None), (11, "\t")],
+        "doc_id long, text string",
+    )
+    assert fuzzy_decontaminate(train, evals, threshold=0.3).count() == 0
+
+
+def test_fuzzy_decontaminate_rejects_bad_banding(spark):
+    import pytest
+
+    from beats_spark.operators.textstats import fuzzy_decontaminate
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        fuzzy_decontaminate(df, df, num_hashes=16, bands=64)
