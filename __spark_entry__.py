@@ -6631,6 +6631,82 @@ ORDER BY dominant_script
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (analytics.event_funnel) over the
+    events table: view → click → purchase with first-occurrence
+    ordering per user. One user-keyed shuffle + one global rollup;
+    all-integer output (ppm ratios). Oracle replays the conditional
+    min-µs battery and the ordered-reach flags."""
+    from beats_spark.operators.analytics import event_funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return event_funnel(ev, ["view", "click", "purchase"])
+
+
+_SQL_EVENT_FUNNEL = r"""
+WITH pu AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT
+    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 ELSE 0 END)::BIGINT AS n1,
+    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                  AND t2 IS NOT NULL AND t2 >= t1
+             THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM pu
+)
+SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
+       n0 * 1000000 // greatest(n0, 1) AS conv_ppm FROM tot
+UNION ALL
+SELECT 2, 'click', n1, n1 * 1000000 // greatest(n0, 1) FROM tot
+UNION ALL
+SELECT 3, 'purchase', n2, n2 * 1000000 // greatest(n0, 1) FROM tot
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (analytics.retention_cohorts): users cohorted
+    by the 7-day bucket of their first signup, activity counted in
+    periods 0..4. Integer epoch-µs bucket arithmetic on both engines
+    (the Spark `div`-truncates / DuckDB `//`-floors divergence is
+    neutralized by excluding pre-anchor events before dividing)."""
+    from beats_spark.operators.analytics import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events")
+    return retention_cohorts(
+        ev, anchor_type="signup", period_days=7, max_periods=4
+    )
+
+
+_SQL_RETENTION_COHORTS = r"""
+WITH a AS (
+  SELECT user_id, min(epoch_us(ts)) AS anchor_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), st AS (
+  SELECT e.user_id,
+         a.anchor_us // 604800000000 AS cohort_idx,
+         (epoch_us(e.ts) - a.anchor_us) // 604800000000 AS period
+  FROM events e JOIN a USING (user_id)
+  WHERE epoch_us(e.ts) >= a.anchor_us
+), act AS (
+  SELECT cohort_idx, period, count(*)::BIGINT AS n_active
+  FROM (SELECT DISTINCT cohort_idx, period, user_id
+        FROM st WHERE period <= 4)
+  GROUP BY cohort_idx, period
+)
+SELECT act.cohort_idx, act.period, act.n_active,
+       act.n_active * 1000000 // greatest(b.n_active, 1) AS retention_ppm
+FROM act
+JOIN (SELECT cohort_idx, n_active FROM act WHERE period = 0) b
+  USING (cohort_idx)
+"""
+
+
 def q_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical make-your-own-benchmark flow composed end-to-end:
     deterministic hash split (sampling.split_train_eval, 5% eval) →
@@ -6776,6 +6852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         "clean_split": q_clean_split,
         "cluster_balance": q_cluster_balance,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -6909,6 +6987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "event_funnel": _SQL_EVENT_FUNNEL,
+        "retention_cohorts": _SQL_RETENTION_COHORTS,
         "clean_split": _SQL_CLEAN_SPLIT,
         "cluster_balance": _sql_cluster_balance(),
         "decontaminate_fuzzy": _SQL_DECONTAMINATE_FUZZY,

@@ -1,0 +1,186 @@
+"""Event-stream analytics the observability stack downstream of a
+Beats pipeline runs over routed events (the Kibana/Watcher question
+set): ordered funnel conversion and cohort retention.
+
+The reference ships events; these answer what the shipped events are
+FOR. Both operators are pure DataFrame aggregations — conditional
+min/count rollups keyed on the user — and both are engine-portable by
+construction (microsecond integer timestamps, floor divisions, ppm
+ratios as integers) so DuckDB oracles replay them exactly.
+
+Reference anchor: libbeat delivers per-event documents whose analytic
+contract is "counts and aggregates downstream match" (libbeat/
+publisher/pipeline tests); the funnel/retention shapes are the
+canonical downstream aggregates (Kleppmann, DDIA ch. 10 batch views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400 * 1_000_000
+
+
+def _epoch_us(ts: Column) -> Column:
+    """Epoch microseconds as int64. Parquet event timestamps arrive
+    TIMESTAMP_NTZ, which unix_micros refuses; the cast to TIMESTAMP
+    interprets the naive value in the session zone — get_spark pins
+    UTC, which is exactly how DuckDB's epoch_us reads a naive
+    TIMESTAMP, so both engines see identical integers."""
+    return F.unix_micros(ts.cast("timestamp"))
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: for each step k, how many users
+    performed step 1, then step 2 at-or-after it, …, then step k
+    at-or-after step k-1 (first-occurrence semantics: each step's
+    timestamp is the user's EARLIEST such event, the standard
+    open-funnel definition).
+
+    Emits one row per step: ``step_idx`` (1-based), ``step``,
+    ``n_users``, and ``conv_ppm`` = floor(n_users·10⁶ / step-1 users)
+    (1_000_000 for the first step; 0-user funnels emit 0).
+
+    Plan: ONE groupBy(user) computing a conditional min-timestamp per
+    step (map-side combined, |steps| longs per user shuffled), then a
+    single global rollup of the boolean reach flags — the per-user
+    frame never leaves the executors except as |steps| counters per
+    partition. At 10^12 events this is the cheapest shape that exists:
+    the only wide exchange is keyed on user_id (hash-uniform) and
+    carries |steps|·8 bytes per user.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    us = _epoch_us(F.col(ts_col))
+    mins = [
+        F.min(
+            F.when(F.col(type_col) == s, us)
+        ).alias(f"_t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(user_col).agg(*mins)
+    # reached_k: every step 1..k present and ordered (ties allowed:
+    # a click logged the same microsecond as the view still counts)
+    reach_flags = []
+    cond = None
+    for i in range(len(steps)):
+        this = F.col(f"_t{i}").isNotNull()
+        if i > 0:
+            this = this & (F.col(f"_t{i}") >= F.col(f"_t{i - 1}"))
+        cond = this if cond is None else (cond & this)
+        reach_flags.append(
+            F.sum(cond.cast("long")).alias(f"_n{i}")
+        )
+    totals = per_user.agg(*reach_flags)
+    rows = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.coalesce(F.col(f"_n{i}"), F.lit(0)).alias("n_users"),
+                        F.coalesce(F.col("_n0"), F.lit(0)).alias("_base"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.expr("n_users * 1000000 div greatest(_base, 1)").alias("conv_ppm"),
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    anchor_type: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    period_days: int = 7,
+    max_periods: int = 4,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the week (or any
+    ``period_days`` bucket) of their FIRST ``anchor_type`` event;
+    for each cohort and period k ∈ [0, max_periods], count users with
+    ANY event in [anchor + k·period, anchor + (k+1)·period).
+
+    Emits (cohort_idx, period, n_active, retention_ppm): cohort_idx =
+    floor(first-anchor epoch-µs / period-µs) — an integer bucket, not
+    a calendar week, so Spark and any oracle agree without ISO-week
+    semantics; retention_ppm = floor(n_active·10⁶ / cohort period-0
+    count). Events BEFORE the user's anchor never count (pre-signup
+    activity is not retention); period-0 is ≥ the anchor event itself
+    so it is always non-zero for a non-empty cohort.
+
+    Plan: groupBy(user) conditional-min for the anchor (one shuffle,
+    8 bytes/user) → equi-join back on user (AQE decides broadcast vs
+    shuffle by the user-frame size) → distinct (cohort, period, user)
+    → count (second keyed shuffle) → the tiny (cohort × period) frame
+    self-joins its own period-0 row for the ratio. Per-event state is
+    one long; nothing text-sized ever shuffles.
+    """
+    if period_days <= 0 or max_periods < 0:
+        raise ValueError("period_days must be > 0 and max_periods >= 0")
+    p_us = period_days * _US_PER_DAY
+    us = _epoch_us(F.col(ts_col))
+    anchors = (
+        df.filter(F.col(type_col) == anchor_type)
+        .groupBy(user_col)
+        .agg(F.min(us).alias("_anchor_us"))
+    )
+    ev = df.select(F.col(user_col), us.alias("_ev_us")).join(
+        anchors, user_col
+    )
+    # pre-anchor events are excluded BEFORE the division: Spark `div`
+    # truncates toward zero while DuckDB `//` floors, so a negative
+    # (_ev_us - _anchor_us) would land in period 0 here but period -1
+    # in the oracle — and pre-signup activity is not retention anyway.
+    # NULL ts → NULL comparison → row dropped (tag-and-exclude).
+    staged = (
+        ev.filter(F.col("_ev_us") >= F.col("_anchor_us"))
+        .select(
+            F.col(user_col),
+            F.expr(f"_anchor_us div {p_us}").alias("cohort_idx"),
+            F.expr(f"(_ev_us - _anchor_us) div {p_us}").alias("period"),
+        )
+        .filter(F.col("period") <= max_periods)
+    )
+    # persisted: both the output and the period-0 ratio side consume
+    # this aggregate, and ReuseExchange does NOT fire for shared
+    # aggregate subtrees under joins (CLAUDE.md) — without the cache
+    # the whole events→anchors join + distinct would execute twice.
+    # The frame is ≤ cohorts × periods rows, trivially cacheable.
+    active = (
+        staged.dropDuplicates(["cohort_idx", "period", user_col])
+        .groupBy("cohort_idx", "period")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .persist()
+    )
+    # the period-0 frame is bounded by the number of cohorts (weeks
+    # since launch) — provably tiny, so the explicit broadcast is safe
+    # here, unlike unbounded candidate sets (CLAUDE.md)
+    base = F.broadcast(
+        active.filter(F.col("period") == 0).select(
+            F.col("cohort_idx"), F.col("n_active").alias("_n0")
+        )
+    )
+    return active.join(base, "cohort_idx").select(
+        "cohort_idx",
+        "period",
+        "n_active",
+        F.expr("n_active * 1000000 div greatest(_n0, 1)").alias(
+            "retention_ppm"
+        ),
+    )

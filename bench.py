@@ -226,6 +226,8 @@ EXT_QUERIES = [
     "tokenizer_fertility",
     "cluster_balance",
     "clean_split",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 

@@ -1,0 +1,82 @@
+"""Unit tests for the event-analytics operators (funnel, retention)
+with hand-computed fixtures — the sf-fixture parity twin lives in
+tests/test_contract_parity.py via the `event_funnel` /
+`retention_cohorts` contract queries."""
+
+from __future__ import annotations
+
+import datetime
+
+from beats_spark.operators.analytics import event_funnel, retention_cohorts
+
+
+def _ts(day, hour=0):
+    return datetime.datetime(2024, 1, day, hour)
+
+
+def test_event_funnel_ordering_and_conversion(spark):
+    rows = [
+        # A: full ordered funnel
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # B: click BEFORE first view -> reaches step 1 only
+        (2, "click", _ts(4)), (2, "view", _ts(5)),
+        # C: no view at all -> not in the funnel
+        (3, "click", _ts(1)),
+        # D: view only
+        (4, "view", _ts(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step_idx"]: r for r in event_funnel(df, ["view", "click", "purchase"]).collect()}
+    assert [out[i]["step"] for i in (1, 2, 3)] == ["view", "click", "purchase"]
+    assert [out[i]["n_users"] for i in (1, 2, 3)] == [3, 1, 1]
+    assert out[1]["conv_ppm"] == 1_000_000
+    assert out[2]["conv_ppm"] == 1_000_000 // 3
+    assert out[3]["conv_ppm"] == 1_000_000 // 3
+
+
+def test_event_funnel_same_timestamp_counts(spark):
+    rows = [(1, "view", _ts(1)), (1, "click", _ts(1))]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r["step_idx"]: r["n_users"] for r in event_funnel(df, ["view", "click"]).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_event_funnel_empty_input_emits_zero_rows_per_step(spark):
+    df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    out = event_funnel(df, ["view", "click"]).collect()
+    assert [(r["n_users"], r["conv_ppm"]) for r in out] == [(0, 0), (0, 0)]
+
+
+def test_retention_cohorts_periods_and_pre_anchor_exclusion(spark):
+    rows = [
+        # X: signup day 1; active day 1 (period 0) and day 9 (period 1);
+        # a pre-signup event in December must NOT count anywhere
+        (1, "signup", _ts(1)), (1, "click", _ts(9)),
+        (1, "view", datetime.datetime(2023, 12, 25)),
+        # Z: same signup week, only period 0
+        (2, "signup", _ts(2)),
+        # Y: never signed up -> excluded entirely
+        (3, "view", _ts(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = retention_cohorts(df, anchor_type="signup", period_days=7, max_periods=4)
+    got = {(r["cohort_idx"], r["period"]): (r["n_active"], r["retention_ppm"])
+           for r in out.collect()}
+    cohorts = {c for c, _ in got}
+    assert len(cohorts) == 1  # both signups fall in one 7-day bucket
+    (c,) = cohorts
+    assert got[(c, 0)] == (2, 1_000_000)   # the signup events themselves
+    assert got[(c, 1)] == (1, 500_000)     # X's day-9 click
+    assert set(got) == {(c, 0), (c, 1)}
+
+
+def test_retention_cohorts_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([], "user_id long, event_type string, ts timestamp")
+    with pytest.raises(ValueError):
+        retention_cohorts(df, period_days=0)
+    with pytest.raises(ValueError):
+        retention_cohorts(df, max_periods=-1)
+    with pytest.raises(ValueError):
+        event_funnel(df, [])

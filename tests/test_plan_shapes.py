@@ -486,3 +486,39 @@ def test_scale_planning_ops_shuffle_budget(spark):
         # under joins (CLAUDE.md), so without the cache the corpus
         # groupBy would execute twice
         assert p.count("InMemoryTableScan") >= 2
+
+
+def test_event_analytics_shuffle_budget(spark):
+    """event_funnel is ONE user-keyed hash Exchange (conditional mins)
+    + the single-partition global rollup — never a SortMergeJoin and
+    never a per-step pass over the events. retention_cohorts adds the
+    anchor/activity join and the distinct, but every Exchange is keyed
+    (user / cohort) and the period-0 ratio join must not sort-merge."""
+    from beats_spark.operators.analytics import event_funnel, retention_cohorts
+
+    df = spark.createDataFrame(
+        [(1, "view", "2024-01-01T00:00:00"), (1, "click", "2024-01-02T00:00:00")],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr("user_id", "event_type", "cast(ts_s as timestamp) as ts")
+
+    fp = plan_of(event_funnel(df, ["view", "click", "purchase"]))
+    assert fp.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in fp
+
+    rp = plan_of(
+        retention_cohorts(df, anchor_type="view", period_days=7, max_periods=2)
+    )
+    # the period-0 ratio join must arrive over a BroadcastExchange
+    # (the frame is bounded by cohort count); the anchor join on
+    # user_id may legitimately sort-merge in the static plan — a
+    # per-user frame is NOT broadcastable at 10^9 users, and AQE
+    # converts it at runtime when it happens to be small. Both
+    # consumers of the cohort×period aggregate must read the PERSISTED
+    # frame (ReuseExchange doesn't fire for shared aggregates under
+    # joins), so the heavy events→anchors subtree appears ONCE.
+    assert "BroadcastHashJoin" in rp
+    assert rp.count("InMemoryTableScan") >= 2
+    # the single user-keyed SMJ lives INSIDE the cached subtree, whose
+    # plan text is reprinted under every InMemoryTableScan — cap the
+    # count by the number of cache prints rather than asserting 1
+    assert rp.count("SortMergeJoin") <= rp.count("InMemoryTableScan")
