@@ -6652,12 +6652,12 @@ WITH pu AS (
   FROM events GROUP BY user_id
 ), tot AS (
   SELECT
-    sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n0,
-    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
-             THEN 1 ELSE 0 END)::BIGINT AS n1,
-    sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+    COALESCE(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n0,
+    COALESCE(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 ELSE 0 END), 0)::BIGINT AS n1,
+    COALESCE(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
                   AND t2 IS NOT NULL AND t2 >= t1
-             THEN 1 ELSE 0 END)::BIGINT AS n2
+             THEN 1 ELSE 0 END), 0)::BIGINT AS n2
   FROM pu
 )
 SELECT 1 AS step_idx, 'view' AS step, n0 AS n_users,
@@ -6673,8 +6673,10 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention (analytics.retention_cohorts): users cohorted
     by the 7-day bucket of their first signup, activity counted in
     periods 0..4. Integer epoch-µs bucket arithmetic on both engines
-    (the Spark `div`-truncates / DuckDB `//`-floors divergence is
-    neutralized by excluding pre-anchor events before dividing)."""
+    (Spark `div` and DuckDB `//` both truncate toward zero on
+    integers — verified, they agree on negatives too; pre-anchor
+    events are excluded before dividing for the semantic reason:
+    pre-signup activity is not retention)."""
     from beats_spark.operators.analytics import retention_cohorts
 
     ev = _load(spark, sf_dir, "events")

@@ -27,8 +27,11 @@ def _epoch_us(ts: Column) -> Column:
     TIMESTAMP_NTZ, which unix_micros refuses; the cast to TIMESTAMP
     interprets the naive value in the session zone — get_spark pins
     UTC, which is exactly how DuckDB's epoch_us reads a naive
-    TIMESTAMP, so both engines see identical integers."""
-    return F.unix_micros(ts.cast("timestamp"))
+    TIMESTAMP, so both engines see identical integers. try_cast, not
+    cast: a string ts column with one malformed value must yield a
+    NULL that flows into the existing NULL-min / NULL-filter handling
+    instead of an ANSI crash (tag-and-continue, CLAUDE.md)."""
+    return F.unix_micros(ts.try_cast("timestamp"))
 
 
 def event_funnel(
@@ -143,10 +146,12 @@ def retention_cohorts(
     ev = df.select(F.col(user_col), us.alias("_ev_us")).join(
         anchors, user_col
     )
-    # pre-anchor events are excluded BEFORE the division: Spark `div`
-    # truncates toward zero while DuckDB `//` floors, so a negative
-    # (_ev_us - _anchor_us) would land in period 0 here but period -1
-    # in the oracle — and pre-signup activity is not retention anyway.
+    # pre-anchor events are excluded BEFORE the division: pre-signup
+    # activity is not retention, and a negative (_ev_us - _anchor_us)
+    # would otherwise truncate into period 0 alongside genuine
+    # first-period activity (both Spark `div` and DuckDB `//`
+    # truncate toward zero on integers — verified, the engines agree;
+    # the filter is semantic, not a parity patch).
     # NULL ts → NULL comparison → row dropped (tag-and-exclude).
     staged = (
         ev.filter(F.col("_ev_us") >= F.col("_anchor_us"))

@@ -80,3 +80,17 @@ def test_retention_cohorts_rejects_bad_params(spark):
         retention_cohorts(df, max_periods=-1)
     with pytest.raises(ValueError):
         event_funnel(df, [])
+
+
+def test_event_funnel_malformed_string_ts_tags_and_continues(spark):
+    """A string ts column with one malformed value must not ANSI-crash
+    the job (try_cast) — the bad row simply never contributes."""
+    rows = [
+        (1, "view", "2024-01-01T00:00:00"),
+        (1, "click", "not-a-timestamp"),
+        (2, "view", "2024-01-02T00:00:00"),
+        (2, "click", "2024-01-03T00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
+    out = {r["step_idx"]: r["n_users"] for r in event_funnel(df, ["view", "click"]).collect()}
+    assert out == {1: 2, 2: 1}  # user 1's click is dropped, not fatal
