@@ -6709,6 +6709,41 @@ JOIN (SELECT cohort_idx, n_active FROM act WHERE period = 0) b
 """
 
 
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-gap latency per role transition (analytics.turn_latency)
+    over the event-turn stream (key=user_id, role=event_type — the
+    established conversation_stats idiom): integer-ms gap statistics
+    for every (prev_role → role) pair. Window ordered by (epoch-µs,
+    event_id) so lag() is tie-stable at any parallelism; oracle
+    replays the identical window in DuckDB."""
+    from beats_spark.operators.analytics import turn_latency
+
+    ev = _load(spark, sf_dir, "events")
+    return turn_latency(ev)
+
+
+_SQL_TURN_LATENCY = r"""
+WITH st AS (
+  SELECT user_id, event_type AS role, event_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), g AS (
+  SELECT
+    lag(role) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_role,
+    role,
+    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) // 1000
+      AS gap_ms
+  FROM st
+)
+SELECT prev_role, role,
+       count(*)::BIGINT AS n_gaps,
+       sum(gap_ms)::BIGINT AS sum_gap_ms,
+       max(gap_ms)::BIGINT AS max_gap_ms,
+       (sum(gap_ms)::BIGINT // greatest(count(*), 1)) AS mean_gap_ms
+FROM g WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 def q_clean_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical make-your-own-benchmark flow composed end-to-end:
     deterministic hash split (sampling.split_train_eval, 5% eval) →
@@ -6854,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "turn_latency": q_turn_latency,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "clean_split": q_clean_split,
@@ -6989,6 +7025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "turn_latency": _SQL_TURN_LATENCY,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "retention_cohorts": _SQL_RETENTION_COHORTS,
         "clean_split": _SQL_CLEAN_SPLIT,

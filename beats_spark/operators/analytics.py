@@ -189,3 +189,68 @@ def retention_cohorts(
             "retention_ppm"
         ),
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    key_col: str = "user_id",
+    role_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Turn-gap latency per role transition: for every consecutive
+    turn pair within a key (conversation / user stream), the gap in
+    integer milliseconds, rolled up by the (prev_role → role)
+    transition — the agent-latency profile of a transcripts pipeline
+    (how long the assistant takes after a user turn; how long a tool
+    round-trips) and the inter-arrival profile of a log stream.
+
+    Emits per transition: ``prev_role``, ``role``, ``n_gaps``,
+    ``sum_gap_ms``, ``max_gap_ms``, ``mean_gap_ms`` (floor integer).
+
+    Determinism: the window orders by (epoch-µs, ``id_col``) — a bare
+    ts ordering makes lag() tie-order-dependent and the whole result
+    parallelism-dependent (§2.9 stable-ordering discipline). Rows
+    whose timestamp fails to parse are excluded before the window
+    (tag-and-exclude; the oracle applies the same filter).
+
+    Scale: one hash shuffle on the key for the window sort (a
+    conversation's turns — tens to thousands of rows — sort within
+    their partition; no global sort), then a groupBy on the tiny
+    transition key with full map-side combine. Window-skew exposure
+    is bounded by the longest single conversation, not the corpus.
+    """
+    us = _epoch_us(F.col(ts_col))
+    from pyspark.sql.window import Window
+
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(role_col).alias("role"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+    ).filter(F.col("_us").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_us", "_id")
+    gaps = (
+        staged.select(
+            F.lag("role").over(w).alias("prev_role"),
+            "role",
+            (F.col("_us") - F.lag("_us").over(w)).alias("_gap_us"),
+        )
+        .filter(F.col("prev_role").isNotNull())
+        # pure integer division — gaps are non-negative by the window
+        # ordering, so trunc == floor on both engines
+        .select("prev_role", "role", F.expr("_gap_us div 1000").alias("gap_ms"))
+    )
+    agg = gaps.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+    )
+    return agg.select(
+        "prev_role",
+        "role",
+        "n_gaps",
+        "sum_gap_ms",
+        "max_gap_ms",
+        F.expr("sum_gap_ms div greatest(n_gaps, 1)").alias("mean_gap_ms"),
+    )

@@ -228,6 +228,7 @@ EXT_QUERIES = [
     "clean_split",
     "event_funnel",
     "retention_cohorts",
+    "turn_latency",
 ]
 
 

@@ -94,3 +94,39 @@ def test_event_funnel_malformed_string_ts_tags_and_continues(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts string")
     out = {r["step_idx"]: r["n_users"] for r in event_funnel(df, ["view", "click"]).collect()}
     assert out == {1: 2, 2: 1}  # user 1's click is dropped, not fatal
+
+
+def test_turn_latency_gaps_and_transitions(spark):
+    from beats_spark.operators.analytics import turn_latency
+
+    rows = [
+        # user 1: user@0ms -> assistant@1500ms -> user@2000ms
+        (1, "user", 10, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, "assistant", 11, datetime.datetime(2024, 1, 1, 0, 0, 1, 500000)),
+        (1, "user", 12, datetime.datetime(2024, 1, 1, 0, 0, 2)),
+        # user 2: another user->assistant gap of 500 ms
+        (2, "user", 20, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, "assistant", 21, datetime.datetime(2024, 1, 1, 0, 0, 0, 500000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, event_id long, ts timestamp")
+    got = {(r["prev_role"], r["role"]): r for r in turn_latency(df).collect()}
+    ua = got[("user", "assistant")]
+    assert (ua["n_gaps"], ua["sum_gap_ms"], ua["max_gap_ms"], ua["mean_gap_ms"]) == (2, 2000, 1500, 1000)
+    au = got[("assistant", "user")]
+    assert (au["n_gaps"], au["sum_gap_ms"]) == (1, 500)
+    assert set(got) == {("user", "assistant"), ("assistant", "user")}
+
+
+def test_turn_latency_tie_order_is_id_stable(spark):
+    """Two turns at the SAME timestamp order by event_id, so the
+    transition direction is deterministic at any parallelism."""
+    from beats_spark.operators.analytics import turn_latency
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "b", 2, t), (1, "a", 1, t)],
+        "user_id long, event_type string, event_id long, ts timestamp",
+    )
+    rows = turn_latency(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["prev_role"], rows[0]["role"], rows[0]["sum_gap_ms"]) == ("a", "b", 0)
