@@ -241,6 +241,15 @@ def turn_latency(
         # ordering, so trunc == floor on both engines
         .select("prev_role", "role", F.expr("_gap_us div 1000").alias("gap_ms"))
     )
+    return rollup_turn_gaps(gaps)
+
+
+def rollup_turn_gaps(gaps: DataFrame) -> DataFrame:
+    """Transition rollup over a (prev_role, role, gap_ms) frame — the
+    verdict half of :func:`turn_latency`, factored out so the
+    STREAMING gap extractor (streaming.pipeline.stream_turn_gaps)
+    feeds the identical batch code (the batch/stream-identical-code
+    discipline the curation tail and rate_anomaly follow)."""
     agg = gaps.groupBy("prev_role", "role").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         F.sum("gap_ms").alias("sum_gap_ms"),

@@ -618,3 +618,135 @@ def stream_rate_counts(
             F.col("cnt"),
         )
     )
+
+
+def stream_turn_gaps(
+    source: DataFrame,
+    key_col: str = "conv_id",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    id_col: str = "turn_idx",
+    delay: str = "0 seconds",
+    close_seconds: int = 1,
+):
+    """Streaming twin of the batch turn-gap extraction
+    (analytics.turn_latency's window stage): per-key EVENT-TIME-ordered
+    consecutive-turn gaps, robust to out-of-order arrival across
+    micro-batches.
+
+    Design — a per-key event-time sorter via ``applyInPandasWithState``:
+
+    - state holds the last FINALIZED turn (us, role, id) plus a buffer
+      of pending turns still inside the watermark;
+    - each trigger appends the batch's rows to the buffer, sorts by
+      (us, id) — the same tie-stable order the batch window uses — and
+      finalizes every pending turn at-or-before the current watermark:
+      no later-arriving row can precede them, so their gaps are exact;
+    - the event-time timeout fires ``close_seconds`` after the key's
+      last turn clears the watermark and FLUSHES the remaining buffer
+      (the availableNow final no-data batch advances the watermark and
+      delivers these timeouts), then drops the state.
+
+    Emits (key, prev_role, role, gap_ms) append-only; feed the rows to
+    ``analytics.rollup_turn_gaps`` for the batch-identical verdict.
+    Identity contract: on a bounded replay, streamed gaps == the batch
+    operator's gaps for every key whose buffer flushed (all keys whose
+    last turn is ≥ close_seconds behind the global max event time —
+    the finalized horizon, same caveat as stream_rate_counts).
+
+    Scale: state per key is one turn + the out-of-order window's worth
+    of pending turns (bounded by the watermark delay, not the
+    conversation length); the only shuffle is the groupBy(key).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, prev_role string, role string, gap_ms long"
+    )
+    state_schema = (
+        "last_us long, last_role string, "
+        "p_us array<long>, p_role array<string>, p_id array<long>"
+    )
+
+    def _emit(key, pairs):
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(pairs),
+                "prev_role": [p[0] for p in pairs],
+                "role": [p[1] for p in pairs],
+                "gap_ms": [p[2] for p in pairs],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            last_us, last_role, p_us, p_role, p_id = state.get
+            state.remove()
+            pend = sorted(zip(p_us, p_role, p_id), key=lambda t: (t[0], t[2]))
+            pairs = []
+            prev_us, prev_role = last_us, last_role
+            for us, role, _pid in pend:
+                if prev_us is not None:
+                    pairs.append((prev_role, role, (us - prev_us) // 1000))
+                prev_us, prev_role = us, role
+            if pairs:
+                yield _emit(k, pairs)
+            return
+        if state.exists:
+            last_us, last_role, p_us, p_role, p_id = state.get
+            pend = list(zip(p_us, p_role, p_id))
+        else:
+            last_us, last_role, pend = None, None, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pd.to_datetime(pdf[ts_col])
+            ok = ts.notna()
+            for t, r, i in zip(
+                ts[ok], pdf[role_col][ok], pdf[id_col][ok]
+            ):
+                pend.append((t.value // 1000, r, int(i)))
+        pend.sort(key=lambda t: (t[0], t[2]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pairs = []
+        keep = []
+        prev_us, prev_role = last_us, last_role
+        for us, role, pid in pend:
+            if us <= wm_us:
+                if prev_us is not None:
+                    pairs.append((prev_role, role, (us - prev_us) // 1000))
+                prev_us, prev_role = us, role
+            else:
+                keep.append((us, role, pid))
+        last_us, last_role = prev_us, prev_role
+        state.update(
+            (
+                last_us,
+                last_role,
+                [t[0] for t in keep],
+                [t[1] for t in keep],
+                [t[2] for t in keep],
+            )
+        )
+        newest_ms = max(
+            [t[0] // 1000 for t in keep] + [(last_us or 0) // 1000]
+        )
+        base_ms = max(state.getCurrentWatermarkMs(), newest_ms)
+        state.setTimeoutTimestamp(base_ms + close_seconds * 1000)
+        if pairs:
+            yield _emit(k, pairs)
+
+    return (
+        source.withWatermark(ts_col, delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

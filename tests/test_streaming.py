@@ -581,3 +581,57 @@ def test_stream_rate_anomaly_matches_batch(spark, transcripts, stream_input, tmp
     g = sorted(map(tuple, got.select(*cols).collect()))
     e = sorted(map(tuple, expected.select(*cols).collect()))
     assert g == e and len(g) == finalized.count()
+
+
+def test_stream_turn_gaps_match_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming event-time gap sorter emits EXACTLY the batch
+    window's gaps for every flushed conversation — the batch/stream-
+    identical-code proof for turn_latency (gaps cross micro-batch
+    boundaries via state; out-of-order file arrival is re-ordered by
+    the watermark buffer)."""
+    from beats_spark.operators.analytics import rollup_turn_gaps, turn_latency
+    from beats_spark.streaming.pipeline import stream_turn_gaps
+
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    gaps = stream_turn_gaps(src, close_seconds=1)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("turngaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gaps"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from turngaps")
+
+    # finalized horizon: conversations whose last turn is at least
+    # close_seconds behind the global max event time have flushed
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    flushed = (
+        transcripts.groupBy("conv_id")
+        .agg(F.max("ts").alias("_last"))
+        .filter(F.col("_last") < F.lit(max_ts) - F.expr("INTERVAL 1 SECOND"))
+        .select("conv_id")
+    )
+    n_convs = transcripts.select("conv_id").distinct().count()
+    n_flushed = flushed.count()
+    assert n_flushed >= n_convs - 2  # only the newest conv(s) may lag
+
+    batch = transcripts.join(flushed, "conv_id")
+    stream_f = streamed.join(flushed, "conv_id")
+
+    # identical verdict through the SAME rollup code
+    batch_rollup = {
+        (r["prev_role"], r["role"]): (r["n_gaps"], r["sum_gap_ms"], r["max_gap_ms"])
+        for r in turn_latency(
+            batch, key_col="conv_id", role_col="role", ts_col="ts", id_col="turn_idx"
+        ).collect()
+    }
+    stream_rollup = {
+        (r["prev_role"], r["role"]): (r["n_gaps"], r["sum_gap_ms"], r["max_gap_ms"])
+        for r in rollup_turn_gaps(
+            stream_f.select("prev_role", "role", "gap_ms")
+        ).collect()
+    }
+    assert stream_rollup == batch_rollup
