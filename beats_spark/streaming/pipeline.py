@@ -626,41 +626,53 @@ def stream_turn_gaps(
     role_col: str = "role",
     ts_col: str = "ts",
     id_col: str = "turn_idx",
-    delay: str = "0 seconds",
-    close_seconds: int = 1,
+    delay: str = "10 minutes",
+    close_seconds: int = 3600,
 ):
     """Streaming twin of the batch turn-gap extraction
     (analytics.turn_latency's window stage): per-key EVENT-TIME-ordered
-    consecutive-turn gaps, robust to out-of-order arrival across
-    micro-batches.
+    consecutive-turn gaps via a watermark reorder buffer.
 
     Design — a per-key event-time sorter via ``applyInPandasWithState``:
 
-    - state holds the last FINALIZED turn (us, role, id) plus a buffer
-      of pending turns still inside the watermark;
-    - each trigger appends the batch's rows to the buffer, sorts by
-      (us, id) — the same tie-stable order the batch window uses — and
-      finalizes every pending turn at-or-before the current watermark:
-      no later-arriving row can precede them, so their gaps are exact;
-    - the event-time timeout fires ``close_seconds`` after the key's
-      last turn clears the watermark and FLUSHES the remaining buffer
-      (the availableNow final no-data batch advances the watermark and
-      delivers these timeouts), then drops the state.
+    - epoch-µs is computed JVM-SIDE before the stateful op (the
+      analytics._epoch_us expression: try_cast through the session
+      zone), so the watermark comparison uses true epoch integers and
+      is immune to pandas/session-timezone naive-datetime mixing;
+    - state holds the last FINALIZED turn (us, role) plus a buffer of
+      pending turns still inside the watermark; each trigger appends
+      the batch's rows (NULL ts or NULL id rows are excluded — the
+      tag-and-exclude convention), sorts by (us, id) — the batch
+      window's tie-stable order — and finalizes every pending turn
+      at-or-before the current watermark;
+    - the event-time timeout is a session TTL: ``close_seconds`` after
+      the key's newest turn clears the watermark, the remaining buffer
+      flushes IN ORDER and the state is dropped.
+
+    Identity contract (proven in tests/test_streaming.py): streamed
+    gaps == the batch operator's gaps for a key PROVIDED (a) event
+    disorder stays within ``delay`` — rows later than the watermark
+    are gone before this operator sees them (Spark's late-row filter),
+    exactly the bound every watermarked operator lives with — and
+    (b) no intra-key quiet period exceeds ``close_seconds``: the TTL
+    closes the conversation, and a turn arriving after the close
+    starts a fresh chain (its gap across the close is not emitted),
+    the same cut a session window would make. The defaults (10-minute
+    reorder window, 1-hour session TTL) are chosen so both caveats are
+    the rare case on real transcript streams, not the common one.
 
     Emits (key, prev_role, role, gap_ms) append-only; feed the rows to
     ``analytics.rollup_turn_gaps`` for the batch-identical verdict.
-    Identity contract: on a bounded replay, streamed gaps == the batch
-    operator's gaps for every key whose buffer flushed (all keys whose
-    last turn is ≥ close_seconds behind the global max event time —
-    the finalized horizon, same caveat as stream_rate_counts).
 
     Scale: state per key is one turn + the out-of-order window's worth
-    of pending turns (bounded by the watermark delay, not the
-    conversation length); the only shuffle is the groupBy(key).
+    of pending turns (bounded by ``delay``, not conversation length);
+    the only shuffle is the groupBy(key).
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from beats_spark.operators.analytics import _epoch_us
 
     out_schema = (
         f"{key_col} string, prev_role string, role string, gap_ms long"
@@ -680,18 +692,21 @@ def stream_turn_gaps(
             }
         )
 
+    def _chain(prev_us, prev_role, turns):
+        pairs = []
+        for us, role, _pid in turns:
+            if prev_us is not None:
+                pairs.append((prev_role, role, (us - prev_us) // 1000))
+            prev_us, prev_role = us, role
+        return pairs, prev_us, prev_role
+
     def update(key, pdfs, state: GroupState):
         k = key[0]
         if state.hasTimedOut:
             last_us, last_role, p_us, p_role, p_id = state.get
             state.remove()
             pend = sorted(zip(p_us, p_role, p_id), key=lambda t: (t[0], t[2]))
-            pairs = []
-            prev_us, prev_role = last_us, last_role
-            for us, role, _pid in pend:
-                if prev_us is not None:
-                    pairs.append((prev_role, role, (us - prev_us) // 1000))
-                prev_us, prev_role = us, role
+            pairs, _, _ = _chain(last_us, last_role, pend)
             if pairs:
                 yield _emit(k, pairs)
             return
@@ -703,25 +718,16 @@ def stream_turn_gaps(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ts = pd.to_datetime(pdf[ts_col])
-            ok = ts.notna()
-            for t, r, i in zip(
-                ts[ok], pdf[role_col][ok], pdf[id_col][ok]
+            ok = pdf["_us"].notna() & pdf[id_col].notna()
+            for u, r, i in zip(
+                pdf["_us"][ok], pdf[role_col][ok], pdf[id_col][ok]
             ):
-                pend.append((t.value // 1000, r, int(i)))
+                pend.append((int(u), r, int(i)))
         pend.sort(key=lambda t: (t[0], t[2]))
         wm_us = state.getCurrentWatermarkMs() * 1000
-        pairs = []
-        keep = []
-        prev_us, prev_role = last_us, last_role
-        for us, role, pid in pend:
-            if us <= wm_us:
-                if prev_us is not None:
-                    pairs.append((prev_role, role, (us - prev_us) // 1000))
-                prev_us, prev_role = us, role
-            else:
-                keep.append((us, role, pid))
-        last_us, last_role = prev_us, prev_role
+        ready = [t for t in pend if t[0] <= wm_us]
+        keep = [t for t in pend if t[0] > wm_us]
+        pairs, last_us, last_role = _chain(last_us, last_role, ready)
         state.update(
             (
                 last_us,
@@ -739,14 +745,19 @@ def stream_turn_gaps(
         if pairs:
             yield _emit(k, pairs)
 
-    return (
-        source.withWatermark(ts_col, delay)
-        .groupBy(key_col)
-        .applyInPandasWithState(
-            update,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    # ts_col stays in the projection: the watermark rides that
+    # attribute, and EventTimeTimeout needs it present downstream
+    staged = source.withWatermark(ts_col, delay).select(
+        F.col(key_col),
+        F.col(role_col),
+        F.col(id_col),
+        F.col(ts_col),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+    )
+    return staged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -593,7 +593,7 @@ def test_stream_turn_gaps_match_batch(spark, transcripts, stream_input, tmp_path
     from beats_spark.streaming.pipeline import stream_turn_gaps
 
     src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
-    gaps = stream_turn_gaps(src, close_seconds=1)
+    gaps = stream_turn_gaps(src, delay="0 seconds", close_seconds=1)
     q = (
         gaps.writeStream.format("memory")
         .queryName("turngaps")
@@ -635,3 +635,125 @@ def test_stream_turn_gaps_match_batch(spark, transcripts, stream_input, tmp_path
         ).collect()
     }
     assert stream_rollup == batch_rollup
+
+
+def test_stream_turn_gaps_reorders_across_batches(spark, tmp_path):
+    """The watermark buffer must interleave rows that arrive in a
+    LATER micro-batch between rows from an earlier one: conversations
+    here are split across two files written so the stream delivers the
+    middle turns AFTER the surrounding ones, with the disorder inside
+    the 10-minute delay. Finalized gaps (turns ≤ the final watermark)
+    must equal the batch window's exactly — this is the cross-batch +
+    out-of-order case the whole-conversation-per-file fixture of
+    test_stream_turn_gaps_match_batch cannot exercise."""
+    import datetime
+    import time as _time
+
+    from beats_spark.operators.analytics import rollup_turn_gaps, turn_latency
+    from beats_spark.streaming.pipeline import stream_turn_gaps
+
+    base = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    rows = []
+    for c in range(10):
+        for m in range(0, 20, 2):  # turns at minutes 0,2,...,18
+            rows.append(
+                (
+                    f"c{c:02d}",
+                    m // 2,
+                    "user" if (m // 2) % 2 == 0 else "assistant",
+                    base + datetime.timedelta(minutes=m),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    in_dir = tmp_path / "ooo_in"
+    # file A first (earlier mod-time): everything EXCEPT minutes 2-4;
+    # file B second: the minute-2 and minute-4 turns — so batch 2
+    # delivers rows that belong BETWEEN batch 1's rows
+    df.filter("turn_idx not in (1, 2)").coalesce(1).write.parquet(
+        str(in_dir / "a")
+    )
+    _time.sleep(1.1)  # distinct mod-times so the file order is stable
+    df.filter("turn_idx in (1, 2)").coalesce(1).write.parquet(
+        str(in_dir / "b")
+    )
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    gaps = stream_turn_gaps(src, delay="10 minutes", close_seconds=3600)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("ooogaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from ooogaps")
+
+    # final watermark = max event time (minute 18) - 10 min ⇒ turns at
+    # minutes 0..8 are finalized; the batch twin restricted to them
+    horizon = base + datetime.timedelta(minutes=8)
+    batch = df.filter(F.col("ts") <= F.lit(horizon))
+    batch_rollup = {
+        (r["prev_role"], r["role"]): (r["n_gaps"], r["sum_gap_ms"], r["max_gap_ms"])
+        for r in turn_latency(
+            batch, key_col="conv_id", role_col="role", ts_col="ts", id_col="turn_idx"
+        ).collect()
+    }
+    stream_rollup = {
+        (r["prev_role"], r["role"]): (r["n_gaps"], r["sum_gap_ms"], r["max_gap_ms"])
+        for r in rollup_turn_gaps(
+            streamed.select("prev_role", "role", "gap_ms")
+        ).collect()
+    }
+    # the reorder is load-bearing: minute-2/4 turns arrived in batch 2
+    # but must appear BETWEEN minute-0 and minute-6 turns in the chain
+    assert stream_rollup == batch_rollup
+    assert sum(v[0] for v in stream_rollup.values()) == 10 * 4  # 4 gaps/conv
+
+
+def test_stream_turn_gaps_null_id_rows_are_excluded_not_fatal(spark, tmp_path):
+    """A row with valid ts but NULL turn_idx must not kill the query
+    (tag-and-exclude, CLAUDE.md) — it is skipped on both engines."""
+    import datetime
+
+    from beats_spark.streaming.pipeline import stream_turn_gaps
+
+    t0 = datetime.datetime(2026, 3, 1)
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", t0),
+            ("c1", None, "tool", t0 + datetime.timedelta(seconds=30)),
+            ("c1", 2, "assistant", t0 + datetime.timedelta(minutes=1)),
+            # sentinel conversation far in the future: pushes the final
+            # watermark past c1's TTL so c1 actually flushes (a key
+            # whose newest event IS the global max never times out in
+            # an availableNow replay)
+            ("zz", 0, "user", t0 + datetime.timedelta(hours=1)),
+        ],
+        "conv_id string, turn_idx int, role string, ts timestamp",
+    )
+    in_dir = tmp_path / "null_in"
+    df.coalesce(1).write.parquet(str(in_dir))
+    src = spark.readStream.schema(df.schema).parquet(str(in_dir))
+    gaps = stream_turn_gaps(src, delay="0 seconds", close_seconds=1)
+    q = (
+        gaps.writeStream.format("memory")
+        .queryName("nullgaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from nullgaps where conv_id = 'c1'").collect()
+    assert [(r["prev_role"], r["role"], r["gap_ms"]) for r in got] == [
+        ("user", "assistant", 60000)
+    ]
