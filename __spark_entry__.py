@@ -6709,6 +6709,35 @@ JOIN (SELECT cohort_idx, n_active FROM act WHERE period = 0) b
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group heavy hitters (analytics.heavy_hitters): top-3
+    users per event_type with count, deterministic rank (count desc,
+    value asc) and integer-ppm share. Oracle replays the identical
+    windows in DuckDB."""
+    from beats_spark.operators.analytics import heavy_hitters
+
+    ev = _load(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", "user_id", k=3)
+
+
+_SQL_HEAVY_HITTERS = r"""
+WITH c AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS n_events
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id, n_events,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY n_events DESC, user_id ASC) AS rank,
+    sum(n_events) OVER (PARTITION BY event_type)::BIGINT AS total
+  FROM c
+)
+SELECT event_type, rank::BIGINT AS rank, user_id, n_events,
+       (n_events * 1000000 // greatest(total, 1)) AS share_ppm
+FROM r WHERE rank <= 3
+"""
+
+
 def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turn-gap latency per role transition (analytics.turn_latency)
     over the event-turn stream (key=user_id, role=event_type — the
@@ -6889,6 +6918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "heavy_hitters": q_heavy_hitters,
         "turn_latency": q_turn_latency,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
@@ -7025,6 +7055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "heavy_hitters": _SQL_HEAVY_HITTERS,
         "turn_latency": _SQL_TURN_LATENCY,
         "event_funnel": _SQL_EVENT_FUNNEL,
         "retention_cohorts": _SQL_RETENTION_COHORTS,

@@ -263,3 +263,58 @@ def rollup_turn_gaps(gaps: DataFrame) -> DataFrame:
         "max_gap_ms",
         F.expr("sum_gap_ms div greatest(n_gaps, 1)").alias("mean_gap_ms"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact per-group heavy hitters: the ``k`` most frequent values
+    of ``value_col`` within each ``group_col``, with count, dense
+    1-based rank (ties broken by value, deterministic on any engine
+    and any parallelism), and integer-ppm share of the group's rows —
+    the "which users dominate the error stream" rollup.
+
+    NULL values are excluded before counting: Spark sorts NULLS FIRST
+    under asc while DuckDB sorts them LAST, so a NULL inside the
+    tie-break would make the rank engine-dependent (and a NULL heavy
+    hitter answers no operational question anyway).
+
+    Scale: one groupBy(group, value) with full map-side combine — the
+    only shuffle over the raw events, keyed on the pair so hot groups
+    still spread across reducers — then rank/total windows over the
+    AGGREGATED frame, whose size is the distinct pair count, not the
+    event count. Exact, not sketched: at 10^12 events the aggregate is
+    |groups|·|values| rows; when value cardinality itself is too large
+    for that, cap it upstream or accept a sketch — this operator's
+    contract is exactness.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc("n_events"), F.asc(value_col)
+    )
+    wt = Window.partitionBy(group_col)
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .withColumn("_total", F.sum("n_events").over(wt))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(group_col),
+            F.col("rank"),
+            F.col(value_col),
+            F.col("n_events"),
+            F.expr("n_events * 1000000 div greatest(_total, 1)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -229,6 +229,7 @@ EXT_QUERIES = [
     "event_funnel",
     "retention_cohorts",
     "turn_latency",
+    "heavy_hitters",
 ]
 
 

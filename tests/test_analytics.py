@@ -130,3 +130,31 @@ def test_turn_latency_tie_order_is_id_stable(spark):
     rows = turn_latency(df).collect()
     assert len(rows) == 1
     assert (rows[0]["prev_role"], rows[0]["role"], rows[0]["sum_gap_ms"]) == ("a", "b", 0)
+
+
+def test_heavy_hitters_rank_share_and_null_exclusion(spark):
+    from beats_spark.operators.analytics import heavy_hitters
+
+    rows = (
+        [("error", 1)] * 5 + [("error", 2)] * 3 + [("error", 3)] * 3
+        + [("error", 4)] * 1 + [("error", None)] * 10 + [("view", 9)] * 2
+    )
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {(r["event_type"], r["rank"]): r for r in heavy_hitters(df, k=2).collect()}
+    # NULL users excluded from counts AND the group total (12 events)
+    e1, e2 = got[("error", 1)], got[("error", 2)]
+    assert (e1["user_id"], e1["n_events"], e1["share_ppm"]) == (1, 5, 5 * 1_000_000 // 12)
+    # tie at 3 events: user 2 beats user 3 on the value tie-break
+    assert (e2["user_id"], e2["n_events"]) == (2, 3)
+    assert got[("view", 1)]["share_ppm"] == 1_000_000
+    assert set(got) == {("error", 1), ("error", 2), ("view", 1)}
+
+
+def test_heavy_hitters_rejects_bad_k(spark):
+    import pytest
+
+    from beats_spark.operators.analytics import heavy_hitters
+
+    df = spark.createDataFrame([], "event_type string, user_id long")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, k=0)
