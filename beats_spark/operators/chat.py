@@ -74,18 +74,24 @@ def validate_conversations(
       (only when ``strict_alternation``)
     - ``too_many_turns`` — more than ``max_turns`` turns (when set)
 
-    Plan: one Window (lag for alternation) + one groupBy on the SAME
-    key — Spark reuses the hash partitioning, so ONE Exchange total.
-    min_by/max_by on the order struct pick first/last roles without a
-    second sort pass.
+    Plan: one groupBy on the key; the alternation lag Window (same
+    key, so Spark reuses the hash partitioning — ONE Exchange total)
+    is built ONLY when ``strict_alternation`` asks for it: the window
+    costs a per-partition sort pass, and paying it for a flag the
+    default config discards is wasted work on the hot corpus-gate
+    path. min_by/max_by on the order struct pick first/last roles
+    without a second sort pass.
     """
     role = F.col(role_col)
     text = F.col(text_col)
     ordk = _order_struct(order_cols)
-    w = Window.partitionBy(key_col).orderBy(*_order_asc(order_cols))
-    rep = (F.lag(role).over(w).isNotNull() & (F.lag(role).over(w) == role)).cast(
-        "int"
-    )
+    if strict_alternation:
+        w = Window.partitionBy(key_col).orderBy(*_order_asc(order_cols))
+        rep = (
+            F.lag(role).over(w).isNotNull() & (F.lag(role).over(w) == role)
+        ).cast("int")
+    else:
+        rep = F.lit(0)
     flagged = df.select(
         F.col(key_col),
         ordk.alias("_ord"),
@@ -170,9 +176,16 @@ def render_chat(
     piece = F.concat(
         F.lit(open_prefix), role, F.lit(open_suffix), text, F.lit(close_tok)
     )
+    # the offset window's order must be EXACTLY the order sort_array
+    # gives the assembled pieces — struct(_o, _p) compares the order
+    # key then the piece string — so the piece string joins the
+    # orderBy as the tie-break: duplicate order keys (dirty data the
+    # validity gate does not flag) would otherwise let the offsets sum
+    # in one order while the rendered string assembles in another,
+    # silently unmasking the wrong characters
     w = (
         Window.partitionBy(key_col)
-        .orderBy(*_order_asc(order_cols))
+        .orderBy(*_order_asc(order_cols), piece)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     piece_off = F.coalesce(
@@ -189,10 +202,13 @@ def render_chat(
     per_turn = df.select(
         F.col(key_col),
         F.struct(ordk.alias("_o"), piece.alias("_p")).alias("_piece"),
-        # collect_list drops NULLs — non-loss turns vanish from spans
+        # collect_list drops NULLs — non-loss turns vanish from spans.
+        # the piece string rides along as the same tie-break the
+        # rendered assembly uses, so span order == render order even
+        # under duplicate order keys
         F.when(
             F.col(role_col) == loss_role,
-            F.struct(ordk.alias("_o"), span.alias("_s")),
+            F.struct(ordk.alias("_o"), piece.alias("_p"), span.alias("_s")),
         ).alias("_span"),
         F.when(F.col(role_col) == loss_role, 1).otherwise(0).alias("_is_loss"),
     )
@@ -253,7 +269,15 @@ def truncate_context(
     else:
         raise ValueError(f"unknown token_counter {token_counter!r}")
     asc = Window.partitionBy(key_col).orderBy(*_order_asc(order_cols))
-    base = df.withColumn("tok_count", toks.cast("long")).withColumns(
+    # NULL text prices 0 tokens: token_count_whitespace(NULL) is NULL
+    # under ANSI, and letting it flow would hit the F.greatest-skips-
+    # NULLs trap below (budget - NULL → NULL → greatest resurrects 0,
+    # dropping the WHOLE history), skip rows in the suffix sum, and
+    # emit kept=NULL on trailing NULL turns — the clamp bug CLAUDE.md
+    # documents, caught here by review before it shipped
+    base = df.withColumn(
+        "tok_count", F.coalesce(toks.cast("long"), F.lit(0))
+    ).withColumns(
         {
             "_rn": F.row_number().over(asc),
             "_first_tok": F.first(F.col("tok_count")).over(asc),

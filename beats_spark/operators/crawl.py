@@ -193,13 +193,20 @@ def host_pagerank(
         & F.col("_dst").isNotNull()
         & (F.col("_src") != "")
         & (F.col("_dst") != "")
-    ).distinct()
+    ).distinct().persist()
+    # e feeds hosts, outdeg AND the per-iteration contrib join, and
+    # hosts/outdeg are re-joined every round — without the persists
+    # the full edge-corpus scan + distinct re-executes once per
+    # consumer per iteration (ReuseExchange does not fire for shared
+    # subtrees under joins, CLAUDE.md), multiplying the dominant
+    # shuffle ~(2·iterations+1)× at the 100 TB design point
     hosts = (
         e.select(F.col("_src").alias("host"))
         .unionByName(e.select(F.col("_dst").alias("host")))
         .distinct()
+        .persist()
     )
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     base = int((1000 - damping_milli) * scale) // 1000
     scores = hosts.withColumn("score", F.lit(scale).cast("long"))
     for _ in range(iterations):

@@ -97,6 +97,11 @@ def _parse_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, payload
+    if not 100 <= status <= 999:
+        # out-of-range "status" (e.g. 99999999999) is not HTTP — and
+        # would overflow the int32 schema in the Arrow conversion,
+        # killing the task instead of tagging the record
+        return None, None, payload
     headers = _parse_headers(head[first_nl + 1 :]) if first_nl != -1 else {}
     return status, headers.get("content-type"), payload[head_end + sep_len :]
 
@@ -106,8 +111,26 @@ def parse_warc_bytes(blob: bytes) -> list[tuple]:
     list of (rec_no, warc_type, target_uri, warc_date, record_id,
     content_type, content_length, http_status, http_content_type,
     payload, truncated)."""
-    if blob[:2] == b"\x1f\x8b":  # member-gzip: GzipFile reads all members
-        blob = gzip.GzipFile(fileobj=io.BytesIO(blob)).read()
+    if blob[:2] == b"\x1f\x8b":  # member-gzip
+        # incremental member-by-member inflate: a truncated or corrupt
+        # archive keeps every byte that DID decompress (GzipFile.read
+        # raises EOFError/BadGzipFile and surrenders the whole buffer,
+        # killing the task for the file — tag-and-continue instead;
+        # partial records come out truncated-flagged below)
+        import zlib
+
+        buf = bytearray()
+        data = blob
+        while data:
+            d = zlib.decompressobj(47)  # gzip wrapper, max window
+            try:
+                buf += d.decompress(data)
+            except zlib.error:
+                break
+            if not d.eof:
+                break  # input exhausted mid-member: truncated archive
+            data = d.unused_data
+        blob = bytes(buf)
     recs: list[tuple] = []
     rec_no = 0
     i, n = 0, len(blob)
@@ -131,6 +154,12 @@ def parse_warc_bytes(blob: bytes) -> list[tuple]:
         try:
             clen = int(hdr.get("content-length", ""))
         except ValueError:
+            clen = None
+        # negative lengths would walk the cursor BACKWARD (re-parsing
+        # the same record forever once find()'s start clamps to 0) and
+        # absurdly large ones overflow the int64 schema — both are
+        # unframeable, same treatment as a missing length
+        if clen is not None and not 0 <= clen < (1 << 62):
             clen = None
         body_start = he + sep
         if clen is None:

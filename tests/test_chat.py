@@ -305,3 +305,47 @@ def test_best_of_n_rank_and_ties(spark):
     assert len(all_ranked) == 5
     with pytest.raises(ValueError):
         best_of_n(df, "prompt", "score", "cand", n=0)
+
+
+def test_truncate_context_pin_first_with_null_text_turns(spark):
+    """NULL-text turns price 0 tokens; with pin_first a NULL first
+    turn must NOT collapse the budget to 0 (the F.greatest-skips-NULLs
+    clamp trap) and trailing NULL turns get kept=True, never NULL."""
+    from beats_spark.operators.chat import truncate_context
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, None),            # pinned system turn, NULL text
+            ("c1", 1, "a b c d"),       # 4 tokens
+            ("c1", 2, "e f"),           # 2 tokens
+            ("c1", 3, None),            # trailing NULL turn
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = {r["turn_idx"]: r for r in truncate_context(
+        df, budget=3, pin_first=True
+    ).collect()}
+    # budget 3, pinned first costs 0 -> suffix of whole turns fitting 3
+    # tokens = turns 2 (2 toks) and 3 (0 toks); turn 1 (4 toks) drops
+    assert out[0]["kept"] is True
+    assert out[1]["kept"] is False
+    assert out[2]["kept"] is True
+    assert out[3]["kept"] is True
+    assert all(r["kept"] is not None for r in out.values())
+
+
+def test_render_chat_duplicate_order_keys_spans_stay_aligned(spark):
+    """Two rows sharing (conv_id, turn_idx): the offset window and the
+    rendered assembly must use the SAME tie-break, so loss spans still
+    point at exactly the assistant text."""
+    from beats_spark.operators.chat import render_chat
+
+    df = spark.createDataFrame(
+        [("c1", 0, "assistant", "zeta"), ("c1", 0, "user", "alpha")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    row = render_chat(df).collect()[0]
+    rendered, spans = row["rendered"], row["loss_spans"]
+    for span in spans.split(","):
+        s, e = map(int, span.split(":"))
+        assert rendered[s:e] == "zeta", (rendered, spans)

@@ -151,3 +151,50 @@ def test_parse_http_lf_headers_with_crlf_in_body():
     got = parse_warc_bytes(rec)[0]
     assert got[7] == 200 and got[8] == "text/html"
     assert got[9] == b"bodystart\r\n\r\nbodyend"
+
+
+def test_parse_warc_bytes_negative_content_length_terminates():
+    """A negative Content-Length must not walk the cursor backward
+    (reproduced: the original code looped forever re-parsing the same
+    record once find()'s start clamped to 0) — it is unframeable,
+    same treatment as a missing length."""
+    from beats_spark.sources.warc import parse_warc_bytes
+
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: -1000\r\n\r\n"
+        b"some trailing bytes\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 2\r\n\r\nok"
+    )
+    recs = parse_warc_bytes(blob)
+    assert len(recs) == 2
+    assert recs[0][-1] is True          # truncated/unframeable flag
+    assert recs[0][6] is None           # content_length nulled
+    assert recs[1][-2] == b"ok"
+
+
+def test_parse_warc_bytes_truncated_gzip_tags_not_raises():
+    """A gzip archive cut mid-stream must yield the decompressable
+    prefix (truncated records and all), not raise EOFError and kill
+    the task (reproduced on the original code)."""
+    import gzip as _gzip
+
+    from beats_spark.sources.warc import parse_warc_bytes
+
+    body = b"x" * 2000
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+        + b"\r\n\r\n"
+    )
+    gz = _gzip.compress(rec * 5)
+    recs = parse_warc_bytes(gz[: len(gz) // 2])
+    assert recs, "prefix records should survive"
+    assert recs[-1][-1] in (True, False)  # parse completed, no raise
+
+
+def test_parse_http_overflow_status_is_not_http():
+    from beats_spark.sources.warc import _parse_http
+
+    status, ct, body = _parse_http(b"HTTP/1.1 99999999999 Weird\r\n\r\nx")
+    assert status is None and body.startswith(b"HTTP/")
