@@ -3041,7 +3041,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SESSIONIZE = """
 SELECT event_id, user_id,
        (sum(CASE WHEN prev_ts IS NULL
-                 OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                 OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                 THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_idx
 FROM (
@@ -3069,7 +3070,8 @@ def q_assemble_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ASSEMBLE_DOCUMENTS = """
 SELECT user_id,
-       string_agg(event_type || '@' || event_id::VARCHAR, ' | ' ORDER BY ts, event_id) AS document,
+       string_agg(COALESCE(event_type || '@' || event_id::VARCHAR, ''),
+                  ' | ' ORDER BY ts, event_id) AS document,
        count(*)::BIGINT AS n_turns
 FROM events GROUP BY user_id
 """
@@ -3128,7 +3130,8 @@ def q_transcript_corpus_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TRANSCRIPT_CORPUS = r"""
 WITH docs AS (
   SELECT user_id AS doc_id,
-         string_agg(event_type || '@' || event_id::VARCHAR, ' | ' ORDER BY ts, event_id) AS text
+         string_agg(COALESCE(event_type || '@' || event_id::VARCHAR, ''),
+                    ' | ' ORDER BY ts, event_id) AS text
   FROM events GROUP BY user_id
 ), uni AS (
   SELECT doc_id, text FROM docs

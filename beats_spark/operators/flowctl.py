@@ -65,9 +65,25 @@ class RateLimit(Processor):
             # consume the budget (the when-wrapper skips the processor
             # entirely for them, conditionals.go:95-100)
             parts.append(F.coalesce(cond, F.lit(False)))
+        orders = [F.col(o).asc() for o in order_by]
         if not parts:
+            # global all-time bucket: a bare Window over lit(0) would
+            # funnel EVERY row through one reducer sort. Exact
+            # two-phase first-N instead: the global first-N is
+            # necessarily inside each input partition's local first-N,
+            # so pre-limit per original partition (spark_partition_id
+            # is evaluated map-side, before the shuffle) and only the
+            # ≤ limit×partitions survivors reach the single-partition
+            # final window. Result is deterministic — phase 2 imposes
+            # the global order regardless of partition composition.
+            pre = Window.partitionBy(F.spark_partition_id()).orderBy(*orders)
+            df = (
+                df.withColumn("_rl_pre", F.row_number().over(pre))
+                .filter(F.col("_rl_pre") <= limit)
+                .drop("_rl_pre")
+            )
             parts = [F.lit(0)]
-        w = Window.partitionBy(*parts).orderBy(*[F.col(o).asc() for o in order_by])
+        w = Window.partitionBy(*parts).orderBy(*orders)
         ranked = df.withColumn("_rl_rn", F.row_number().over(w))
         keep = F.col("_rl_rn") <= limit
         if cond is not None:

@@ -21,7 +21,17 @@ def stable_order(
     order_cols: tuple[str, ...] = ("turn_idx",),
 ) -> DataFrame:
     """Stamp ``turn_rank`` = row_number over (key, order) — the stable
-    turn ordering the per-turn-equality contract compares under."""
+    turn ordering the per-turn-equality contract compares under.
+
+    PRECONDITION (load-bearing): ``order_cols`` must be unique within
+    each key. row_number over tied keys is partition-order-dependent —
+    duplicate (conv_id, turn_idx) rows (double ingest, multi-source
+    merge) would get ranks that differ across runs and cluster sizes,
+    breaking the per-turn-equality contract this column anchors. The
+    transcript schema guarantees the uniqueness (the reference's
+    publish-order contract is per-client sequential); deduplicate
+    first (exact_dedup on (key, order, text)) if your source does not.
+    """
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
     return df.withColumn("turn_rank", F.row_number().over(w))
 
@@ -41,18 +51,25 @@ def sessionize(
     shuffle on the key)."""
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
-    prev_ts = F.lag(ts_col).over(w)
+    # microsecond-exact gap, not unix_timestamp: that truncates to
+    # whole seconds, so a 1800.9 s gap at gap_minutes=30 would NOT
+    # split here while a fractional-epoch oracle says it does —
+    # sub-second-precision streams silently sessionize differently.
+    # Also TIMESTAMP_NTZ-safe (same idiom as conversation_stats).
+    # The lag is materialized first: window exprs can't nest inside
+    # the running sum (CLAUDE.md).
+    staged = df.withColumn("_prev_ts", F.lag(ts_col).over(w))
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, `{ts_col}`)")
     is_start = (
-        prev_ts.isNull()
-        | (
-            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
-            > gap_minutes * 60
-        )
+        F.col("_prev_ts").isNull()
+        | (gap_us > gap_minutes * 60 * 1_000_000)
     ).cast("long")
     running = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn("session_idx", F.sum(is_start).over(running) - 1)
+    return staged.withColumn(
+        "session_idx", F.sum(is_start).over(running) - 1
+    ).drop("_prev_ts")
 
 
 def assemble_documents(
@@ -70,10 +87,16 @@ def assemble_documents(
     → array_join; one shuffle of (key, text) pairs with map-side
     combine. The struct sort keys make the result independent of
     partitioning — deterministic at any parallelism."""
+    # coalesce, not bare concat: concat is NULL-propagating, so a turn
+    # with role=NULL but real text would render a NULL payload that
+    # array_join silently SKIPS — the document loses the turn with no
+    # flag while n_turns still counts it (same '' convention as
+    # render_chat: the slot survives, offsets and counts stay honest)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     payload = (
-        F.concat(F.col(role_col), F.lit(": "), F.col(text_col))
+        F.concat(F.coalesce(F.col(role_col), F.lit("")), F.lit(": "), text)
         if role_col
-        else F.col(text_col)
+        else text
     )
     packed = F.struct(*[F.col(c) for c in order_cols], payload.alias("_t"))
     agg = df.groupBy(key_col).agg(
@@ -117,7 +140,8 @@ def conversation_stats(
         # TIMESTAMP_NTZ, which unix_millis rejects) and engine-portable
         # (DuckDB date_diff('microsecond') is the same exact count)
         F.expr(
-            f"timestampdiff(MICROSECOND, min({ts_col}), max({ts_col})) div 1000"
+            f"timestampdiff(MICROSECOND, min(`{ts_col}`), max(`{ts_col}`))"
+            " div 1000"
         ).alias("span_ms"),
         F.sum(F.length(F.col(text_col))).cast("long").alias("total_chars"),
     ]

@@ -105,18 +105,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     from beats_spark.operators.textstats import quality_filter
 
+    parser = build_parser()
     if args.transcripts and args.html:
-        build_parser().error("--transcripts and --html are exclusive")
+        parser.error("--transcripts and --html are exclusive")
     if args.transcripts and args.temperature:
-        build_parser().error(
+        parser.error(
             "--temperature needs a per-document language column, which "
             "rendered transcripts don't carry"
         )
 
     if args.input_format == "warc" and args.transcripts:
-        build_parser().error("--input-format warc and --transcripts are exclusive")
+        parser.error("--input-format warc and --transcripts are exclusive")
     if args.input_format == "warc" and args.temperature:
-        build_parser().error(
+        parser.error(
             "--temperature needs a language column; WARC-derived documents "
             "don't carry one (and their string ids don't support the "
             "mixture copy-index arithmetic)"
@@ -141,7 +142,12 @@ def main(argv: list[str] | None = None) -> int:
         df = ok.select(
             F.concat_ws(":", F.col("file"), F.col("rec_no")).alias(id_col),
             F.col("target_uri").alias("url"),
-            F.decode(F.col("payload"), "UTF-8").alias(text_col),
+            # NOT bare decode(): one non-UTF-8 page (latin-1 bodies,
+            # truncated multibyte, binary 200-OKs — routine in crawls)
+            # raises MALFORMED_CHARACTER_CODING under Spark 4 and kills
+            # the whole build; the lenient cast + make_valid_utf8
+            # replaces invalid bytes with U+FFFD (tag-and-continue)
+            F.expr("make_valid_utf8(cast(payload as string))").alias(text_col),
         )
         args.html = True
     else:
@@ -157,7 +163,11 @@ def main(argv: list[str] | None = None) -> int:
             validate_conversations,
         )
 
-        order_cols = tuple(args.order_cols.split(","))
+        order_cols = tuple(
+            c.strip() for c in args.order_cols.split(",") if c.strip()
+        )
+        if not order_cols:
+            parser.error("--order-cols must name at least one column")
         stats["turns_in"] = df.count()
         gate = validate_conversations(
             df,
@@ -189,7 +199,14 @@ def main(argv: list[str] | None = None) -> int:
                 token_counter=args.tokenizer,
                 pin_first=True,
             )
-            df = df.where("kept").drop("tok_count", "suffix_toks", "kept")
+            # persisted: counted here AND consumed by render_chat —
+            # without the cache the truncation window (and the BPE UDF
+            # when --tokenizer bpe) executes twice
+            df = (
+                df.where("kept")
+                .drop("tok_count", "suffix_toks", "kept")
+                .persist()
+            )
             stats["turns_kept"] = df.count()
         rendered = render_chat(
             df,

@@ -176,3 +176,19 @@ def test_trailing_spike_custom_column_names(spark):
     }
     assert rows[5].ratio_milli == 4000 and rows[5].is_spike
     assert rows[4].ratio_milli == 1000 and not rows[4].is_spike
+
+
+def test_rate_limit_global_two_phase_is_exact_across_partitions(spark):
+    """The all-time global bucket pre-limits per input partition, so
+    the full dataset never sorts on one reducer — and the survivors
+    are still EXACTLY the first-N by order, at any partitioning."""
+    from beats_spark.operators.base import build_chain
+
+    df = spark.range(1000).selectExpr(
+        "id as event_id", "cast(id % 97 as long) as user_id"
+    ).repartition(8)
+    chain = build_chain([
+        {"rate_limit": {"limit": 5, "fields": [], "order_by": ["event_id"]}}
+    ])
+    out = chain(df)
+    assert sorted(r["event_id"] for r in out.collect()) == [0, 1, 2, 3, 4]
