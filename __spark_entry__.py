@@ -3251,7 +3251,7 @@ WITH base AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    regexp_extract(url, '\?([^#]*)', 1) AS q0
+    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS q0
   FROM urls
 ), norm AS (
   SELECT doc_id, url, scheme,

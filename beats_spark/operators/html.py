@@ -168,10 +168,19 @@ def extract_links(
     (url_dedup's window, url_filter's broadcast join) pays the first
     data movement.
     """
+    # the URL grammar lives in ONE place — urlnorm's constants — so a
+    # parsing fix there (e.g. the fragment-query anchor) cannot
+    # silently diverge from the link resolver
+    from beats_spark.operators.urlnorm import (
+        _AUTHORITY_RE,
+        _PATH_RE,
+        _SCHEME_RE,
+    )
+
     base = F.col(base_col)
-    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    auth = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    auth = F.regexp_extract(base, _AUTHORITY_RE, 1)
+    path = F.regexp_extract(base, _PATH_RE, 1)
     tmp = (
         df.withColumn("_scheme", scheme)
         .withColumn("_origin", F.concat(scheme, F.lit("://"), auth))

@@ -87,14 +87,21 @@ def add_pii_redaction(
     original alongside, e.g. for an audit sink.
     """
     col = F.col(text_col)
-    counts = pii_counts(col)
-    out = df.withColumns({prefix + k: v for k, v in counts.items()})
-    total = None
-    for k in counts:
-        c = F.col(prefix + k)
-        total = c if total is None else total + c
-    out = out.withColumn(prefix + "total", total)
+    out = df.withColumns(_count_columns(col, prefix))
     return out.withColumn(target or text_col, redact_pii(col))
+
+
+def _count_columns(col: Column, prefix: str) -> dict[str, Column]:
+    """Per-category count columns + the running total — the ONE place
+    that accumulation lives, shared by the function form and the
+    RedactPII processor so their pii_total can never drift."""
+    out: dict[str, Column] = {}
+    total = None
+    for k, v in pii_counts(col).items():
+        out[prefix + k] = v
+        total = v if total is None else total + v
+    out[prefix + "total"] = total
+    return out
 
 
 @register
@@ -115,12 +122,6 @@ class RedactPII(Processor):
         col = F.col(field)
         out: dict[str, Column] = {}
         if self.cfg.get("counts", False):
-            prefix = self.cfg.get("prefix", "pii_")
-            counts = pii_counts(col)
-            total = None
-            for k, v in counts.items():
-                out[prefix + k] = v
-                total = v if total is None else total + v
-            out[prefix + "total"] = total
+            out.update(_count_columns(col, self.cfg.get("prefix", "pii_")))
         out[target] = redact_pii(col)
         return Updates(set=out)

@@ -48,10 +48,21 @@ def _robots_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
     """robots bodies → per-line frame (host, pos, _line): split,
     comment-stripped, trimmed — shared by the group machinery and
     the group-independent Sitemap parser."""
+    # leading-WS strip is an explicit regex, not F.trim alone: RFC 9309
+    # WS is %x20/%x09 and a tab-indented "\tDisallow: /x" must still
+    # match the ^-anchored directive regexes (F.trim strips only ASCII
+    # spaces — CLAUDE.md gotcha); trailing spaces still go via trim
     return df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_raw"),
-    ).withColumn("_line", F.trim(F.regexp_replace("_raw", "#.*$", "")))
+    ).withColumn(
+        "_line",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("_raw", "#.*$", ""), r"^[ \t]+", ""
+            )
+        ),
+    )
 
 
 def _robots_groups(
@@ -67,7 +78,9 @@ def _robots_groups(
     merge rule); hosts with no matching value fall back to ``*``."""
     agent_lc = agent.lower()
     lines = _robots_lines(df, host_col, text_col)
-    ua = F.lower(F.regexp_extract("_line", r"(?i)^user-agent:\s*(\S+)", 1))
+    # "\s*:" like every other directive: RFC 9309 allows WS before the
+    # colon ("User-agent : foo" is a legal startgroupline)
+    ua = F.lower(F.regexp_extract("_line", r"(?i)^user-agent\s*:\s*(\S+)", 1))
     rule = F.lower(F.regexp_extract("_line", r"(?i)^(allow|disallow)\s*:", 1))
     path = F.regexp_extract("_line", r"(?i)^(?:allow|disallow)\s*:\s*(\S*)", 1)
     ann = lines.select(
@@ -78,23 +91,41 @@ def _robots_groups(
         rule.alias("rule"),
         path.alias("path"),
     )
-    # group id: a User-agent line starting a new run (previous line was
-    # not a UA line) opens a new group. Two window passes — lag flag
-    # first, running sum second (windows can't nest).
+    # group id: a User-agent line opens a new group iff the last
+    # NON-EMPTY line was not itself a UA line — RFC 9309's ABNF allows
+    # emptylines BETWEEN startgrouplines (group = startgroupline
+    # *(startgroupline / emptyline) ...), so a blank or comment-only
+    # line must NOT split a UA run (it previously did, orphaning the
+    # earlier agents from the group's rules). last(ignorenulls) over
+    # the preceding rows carries the last relevant line kind across
+    # the blanks; two window passes — flag first, running sum second
+    # (windows can't nest).
     w = Window.partitionBy("host").orderBy("pos")
+    kind = (
+        F.when(F.col("_line") == "", F.lit(None).cast("string"))
+        .when(F.col("_ua") != "", F.lit("ua"))
+        .otherwise(F.lit("other"))
+    )
+    prev_kind = F.last(kind, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     ann = ann.withColumn(
         "_new",
         (
             (F.col("_ua") != "")
-            & F.coalesce(F.lag("_ua").over(w) == "", F.lit(True))
+            & (prev_kind.isNull() | (prev_kind != "ua"))
         ).cast("long"),
     )
+    # persisted: every caller consumes ann twice (the rule/delay rows
+    # AND the candidate frame behind `chosen`) — without the cache the
+    # line-explode + regex battery + both window passes run per
+    # consumer (ReuseExchange doesn't fire for shared subtrees)
     ann = ann.withColumn(
         "_gid",
         F.sum("_new").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    )
+    ).persist()
     # per-host group choice (RFC most-specific): longest UA value that
     # prefixes the crawler's product token; '*' only as fallback. ONE
     # ranked window over the candidate UA lines — two equal-length
@@ -168,6 +199,12 @@ def parse_crawl_delays(
     secs = F.regexp_extract(
         "_line", r"(?i)^crawl-delay\s*:\s*(\S+)", 1
     ).try_cast("double")
+    # NaN is nulled BEFORE the clamp: 'Crawl-delay: nan' parses to NaN
+    # via the float special literal, and Spark ranks NaN ABOVE every
+    # double — the clamp's `> 86400.0` would otherwise rewrite it to a
+    # full one-day delay (and a post-clamp isnan check would see the
+    # clean 86400.0). A malformed value must contribute nothing.
+    secs = F.when(F.isnan(secs), F.lit(None).cast("double")).otherwise(secs)
     # clamp in the DOUBLE domain: a huge finite value would overflow
     # the long cast below before any clamp applied after it. NOT
     # F.least — least() skips NULLs and would turn every non-delay
@@ -308,7 +345,12 @@ def fetch_schedule(
     """
     from beats_spark.operators.urlnorm import url_host
 
-    base = urls.withColumn("host", url_host(F.col(url_col)))
+    # persisted: the filter-split (real/stray) + unionByName consumes
+    # base twice, and ReuseExchange does not fire for shared subtrees
+    # (CLAUDE.md) — without the cache the upstream frontier plan (an
+    # extract_links/robots_filter chain, typically) and the url_host
+    # regex battery execute once per branch
+    base = urls.withColumn("host", url_host(F.col(url_col))).persist()
     real = base.where(F.col("host") != "")
     stray = base.where(F.col("host") == "")
     if delays is not None:

@@ -46,7 +46,11 @@ TRACKING_PARAM_RE = (
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTHORITY_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# anchored scan to the first '?' OR '#', whichever comes first: an
+# unanchored \? would happily match a '?' INSIDE the fragment
+# ('http://h/p#?a=b' must canonicalize to 'http://h/p', not resurrect
+# 'a=b' as a query on a URL that never existed)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 # scheme -> default port suffix stripped from the authority
 DEFAULT_PORTS = {"http": ":80", "https": ":443", "ftp": ":21", "ws": ":80", "wss": ":443"}
@@ -253,7 +257,11 @@ def url_filter(
     join at all.
     """
     host = url_host(F.col(url_col))
-    with_host = df.withColumn("host", host)
+    # persisted: with_host feeds both the exploded-suffix candidate
+    # frame and the join-back — without the cache the upstream df and
+    # the url_host regex battery execute on both sides of the
+    # self-join (ReuseExchange doesn't fire for shared subtrees)
+    with_host = df.withColumn("host", host).persist()
     cand = with_host.select(
         F.col(id_col), F.explode(domain_suffixes(F.col("host"))).alias("_sfx")
     ).where(F.col("_sfx") != "")

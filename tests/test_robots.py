@@ -340,3 +340,42 @@ def test_robots_filter_query_only_url_and_multi_url_ids(spark):
     assert rows[(1, "http://h.com?q=1")] == (False, "/")
     assert rows[(2, "http://h.com/open/a")] == (True, "/open/")
     assert rows[(2, "http://h.com/closed/b")] == (False, "/")
+
+
+def test_blank_and_comment_lines_do_not_split_ua_runs(spark):
+    """RFC 9309 ABNF allows emptylines BETWEEN startgrouplines: both
+    agents in a run separated by a blank/comment line share the
+    group's rules (previously the earlier agent got an empty group)."""
+    from beats_spark.operators.robots import parse_robots
+
+    body = (
+        "User-agent: googlebot\n"
+        "\n"
+        "# a comment line\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+    )
+    df = spark.createDataFrame([("h1", body)], "host string, robots_txt string")
+    rules = parse_robots(df, agent="googlebot").collect()
+    assert [(r["rule"], r["path"]) for r in rules] == [("disallow", "/private")]
+
+
+def test_tab_indent_and_colon_ws_directives_parse(spark):
+    """Tab-indented lines and 'User-agent :' (WS before colon) are
+    RFC-legal and must parse like their plain forms."""
+    from beats_spark.operators.robots import parse_robots
+
+    body = "User-agent : testbot\n\tDisallow: /secret\n"
+    df = spark.createDataFrame([("h1", body)], "host string, robots_txt string")
+    rules = parse_robots(df, agent="testbot").collect()
+    assert [(r["rule"], r["path"]) for r in rules] == [("disallow", "/secret")]
+
+
+def test_crawl_delay_nan_contributes_nothing(spark):
+    """'Crawl-delay: nan' parses to NaN, which Spark ranks above every
+    double — it must not become a one-day delay."""
+    from beats_spark.operators.robots import parse_crawl_delays
+
+    body = "User-agent: *\nCrawl-delay: nan\nDisallow: /x\n"
+    df = spark.createDataFrame([("h1", body)], "host string, robots_txt string")
+    assert parse_crawl_delays(df).count() == 0

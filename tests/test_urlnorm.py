@@ -147,3 +147,21 @@ def test_canonicalize_url_idempotent_property(spark):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, (r.u, r.c1, r.c2)
+
+
+def test_canonicalize_url_ignores_question_mark_in_fragment(spark):
+    """A '?' inside the fragment is not a query: both spellings of the
+    same resource must canonicalize identically (the unanchored regex
+    previously resurrected fragment content as a query)."""
+    from beats_spark.operators.urlnorm import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(1, "http://h/p#?a=b"), (2, "http://h/p"), (3, "http://h/p?x=1#?a=b")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got[1] == got[2] == "http://h/p"
+    assert got[3] == "http://h/p?x=1"
