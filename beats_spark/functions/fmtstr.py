@@ -61,6 +61,24 @@ def is_const(fmt: str) -> bool:
     return all(p.kind == "lit" for p in parse_fmtstr(fmt))
 
 
+def _path_resolves(schema, path: str) -> bool:
+    """True when the dotted field path resolves through struct fields
+    (case-insensitive, mirroring Spark's default resolution)."""
+    from pyspark.sql import types as T
+
+    cur = schema
+    for part in path.split("."):
+        if not isinstance(cur, T.StructType):
+            return False
+        hit = next(
+            (f for f in cur.fields if f.name.lower() == part.lower()), None
+        )
+        if hit is None:
+            return False
+        cur = hit.dataType
+    return True
+
+
 def compile_fmtstr(df: DataFrame, fmt: str, ts_col: str = "ts") -> Column:
     """Compile the format string against ``df``'s schema.
 
@@ -81,7 +99,12 @@ def compile_fmtstr(df: DataFrame, fmt: str, ts_col: str = "ts") -> Column:
             else:
                 cols.append(F.lit(None).cast("string"))
         else:
-            present = p.value.split(".")[0] in df.columns
+            # resolve the FULL dotted path against the schema, not just
+            # the top-level column: %{[meta][region]} with a struct
+            # lacking 'region' (or a non-struct 'meta') must yield the
+            # documented rule-miss NULL, not an AnalysisException at
+            # plan build that kills the whole pipeline
+            present = _path_resolves(df.schema, p.value)
             ref = F.col(p.value).cast("string") if present else F.lit(None).cast("string")
             if p.default is not None:
                 ref = F.coalesce(ref, F.lit(p.default))

@@ -183,7 +183,13 @@ class IncludeFields(Processor):
 
     name = "include_fields"
 
-    MANDATORY = ["ts", "_meta_sink", "flags", "error_message"]
+    # _bucket/_ckpt_bucket are pipeline infrastructure: dropping them
+    # mid-chain would desync the checkpointed writer's partitioning
+    # from its chunk selection (plans/lineage.py)
+    MANDATORY = [
+        "ts", "_meta_sink", "flags", "error_message",
+        "_bucket", "_ckpt_bucket",
+    ]
 
     def updates(self, df: DataFrame) -> Updates:
         keep = [_flat(f_) for f_ in self.cfg["fields"]]

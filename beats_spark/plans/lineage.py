@@ -24,7 +24,6 @@ second) gives at-least-once with idempotent rewrites = effectively-once.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,15 +50,22 @@ class CheckpointedResult:
 
 
 def _committed_buckets(spark: SparkSession, lineage_path: str, run_id: str) -> set[int]:
-    if not os.path.exists(lineage_path):
+    # attempt the read and catch the missing-path error rather than
+    # os.path.exists: the lineage path is a SPARK path — on hdfs://,
+    # s3:// or any non-local filesystem the driver-local exists() is
+    # always False and resume would silently reprocess every bucket
+    from pyspark.errors import AnalysisException
+
+    try:
+        rows = (
+            spark.read.schema(LINEAGE_SCHEMA)
+            .parquet(lineage_path)
+            .filter((F.col("run_id") == run_id) & (F.col("status") == "committed"))
+            .select("bucket")
+            .collect()
+        )
+    except AnalysisException:
         return set()
-    rows = (
-        spark.read.schema(LINEAGE_SCHEMA)
-        .parquet(lineage_path)
-        .filter((F.col("run_id") == run_id) & (F.col("status") == "committed"))
-        .select("bucket")
-        .collect()
-    )
     return {r["bucket"] for r in rows}
 
 
@@ -73,13 +79,26 @@ def run_checkpointed(
 ) -> CheckpointedResult:
     """Resumable pipeline run. ``cfg.n_buckets`` must be > 0 and
     ``cfg.out_root`` set. Kill it mid-run, call again with the same
-    run_id: committed buckets are skipped, outputs end up identical."""
+    run_id: committed buckets are skipped, outputs end up identical.
+
+    Contracts worth stating plainly:
+
+    - ``out_root`` belongs to ONE run_id: dynamic overwrite replaces
+      only partitions the current run produces, so pointing a NEW
+      run_id at an out_root holding an older run's output leaves that
+      run's untouched (bucket, sink) partitions mixed into reads.
+      Use a fresh out_root (or clear it) per logical dataset.
+    - Each chunk filters the full source by bucket, so a complete run
+      reads the input ceil(n_buckets/chunk_size) times — the price of
+      bounded-size idempotent commits without a staging copy. Size
+      ``chunk_size`` to the failure economics: larger chunks = fewer
+      passes but more redone work per retry; or stage the source
+      partitioned by bucket once and point this at the staging table
+      for partition-pruned chunk reads.
+    """
     assert cfg.n_buckets > 0 and cfg.out_root, "checkpointed run needs buckets + out_root"
     done = _committed_buckets(spark, lineage_path, run_id)
     todo = [b for b in range(cfg.n_buckets) if b not in done]
-
-    # dynamic overwrite: a replayed chunk replaces only its own partitions
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     src = source.withColumn(
         BUCKET_COL, bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field)
@@ -107,12 +126,20 @@ def run_checkpointed(
                 for b in chunk
             ],
         )
-        routed = transform(part_obs, cfg)
-        if BUCKET_COL not in routed.columns:  # transform only stamps it when cfg asks
-            routed = routed.withColumn(
-                BUCKET_COL,
-                bucket_expr(cfg.key_field, cfg.n_buckets, cfg.salt, cfg.salt_field),
-            )
+        # the write MUST partition by the same bucket values the chunk
+        # was SELECTED by: transform() re-stamps BUCKET_COL from the
+        # post-chain key, so a processor that mutates the key (rename/
+        # lowercase/dissect overwrite) would write rows under buckets
+        # belonging to OTHER chunks — whose later dynamic overwrite
+        # then deletes them. The pre-chain stamp rides through the
+        # chain in a shadow column (protected from include_fields by
+        # mutate's MANDATORY list) and overrides whatever transform
+        # stamped.
+        shadow = part_obs.withColumn("_ckpt_bucket", F.col(BUCKET_COL))
+        routed = transform(shadow, cfg)
+        routed = routed.withColumn(BUCKET_COL, F.col("_ckpt_bucket")).drop(
+            "_ckpt_bucket"
+        )
         out_aggs = [
             F.sum((F.col(BUCKET_COL) == b).cast("long")).alias(f"b{b}") for b in chunk
         ]
@@ -124,28 +151,44 @@ def run_checkpointed(
         routed = routed.observe(obs_out, *out_aggs)
         (
             routed.write.mode("overwrite")
+            # writer-scoped dynamic overwrite (a replayed chunk
+            # replaces only its own partitions) — NOT the session
+            # conf, which would silently change the semantics of
+            # every later overwrite in the same session
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL, META_SINK)
             .parquet(cfg.out_root)
         )
         got_in, got_out = obs_in.get, obs_out.get
         ins = {b: int(got_in[f"b{b}"] or 0) for b in chunk}
         per_bucket = {b: int(got_out[f"b{b}"] or 0) for b in chunk}
+        chunk_counts: dict[str, int] = {}
         if sinks_static:
             for j, s in enumerate(sinks_static):
                 n = int(got_out[f"s{j}"] or 0)
                 if n:
-                    total_counts[s] = total_counts.get(s, 0) + n
-        else:
-            # dynamic sink names: fall back to the partition-pruned
-            # footer read of just this chunk's partitions
-            for r in (
-                spark.read.parquet(cfg.out_root)
-                .filter(F.col(BUCKET_COL).isin(chunk))
-                .groupBy(META_SINK)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ):
-                total_counts[r[META_SINK]] = total_counts.get(r[META_SINK], 0) + r["n"]
+                    chunk_counts[s] = n
+        # reconcile (the write_fanout discipline): a sink value outside
+        # the static set — add_formatted_index stamping a free-form
+        # _meta_sink, say — would otherwise vanish from the counts with
+        # no error. When the enumerated sinks don't account for every
+        # routed row (or the names are dynamic), fall back to the
+        # partition-pruned footer read of just this chunk's partitions.
+        if not sinks_static or sum(chunk_counts.values()) != sum(
+            per_bucket.values()
+        ):
+            chunk_counts = {
+                r[META_SINK]: r["n"]
+                for r in (
+                    spark.read.parquet(cfg.out_root)
+                    .filter(F.col(BUCKET_COL).isin(chunk))
+                    .groupBy(META_SINK)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                )
+            }
+        for s, n in chunk_counts.items():
+            total_counts[s] = total_counts.get(s, 0) + n
         lineage_rows = [
             (run_id, int(b), "committed", int(ins.get(b, 0)), int(per_bucket.get(b, 0)))
             for b in chunk

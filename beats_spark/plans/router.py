@@ -142,10 +142,16 @@ def fnv32a_fields(df: DataFrame, fields: list[str]) -> Column:
         dt = dtypes.get(name)
         if dt is None:
             raise ValueError(f"fnv32a_fields: no column {name!r}")
-        if dt in ("float", "double"):
+        if dt not in ("string", "tinyint", "smallint", "int", "bigint"):
+            # same rationale the float rejection always had, applied to
+            # every non-string/int type: booleans render 'true'/'false'
+            # where Go binary.Write emits one 0/1 byte, timestamps/
+            # decimals have no matching Go byte rendering — a silently
+            # divergent partition id is worse than a loud config error
             raise ValueError(
-                f"fnv32a_fields: float field {name!r} unsupported (Go %g "
-                "rendering has no exact JVM twin)"
+                f"fnv32a_fields: field {name!r} has type {dt!r} — floats, "
+                "booleans, timestamps and decimals have no reference-exact "
+                "Go byte rendering (supported: string and integer types)"
             )
         q = f"`{name}`"
         if dt in ("tinyint", "smallint", "int", "bigint"):

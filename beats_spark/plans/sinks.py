@@ -158,6 +158,15 @@ def write_fanout(
             return FanoutResult(out_root=out_root, sink_counts=counts)
         # unexpected sink value escaped the static set — reconcile
     spark = df.sparkSession
+    if mode == "append":
+        # read-back would aggregate EVERY historical append under
+        # out_root, inflating this run's counts — re-aggregate the
+        # routed frame instead (one extra pass, fallback path only)
+        counts = {
+            r[META_SINK]: r["n"]
+            for r in df.groupBy(META_SINK).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        return FanoutResult(out_root=out_root, sink_counts=counts)
     written = spark.read.format(fmt).load(out_root)
     counts = {
         r[META_SINK]: r["n"]

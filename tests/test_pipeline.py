@@ -315,3 +315,60 @@ def test_per_turn_text_equality_through_fanout(spark, transcripts, tmp_path):
         F.col("text").startswith("level=debug") & F.col("text").contains(" caller=")
     ).count()
     assert dropped == debug_rows
+
+
+def test_checkpointed_run_survives_key_mutating_processor(spark, transcripts, tmp_path):
+    """A processor that MUTATES the bucketing key mid-chain must not
+    corrupt the checkpointed write: chunk selection uses the pre-chain
+    bucket stamp, and the write partitions must use the SAME values —
+    otherwise rows land under other chunks' buckets and a later
+    chunk's dynamic overwrite deletes them."""
+    from beats_spark.plans.lineage import run_checkpointed
+
+    cfg = pipeline_cfg(out_root=str(tmp_path / "mut"), n_buckets=8)
+    cfg.processors = [
+        {"uppercase": {"fields": ["conv_id"]}},  # mutates the key
+    ] + cfg.processors
+    res = run_checkpointed(
+        spark, transcripts, cfg, "mutrun", str(tmp_path / "lin_mut"), chunk_size=3
+    )
+    written = spark.read.parquet(str(tmp_path / "mut"))
+    # ground truth: the same config through the one-shot transform —
+    # no rows lost to cross-chunk overwrites, and counts reconcile
+    expected = transform(transcripts, cfg).count()
+    assert written.count() == expected
+    assert sum(res.sink_counts.values()) == expected
+
+
+def test_fmtstr_missing_nested_field_is_rule_miss_not_crash(spark):
+    """%{[a][b]} whose subfield is absent (or whose parent is not a
+    struct) must yield NULL — the documented next-rule fall-through —
+    not an AnalysisException at plan build."""
+    from beats_spark.functions.fmtstr import compile_fmtstr
+
+    df = spark.createDataFrame(
+        [(1, {"region": "eu"}, "s")],
+        "id long, meta struct<region:string>, plain string",
+    )
+    ok = df.select(compile_fmtstr(df, "x-%{[meta][region]}").alias("v")).collect()
+    assert ok[0]["v"] == "x-eu"
+    missing = df.select(compile_fmtstr(df, "x-%{[meta][zone]}").alias("v")).collect()
+    assert missing[0]["v"] is None
+    nonstruct = df.select(compile_fmtstr(df, "x-%{[plain][sub]}").alias("v")).collect()
+    assert nonstruct[0]["v"] is None
+
+
+def test_bucket_expr_salt_on_string_field(spark):
+    """Salting sub-keys hash through xxhash64, so a STRING salt_field
+    (container/journald sequence ids) works instead of ANSI-crashing
+    pmod at plan build; the result stays deterministic."""
+    from beats_spark.plans.pipeline import bucket_expr
+
+    df = spark.createDataFrame(
+        [("c1", "seq-1"), ("c1", "seq-2"), ("c2", "seq-9")],
+        "conv_id string, seq string",
+    )
+    a = df.select(bucket_expr("conv_id", 16, salt=4, salt_field="seq").alias("b")).collect()
+    b = df.select(bucket_expr("conv_id", 16, salt=4, salt_field="seq").alias("b")).collect()
+    assert a == b
+    assert all(0 <= r["b"] < 16 for r in a)
