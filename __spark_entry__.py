@@ -6915,12 +6915,270 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pipeline_fanout(spark, "/root/testdata/sf0.001")
 
 
+
+# ---------------------------------------------------------------------------
+# Temporal join & rollup family (operators/temporal.py + analytics tail)
+# ---------------------------------------------------------------------------
+
+_ASOF_TYPES = "array('click','signup','error','view','purchase')"
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def _deploys(spark: SparkSession) -> DataFrame:
+    """Deterministic deployment dim: 40 releases, one every 13 h from
+    2024-01-01, rotating over the five services (= event types). Built
+    from spark.range — no driver-side data, same rows at every SF."""
+    return spark.range(40).select(
+        F.expr(
+            f"element_at({_ASOF_TYPES}, cast(id % 5 + 1 as int))"
+        ).alias("service"),
+        F.expr(
+            f"timestamp_micros({_EPOCH_2024_US} + id * 46800000000)"
+        ).alias("deploy_ts"),
+        F.col("id").alias("version"),
+    )
+
+
+def q_asof_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.asof_join, broadcast strategy): every
+    event attaches the latest deployment of its service at its
+    timestamp — "which release was live when this fired" — then rolls
+    up event counts per (service, version). Early events that precede
+    their service's first deploy keep version NULL (left-join
+    semantics). Oracle replays it with DuckDB's native ASOF LEFT
+    JOIN — an independent implementation of the same contract."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events").withColumnRenamed(
+        "event_type", "service"
+    )
+    from beats_spark.operators.temporal import asof_join
+
+    hit = asof_join(
+        ev,
+        _deploys(spark),
+        on="service",
+        left_ts="ts",
+        right_ts="deploy_ts",
+        payload=["version"],
+        strategy="broadcast",
+    )
+    return hit.groupBy("service", "version").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_SQL_ASOF_VERSIONS = r"""
+WITH dep AS (
+  SELECT (['click','signup','error','view','purchase'])[(i % 5 + 1)::INT]
+           AS service,
+         make_timestamp(1704067200000000 + i * 46800000000) AS deploy_ts,
+         i AS version
+  FROM range(40) t(i)
+)
+SELECT e.event_type AS service, d.version, count(*)::BIGINT AS n_events
+FROM events e
+ASOF LEFT JOIN dep d
+  ON e.event_type = d.service AND e.ts >= d.deploy_ts
+GROUP BY 1, 2
+"""
+
+
+def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with no equi-key (temporal.interval_join): 40
+    deterministic 5-hour incident windows (one every 17 h from
+    2024-01-01) match events by timestamp containment alone; rollup =
+    events and errors per incident. The plan is the anti-cross-join
+    bucket-grid equi-join; the oracle is DuckDB's native inequality
+    join over the same windows."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    iv = spark.range(40).select(
+        F.col("id").alias("incident_id"),
+        F.expr(
+            f"timestamp_micros({_EPOCH_2024_US} + id * 61200000000)"
+        ).alias("start_ts"),
+        F.expr(
+            f"timestamp_micros({_EPOCH_2024_US} + id * 61200000000"
+            " + 18000000000)"
+        ).alias("end_ts"),
+        (F.col("id") % 3).alias("severity"),
+    )
+    from beats_spark.operators.temporal import interval_join
+
+    j = interval_join(ev, iv, "ts", "start_ts", "end_ts", bucket_s=3600)
+    return j.groupBy("incident_id", "severity").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias(
+            "n_errors"
+        ),
+    )
+
+
+_SQL_INCIDENT_WINDOWS = r"""
+WITH iv AS (
+  SELECT i AS incident_id,
+         make_timestamp(1704067200000000 + i * 61200000000) AS s,
+         make_timestamp(1704067200000000 + i * 61200000000
+                        + 18000000000) AS e,
+         i % 3 AS severity
+  FROM range(40) t(i)
+)
+SELECT incident_id, severity, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_errors
+FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY 1, 2
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup (temporal.time_rollup):
+    per-event-type counts and floor(value·10⁶) integer sums at hour /
+    day / week grains, the coarser grains re-aggregated from the hour
+    frame (one raw-event shuffle total). Oracle aggregates each grain
+    directly from the raw events — exactness of count/sum/min/max
+    composition is what the parity check proves."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.temporal import time_rollup
+
+    return time_rollup(ev, "ts", ["event_type"], "value")
+
+
+_SQL_TIME_ROLLUP = r"""
+WITH s AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         floor(value * 1000000)::BIGINT AS v
+  FROM events WHERE ts IS NOT NULL
+), lv AS (
+  SELECT 'hour' AS grain, 3600000000 AS g FROM (VALUES (1))
+  UNION ALL SELECT 'day', 86400000000 FROM (VALUES (1))
+  UNION ALL SELECT 'week', 604800000000 FROM (VALUES (1))
+)
+SELECT lv.grain, (s.us // lv.g) * lv.g AS bucket_start_us, s.event_type,
+       count(*)::BIGINT AS n_events,
+       sum(s.v)::BIGINT AS sum_value_e6,
+       min(s.v)::BIGINT AS min_value_e6,
+       max(s.v)::BIGINT AS max_value_e6
+FROM s CROSS JOIN lv
+GROUP BY 1, 2, 3
+"""
+
+
+def q_near_dup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-loop detection (analytics.near_dup_turns): consecutive
+    same-role turns in each user stream scored by Levenshtein distance
+    over the first 64 payload chars, threshold 1 — the near-verbatim
+    retry rate per role. Oracle replays the identical window + DuckDB
+    levenshtein (two independent edit-distance implementations must
+    agree on every pair for the hash to match)."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.analytics import near_dup_turns
+
+    return near_dup_turns(ev, threshold=1)
+
+
+_SQL_NEAR_DUP_TURNS = r"""
+WITH st AS (
+  SELECT user_id, event_type AS role, event_id,
+         substr(props, 1, 64) AS txt, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), p AS (
+  SELECT role,
+         lag(role) OVER w AS prev_role,
+         lag(txt) OVER w AS prev_txt,
+         txt
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), d AS (
+  SELECT role, levenshtein(txt, prev_txt) AS dist
+  FROM p
+  WHERE prev_role = role AND txt IS NOT NULL AND prev_txt IS NOT NULL
+)
+SELECT role, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_near,
+       (sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END)::BIGINT * 1000000
+          // greatest(count(*), 1)) AS near_ppm,
+       sum(dist)::BIGINT AS sum_dist,
+       max(dist)::BIGINT AS max_dist
+FROM d GROUP BY role
+"""
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles by nearest-rank selection
+    (analytics.group_percentiles): p50/p90/p99 of the value column
+    per event type. The emitted doubles are elements OF the data
+    (selection, never interpolation) — the only float percentile that
+    can pass a cross-engine value-hash gate."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.analytics import group_percentiles
+
+    return group_percentiles(ev)
+
+
+_SQL_LATENCY_PERCENTILES = r"""
+WITH s AS (
+  SELECT event_type, value AS v, event_id
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, max(n)::BIGINT AS n_values,
+       max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN v END) AS p50,
+       max(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN v END) AS p90,
+       max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN v END) AS p99
+FROM r GROUP BY event_type
+"""
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-actor counts (analytics.active_users): DAU
+    and trailing-7-day WAU per epoch-day present in the data,
+    long-format (window_days, day, n_active). The Spark plan reduces
+    to distinct (day, user) FIRST and explodes the reduced frame; the
+    oracle counts each trailing window directly — both must agree."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.analytics import active_users
+
+    return active_users(ev)
+
+
+_SQL_ACTIVE_USERS = r"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), days AS (
+  SELECT DISTINCT day FROM du
+), w AS (
+  SELECT * FROM (VALUES (1), (7)) t(window_days)
+)
+SELECT w.window_days, d.day,
+       count(DISTINCT du.user_id)::BIGINT AS n_active
+FROM w CROSS JOIN days d
+JOIN du ON du.day BETWEEN d.day - w.window_days + 1 AND d.day
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered newest-/least-blessed-first: if the driver's correctness
     # gate caps how many queries it runs, the entries with no prior
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "asof_versions": q_asof_versions,
+        "incident_windows": q_incident_windows,
+        "time_rollup": q_time_rollup,
+        "near_dup_turns": q_near_dup_turns,
+        "latency_percentiles": q_latency_percentiles,
+        "active_users": q_active_users,
         "heavy_hitters": q_heavy_hitters,
         "turn_latency": q_turn_latency,
         "event_funnel": q_event_funnel,
@@ -7058,6 +7316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "asof_versions": _SQL_ASOF_VERSIONS,
+        "incident_windows": _SQL_INCIDENT_WINDOWS,
+        "time_rollup": _SQL_TIME_ROLLUP,
+        "near_dup_turns": _SQL_NEAR_DUP_TURNS,
+        "latency_percentiles": _SQL_LATENCY_PERCENTILES,
+        "active_users": _SQL_ACTIVE_USERS,
         "heavy_hitters": _SQL_HEAVY_HITTERS,
         "turn_latency": _SQL_TURN_LATENCY,
         "event_funnel": _SQL_EVENT_FUNNEL,

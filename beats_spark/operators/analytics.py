@@ -318,3 +318,205 @@ def heavy_hitters(
             ),
         )
     )
+
+
+def near_dup_turns(
+    df: DataFrame,
+    key_col: str = "user_id",
+    role_col: str = "event_type",
+    text_col: str = "props",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cap: int = 64,
+    threshold: int = 2,
+) -> DataFrame:
+    """Retry-loop detection: consecutive SAME-role turns within a
+    conversation whose payloads are near-identical under edit
+    distance — the "assistant repeating itself" / "client re-sending
+    the same request" signal a transcripts pipeline filters on before
+    training (near-verbatim retries add no information and skew the
+    role mix).
+
+    Per role: ``n_pairs`` (consecutive same-role pairs with both
+    payloads present), ``n_near`` (edit distance ≤ ``threshold``),
+    ``near_ppm`` (integer), ``sum_dist``/``max_dist``.
+
+    Levenshtein is O(len²) per pair, so payloads are CAPPED to their
+    first ``cap`` characters before comparison — at 100 TB an
+    uncapped distance over 100 KB turns is a compute bomb, and a
+    64-char prefix decides "near-identical retry" just as well
+    (two texts equal for 64 chars then diverging are not retries the
+    threshold would catch anyway, and the cap is part of the
+    operator's contract, mirrored by the oracle).
+
+    Determinism: the window orders by (epoch-µs, id) — §2.9 stable
+    ordering. Pairs with either payload NULL are excluded
+    (tag-and-exclude; levenshtein(NULL, x) is no distance).
+
+    Plan: ONE hash shuffle on the conversation key for the window,
+    then a groupBy on the tiny role key with full map-side combine —
+    identical shape to turn_latency; skew bounded by the longest
+    single conversation.
+    """
+    from pyspark.sql.window import Window
+
+    us = _epoch_us(F.col(ts_col))
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(role_col).alias("role"),
+        F.col(id_col).alias("_id"),
+        F.substring(F.col(text_col), 1, cap).alias("_txt"),
+        us.alias("_us"),
+    ).filter(F.col("_us").isNotNull())
+    w = Window.partitionBy("_k").orderBy("_us", "_id")
+    pairs = (
+        staged.select(
+            "role",
+            F.lag("role").over(w).alias("_prev_role"),
+            F.lag("_txt").over(w).alias("_prev_txt"),
+            "_txt",
+        )
+        .filter(
+            (F.col("_prev_role") == F.col("role"))
+            & F.col("_txt").isNotNull()
+            & F.col("_prev_txt").isNotNull()
+        )
+        .select("role", F.levenshtein("_txt", "_prev_txt").alias("_d"))
+    )
+    agg = pairs.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("_d") <= threshold).cast("long")).alias("n_near"),
+        F.sum("_d").alias("sum_dist"),
+        F.max("_d").alias("max_dist"),
+    )
+    return agg.select(
+        "role",
+        "n_pairs",
+        "n_near",
+        F.expr("n_near * 1000000 div greatest(n_pairs, 1)").alias(
+            "near_ppm"
+        ),
+        "sum_dist",
+        "max_dist",
+    )
+
+
+def group_percentiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """EXACT per-group percentiles by nearest-rank SELECTION (not
+    interpolation): for each group, sort the values and pick the
+    element at 1-based index ``(n-1)·p div 100 + 1`` — the latency-
+    percentile rollup (p50/p90/p99 per event type / tool / sink).
+
+    Selection, not arithmetic: the emitted double is an element OF
+    the data, bit-identical on any engine — the only way a float
+    percentile passes the value-hash oracle discipline (interpolated
+    quantiles and approx sketches are both engine-ordered). Ties in
+    the value sort are broken by ``id_col`` so the selected element
+    is deterministic at any parallelism (§2.9). NULL and NaN values
+    are excluded first (NaN sorts last-greatest on both engines but
+    poisons nothing if simply removed).
+
+    Plan: one hash shuffle on the group for the window sort (same
+    Exchange serves row_number and the partition count), then a
+    groupBy(group) with conditional-max picks — no second pass over
+    the raw frame. Exactness costs a per-group sort; at 10^12 rows
+    per group prefer an approx sketch upstream, but THIS operator's
+    contract is exact (heavy_hitters discipline).
+    """
+    from pyspark.sql.window import Window
+
+    for p in percentiles:
+        if not 0 <= p <= 100:
+            raise ValueError(f"percentile out of range: {p}")
+    staged = df.select(
+        F.col(group_col),
+        F.col(value_col).alias("_v"),
+        F.col(id_col).alias("_id"),
+    ).filter(F.col("_v").isNotNull() & ~F.isnan("_v"))
+    wo = Window.partitionBy(group_col).orderBy("_v", "_id")
+    wp = Window.partitionBy(group_col)
+    ranked = staged.select(
+        F.col(group_col),
+        "_v",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("_rn") == F.expr(f"(_n - 1) * {p} div 100 + 1"),
+                F.col("_v"),
+            )
+        ).alias(f"p{p}")
+        for p in percentiles
+    ]
+    return ranked.groupBy(group_col).agg(
+        F.max("_n").alias("n_values"), *picks
+    )
+
+
+def active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    windows_days: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Rolling distinct-actor counts (DAU/WAU/MAU shape): for every
+    day PRESENT in the data and every window w, the number of
+    distinct users with ≥1 event in the trailing w-day window
+    [day-w+1, day]. Days are integer epoch-day buckets (µs floor
+    division — no calendar semantics).
+
+    Emits (window_days, day, n_active) long-format — one row per
+    (window, day).
+
+    Plan — distinct-first, THEN explode: the events reduce to the
+    distinct (day, user) frame in one map-side-combined shuffle
+    (the only pass over the raw data); each reduced row then fans
+    out to the ≤max(w) observation days it contributes to, and a
+    second distinct+count runs over that already-tiny frame. The
+    naive per-day self-join over raw events would be w full scans.
+    At 10^12 events the reduced frame is |users|·|days| rows —
+    bounded by actors, not traffic.
+    """
+    ws = sorted(set(int(w) for w in windows_days))
+    if not ws or ws[0] < 1:
+        raise ValueError(f"windows_days must be positive: {windows_days}")
+    us = _epoch_us(F.col(ts_col))
+    du = (
+        df.select(
+            F.col(user_col).alias("_u"), us.alias("_us")
+        )
+        .filter(F.col("_us").isNotNull() & F.col("_u").isNotNull())
+        .withColumn("_day", F.expr(f"_us div {_US_PER_DAY}"))
+        .select("_day", "_u")
+        .distinct()
+        .persist()
+    )
+    present = du.select(F.col("_day").alias("day")).distinct()
+    out = None
+    for w in ws:
+        obs = (
+            du.withColumn(
+                "day",
+                F.explode(
+                    F.sequence(F.col("_day"), F.col("_day") + F.lit(w - 1))
+                ),
+            )
+            .select("day", "_u")
+            .distinct()
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(present, "day")
+            .select(
+                F.lit(w).alias("window_days"), "day", "n_active"
+            )
+        )
+        out = obs if out is None else out.unionByName(obs)
+    return out

@@ -1,0 +1,383 @@
+"""Temporal joins and hierarchical rollups — the three time-series
+operators Spark's DataFrame API does not ship natively, each built as
+a composition of existing relational ops (never a UDF, never a
+driver loop):
+
+- :func:`asof_join` — "which version/config/price was in effect at
+  this row's timestamp" (pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+  semantics). Two strategies: a broadcast packed-array form for the
+  small-dim case (deployments, price books — zero extra shuffle) and
+  a union+window form for the big-right case (one shuffle, no range
+  explosion).
+- :func:`interval_join` — match point events to arbitrary
+  [start, end) windows with NO equi-key (incident windows,
+  maintenance windows). A naive theta-join is a cross product; this
+  chunks each interval onto a fixed time-bucket grid so the match is
+  an equi-join on the bucket plus a residual filter.
+- :func:`time_rollup` — hypertable-style continuous aggregate: the
+  raw events aggregate ONCE at the finest grain; every coarser grain
+  re-aggregates the fine frame (sum/count/min/max compose), so a
+  minute→hour→day→week hierarchy costs one shuffle over the events
+  plus shuffles over already-tiny aggregates.
+
+Reference anchor: libbeat ships events whose downstream questions are
+exactly these (metricbeat period rollups, libbeat/monitoring counter
+snapshots); the operator semantics follow public systems — pandas
+``merge_asof``, DuckDB ASOF/inequality joins, TimescaleDB continuous
+aggregates — not any reference code.
+
+Engine portability: all bucket math is integer epoch-microsecond
+floor division; float measures enter oracles only as
+``floor(x*1e6)`` integers (CLAUDE.md float discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def _us(col: Column) -> Column:
+    """Epoch-µs int64; try_cast so malformed user data yields NULL
+    (tag-and-continue) instead of an ANSI crash."""
+    return F.unix_micros(col.try_cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+    strategy: str = "broadcast",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, attach the payload of the
+    LATEST right row with the same key and ``right_ts <= left_ts``
+    (inclusive, the DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` /
+    pandas ``merge_asof(direction="backward")`` contract). Left rows
+    with no qualifying right row keep NULL payloads (left join).
+    ``tolerance_s`` additionally requires
+    ``left_ts - right_ts <= tolerance_s`` seconds.
+
+    Rows whose ``left_ts`` fails to parse get NULL payloads; right
+    rows with unparseable ``right_ts`` are dropped from candidacy
+    (tag-and-continue on both sides). Right-side ties on
+    (key, right_ts) are broken by the greatest payload struct so the
+    result is deterministic at any parallelism on BOTH strategies —
+    but callers should keep right timestamps unique per key (a config
+    store with two versions live at the same instant is a data bug).
+
+    Strategies — the 100 TB decision:
+
+    - ``broadcast``: pack the right side into one sorted
+      struct-array per key (``sort_array(collect_list(...))``), then
+      a broadcast hash join + ``element_at(filter(arr, ...), -1)``
+      picks the floor element JVM-side. ZERO shuffle over the left
+      (event) side — the correct shape whenever the right side is a
+      dim (deployments, price books: thousands of rows). The packed
+      frame must fit in a broadcast (~10 MB/key-group rule); Spark
+      enforces the ceiling.
+    - ``union``: tag both sides, union, ONE window over
+      (key ORDER BY ts, side) carrying ``last(right-struct,
+      ignorenulls)`` forward. One hash shuffle keyed on the join key,
+      payload bytes bounded by the right row — no range explosion,
+      no per-event array. The right answer when the right side is
+      itself event-scale (e.g. as-of joining trades to quotes).
+      Skew exposure = hottest single key (document keys must be
+      salted upstream if one key dominates).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if strategy not in ("broadcast", "union"):
+        raise ValueError(f"unknown asof strategy: {strategy!r}")
+    if payload is None:
+        payload = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+    if not payload:
+        raise ValueError("asof_join needs at least one payload column")
+    l_us = _us(F.col(left_ts))
+    tol = None if tolerance_s is None else int(tolerance_s) * _US
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        _us(F.col(right_ts)).alias("_asof_us"),
+        F.struct(*[F.col(p) for p in payload]).alias("_asof_pay"),
+    ).filter(F.col("_asof_us").isNotNull())
+
+    if strategy == "broadcast":
+        packed = r.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct("_asof_us", "_asof_pay"))
+            ).alias("_asof_arr")
+        )
+        out = left.join(F.broadcast(packed), keys, "left")
+        lo = F.lit(0) if tol is None else (l_us - F.lit(tol))
+        # filter() preserves the sorted order; try_element_at(-1) is
+        # the floor element — try_, because an empty filter result
+        # (no qualifying right row, or NULL left ts) must yield the
+        # left-join NULL, not an ANSI index error.
+        pick = F.try_element_at(
+            F.filter(
+                F.col("_asof_arr"),
+                lambda x: (x["_asof_us"] <= l_us)
+                & (x["_asof_us"] >= lo),
+            ),
+            F.lit(-1),
+        )
+        return out.select(
+            *[F.col(c) for c in left.columns],
+            *[pick["_asof_pay"][p].alias(p) for p in payload],
+        )
+
+    # union strategy
+    from pyspark.sql.window import Window
+
+    lhs = left.select(
+        *[F.col(k) for k in keys],
+        l_us.alias("_asof_us"),
+        F.lit(1).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_asof_row"),
+        F.lit(None).cast(
+            r.schema["_asof_pay"].dataType
+        ).alias("_asof_pay"),
+    )
+    rhs = r.select(
+        *[F.col(k) for k in keys],
+        "_asof_us",
+        F.lit(0).alias("_asof_side"),
+        F.lit(None).cast(
+            lhs.schema["_asof_row"].dataType
+        ).alias("_asof_row"),
+        "_asof_pay",
+    )
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) ⇒
+    # inclusive right_ts <= left_ts; the payload struct breaks
+    # right-right ties deterministically (greatest wins via last()).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_us", "_asof_side", "_asof_pay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("_asof_side") == 0,
+            F.struct(F.col("_asof_us").alias("u"), F.col("_asof_pay").alias("p")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    staged = (
+        lhs.unionByName(rhs)
+        .withColumn("_asof_hit", carried)
+        .filter(F.col("_asof_side") == 1)
+    )
+    hit = F.col("_asof_hit")
+    if tol is not None:
+        hit = F.when(
+            F.col("_asof_us") - F.col("_asof_hit")["u"] <= F.lit(tol),
+            F.col("_asof_hit"),
+        )
+    return staged.select(
+        *[F.col("_asof_row")[c].alias(c) for c in left.columns],
+        *[hit["p"][p].alias(p) for p in payload],
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join with no equi-key: every (event, interval) pair with
+    ``start <= ts < end`` (half-open). Returns the event columns plus
+    the interval columns; an event inside k overlapping intervals
+    emits k rows (inner) — the standard interval-attribution contract.
+
+    Plan — the anti-cross-join construction: each interval explodes
+    onto a fixed ``bucket_s``-second epoch grid (one row per grid
+    cell it overlaps), events compute their single grid cell, and the
+    match becomes an EQUI-join on the cell plus the residual
+    ``[start, end)`` filter. Every qualifying pair matches in exactly
+    one cell (the event's own), so no post-join dedup is needed.
+    Cost: |intervals| × ceil(span/bucket) exploded rows — pick
+    ``bucket_s`` near the median interval length so that factor stays
+    O(1)-per-interval. The join itself is AQE-planned: a bounded
+    incident table broadcasts; interval sets at event scale shuffle
+    on the cell key (temporal hot-cells spread via AQE skew
+    handling). Nothing is ever quadratic in |events|.
+
+    Intervals with ``end <= start`` (empty or inverted) and rows with
+    unparseable timestamps match nothing (tag-and-exclude; a
+    descending `sequence()` would otherwise explode the grid walk).
+    ``how="left"`` keeps unmatched events with NULL interval columns.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown interval join type: {how!r}")
+    b = int(bucket_s) * _US
+    # integer `div` via F.expr on named columns: PySpark Column has
+    # no floordiv operator, and the operands are non-negative epoch
+    # µs so trunc-div == floor-div on every engine (CLAUDE.md)
+    ev = (
+        events.withColumn("_iv_us", _us(F.col(ts_col)))
+        .withColumn("_iv_cell", F.expr(f"_iv_us div {b}"))
+        .drop("_iv_us")
+    )
+    iv = (
+        intervals.withColumn("_iv_s", _us(F.col(start_col)))
+        .withColumn("_iv_e", _us(F.col(end_col)))
+        .filter(
+            F.col("_iv_s").isNotNull()
+            & F.col("_iv_e").isNotNull()
+            & (F.col("_iv_e") > F.col("_iv_s"))
+        )
+        .withColumn(
+            "_iv_cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_iv_s div {b}"),
+                    F.expr(f"(_iv_e - 1) div {b}"),
+                )
+            ),
+        )
+    )
+    ts_us = _us(F.col(ts_col))
+    residual = (ts_us >= F.col("_iv_s")) & (ts_us < F.col("_iv_e"))
+    kept = (
+        ev.join(iv, "_iv_cell")
+        .filter(residual)
+        .drop("_iv_cell", "_iv_s", "_iv_e")
+    )
+    if how == "inner":
+        return kept
+    # left: unmatched events (including unparseable-ts rows, whose
+    # cell is NULL and can never equi-match) come back via an
+    # anti-join with NULL interval columns.
+    iv_cols = [c for c in intervals.columns]
+    matched_keys = kept.select(*events.columns).distinct()
+    unmatched = (
+        events.join(matched_keys, events.columns, "left_anti")
+        .select(
+            *events.columns,
+            *[
+                F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+                for c in iv_cols
+            ],
+        )
+    )
+    return kept.unionByName(unmatched)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: list[str] | None = None,
+    value_col: str | None = None,
+    grains_s: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: counts (and an
+    exact integer-µ measure sum, if ``value_col`` is given) per
+    ``by``-group per time bucket, at every grain in ``grains_s`` —
+    default hour / day / week on the fixed epoch grid (integer
+    epoch-µs floor division: no calendar/ISO-week semantics, every
+    engine agrees).
+
+    Emits one row per (grain, bucket, *by): ``grain``,
+    ``bucket_start_us`` (int64 epoch µs), the ``by`` columns,
+    ``n_events``, and ``sum_value_e6`` = Σ floor(value·10⁶) as int64
+    (the float-exact oracle discipline; min/max of the same integer
+    ride along as ``min_value_e6``/``max_value_e6``).
+
+    Plan — the continuous-aggregate shape: the RAW frame aggregates
+    exactly once, at the FINEST grain (full map-side combine, one
+    hash shuffle carrying (by, bucket, 4 longs)); every coarser grain
+    re-aggregates the finest AGGREGATE (count/sum/min/max compose
+    exactly), whose row count is |groups|·|fine buckets| — already
+    tiny. The fine frame is persisted because every coarser level
+    consumes it and ReuseExchange does not fire for shared aggregate
+    subtrees (CLAUDE.md). At 10^12 events this is one events-scale
+    shuffle total, versus one PER grain for the naive per-level
+    groupBy. Coarser grains must be integer multiples of the finest.
+
+    Rows with unparseable timestamps are excluded (tag-and-exclude);
+    NULL measures count toward ``n_events`` but not the sums.
+    """
+    by = list(by or [])
+    grains = list(grains_s or [("hour", 3600), ("day", 86400), ("week", 604800)])
+    if not grains:
+        raise ValueError("grains_s must be non-empty")
+    grains = sorted(grains, key=lambda g: g[1])
+    fine_name, fine_s = grains[0]
+    for name, s in grains[1:]:
+        if s % fine_s != 0:
+            raise ValueError(
+                f"grain {name}={s}s is not a multiple of the finest "
+                f"grain {fine_name}={fine_s}s — the re-aggregation "
+                "hierarchy requires exact nesting"
+            )
+    fine_us = fine_s * _US
+    v_e6 = (
+        F.floor(F.col(value_col) * F.lit(_US)).cast("long")
+        if value_col
+        else F.lit(None).cast("long")
+    )
+    fine = (
+        df.select(
+            *[F.col(c) for c in by],
+            _us(F.col(ts_col)).alias("_ts_us"),
+            v_e6.alias("_v"),
+        )
+        .withColumn("_bkt", F.expr(f"_ts_us div {fine_us}"))
+        .drop("_ts_us")
+        .filter(F.col("_bkt").isNotNull())
+        .groupBy(*by, "_bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("sum_value_e6"),
+            F.min("_v").alias("min_value_e6"),
+            F.max("_v").alias("max_value_e6"),
+        )
+        .persist()
+    )
+
+    def level(name: str, s: int) -> DataFrame:
+        step = s // fine_s
+        return (
+            fine.groupBy(*by, F.expr(f"_bkt div {step}").alias("_cb"))
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_e6").alias("sum_value_e6"),
+                F.min("min_value_e6").alias("min_value_e6"),
+                F.max("max_value_e6").alias("max_value_e6"),
+            )
+            .select(
+                F.lit(name).alias("grain"),
+                (F.col("_cb") * F.lit(s * _US)).alias("bucket_start_us"),
+                *[F.col(c) for c in by],
+                "n_events",
+                "sum_value_e6",
+                "min_value_e6",
+                "max_value_e6",
+            )
+        )
+
+    out = fine.select(
+        F.lit(fine_name).alias("grain"),
+        (F.col("_bkt") * F.lit(fine_us)).alias("bucket_start_us"),
+        *[F.col(c) for c in by],
+        "n_events",
+        "sum_value_e6",
+        "min_value_e6",
+        "max_value_e6",
+    )
+    for name, s in grains[1:]:
+        out = out.unionByName(level(name, s))
+    return out

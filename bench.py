@@ -230,6 +230,12 @@ EXT_QUERIES = [
     "retention_cohorts",
     "turn_latency",
     "heavy_hitters",
+    "asof_versions",
+    "incident_windows",
+    "time_rollup",
+    "near_dup_turns",
+    "latency_percentiles",
+    "active_users",
 ]
 
 
