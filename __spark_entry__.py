@@ -7048,7 +7048,8 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TIME_ROLLUP = r"""
 WITH s AS (
   SELECT event_type, epoch_us(ts) AS us,
-         floor(value * 1000000)::BIGINT AS v
+         CASE WHEN isfinite(value)
+              THEN floor(value * 1000000)::BIGINT END AS v
   FROM events WHERE ts IS NOT NULL
 ), lv AS (
   SELECT 'hour' AS grain, 3600000000 AS g FROM (VALUES (1))
@@ -7082,7 +7083,9 @@ def q_near_dup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NEAR_DUP_TURNS = r"""
 WITH st AS (
   SELECT user_id, event_type AS role, event_id,
-         substr(props, 1, 64) AS txt, epoch_us(ts) AS us
+         regexp_replace(substr(props, 1, 64), '[^\x00-\x7F]', '?', 'g')
+           AS txt,
+         epoch_us(ts) AS us
   FROM events WHERE ts IS NOT NULL
 ), p AS (
   SELECT role,

@@ -347,7 +347,15 @@ def near_dup_turns(
     64-char prefix decides "near-identical retry" just as well
     (two texts equal for 64 chars then diverging are not retries the
     threshold would catch anyway, and the cap is part of the
-    operator's contract, mirrored by the oracle).
+    operator's contract, mirrored by the oracle). Non-ASCII
+    codepoints are then PROJECTED to ``?`` on both engines: Spark's
+    levenshtein counts codepoints while DuckDB's counts BYTES, so
+    any multibyte character would silently diverge the oracle
+    (levenshtein('café','cafe') = 1 vs 2); under the projection both
+    engines see the same ASCII string, and a retry whose payloads
+    differ only in WHICH non-ASCII char they contain still scores
+    near-identical — acceptable for a retry detector, documented as
+    contract.
 
     Determinism: the window orders by (epoch-µs, id) — §2.9 stable
     ordering. Pairs with either payload NULL are excluded
@@ -365,7 +373,9 @@ def near_dup_turns(
         F.col(key_col).alias("_k"),
         F.col(role_col).alias("role"),
         F.col(id_col).alias("_id"),
-        F.substring(F.col(text_col), 1, cap).alias("_txt"),
+        F.regexp_replace(
+            F.substring(F.col(text_col), 1, cap), "[^\\x00-\\x7F]", "?"
+        ).alias("_txt"),
         us.alias("_us"),
     ).filter(F.col("_us").isNotNull())
     w = Window.partitionBy("_k").orderBy("_us", "_id")

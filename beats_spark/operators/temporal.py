@@ -102,11 +102,20 @@ def asof_join(
     l_us = _us(F.col(left_ts))
     tol = None if tolerance_s is None else int(tolerance_s) * _US
 
+    # NULL keys are excluded from candidacy on the right: an equi-join
+    # on a NULL key never matches (broadcast path), and without this
+    # filter the union path's window would group NULL with NULL and
+    # silently hand a malformed dim row to every NULL-key event —
+    # the strategies must agree row-for-row.
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
     r = right.select(
         *[F.col(k) for k in keys],
         _us(F.col(right_ts)).alias("_asof_us"),
         F.struct(*[F.col(p) for p in payload]).alias("_asof_pay"),
-    ).filter(F.col("_asof_us").isNotNull())
+    ).filter(F.col("_asof_us").isNotNull() & ~null_key)
 
     if strategy == "broadcast":
         packed = r.groupBy(*keys).agg(
@@ -115,17 +124,22 @@ def asof_join(
             ).alias("_asof_arr")
         )
         out = left.join(F.broadcast(packed), keys, "left")
-        lo = F.lit(0) if tol is None else (l_us - F.lit(tol))
         # filter() preserves the sorted order; try_element_at(-1) is
         # the floor element — try_, because an empty filter result
         # (no qualifying right row, or NULL left ts) must yield the
-        # left-join NULL, not an ANSI index error.
+        # left-join NULL, not an ANSI index error. The lower bound
+        # exists ONLY under tolerance: a constant 0 floor would
+        # silently drop pre-1970 right timestamps (bad clocks,
+        # year-1 sentinel defaults) from candidacy.
+        if tol is None:
+            pred = lambda x: x["_asof_us"] <= l_us  # noqa: E731
+        else:
+            lo = l_us - F.lit(tol)
+            pred = (  # noqa: E731
+                lambda x: (x["_asof_us"] <= l_us) & (x["_asof_us"] >= lo)
+            )
         pick = F.try_element_at(
-            F.filter(
-                F.col("_asof_arr"),
-                lambda x: (x["_asof_us"] <= l_us)
-                & (x["_asof_us"] >= lo),
-            ),
+            F.filter(F.col("_asof_arr"), pred),
             F.lit(-1),
         )
         return out.select(
@@ -260,11 +274,28 @@ def interval_join(
         return kept
     # left: unmatched events (including unparseable-ts rows, whose
     # cell is NULL and can never equi-match) come back via an
-    # anti-join with NULL interval columns.
+    # anti-join with NULL interval columns. Two discipline points:
+    # kept is PERSISTED — the union output and the matched-key
+    # anti-join both consume it and ReuseExchange does not fire for
+    # shared subtrees (CLAUDE.md), so without the cache the whole
+    # explode+join+filter would execute twice. The anti-join uses
+    # NULL-SAFE equality — a matched event carrying a NULL payload
+    # column would otherwise never subtract (NULL != NULL) and come
+    # back a second time as a spurious unmatched row.
+    kept = kept.persist()
     iv_cols = [c for c in intervals.columns]
-    matched_keys = kept.select(*events.columns).distinct()
+    # matched-key columns renamed: matched_keys' lineage includes
+    # events, and same-name column refs across a derived frame hit
+    # Spark's ambiguous-self-join resolution
+    matched_keys = kept.select(
+        *[F.col(c).alias(f"_mk_{c}") for c in events.columns]
+    ).distinct()
+    anti_cond = None
+    for c in events.columns:
+        eq = F.col(c).eqNullSafe(F.col(f"_mk_{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
     unmatched = (
-        events.join(matched_keys, events.columns, "left_anti")
+        events.join(matched_keys, anti_cond, "left_anti")
         .select(
             *events.columns,
             *[
@@ -324,11 +355,21 @@ def time_rollup(
                 "hierarchy requires exact nesting"
             )
     fine_us = fine_s * _US
-    v_e6 = (
-        F.floor(F.col(value_col) * F.lit(_US)).cast("long")
-        if value_col
-        else F.lit(None).cast("long")
-    )
+    # non-finite measures become NULL (excluded from the sums, still
+    # counted in n_events): floor(NaN·10⁶) silently folds to 0 and
+    # Inf saturates to Long.MaxValue in Spark while the same cast
+    # ERRORS in DuckDB — tag-and-exclude on both engines instead
+    # (same discipline as group_percentiles)
+    if value_col:
+        v = F.col(value_col)
+        finite = (
+            ~F.isnan(v)
+            & (v < F.lit(float("inf")))
+            & (v > F.lit(float("-inf")))
+        )
+        v_e6 = F.when(finite, F.floor(v * F.lit(_US)).cast("long"))
+    else:
+        v_e6 = F.lit(None).cast("long")
     fine = (
         df.select(
             *[F.col(c) for c in by],

@@ -343,3 +343,121 @@ def test_active_users_rolling_window(spark):
     # contributing days within the window → users {10, 20}
     assert out[(7, 0)] == 1 and out[(7, 1)] == 2 and out[(7, 3)] == 2
     assert set(out) == {(1, 0), (1, 1), (1, 3), (7, 0), (7, 1), (7, 3)}
+
+
+# -- review-fix regressions --------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_null_keys_never_match(spark, strategy):
+    left = spark.createDataFrame(
+        [(1, None, _ts("2024-01-02T00:00:00"))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts("2024-01-01T00:00:00"), 5)],
+        "sym string, qts timestamp, px int",
+    )
+    out = asof_join(left, right, "sym", "ts", "qts", ["px"], strategy=strategy)
+    assert out.collect()[0]["px"] is None
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "union"])
+def test_asof_pre_epoch_right_timestamps(spark, strategy):
+    # negative epoch-µs right rows (bad clocks, year-1 sentinels) are
+    # valid candidates — a 0 lower bound would drop them in broadcast
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T00:00:00"))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", _ts("1969-12-31T00:00:00"), 7)],
+        "sym string, qts timestamp, px int",
+    )
+    out = asof_join(left, right, "sym", "ts", "qts", ["px"], strategy=strategy)
+    assert out.collect()[0]["px"] == 7
+
+
+def test_interval_join_left_null_payload_no_duplication(spark):
+    # a matched event carrying a NULL column must not reappear as a
+    # spurious unmatched row (null-safe anti-join)
+    evs = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"), None)],
+        "event_id long, ts timestamp, extra string",
+    )
+    iv = spark.createDataFrame(
+        [(9, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "incident_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(evs, iv, bucket_s=3600, how="left").collect()
+    assert len(out) == 1 and out[0]["incident_id"] == 9
+
+
+def test_time_rollup_excludes_non_finite_measures(spark):
+    evs = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01T10:00:00"), 1.5),
+            ("g", _ts("2024-01-01T10:10:00"), float("nan")),
+            ("g", _ts("2024-01-01T10:20:00"), float("inf")),
+            ("g", _ts("2024-01-01T10:30:00"), float("-inf")),
+            ("g", _ts("2024-01-01T10:40:00"), None),
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    row = time_rollup(
+        evs, "ts", ["event_type"], "value", [("hour", 3600)]
+    ).collect()[0]
+    # all five rows count; only the finite 1.5 reaches the sums
+    assert row["n_events"] == 5
+    assert row["sum_value_e6"] == 1_500_000
+    assert row["min_value_e6"] == row["max_value_e6"] == 1_500_000
+
+
+def test_near_dup_turns_unicode_matches_duckdb(spark):
+    # multibyte + astral payloads: Spark levenshtein counts
+    # codepoints, DuckDB counts bytes — the ASCII projection makes
+    # both engines score every pair identically
+    import duckdb
+
+    rows = [
+        (1, 1, "r", "café x\U0001F600y", _ts("2024-01-01T10:00:00")),
+        (2, 1, "r", "cafe x\U0001F600y", _ts("2024-01-01T10:01:00")),
+        (3, 1, "r", "naïve reply ü", _ts("2024-01-01T10:02:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "props string, ts timestamp"
+    )
+    got = near_dup_turns(df, threshold=1).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {uid}, '{role}', '{txt}', TIMESTAMP '{ts}')"
+            for eid, uid, role, txt, ts in rows
+        )
+        + ") v(event_id, user_id, role, props, ts)"
+    )
+    want = con.execute(
+        r"""
+        WITH st AS (
+          SELECT user_id, role, event_id,
+                 regexp_replace(substr(props, 1, 64),
+                                '[^\x00-\x7F]', '?', 'g') AS txt,
+                 epoch_us(ts) AS us
+          FROM t
+        ), p AS (
+          SELECT role, lag(role) OVER w AS prev_role,
+                 lag(txt) OVER w AS prev_txt, txt
+          FROM st WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        )
+        SELECT count(*) AS n_pairs,
+               sum(CASE WHEN levenshtein(txt, prev_txt) <= 1
+                   THEN 1 ELSE 0 END) AS n_near,
+               sum(levenshtein(txt, prev_txt)) AS sum_dist
+        FROM p WHERE prev_role = role AND prev_txt IS NOT NULL
+        """
+    ).fetchone()
+    assert (got["n_pairs"], got["n_near"], got["sum_dist"]) == (
+        want[0], want[1], want[2],
+    )
