@@ -489,11 +489,14 @@ def active_users(
     Plan — distinct-first, THEN explode: the events reduce to the
     distinct (day, user) frame in one map-side-combined shuffle
     (the only pass over the raw data); each reduced row then fans
-    out to the ≤max(w) observation days it contributes to, and a
-    second distinct+count runs over that already-tiny frame. The
-    naive per-day self-join over raw events would be w full scans.
-    At 10^12 events the reduced frame is |users|·|days| rows —
-    bounded by actors, not traffic.
+    out to its (window, observation-day) contributions in a SINGLE
+    explode covering every window at once — Σw entries per row — so
+    the whole multi-window answer is one distinct + one groupBy over
+    the already-tiny frame, not a per-window branch (many small
+    stages cost more than the work on a busy cluster). The naive
+    per-day self-join over raw events would be w full scans. At
+    10^12 events the reduced frame is |users|·|days| rows — bounded
+    by actors, not traffic.
     """
     ws = sorted(set(int(w) for w in windows_days))
     if not ws or ws[0] < 1:
@@ -510,23 +513,24 @@ def active_users(
         .persist()
     )
     present = du.select(F.col("_day").alias("day")).distinct()
-    out = None
-    for w in ws:
-        obs = (
-            du.withColumn(
-                "day",
-                F.explode(
-                    F.sequence(F.col("_day"), F.col("_day") + F.lit(w - 1))
-                ),
-            )
-            .select("day", "_u")
-            .distinct()
-            .groupBy("day")
-            .agg(F.count(F.lit(1)).alias("n_active"))
-            .join(present, "day")
-            .select(
-                F.lit(w).alias("window_days"), "day", "n_active"
-            )
+    contrib = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(w).alias("window_days"),
+                    (F.col("_day") + F.lit(d)).alias("day"),
+                )
+                for w in ws
+                for d in range(w)
+            ]
         )
-        out = obs if out is None else out.unionByName(obs)
-    return out
+    )
+    return (
+        du.select(contrib.alias("_c"), "_u")
+        .select("_c.window_days", "_c.day", "_u")
+        .distinct()
+        .groupBy("window_days", "day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(present, "day")
+        .select("window_days", "day", "n_active")
+    )
