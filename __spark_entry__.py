@@ -7170,12 +7170,119 @@ GROUP BY 1, 2
 """
 
 
+
+def q_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile (analytics.disorder_stats) — the
+    watermark-sizing measurement. The fixture streams are perfectly
+    ordered, so disorder is PLANTED deterministically (events with
+    event_id %% 17 == 3 shift back 0.5-24 hours by id) so every branch
+    — on-time, late, per-role max — is non-trivially exercised at
+    every SF; the oracle replays the plant and the identical
+    running-max window."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    shift = F.when(
+        F.col("event_id") % 17 == 3,
+        (F.col("event_id") % 48 + 1) * F.lit(1_800_000_000),
+    ).otherwise(F.lit(0))
+    planted = ev.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").try_cast("timestamp")) - shift
+        ),
+    )
+    from beats_spark.operators.analytics import disorder_stats
+
+    return disorder_stats(planted)
+
+
+_SQL_DISORDER_STATS = r"""
+WITH pe AS (
+  SELECT user_id, event_type AS role, event_id,
+         epoch_us(ts) - CASE WHEN event_id % 17 = 3
+                             THEN (event_id % 48 + 1) * 1800000000
+                             ELSE 0 END AS us
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+), f AS (
+  SELECT role, us,
+         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+  FROM pe
+), l AS (
+  SELECT role,
+         CASE WHEN us < pm THEN pm - us ELSE 0 END AS late_us
+  FROM f
+)
+SELECT role, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT * 1000000
+          // greatest(count(*), 1)) AS late_ppm,
+       max(late_us // 1000)::BIGINT AS max_late_ms,
+       sum(late_us // 1000)::BIGINT AS sum_late_ms
+FROM l GROUP BY role
+"""
+
+
+def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (temporal.concurrency_peak):
+    gap-sessionize the event streams (12 h gap), roll sessions to
+    [first, last] spans, and evaluate concurrency at the candidate
+    instants (span starts + day boundaries) via interval_join — the
+    capacity-planning rollup, built as a composition of the repo's
+    own sessionizer and range join. Oracle rebuilds the whole chain:
+    the sessionize window, the spans, and a direct containment join
+    over the candidates."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.temporal import concurrency_peak
+
+    return concurrency_peak(ev, "user_id", "ts", "event_id", gap_minutes=720)
+
+
+_SQL_CONCURRENCY_PEAK = r"""
+WITH st AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         (sum(CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts) > 43200000000
+                   THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+           AS sidx
+  FROM (SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE ts IS NOT NULL)
+), spans AS (
+  SELECT user_id, sidx, min(us) AS smin, max(us) AS smax
+  FROM st GROUP BY 1, 2
+), present AS (
+  SELECT DISTINCT us // 86400000000 AS day FROM st
+), cand AS (
+  SELECT DISTINCT day, t FROM (
+    SELECT smin // 86400000000 AS day, smin AS t FROM spans
+    UNION ALL
+    SELECT day, day * 86400000000 AS t FROM present)
+), conc AS (
+  SELECT c.day, c.t, count(*) AS n_active
+  FROM cand c JOIN spans s ON c.t BETWEEN s.smin AND s.smax
+  GROUP BY 1, 2
+), pk AS (
+  SELECT day, max(n_active) AS peak FROM conc GROUP BY day
+)
+SELECT p.day, coalesce(pk.peak, 0)::BIGINT AS peak_concurrency
+FROM present p LEFT JOIN pk USING (day)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered newest-/least-blessed-first: if the driver's correctness
     # gate caps how many queries it runs, the entries with no prior
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "disorder_stats": q_disorder_stats,
+        "concurrency_peak": q_concurrency_peak,
         "asof_versions": q_asof_versions,
         "incident_windows": q_incident_windows,
         "time_rollup": q_time_rollup,
@@ -7319,6 +7426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "disorder_stats": _SQL_DISORDER_STATS,
+        "concurrency_peak": _SQL_CONCURRENCY_PEAK,
         "asof_versions": _SQL_ASOF_VERSIONS,
         "incident_windows": _SQL_INCIDENT_WINDOWS,
         "time_rollup": _SQL_TIME_ROLLUP,

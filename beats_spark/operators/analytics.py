@@ -534,3 +534,75 @@ def active_users(
         .join(present, "day")
         .select("window_days", "day", "n_active")
     )
+
+
+def disorder_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    role_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-time disorder profile — the measurement that SIZES a
+    streaming watermark: per role, how many rows arrive with an event
+    time EARLIER than something already seen on their stream (arrival
+    order = ``id_col``), and by how much. A watermark shorter than
+    the observed ``max_late_ms`` drops rows;
+    ``withWatermark(max_late_ms + margin)`` is the defensible
+    setting, and ``late_ppm`` says what a tighter one would cost.
+
+    Per role: ``n_events``, ``n_late`` (event time < running max of
+    its stream's earlier arrivals), ``late_ppm``, ``max_late_ms``,
+    ``sum_late_ms`` (integer ms, floor).
+
+    Rows with unparseable timestamps or NULL ids are excluded
+    (tag-and-exclude; an id-less row has no arrival position).
+
+    Plan: one hash shuffle on the stream key for the running-max
+    window (exclusive frame: unbounded preceding → 1 preceding), then
+    the tiny role-keyed rollup with full map-side combine — the
+    turn_latency shape exactly; skew bounded by the longest stream.
+    """
+    from pyspark.sql.window import Window
+
+    us = _epoch_us(F.col(ts_col))
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(role_col).alias("role"),
+        F.col(id_col).alias("_id"),
+        us.alias("_us"),
+    ).filter(F.col("_us").isNotNull() & F.col("_id").isNotNull())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = staged.select(
+        "role",
+        "_us",
+        F.max("_us").over(w).alias("_prev_max"),
+    ).select(
+        "role",
+        F.when(
+            F.col("_us") < F.col("_prev_max"),
+            F.col("_prev_max") - F.col("_us"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_late_us"),
+    )
+    agg = flagged.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+        F.max(F.expr("_late_us div 1000")).alias("max_late_ms"),
+        F.sum(F.expr("_late_us div 1000")).alias("sum_late_ms"),
+    )
+    return agg.select(
+        "role",
+        "n_events",
+        "n_late",
+        F.expr("n_late * 1000000 div greatest(n_events, 1)").alias(
+            "late_ppm"
+        ),
+        "max_late_ms",
+        "sum_late_ms",
+    )

@@ -422,3 +422,88 @@ def time_rollup(
     for name, s in grains[1:]:
         out = out.unionByName(level(name, s))
     return out
+
+
+def concurrency_peak(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 720,
+    bucket_s: int = 86_400,
+) -> DataFrame:
+    """Peak concurrent sessions per epoch-day — the capacity-planning
+    rollup ("how many conversations were live at once"). Sessions
+    come from the gap-based sessionizer; a session is active on the
+    CLOSED interval [first event, last event].
+
+    Emits (day, peak_concurrency) for every day with ≥1 event.
+
+    The construction rides on the candidate-instant theorem:
+    concurrency only increases at session starts, so the max over a
+    day is attained either at a session start inside the day or at
+    the day boundary (a session straddling midnight). Candidates =
+    span starts + day starts; each candidate's concurrency = number
+    of spans containing it — evaluated with :func:`interval_join`
+    (spans become [smin, smax+1µs) intervals), so the whole operator
+    is sessionize → span rollup → interval join → two tiny rollups.
+
+    Scale: the ONLY events-scale work is the sessionizer's single
+    key shuffle. Spans are |sessions| rows (8-byte bounds), the
+    candidate frame is |sessions| + |days|, and the interval join
+    explodes each span over the days it covers (bounded by session
+    length / bucket). Nothing downstream of the first shuffle scales
+    with traffic.
+    """
+    from beats_spark.operators.sessions import sessionize
+
+    day_us = int(bucket_s) * _US
+    ev = df.withColumn("_cp_us", _us(F.col(ts_col))).filter(
+        F.col("_cp_us").isNotNull()
+    )
+    sess = sessionize(
+        ev, key_col, ts_col, gap_minutes, order_cols=(id_col,)
+    )
+    spans = sess.groupBy(key_col, "session_idx").agg(
+        F.min("_cp_us").alias("_smin"), F.max("_cp_us").alias("_smax")
+    )
+    present = (
+        ev.select(F.expr(f"_cp_us div {day_us}").alias("day")).distinct()
+    )
+    cand = (
+        spans.select(
+            F.expr(f"_smin div {day_us}").alias("day"),
+            F.col("_smin").alias("_t"),
+        )
+        .unionByName(
+            present.select("day", (F.col("day") * F.lit(day_us)).alias("_t"))
+        )
+        .distinct()
+    )
+    spans_iv = spans.select(
+        F.timestamp_micros(F.col("_smin")).alias("_start_ts"),
+        F.timestamp_micros(F.col("_smax") + F.lit(1)).alias("_end_ts"),
+    )
+    cand_ev = cand.select(
+        "day", "_t", F.timestamp_micros(F.col("_t")).alias("_cts")
+    )
+    hits = interval_join(
+        cand_ev, spans_iv, "_cts", "_start_ts", "_end_ts", bucket_s=bucket_s
+    )
+    conc = hits.groupBy("day", "_t").agg(
+        F.count(F.lit(1)).alias("_n_active")
+    )
+    peaks = conc.groupBy("day").agg(
+        F.max("_n_active").alias("peak_concurrency")
+    )
+    # a present day always has ≥1 active session at some candidate,
+    # but the left join + coalesce keeps the contract explicit
+    return (
+        present.join(peaks, "day", "left")
+        .select(
+            "day",
+            F.coalesce(
+                F.col("peak_concurrency"), F.lit(0).cast("long")
+            ).alias("peak_concurrency"),
+        )
+    )

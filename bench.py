@@ -236,6 +236,8 @@ EXT_QUERIES = [
     "near_dup_turns",
     "latency_percentiles",
     "active_users",
+    "disorder_stats",
+    "concurrency_peak",
 ]
 
 

@@ -461,3 +461,104 @@ def test_near_dup_turns_unicode_matches_duckdb(spark):
     assert (got["n_pairs"], got["n_near"], got["sum_dist"]) == (
         want[0], want[1], want[2],
     )
+
+
+# -- disorder_stats / concurrency_peak ---------------------------------------
+
+
+def test_disorder_stats_planted(spark):
+    from beats_spark.operators.analytics import disorder_stats
+
+    rows = [
+        # arrival order (event_id) vs event time: row 3 arrives third
+        # with an EARLIER event time than the running max (10:30) →
+        # late by 25 min; row 4 is on time
+        (1, 1, "r", _ts("2024-01-01T10:00:00")),
+        (2, 1, "r", _ts("2024-01-01T10:30:00")),
+        (3, 1, "r", _ts("2024-01-01T10:05:00")),
+        (4, 1, "r", _ts("2024-01-01T11:00:00")),
+        # second stream: perfectly ordered → zero late
+        (5, 2, "s", _ts("2024-01-01T09:00:00")),
+        (6, 2, "s", _ts("2024-01-01T09:10:00")),
+        # NULL ts excluded
+        (7, 2, "s", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {r["role"]: r for r in disorder_stats(df).collect()}
+    assert out["r"]["n_events"] == 4
+    assert out["r"]["n_late"] == 1
+    assert out["r"]["max_late_ms"] == 25 * 60 * 1000
+    assert out["r"]["sum_late_ms"] == 25 * 60 * 1000
+    assert out["s"]["n_events"] == 2 and out["s"]["n_late"] == 0
+
+
+def test_disorder_stats_single_key_shuffle(spark):
+    from beats_spark.operators.analytics import disorder_stats
+
+    spark.catalog.clearCache()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(disorder_stats(ev))
+    # one stream-key Exchange for the running-max window + the tiny
+    # role rollup; no joins, no sorts beyond the window
+    assert plan.count("Exchange hashpartitioning(_k") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_concurrency_peak_planted(spark):
+    from beats_spark.operators.temporal import concurrency_peak
+
+    h = 3_600
+    rows = [
+        # day 0: user 1 session 09:00-11:00, user 2 session 10:00-10:30
+        # → overlap at 10:00 → peak 2
+        (1, 1, _ts("2024-01-01T09:00:00")),
+        (2, 1, _ts("2024-01-01T11:00:00")),
+        (3, 2, _ts("2024-01-01T10:00:00")),
+        (4, 2, _ts("2024-01-01T10:30:00")),
+        # day 1: single event → peak 1
+        (5, 1, _ts("2024-01-02T15:00:00")),
+        # user 3 session straddles midnight day2→day3: carry-in makes
+        # day 3's peak 1 even though no session STARTS on day 3
+        (6, 3, _ts("2024-01-03T23:00:00")),
+        (7, 3, _ts("2024-01-04T01:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = {
+        r["day"]: r["peak_concurrency"]
+        for r in concurrency_peak(df, gap_minutes=120).collect()
+    }
+    d0 = 19723  # 2024-01-01 epoch day
+    assert out == {d0: 2, d0 + 1: 1, d0 + 2: 1, d0 + 3: 1}
+
+
+def test_concurrency_peak_gap_splits_sessions(spark):
+    from beats_spark.operators.temporal import concurrency_peak
+
+    # two events 3 h apart: one session at gap=240 min (span covers
+    # both), two point sessions at gap=60 min — either way the day's
+    # peak is 1 (sessions of the SAME user don't overlap here)
+    rows = [
+        (1, 1, _ts("2024-01-01T09:00:00")),
+        (2, 1, _ts("2024-01-01T12:00:00")),
+        (3, 2, _ts("2024-01-01T09:30:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    merged = {
+        r["day"]: r["peak_concurrency"]
+        for r in concurrency_peak(df, gap_minutes=240).collect()
+    }
+    split = {
+        r["day"]: r["peak_concurrency"]
+        for r in concurrency_peak(df, gap_minutes=60).collect()
+    }
+    d0 = 19723
+    # merged: user 1 active 09:00-12:00, user 2 at 09:30 → peak 2
+    assert merged == {d0: 2}
+    # split: user 1's two point sessions never overlap user 2's 09:30
+    assert split == {d0: 1}
