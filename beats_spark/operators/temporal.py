@@ -386,13 +386,42 @@ def time_rollup(
             F.min("_v").alias("min_value_e6"),
             F.max("_v").alias("max_value_e6"),
         )
-        .persist()
+        .select(
+            (F.col("_bkt") * F.lit(fine_us)).alias("bucket_start_us"),
+            *[F.col(c) for c in by],
+            "n_events",
+            "sum_value_e6",
+            "min_value_e6",
+            "max_value_e6",
+        )
     )
+    return rollup_levels(fine, by, grains)
+
+
+def rollup_levels(
+    fine: DataFrame,
+    by: list[str],
+    grains_s: list[tuple[str, int]],
+) -> DataFrame:
+    """The coarse half of :func:`time_rollup`, factored out so the
+    STREAMING fine-grain aggregator (streaming.pipeline.
+    stream_time_rollup_fine) feeds the IDENTICAL re-aggregation code
+    (the batch/stream-identical-code discipline stream_turn_gaps and
+    stream_rate_counts follow). ``fine`` must carry
+    (bucket_start_us, *by, n_events, sum/min/max_value_e6) at the
+    finest grain ``grains_s[0]``; returns the union over all grains.
+    The fine frame is persisted here: every level consumes it and
+    ReuseExchange does not fire for shared aggregates (CLAUDE.md)."""
+    grains = sorted(grains_s, key=lambda g: g[1])
+    fine_name, fine_s = grains[0]
+    fine = fine.persist()
 
     def level(name: str, s: int) -> DataFrame:
-        step = s // fine_s
+        g_us = s * _US
         return (
-            fine.groupBy(*by, F.expr(f"_bkt div {step}").alias("_cb"))
+            fine.groupBy(
+                *by, F.expr(f"bucket_start_us div {g_us}").alias("_cb")
+            )
             .agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value_e6").alias("sum_value_e6"),
@@ -401,7 +430,7 @@ def time_rollup(
             )
             .select(
                 F.lit(name).alias("grain"),
-                (F.col("_cb") * F.lit(s * _US)).alias("bucket_start_us"),
+                (F.col("_cb") * F.lit(g_us)).alias("bucket_start_us"),
                 *[F.col(c) for c in by],
                 "n_events",
                 "sum_value_e6",
@@ -412,7 +441,7 @@ def time_rollup(
 
     out = fine.select(
         F.lit(fine_name).alias("grain"),
-        (F.col("_bkt") * F.lit(fine_us)).alias("bucket_start_us"),
+        "bucket_start_us",
         *[F.col(c) for c in by],
         "n_events",
         "sum_value_e6",

@@ -761,3 +761,66 @@ def stream_turn_gaps(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_time_rollup_fine(
+    source: DataFrame,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = ("event_type",),
+    value_col: str | None = None,
+    grain_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The finest grain of ``operators.temporal.time_rollup`` as a
+    watermarked tumbling-window stream aggregate: append-mode output
+    rows are (bucket_start_us, *by, n_events, sum/min/max_value_e6) —
+    byte-identical to the batch fine frame for every FINALIZED bucket,
+    because tumbling windows align to the same epoch grid as the
+    batch integer floor-division and the measure uses the same
+    finite-only floor(value·10⁶) rule.
+
+    Feed the accumulated finalized rows to
+    ``operators.temporal.rollup_levels`` — the IDENTICAL coarse
+    re-aggregation code batch uses — for the day/week levels;
+    tests/test_streaming.py proves the composed stream rollup equals
+    the batch ``time_rollup`` row-for-row on the finalized horizon.
+
+    Scale: the canonical streaming windowed-agg shape — state is one
+    row of four longs per (group, open window), bounded by the
+    watermark horizon, never by traffic; each window emits once,
+    final, when the watermark passes its end.
+    """
+    from beats_spark.operators.temporal import _US
+
+    if value_col:
+        v = F.col(value_col)
+        finite = (
+            ~F.isnan(v)
+            & (v < F.lit(float("inf")))
+            & (v > F.lit(float("-inf")))
+        )
+        v_e6 = F.when(finite, F.floor(v * F.lit(_US)).cast("long"))
+    else:
+        v_e6 = F.lit(None).cast("long")
+    return (
+        source.withColumn("_v", v_e6)
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{int(grain_s)} seconds").alias("_w"),
+            *[F.col(c) for c in by],
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("sum_value_e6"),
+            F.min("_v").alias("min_value_e6"),
+            F.max("_v").alias("max_value_e6"),
+        )
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("bucket_start_us"),
+            *[F.col(c) for c in by],
+            "n_events",
+            "sum_value_e6",
+            "min_value_e6",
+            "max_value_e6",
+        )
+    )

@@ -757,3 +757,74 @@ def test_stream_turn_gaps_null_id_rows_are_excluded_not_fatal(spark, tmp_path):
     assert [(r["prev_role"], r["role"], r["gap_ms"]) for r in got] == [
         ("user", "assistant", 60000)
     ]
+
+
+def test_stream_time_rollup_matches_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming fine-grain window aggregate feeds the SAME
+    rollup_levels code as batch time_rollup and produces identical
+    rows for every finalized fine bucket — the batch/stream-identical
+    proof for the hypertable rollup (same discipline as
+    stream_turn_gaps / stream_rate_counts)."""
+    from beats_spark.operators.temporal import rollup_levels, time_rollup
+    from beats_spark.streaming.pipeline import (
+        read_transcript_stream,
+        stream_time_rollup_fine,
+    )
+
+    grains = [("minute", 60), ("hour", 3600)]
+    dur = (F.col("turn_idx").cast("double") * 1.5).alias("dur")
+
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    fine_stream = stream_time_rollup_fine(
+        src.withColumn("dur", dur),
+        ts_col="ts",
+        by=("role",),
+        value_col="dur",
+        grain_s=60,
+        watermark="0 seconds",
+    )
+    q = (
+        fine_stream.writeStream.format("memory")
+        .queryName("finerollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rollup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed_fine = spark.sql("select * from finerollup")
+
+    # finalized horizon: fine buckets whose end the final watermark
+    # passed (delay 0 ⇒ everything except the bucket holding max ts)
+    max_us = transcripts.agg(
+        F.max(F.unix_micros(F.col("ts").try_cast("timestamp")))
+    ).collect()[0][0]
+    batch_fine = (
+        time_rollup(
+            transcripts.withColumn("dur", dur),
+            "ts",
+            ["role"],
+            "dur",
+            [("minute", 60)],
+        )
+        .drop("grain")
+        .filter(F.col("bucket_start_us") + 60_000_000 <= F.lit(max_us))
+    )
+    n_batch = batch_fine.count()
+    assert n_batch > 10  # the horizon must be non-trivial
+    assert streamed_fine.count() == n_batch
+
+    def rows(df):
+        return {
+            (r["grain"], r["bucket_start_us"], r["role"]): (
+                r["n_events"],
+                r["sum_value_e6"],
+                r["min_value_e6"],
+                r["max_value_e6"],
+            )
+            for r in df.collect()
+        }
+
+    got = rows(rollup_levels(streamed_fine, ["role"], grains))
+    want = rows(rollup_levels(batch_fine, ["role"], grains))
+    assert got == want
