@@ -7205,7 +7205,7 @@ WITH pe AS (
   FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), f AS (
   SELECT role, us,
-         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+         max(us) OVER (PARTITION BY user_id ORDER BY event_id, us
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS pm
   FROM pe
@@ -7229,7 +7229,8 @@ def q_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-sessionize the event streams (12 h gap), roll sessions to
     [first, last] spans, and evaluate concurrency at the candidate
     instants (span starts + day boundaries) via interval_join — the
-    capacity-planning rollup, built as a composition of the repo's
+    capacity-planning rollup (days covered by a live session,
+    including eventless mid-session days), built as a composition of the repo's
     own sessionizer and range join. Oracle rebuilds the whole chain:
     the sessionize window, the spans, and a direct containment join
     over the candidates."""
@@ -7257,7 +7258,10 @@ WITH st AS (
   SELECT user_id, sidx, min(us) AS smin, max(us) AS smax
   FROM st GROUP BY 1, 2
 ), present AS (
-  SELECT DISTINCT us // 86400000000 AS day FROM st
+  SELECT DISTINCT d.day
+  FROM spans s,
+       unnest(generate_series(s.smin // 86400000000,
+                              s.smax // 86400000000)) AS d(day)
 ), cand AS (
   SELECT DISTINCT day, t FROM (
     SELECT smin // 86400000000 AS day, smin AS t FROM spans

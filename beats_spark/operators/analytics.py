@@ -572,9 +572,13 @@ def disorder_stats(
         F.col(id_col).alias("_id"),
         us.alias("_us"),
     ).filter(F.col("_us").isNotNull() & F.col("_id").isNotNull())
+    # ties on id_col (double-ingested rows) are broken by event time
+    # so the exclusive frame's content — and therefore n_late — is
+    # deterministic at any parallelism and on any engine (the
+    # stable_order uniqueness discipline, enforced instead of assumed)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_id")
+        .orderBy("_id", "_us")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = staged.select(

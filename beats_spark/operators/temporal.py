@@ -45,6 +45,26 @@ def _us(col: Column) -> Column:
     return F.unix_micros(col.try_cast("timestamp"))
 
 
+def value_e6(value_col: str | None) -> Column:
+    """The rollup measure rule, shared by batch ``time_rollup`` and
+    the streaming twin (stream_time_rollup_fine) so the fine frames
+    stay byte-identical: floor(value·10⁶) as int64, with non-finite
+    measures becoming NULL (excluded from the sums, still counted in
+    n_events). floor(NaN·10⁶) silently folds to 0 and Inf saturates
+    to Long.MaxValue in Spark while the same cast ERRORS in DuckDB —
+    tag-and-exclude on both engines instead (the group_percentiles
+    discipline)."""
+    if not value_col:
+        return F.lit(None).cast("long")
+    v = F.col(value_col)
+    finite = (
+        ~F.isnan(v)
+        & (v < F.lit(float("inf")))
+        & (v > F.lit(float("-inf")))
+    )
+    return F.when(finite, F.floor(v * F.lit(_US)).cast("long"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -346,30 +366,10 @@ def time_rollup(
     if not grains:
         raise ValueError("grains_s must be non-empty")
     grains = sorted(grains, key=lambda g: g[1])
+    _check_grain_nesting(grains)  # fail before the heavy work too
     fine_name, fine_s = grains[0]
-    for name, s in grains[1:]:
-        if s % fine_s != 0:
-            raise ValueError(
-                f"grain {name}={s}s is not a multiple of the finest "
-                f"grain {fine_name}={fine_s}s — the re-aggregation "
-                "hierarchy requires exact nesting"
-            )
     fine_us = fine_s * _US
-    # non-finite measures become NULL (excluded from the sums, still
-    # counted in n_events): floor(NaN·10⁶) silently folds to 0 and
-    # Inf saturates to Long.MaxValue in Spark while the same cast
-    # ERRORS in DuckDB — tag-and-exclude on both engines instead
-    # (same discipline as group_percentiles)
-    if value_col:
-        v = F.col(value_col)
-        finite = (
-            ~F.isnan(v)
-            & (v < F.lit(float("inf")))
-            & (v > F.lit(float("-inf")))
-        )
-        v_e6 = F.when(finite, F.floor(v * F.lit(_US)).cast("long"))
-    else:
-        v_e6 = F.lit(None).cast("long")
+    v_e6 = value_e6(value_col)
     fine = (
         df.select(
             *[F.col(c) for c in by],
@@ -398,6 +398,22 @@ def time_rollup(
     return rollup_levels(fine, by, grains)
 
 
+def _check_grain_nesting(grains: list[tuple[str, int]]) -> None:
+    """Every coarser grain must be an integer multiple of the finest —
+    `bucket_start_us div g_us` would otherwise assign whole fine
+    buckets to the wrong coarse bucket SILENTLY (a [1:00,2:00) hour
+    bucket lands entirely in a [0,1.5h) bucket though half its events
+    belong to the next)."""
+    fine_name, fine_s = grains[0]
+    for name, s in grains[1:]:
+        if s % fine_s != 0:
+            raise ValueError(
+                f"grain {name}={s}s is not a multiple of the finest "
+                f"grain {fine_name}={fine_s}s — the re-aggregation "
+                "hierarchy requires exact nesting"
+            )
+
+
 def rollup_levels(
     fine: DataFrame,
     by: list[str],
@@ -410,10 +426,16 @@ def rollup_levels(
     stream_rate_counts follow). ``fine`` must carry
     (bucket_start_us, *by, n_events, sum/min/max_value_e6) at the
     finest grain ``grains_s[0]``; returns the union over all grains.
-    The fine frame is persisted here: every level consumes it and
-    ReuseExchange does not fire for shared aggregates (CLAUDE.md)."""
+    Grain nesting is validated HERE, not only in time_rollup — this
+    is a published entry point and a non-nested grain list would
+    return silently wrong aggregates. The fine frame is persisted:
+    every level consumes it and ReuseExchange does not fire for
+    shared aggregates (CLAUDE.md)."""
+    if not grains_s:
+        raise ValueError("grains_s must be non-empty")
     grains = sorted(grains_s, key=lambda g: g[1])
-    fine_name, fine_s = grains[0]
+    _check_grain_nesting(grains)
+    fine_name, _fine_s = grains[0]
     fine = fine.persist()
 
     def level(name: str, s: int) -> DataFrame:
@@ -466,7 +488,10 @@ def concurrency_peak(
     come from the gap-based sessionizer; a session is active on the
     CLOSED interval [first event, last event].
 
-    Emits (day, peak_concurrency) for every day with ≥1 event.
+    Emits (day, peak_concurrency) for every day COVERED by at least
+    one session span — including days inside a long-running session
+    that happen to hold no event (the session is live on them, which
+    is exactly what capacity planning asks).
 
     The construction rides on the candidate-instant theorem:
     concurrency only increases at session starts, so the max over a
@@ -478,7 +503,11 @@ def concurrency_peak(
     is sessionize → span rollup → interval join → two tiny rollups.
 
     Scale: the ONLY events-scale work is the sessionizer's single
-    key shuffle. Spans are |sessions| rows (8-byte bounds), the
+    key shuffle — the raw frame is scanned once and never revisited
+    (the covered-day frame derives from the SPANS, not a second
+    event scan). Spans are |sessions| rows (8-byte bounds) and feed
+    three consumers (candidates, covered days, the join right side),
+    so they are persisted (CLAUDE.md multi-consumer rule); the
     candidate frame is |sessions| + |days|, and the interval join
     explodes each span over the days it covers (bounded by session
     length / bucket). Nothing downstream of the first shuffle scales
@@ -487,17 +516,34 @@ def concurrency_peak(
     from beats_spark.operators.sessions import sessionize
 
     day_us = int(bucket_s) * _US
-    ev = df.withColumn("_cp_us", _us(F.col(ts_col))).filter(
-        F.col("_cp_us").isNotNull()
+    # sessionize on the PARSED timestamp, not the raw column: a
+    # string ts column would otherwise sessionize by lexicographic
+    # order and implicit ANSI casts inside timestampdiff — the
+    # try_cast discipline must hold for the ordering too
+    ev = (
+        df.withColumn("_cp_ts", F.col(ts_col).try_cast("timestamp"))
+        .withColumn("_cp_us", F.unix_micros(F.col("_cp_ts")))
+        .filter(F.col("_cp_us").isNotNull())
     )
     sess = sessionize(
-        ev, key_col, ts_col, gap_minutes, order_cols=(id_col,)
+        ev, key_col, "_cp_ts", gap_minutes, order_cols=(id_col,)
     )
-    spans = sess.groupBy(key_col, "session_idx").agg(
-        F.min("_cp_us").alias("_smin"), F.max("_cp_us").alias("_smax")
+    spans = (
+        sess.groupBy(key_col, "session_idx")
+        .agg(
+            F.min("_cp_us").alias("_smin"), F.max("_cp_us").alias("_smax")
+        )
+        .persist()
     )
     present = (
-        ev.select(F.expr(f"_cp_us div {day_us}").alias("day")).distinct()
+        spans.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"_smin div {day_us}"),
+                    F.expr(f"_smax div {day_us}"),
+                )
+            ).alias("day")
+        ).distinct()
     )
     cand = (
         spans.select(

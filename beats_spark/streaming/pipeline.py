@@ -790,20 +790,10 @@ def stream_time_rollup_fine(
     watermark horizon, never by traffic; each window emits once,
     final, when the watermark passes its end.
     """
-    from beats_spark.operators.temporal import _US
+    from beats_spark.operators.temporal import value_e6
 
-    if value_col:
-        v = F.col(value_col)
-        finite = (
-            ~F.isnan(v)
-            & (v < F.lit(float("inf")))
-            & (v > F.lit(float("-inf")))
-        )
-        v_e6 = F.when(finite, F.floor(v * F.lit(_US)).cast("long"))
-    else:
-        v_e6 = F.lit(None).cast("long")
     return (
-        source.withColumn("_v", v_e6)
+        source.withColumn("_v", value_e6(value_col))
         .withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), f"{int(grain_s)} seconds").alias("_w"),

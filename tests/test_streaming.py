@@ -774,7 +774,13 @@ def test_stream_time_rollup_matches_batch(spark, transcripts, stream_input, tmp_
     grains = [("minute", 60), ("hour", 3600)]
     dur = (F.col("turn_idx").cast("double") * 1.5).alias("dur")
 
-    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    # ONE batch (no maxFilesPerTrigger): with delay-0 watermarking,
+    # multi-batch file streams drop whole windows when a later batch's
+    # files hold older conversations than the first batch's max event
+    # time (file order = mod-time = task-completion order, not time
+    # order) — cross-batch robustness is stream_turn_gaps' sorter's
+    # job; THIS test proves aggregate identity on a clean stream
+    src = read_transcript_stream(spark, stream_input)
     fine_stream = stream_time_rollup_fine(
         src.withColumn("dur", dur),
         ts_col="ts",

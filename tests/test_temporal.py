@@ -562,3 +562,35 @@ def test_concurrency_peak_gap_splits_sessions(spark):
     assert merged == {d0: 2}
     # split: user 1's two point sessions never overlap user 2's 09:30
     assert split == {d0: 1}
+
+
+def test_concurrency_peak_covers_eventless_mid_session_days(spark):
+    from beats_spark.operators.temporal import concurrency_peak
+
+    # one session spanning 3 days with NO event on the middle day:
+    # the session is live on it, so the day appears with peak 1
+    rows = [
+        (1, 1, _ts("2024-01-01T10:00:00")),
+        (2, 1, _ts("2024-01-03T10:00:00")),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    out = {
+        r["day"]: r["peak_concurrency"]
+        for r in concurrency_peak(df, gap_minutes=10_000).collect()
+    }
+    d0 = 19723
+    assert out == {d0: 1, d0 + 1: 1, d0 + 2: 1}
+
+
+def test_rollup_levels_rejects_non_nested_grains(spark):
+    from beats_spark.operators.temporal import rollup_levels
+
+    fine = spark.createDataFrame(
+        [(0, 1, None, None, None)],
+        "bucket_start_us long, n_events long, sum_value_e6 long, "
+        "min_value_e6 long, max_value_e6 long",
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        rollup_levels(fine, [], [("hour", 3600), ("d90m", 5400)])
