@@ -7279,12 +7279,125 @@ FROM present p LEFT JOIN pk USING (day)
 """
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user registers per day
+    (sketches.hll_sketch, p=8): the 100 TB path beside an exact
+    count(DISTINCT user_id) — state is 256 small ints per day, merge
+    is groupBy MAX, so per-shard partials combine without re-reading
+    raw events. The sketch itself is INTEGER-deterministic (md5-60
+    hash, bit math via length(bin(x))), so the approximate operator
+    still passes the exact value-hash gate; the float estimate stays
+    driver-side (tests/test_sketches.py gates accuracy)."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.sketches import hll_sketch
+
+    days = ev.filter(F.col("ts").isNotNull()).withColumn(
+        "day",
+        F.expr("unix_micros(try_cast(ts AS timestamp)) div 86400000000"),
+    )
+    return hll_sketch(days, "user_id", by=("day",), p=8)
+
+
+_SQL_DISTINCT_SKETCH = r"""
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         ('0x' || substr(md5('s0|' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), r AS (
+  SELECT day, (h % 256)::INT AS register,
+         CASE WHEN h // 256 = 0 THEN 53
+              ELSE 53 - length(bin(h // 256)) END AS rank
+  FROM e
+)
+SELECT day, register, max(rank)::INT AS max_rank
+FROM r GROUP BY 1, 2
+"""
+
+
+def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency counters over the user-id stream
+    (sketches.cms_sketch, depth 4 × width 64 — deliberately narrower
+    than the 150-user domain so collisions are exercised): the scale
+    path beside the exact heavy_hitters. Merge is per-cell SUM;
+    lookups (min over depth rows) overestimate only. Counters are
+    integer-exact, so the approximate structure passes the exact
+    oracle gate."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.sketches import cms_sketch
+
+    return cms_sketch(ev, "user_id", depth=4, width=64)
+
+
+_SQL_FREQ_SKETCH = r"""
+WITH v AS (
+  SELECT user_id::VARCHAR AS s FROM events WHERE user_id IS NOT NULL
+), c AS (
+  SELECT i::INT AS depth_idx,
+         (('0x' || substr(md5('s' || i::VARCHAR || '|' || s), 1, 15))::BIGINT
+          % 64)::INT AS col_idx
+  FROM v, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT depth_idx, col_idx, count(*)::BIGINT AS cnt
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_latency_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram percentiles of the value column per event type
+    (sketches.hdr_quantiles, k=5 → ≤ ~3.1% relative bucket width):
+    the mergeable-state twin of the exact latency_percentiles
+    selection. One (event_type, bucket)-keyed shuffle with map-side
+    combine; rank selection runs over the tiny bucket frame. Bucket
+    bounds are pure integer bit math (length(bin(x)), power-of-two
+    shifts), identical in both engines."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.sketches import hdr_quantiles
+
+    return hdr_quantiles(ev, "value", by=("event_type",), qs=(50, 90, 99), k=5)
+
+
+_SQL_LATENCY_HDR = r"""
+WITH x AS (
+  SELECT event_type, floor(value * 1000000)::BIGINT AS xx
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND isfinite(value)
+), p AS (
+  SELECT event_type, xx,
+         CAST(power(2, greatest(length(bin(xx)) - 1 - 5, 0)) AS BIGINT) AS p2
+  FROM x WHERE xx >= 0
+), h AS (
+  SELECT event_type,
+         CASE WHEN xx = 0 THEN 0 ELSE (xx // p2) * p2 END AS bucket_lo,
+         count(*) AS c
+  FROM p GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket_lo,
+         sum(c) OVER (PARTITION BY event_type ORDER BY bucket_lo) AS cum,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY bucket_lo
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumprev,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+), qq AS (SELECT unnest([50, 90, 99]) AS q)
+SELECT r.event_type, qq.q::INT AS q, r.bucket_lo
+FROM r, qq
+WHERE r.cumprev < (r.n - 1) * qq.q // 100 + 1
+  AND (r.n - 1) * qq.q // 100 + 1 <= r.cum
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered newest-/least-blessed-first: if the driver's correctness
     # gate caps how many queries it runs, the entries with no prior
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "distinct_sketch": q_distinct_sketch,
+        "freq_sketch": q_freq_sketch,
+        "latency_hdr": q_latency_hdr,
         "disorder_stats": q_disorder_stats,
         "concurrency_peak": q_concurrency_peak,
         "asof_versions": q_asof_versions,
@@ -7430,6 +7543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "distinct_sketch": _SQL_DISTINCT_SKETCH,
+        "freq_sketch": _SQL_FREQ_SKETCH,
+        "latency_hdr": _SQL_LATENCY_HDR,
         "disorder_stats": _SQL_DISORDER_STATS,
         "concurrency_peak": _SQL_CONCURRENCY_PEAK,
         "asof_versions": _SQL_ASOF_VERSIONS,

@@ -1,0 +1,262 @@
+"""Mergeable sketches — the fixed-size-state summaries that replace
+exact operators when 100 TB makes "shuffle every distinct value to
+one place" the bottleneck:
+
+- :func:`hll_sketch` — HyperLogLog registers for distinct counting
+  (the scale path beside an exact ``count(DISTINCT ...)``). State is
+  ``m = 2**p`` small integers per group, merge is element-wise MAX —
+  so partial sketches combine map-side and across days/shards/
+  clusters without ever re-touching raw data.
+- :func:`cms_sketch` — count-min counters for frequency estimation
+  (the scale path beside the exact ``heavy_hitters``). State is a
+  ``depth × width`` counter grid, merge is element-wise SUM; lookups
+  overestimate only (min over depth rows).
+- :func:`hdr_quantiles` — HDR-histogram quantiles (the scale path
+  beside the exact ``group_percentiles`` selection): power-of-two
+  buckets subdivided by ``2**k`` keep relative error ≤ 2⁻ᵏ with a few
+  hundred buckets per group; merge is per-bucket SUM.
+
+Everything here is INTEGER-deterministic on purpose: the hash is the
+repo's engine-portable 60-bit md5 prefix (operators/sampling.py
+``sample_hash``), register/rank/bucket math is ``div``/``%``/
+``length(bin(x))`` — all bit-exact in both Spark and DuckDB — so even
+the approximate operators pass the exact value-hash oracle gate. The
+approximation is in WHAT the state claims about the data, never in
+whether two engines (or two cluster runs) agree on the state.
+
+Estimation helpers (:func:`hll_estimate`, :func:`cms_estimate`) are
+driver-side pure Python over the tiny sketch frames: the float
+estimate never enters an oracle-checked output (CLAUDE.md float
+discipline); tests gate accuracy against exact counts instead.
+
+Reference anchor: libbeat's monitoring/metrics registries expose
+uniques and percentiles over event streams (reference
+libbeat/monitoring/*); the sketch constructions follow the public
+papers (Flajolet et al. HLL 2007; Cormode–Muthukrishnan CM 2005;
+HdrHistogram) — no reference code.
+
+Scale shape (all three): one shuffle over the raw events keyed by
+(group, register/col/bucket) with map-side partial aggregation — the
+reduced state per group is O(m), O(d·w), O(levels·2ᵏ) regardless of
+row count, so the reduce side never sees data-proportional state.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beats_spark.operators.sampling import sample_hash
+
+_HASH_BITS = 60
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | tuple[str, ...] = (),
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog registers per group: (*by, register, max_rank).
+
+    The 60-bit hash splits into ``p`` low bits (register index) and
+    ``60-p`` high bits (rank material); ``rank`` is the 1-based
+    position of the highest set bit counted from the top, i.e.
+    ``(60-p) + 1 - floor(log2(w))`` computed exactly as
+    ``length(bin(w))`` — no float log. Only HIT registers appear
+    (an absent register is rank 0); :func:`hll_estimate` fills the
+    gap. Merging two sketches = groupBy MAX over the union — the
+    property that makes this the 100 TB distinct counter.
+
+    NULL keys are excluded (SQL ``count(DISTINCT ...)`` semantics).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    nbits = _HASH_BITS - p
+    h = sample_hash(F.col(key_col), seed)
+    w = F.expr(f"_hll_h div {m}")
+    rank = F.when(w == 0, F.lit(nbits + 1)).otherwise(
+        F.lit(nbits + 1) - F.length(F.expr("bin(_hll_h div %d)" % m))
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("_hll_h", h)
+        .select(
+            *[F.col(c) for c in by],
+            (F.col("_hll_h") % m).cast("int").alias("register"),
+            rank.cast("int").alias("_rank"),
+        )
+        .groupBy(*by, "register")
+        .agg(F.max("_rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Standard HLL estimate from a {register: max_rank} dict (absent
+    registers are rank 0) — driver-side, for tests and reporting.
+    Applies the small-range linear-counting correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([r for r in registers.values() if r > 0])
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Count-min counter grid per group: (*by, depth_idx, col_idx, cnt).
+
+    Each of the ``depth`` rows hashes the value with a distinct seed
+    (``seed*depth + i``) and bumps one of ``width`` counters; a
+    lookup takes the MIN over rows (:func:`cms_estimate`) and
+    overestimates by at most ~2·N/width with probability 1-2⁻ᵈᵉᵖᵗʰ.
+    Merge = per-cell SUM. The explode is ``depth`` small ints per
+    row BEFORE the single (group, cell)-keyed shuffle — map-side
+    combine reduces it to ≤ depth·width rows per group.
+
+    NULL values are excluded (they are not a frequency class)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth_idx"),
+                (sample_hash(F.col(value_col), seed * depth + i) % width)
+                .cast("int")
+                .alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*[F.col(c) for c in by], F.explode(cells).alias("_c"))
+        .groupBy(*by, F.col("_c.depth_idx").alias("depth_idx"),
+                 F.col("_c.col_idx").alias("col_idx"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: dict[tuple[int, int], int],
+    value: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> int:
+    """Point frequency estimate from a {(depth_idx, col_idx): cnt}
+    dict — driver-side twin of the in-plan hashing (same md5-60
+    material as ``sample_hash``), for tests and reporting."""
+    import hashlib
+
+    est = None
+    for i in range(depth):
+        material = f"s{seed * depth + i}|{value}".encode()
+        h = int(hashlib.md5(material).hexdigest()[:15], 16)
+        c = cells.get((i, h % width), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | tuple[str, ...] = (),
+    qs: tuple[int, ...] = (50, 90, 99),
+    k: int = 5,
+) -> DataFrame:
+    """HDR-histogram percentiles per group: (*by, q, bucket_lo)
+    long-format, ``bucket_lo`` in the value's ×10⁶ integer domain.
+
+    Values enter as ``floor(value·10⁶)`` int64 (the repo's e6 float
+    discipline; non-finite → NULL → excluded, negatives excluded —
+    HDR is a non-negative-magnitude histogram). Each value keeps its
+    top ``k+1`` significant bits: ``shift = max(msb-1-k, 0)``,
+    ``bucket_lo = (x div 2^shift) · 2^shift`` — so bucket width is
+    ≤ 2⁻ᵏ of the value (k=5 → ≤ ~3.1% relative error), with ~2ᵏ
+    buckets per power of two. ``msb`` is ``length(bin(x))`` — exact
+    integer bit math, no float log; ``2^shift`` is a power of two and
+    therefore exact in the double ``power`` before the cast.
+
+    The reported percentile is the LOWER BOUND of the bucket holding
+    the nearest-rank element (rank ``(n-1)·q div 100 + 1``, the
+    group_percentiles convention), so ``bucket_lo ≤ exact percentile
+    < bucket_lo·(1+2⁻ᵏ) + 2ᵏ``. Merge = per-bucket SUM of counts.
+
+    Scale: ONE (group, bucket)-keyed shuffle with map-side combine;
+    the rank selection runs over ≤ levels·2ᵏ buckets per group."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if not all(1 <= q <= 100 for q in qs):
+        raise ValueError(f"qs must be integer percents in [1, 100]: {qs}")
+    if not 0 <= k <= 16:
+        raise ValueError(f"k must be in [0, 16], got {k}")
+    v = F.col(value_col)
+    finite = (
+        ~F.isnan(v) & (v < F.lit(float("inf"))) & (v > F.lit(float("-inf")))
+    )
+    x = F.when(finite, F.floor(v * F.lit(1_000_000)).cast("long"))
+    lo = F.expr(
+        f"CASE WHEN _hdr_x = 0 THEN 0 ELSE "
+        f"(_hdr_x div CAST(power(2, greatest(length(bin(_hdr_x)) - 1 - {k}, 0)) AS BIGINT)) "
+        f"* CAST(power(2, greatest(length(bin(_hdr_x)) - 1 - {k}, 0)) AS BIGINT) END"
+    )
+    hist = (
+        df.withColumn("_hdr_x", x)
+        .filter(F.col("_hdr_x").isNotNull() & (F.col("_hdr_x") >= 0))
+        .select(*[F.col(c) for c in by], lo.alias("bucket_lo"))
+        .groupBy(*by, "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wspec = Window.partitionBy(*[F.col(c) for c in by]).orderBy("bucket_lo")
+    ranked = hist.select(
+        *[F.col(c) for c in by],
+        F.col("bucket_lo"),
+        F.sum("_cnt").over(
+            wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_cum"),
+        F.sum("_cnt").over(
+            wspec.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("_cum_prev"),
+        F.sum("_cnt").over(
+            wspec.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                (F.coalesce(F.col("_cum_prev"), F.lit(0))
+                 < F.expr(f"(_n - 1) * {int(q)} div 100 + 1"))
+                & (F.expr(f"(_n - 1) * {int(q)} div 100 + 1")
+                   <= F.col("_cum")),
+                F.struct(F.lit(int(q)).alias("q"),
+                         F.col("bucket_lo").alias("bucket_lo")),
+            )
+        ).alias(f"_q{q}")
+        for q in qs
+    ]
+    wide = ranked.groupBy(*by).agg(*picks)
+    stacked = wide.select(
+        *[F.col(c) for c in by],
+        F.explode(F.array(*[F.col(f"_q{q}") for q in qs])).alias("_p"),
+    )
+    return stacked.select(
+        *[F.col(c) for c in by],
+        F.col("_p.q").alias("q"),
+        F.col("_p.bucket_lo").alias("bucket_lo"),
+    )

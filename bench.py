@@ -238,6 +238,9 @@ EXT_QUERIES = [
     "active_users",
     "disorder_stats",
     "concurrency_peak",
+    "distinct_sketch",
+    "freq_sketch",
+    "latency_hdr",
 ]
 
 

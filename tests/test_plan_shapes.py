@@ -522,3 +522,29 @@ def test_event_analytics_shuffle_budget(spark):
     # plan text is reprinted under every InMemoryTableScan — cap the
     # count by the number of cache prints rather than asserting 1
     assert rp.count("SortMergeJoin") <= rp.count("InMemoryTableScan")
+
+
+def test_sketch_ops_single_event_scale_shuffle(spark):
+    """The three sketches claim O(state) reduce-side frames: hll and
+    cms must be exactly ONE keyed Exchange with a map-side partial
+    HashAggregate (the whole point of a mergeable sketch); hdr adds
+    one more Exchange but ONLY for the window over the already-bucketed
+    tiny frame — never a second pass over the raw events, never a
+    sort-merge join."""
+    from beats_spark.operators.sketches import cms_sketch, hdr_quantiles, hll_sketch
+
+    df = spark.createDataFrame(
+        [("a", "u1", 1.5), ("a", "u2", 2.5)], "g string, k string, v double"
+    )
+
+    hp = plan_of(hll_sketch(df, "k", by=("g",)))
+    assert hp.count("Exchange") == 1
+    assert hp.count("HashAggregate") == 2  # partial + final
+
+    cp = plan_of(cms_sketch(df, "k", by=("g",)))
+    assert cp.count("Exchange") == 1
+    assert cp.count("HashAggregate") == 2
+
+    qp = plan_of(hdr_quantiles(df, "v", by=("g",)))
+    assert qp.count("Exchange") == 2  # bucket agg + tiny window repartition
+    assert "Join" not in qp

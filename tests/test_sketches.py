@@ -1,0 +1,168 @@
+"""Mergeable sketches: HLL distinct, count-min frequencies, HDR
+quantiles — accuracy vs exact, merge laws, parallelism-independence,
+and the NULL/non-finite exclusion discipline."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hdr_quantiles,
+    hll_estimate,
+    hll_sketch,
+)
+
+
+def _regs(df):
+    return {r["register"]: r["max_rank"] for r in df.collect()}
+
+
+class TestHll:
+    def test_estimate_accuracy(self, spark):
+        n = 5000
+        df = spark.range(n).select(F.concat(F.lit("user-"), F.col("id")).alias("k"))
+        est = hll_estimate(_regs(hll_sketch(df, "k", p=8)), p=8)
+        # expected rel-err ~1.04/sqrt(256) = 6.5%; 3 sigma bound
+        assert abs(est - n) / n < 0.20
+
+    def test_small_range_linear_counting(self, spark):
+        df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+        est = hll_estimate(_regs(hll_sketch(df, "k", p=8)), p=8)
+        assert abs(est - 10) < 1.5
+
+    def test_merge_is_groupby_max(self, spark):
+        df = spark.range(3000).select(F.col("id").cast("string").alias("k"))
+        a = hll_sketch(df.filter("CAST(k AS BIGINT) % 2 = 0"), "k", p=8)
+        b = hll_sketch(df.filter("CAST(k AS BIGINT) % 2 = 1"), "k", p=8)
+        merged = (
+            a.unionByName(b)
+            .groupBy("register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        )
+        assert _regs(merged) == _regs(hll_sketch(df, "k", p=8))
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        df = spark.range(500).select(F.col("id").cast("string").alias("k"))
+        dup = df.unionByName(df).unionByName(df)
+        assert _regs(hll_sketch(dup, "k", p=8)) == _regs(hll_sketch(df, "k", p=8))
+
+    def test_null_keys_excluded_and_grouping(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", None), ("b", "x"), ("b", "y")], "g string, k string"
+        )
+        out = hll_sketch(df, "k", by=("g",), p=4)
+        per_g = {
+            g: n
+            for g, n in out.groupBy("g").count().collect()
+        }
+        assert per_g["a"] == 1  # the NULL key contributed nothing
+        assert per_g["b"] == 2
+
+    def test_parallelism_independent(self, spark):
+        df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+        one = _regs(hll_sketch(df.repartition(1), "k", p=8))
+        many = _regs(hll_sketch(df.repartition(16), "k", p=8))
+        assert one == many
+
+    def test_p_validation(self, spark):
+        df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+        with pytest.raises(ValueError, match="p must be"):
+            hll_sketch(df, "k", p=2)
+
+
+def _cells(df):
+    return {(r["depth_idx"], r["col_idx"]): r["cnt"] for r in df.collect()}
+
+
+class TestCms:
+    def test_estimate_never_underestimates(self, spark):
+        rows = [(f"v{i % 50}",) for i in range(2000)]
+        df = spark.createDataFrame(rows, "v string")
+        cells = _cells(cms_sketch(df, "v", depth=4, width=64))
+        true = 2000 // 50
+        for i in range(50):
+            assert cms_estimate(cells, f"v{i}", depth=4, width=64) >= true
+
+    def test_wide_sketch_is_exact(self, spark):
+        rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "v string")
+        cells = _cells(cms_sketch(df, "v", depth=4, width=4096))
+        assert cms_estimate(cells, "a", depth=4, width=4096) == 7
+        assert cms_estimate(cells, "b", depth=4, width=4096) == 3
+        assert cms_estimate(cells, "c", depth=4, width=4096) == 1
+        # absent value: min over rows may still collide, but with
+        # width >> distincts it reads 0
+        assert cms_estimate(cells, "zzz", depth=4, width=4096) == 0
+
+    def test_merge_is_groupby_sum(self, spark):
+        df = spark.range(1000).select((F.col("id") % 30).cast("string").alias("v"))
+        a = cms_sketch(df.filter("CAST(v AS BIGINT) % 3 != 0"), "v", width=64)
+        b = cms_sketch(df.filter("CAST(v AS BIGINT) % 3 = 0"), "v", width=64)
+        merged = (
+            a.unionByName(b)
+            .groupBy("depth_idx", "col_idx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        assert _cells(merged) == _cells(cms_sketch(df, "v", width=64))
+
+    def test_total_mass_per_row(self, spark):
+        df = spark.range(500).select((F.col("id") % 9).cast("string").alias("v"))
+        out = cms_sketch(df, "v", depth=3, width=16)
+        mass = {
+            r["depth_idx"]: r["m"]
+            for r in out.groupBy("depth_idx").agg(F.sum("cnt").alias("m")).collect()
+        }
+        assert mass == {0: 500, 1: 500, 2: 500}
+
+    def test_null_values_excluded(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("a",)], "v string")
+        cells = _cells(cms_sketch(df, "v", depth=2, width=16))
+        assert sum(c for (d, _), c in cells.items() if d == 0) == 2
+
+
+class TestHdrQuantiles:
+    def test_brackets_exact_percentile(self, spark):
+        # exponentially spread values so buckets matter
+        rows = [(float(1.0001 ** i),) for i in range(4000)]
+        df = spark.createDataFrame(rows, "v double")
+        exact = sorted(int(r[0] * 1_000_000) for r in rows)
+        out = {r["q"]: r["bucket_lo"] for r in hdr_quantiles(df, "v", k=5).collect()}
+        n = len(rows)
+        for q in (50, 90, 99):
+            true = exact[(n - 1) * q // 100]  # nearest-rank (1-based rank -> 0-based)
+            lo = out[q]
+            assert lo <= true
+            # bucket width <= 2^-k of the bucket's octave
+            assert true < lo + max(lo, 32) / 32 + 1
+
+    def test_grouped_and_zero(self, spark):
+        rows = [("a", 0.0)] * 5 + [("a", 10.0)] * 5 + [("b", 1.0)] * 10
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {(r["g"], r["q"]): r["bucket_lo"]
+               for r in hdr_quantiles(df, "v", by=("g",), qs=(50,)).collect()}
+        assert out[("a", 50)] == 0  # rank 5 of 10 -> the 0.0 bucket
+        assert out[("b", 50)] == 999424  # 1e6: msb 20, shift 14 -> 61*16384
+
+    def test_non_finite_and_negative_excluded(self, spark):
+        rows = [(1.0,), (float("nan"),), (float("inf"),), (-5.0,), (1.0,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = hdr_quantiles(df, "v", qs=(50,)).collect()
+        assert len(out) == 1 and out[0]["bucket_lo"] == 999424
+
+    def test_parallelism_independent(self, spark):
+        df = spark.range(3000).select((F.col("id") * 7 % 997).cast("double").alias("v"))
+        a = sorted(map(tuple, hdr_quantiles(df.repartition(1), "v").collect()))
+        b = sorted(map(tuple, hdr_quantiles(df.repartition(16), "v").collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        df = spark.range(1).select(F.col("id").cast("double").alias("v"))
+        with pytest.raises(ValueError, match="qs"):
+            hdr_quantiles(df, "v", qs=())
+        with pytest.raises(ValueError, match="percents"):
+            hdr_quantiles(df, "v", qs=(0,))
+        with pytest.raises(ValueError, match="k must"):
+            hdr_quantiles(df, "v", k=99)
