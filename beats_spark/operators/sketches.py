@@ -53,6 +53,32 @@ from beats_spark.operators.sampling import sample_hash
 _HASH_BITS = 60
 
 
+def hll_register_rank(
+    key_col: str, p: int = 8, seed: int = 0
+) -> tuple[Column, Column]:
+    """The HLL hashing rule — (register, rank) columns from a key —
+    shared by batch :func:`hll_sketch` and the streaming twin
+    (streaming.pipeline.stream_hll_sketch) so their register frames
+    stay byte-identical: ``p`` low bits of the portable md5-60 hash
+    index the register, the remaining ``60-p`` high bits yield the
+    rank as ``(60-p)+1 - floor(log2(w))`` computed exactly via
+    ``length(bin(w))`` — integer bit math, no float log. NULL keys
+    hash to NULL register/rank (callers filter them out)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    nbits = _HASH_BITS - p
+    h = sample_hash(F.col(key_col), seed)
+    register = (h % m).cast("int")
+    w = F.shiftright(h, p)  # == h div 2^p for the non-negative hash
+    rank = (
+        F.when(w == 0, F.lit(nbits + 1))
+        .otherwise(F.lit(nbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return register, rank
+
+
 def hll_sketch(
     df: DataFrame,
     key_col: str,
@@ -62,33 +88,21 @@ def hll_sketch(
 ) -> DataFrame:
     """HyperLogLog registers per group: (*by, register, max_rank).
 
-    The 60-bit hash splits into ``p`` low bits (register index) and
-    ``60-p`` high bits (rank material); ``rank`` is the 1-based
-    position of the highest set bit counted from the top, i.e.
-    ``(60-p) + 1 - floor(log2(w))`` computed exactly as
-    ``length(bin(w))`` — no float log. Only HIT registers appear
-    (an absent register is rank 0); :func:`hll_estimate` fills the
-    gap. Merging two sketches = groupBy MAX over the union — the
-    property that makes this the 100 TB distinct counter.
+    Hashing rule in :func:`hll_register_rank`. Only HIT registers
+    appear (an absent register is rank 0); :func:`hll_estimate`
+    fills the gap. Merging two sketches = groupBy MAX over the
+    union — the property that makes this the 100 TB distinct
+    counter.
 
     NULL keys are excluded (SQL ``count(DISTINCT ...)`` semantics).
     """
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
-    m = 1 << p
-    nbits = _HASH_BITS - p
-    h = sample_hash(F.col(key_col), seed)
-    w = F.expr(f"_hll_h div {m}")
-    rank = F.when(w == 0, F.lit(nbits + 1)).otherwise(
-        F.lit(nbits + 1) - F.length(F.expr("bin(_hll_h div %d)" % m))
-    )
+    register, rank = hll_register_rank(key_col, p, seed)
     return (
         df.filter(F.col(key_col).isNotNull())
-        .withColumn("_hll_h", h)
         .select(
             *[F.col(c) for c in by],
-            (F.col("_hll_h") % m).cast("int").alias("register"),
-            rank.cast("int").alias("_rank"),
+            register.alias("register"),
+            rank.alias("_rank"),
         )
         .groupBy(*by, "register")
         .agg(F.max("_rank").alias("max_rank"))

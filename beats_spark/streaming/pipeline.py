@@ -814,3 +814,55 @@ def stream_time_rollup_fine(
             "max_value_e6",
         )
     )
+
+
+def stream_hll_sketch(
+    source: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    window_s: int = 86400,
+    p: int = 8,
+    seed: int = 0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``operators.sketches.hll_sketch`` per tumbling event-time
+    window, as a watermarked streaming aggregate: append-mode rows
+    are (bucket_start_us, register, max_rank) — byte-identical to the
+    batch sketch over the same bucket for every FINALIZED window,
+    because the (register, rank) columns come from the SAME
+    ``hll_register_rank`` rule and tumbling windows align to the
+    batch's epoch floor-division grid.
+
+    This is the canonical streaming use of a mergeable sketch:
+    distinct counting over an unbounded stream with state bounded by
+    the sketch, not the data — one row of two small ints per
+    (open window, hit register), ≤ 2^p per window regardless of
+    traffic, emitted once, final, when the watermark passes the
+    window end. Finalized register frames from ANY number of streams,
+    backfill jobs, or clusters merge downstream by groupBy MAX — the
+    batch operator's merge law carries over unchanged.
+
+    NULL keys are excluded (count-distinct semantics, matching
+    batch)."""
+    from beats_spark.operators.sketches import hll_register_rank
+
+    register, rank = hll_register_rank(key_col, p, seed)
+    return (
+        source.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(ts_col),
+            register.alias("register"),
+            rank.alias("_rank"),
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{int(window_s)} seconds").alias("_w"),
+            F.col("register"),
+        )
+        .agg(F.max("_rank").alias("max_rank"))
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("bucket_start_us"),
+            "register",
+            "max_rank",
+        )
+    )

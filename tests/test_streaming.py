@@ -834,3 +834,50 @@ def test_stream_time_rollup_matches_batch(spark, transcripts, stream_input, tmp_
     got = rows(rollup_levels(streamed_fine, ["role"], grains))
     want = rows(rollup_levels(batch_fine, ["role"], grains))
     assert got == want
+
+
+def test_stream_hll_sketch_matches_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming HLL register aggregate equals the batch
+    hll_sketch row-for-row on every finalized window — the
+    batch/stream-identical proof for the mergeable distinct sketch
+    (same discipline as stream_time_rollup_fine): both sides use the
+    shared hll_register_rank rule, so identity is exact, not
+    approximate."""
+    from beats_spark.operators.sketches import hll_sketch
+    from beats_spark.streaming.pipeline import (
+        read_transcript_stream,
+        stream_hll_sketch,
+    )
+
+    win_us = 60_000_000
+    # ONE batch: see test_stream_time_rollup_matches_batch on why
+    # multi-batch file order breaks delay-0 watermarking
+    src = read_transcript_stream(spark, stream_input)
+    q = (
+        stream_hll_sketch(src, "conv_id", window_s=60, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("hllstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from hllstream")
+
+    max_us = transcripts.agg(
+        F.max(F.unix_micros(F.col("ts").try_cast("timestamp")))
+    ).collect()[0][0]
+    batch = hll_sketch(
+        transcripts.withColumn(
+            "bucket_start_us",
+            F.expr(f"unix_micros(try_cast(ts AS timestamp)) div {win_us} * {win_us}"),
+        ),
+        "conv_id",
+        by=("bucket_start_us",),
+    ).filter(F.col("bucket_start_us") + win_us <= F.lit(max_us))
+
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert len(brows) > 20  # non-trivial horizon
+    assert srows == brows
