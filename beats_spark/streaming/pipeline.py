@@ -866,3 +866,91 @@ def stream_hll_sketch(
             "max_rank",
         )
     )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    max_interval_s: int = 86400,
+    bucket_s: int = 3600,
+    event_watermark: str = "0 seconds",
+    interval_watermark: str = "0 seconds",
+) -> DataFrame:
+    """``operators.temporal.interval_join`` (inner) where BOTH sides
+    are unbounded streams — point events matched to [start, end)
+    windows that are themselves discovered at runtime (incident
+    windows from an alerting stream, deploy windows from a CI
+    stream).
+
+    Spark's stream-stream join needs two things the naive theta-join
+    lacks, and the batch operator's bucket-grid construction supplies
+    both: (1) an EQUALITY key for the symmetric hash-join state store
+    — each interval explodes onto the fixed ``bucket_s`` epoch grid
+    and each event computes its single cell, exactly as in batch, so
+    the join is an equi-join on the cell plus the residual
+    ``[start, end)`` filter; (2) a time-range constraint BETWEEN the
+    two watermarked event-time columns so state is evictable — which
+    is why ``max_interval_s`` is part of the streaming contract:
+    ``ts <= start + max_interval_s`` bounds how long an interval row
+    must wait for matching events, and intervals LONGER than the cap
+    are excluded (tag-and-exclude, like batch excludes inverted
+    intervals; at the cap's default a day-long incident still
+    matches, an unbounded one cannot be streamed exactly by anyone).
+
+    Matched rows carry every event column plus every interval column
+    and are byte-identical to the batch inner join over the same
+    capped interval set (tests/test_streaming.py proves row-for-row
+    identity). State: events buffer until the watermark passes
+    ``ts`` vs the interval side's range bound and vice versa — both
+    stores hold only the watermark horizon, never history.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    if max_interval_s <= 0:
+        raise ValueError(
+            f"max_interval_s must be positive, got {max_interval_s}"
+        )
+    b = int(bucket_s) * 1_000_000
+    cap_us = int(max_interval_s) * 1_000_000
+    ev = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, event_watermark)
+        .withColumn("_sij_cell", F.expr(f"unix_micros({ts_col}) div {b}"))
+    )
+    iv = (
+        intervals.filter(
+            F.col(start_col).isNotNull()
+            & F.col(end_col).isNotNull()
+            & (F.col(end_col) > F.col(start_col))
+        )
+        .withWatermark(start_col, interval_watermark)
+        .filter(
+            F.expr(
+                f"unix_micros({end_col}) - unix_micros({start_col})"
+                f" <= {cap_us}"
+            )
+        )
+        .withColumn(
+            "_sij_cell",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start_col}) div {b}"),
+                    F.expr(f"(unix_micros({end_col}) - 1) div {b}"),
+                )
+            ),
+        )
+    )
+    cond = (
+        (ev["_sij_cell"] == iv["_sij_cell"])
+        & (ev[ts_col] >= iv[start_col])
+        & (
+            ev[ts_col]
+            <= iv[start_col]
+            + F.expr(f"make_interval(0,0,0,0,0,0,{int(max_interval_s)})")
+        )
+        & (ev[ts_col] < iv[end_col])
+    )
+    return ev.join(iv, cond, "inner").drop("_sij_cell")

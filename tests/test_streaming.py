@@ -881,3 +881,81 @@ def test_stream_hll_sketch_matches_batch(spark, transcripts, stream_input, tmp_p
     brows = sorted(map(tuple, batch.collect()))
     assert len(brows) > 20  # non-trivial horizon
     assert srows == brows
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join equals the batch interval_join
+    row-for-row over the same capped interval set: the bucket-grid
+    equi-key makes the theta-join legal for Spark's symmetric hash
+    join, and the max_interval_s range constraint makes its state
+    evictable. Over-cap intervals are excluded on BOTH sides of the
+    comparison (the documented streaming contract)."""
+    from beats_spark.operators.temporal import interval_join
+    from beats_spark.streaming.pipeline import stream_interval_join
+
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0, id*180)"
+        ).alias("ts"),
+    )
+    # 12 hourly 45-min windows + one 3-h window that exceeds the cap
+    iv = spark.range(12).select(
+        F.col("id").alias("win_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,0,0)"
+        ).alias("start_ts"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id,45,0)"
+        ).alias("end_ts"),
+    ).unionByName(
+        spark.sql(
+            "SELECT 99 AS win_id,"
+            " timestamp'2024-01-01 02:00:00' AS start_ts,"
+            " timestamp'2024-01-01 05:00:00' AS end_ts"
+        )
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    iv.write.mode("overwrite").parquet(str(tmp_path / "iv"))
+
+    sev = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "ev"))
+    siv = spark.readStream.schema(iv.schema).parquet(str(tmp_path / "iv"))
+    j = stream_interval_join(
+        sev, siv, max_interval_s=3600, bucket_s=3600
+    ).select("event_id", "win_id")
+    q = (
+        j.writeStream.format("memory")
+        .queryName("sij")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from sij").collect()))
+
+    capped = iv.filter(
+        F.expr("unix_micros(end_ts) - unix_micros(start_ts) <= 3600000000")
+    )
+    want = sorted(
+        map(
+            tuple,
+            interval_join(ev, capped, "ts", "start_ts", "end_ts", bucket_s=3600)
+            .select("event_id", "win_id")
+            .collect(),
+        )
+    )
+    assert len(want) > 100
+    assert got == want
+    assert not any(w == 99 for _, w in got)  # over-cap window matched nothing
+
+
+def test_stream_interval_join_validation(spark, tmp_path):
+    from beats_spark.streaming.pipeline import stream_interval_join
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="bucket_s"):
+        stream_interval_join(df, df, bucket_s=0)
+    with pytest.raises(ValueError, match="max_interval_s"):
+        stream_interval_join(df, df, max_interval_s=-1)
