@@ -959,3 +959,50 @@ def test_stream_interval_join_validation(spark, tmp_path):
         stream_interval_join(df, df, bucket_s=0)
     with pytest.raises(ValueError, match="max_interval_s"):
         stream_interval_join(df, df, max_interval_s=-1)
+
+
+def test_asof_join_broadcast_strategy_streams_as_is(spark, tmp_path):
+    """The batch asof_join broadcast strategy is streaming-compatible
+    UNCHANGED: the left side never shuffles (the packed dim
+    broadcasts and the floor-pick is a per-row projection), which is
+    precisely the shape Spark's stream-static left join supports. A
+    streaming frame of events against a static versions dim — the
+    config-enrichment lookup — therefore runs through the IDENTICAL
+    batch code and matches the batch result row-for-row."""
+    from beats_spark.operators.temporal import asof_join
+
+    ev = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 3).alias("svc"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0, id, 0)"
+        ).alias("ts"),
+    )
+    dim = spark.range(10).select(
+        (F.col("id") % 3).alias("svc"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0, id*11, 0)"
+        ).alias("ts"),
+        F.concat(F.lit("v"), F.col("id")).alias("version"),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    sev = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "ev"))
+    joined = asof_join(sev, dim, on="svc", strategy="broadcast")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sasof")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("select * from sasof").collect()))
+    want = sorted(
+        map(tuple, asof_join(ev, dim, on="svc", strategy="broadcast").collect())
+    )
+    assert len(want) == 100
+    assert got == want
