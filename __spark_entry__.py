@@ -6983,6 +6983,56 @@ GROUP BY 1, 2
 """
 
 
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (temporal.scd2_build): collapse the
+    per-user event stream into state-validity intervals — a new
+    version opens only when event_type actually changes; no-op
+    repeats extend the run. The producing twin of asof_versions'
+    consuming as-of join. One key shuffle serves flag, numbering and
+    valid_to. Oracle replays the lag/filter/lead construction with
+    DuckDB's IS DISTINCT FROM."""
+    _utc(spark)
+    ev = _load(spark, sf_dir, "events")
+    from beats_spark.operators.temporal import scd2_build
+
+    out = scd2_build(
+        ev, "user_id", "ts", ["event_type"], order_cols=("event_id",)
+    )
+    return out.select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        F.unix_micros(F.col("valid_from").try_cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").try_cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+    )
+
+
+_SQL_SCD2_VERSIONS = r"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         (lag(ts) OVER w IS NULL
+          OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS opens
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER w2 AS version,
+         lead(ts) OVER w2 AS valid_to
+  FROM ordered WHERE opens
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, version::BIGINT AS version, event_type AS state,
+       epoch_us(ts) AS valid_from_us, epoch_us(valid_to) AS valid_to_us,
+       valid_to IS NULL AS is_current
+FROM runs
+"""
+
+
 def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join with no equi-key (temporal.interval_join): 40
     deterministic 5-hour incident windows (one every 17 h from
@@ -7395,6 +7445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "scd2_versions": q_scd2_versions,
         "distinct_sketch": q_distinct_sketch,
         "freq_sketch": q_freq_sketch,
         "latency_hdr": q_latency_hdr,
@@ -7543,6 +7594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "scd2_versions": _SQL_SCD2_VERSIONS,
         "distinct_sketch": _SQL_DISTINCT_SKETCH,
         "freq_sketch": _SQL_FREQ_SKETCH,
         "latency_hdr": _SQL_LATENCY_HDR,

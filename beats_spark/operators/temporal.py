@@ -582,3 +582,70 @@ def concurrency_peak(
             ).alias("peak_concurrency"),
         )
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder: collapse a change
+    stream (key, ts, values…) into validity intervals — the table
+    :func:`asof_join` consumes. Kimball SCD2 semantics (the standard
+    warehouse pattern; see also Iceberg/Delta MERGE-based SCD2
+    recipes): a new version opens only when some tracked value
+    actually CHANGES (no-op updates extend the current version);
+    ``valid_from`` = first ts of the run, ``valid_to`` = next
+    version's ``valid_from`` (NULL while current), ``version`` =
+    1-based per-key ordinal, ``is_current`` = no successor.
+
+    Reference anchor: libbeat keeps processor/config state as a
+    last-write-wins registry (libbeat/statestore); the SCD2 form is
+    that registry with full history, queryable by as-of time.
+
+    Semantics details:
+    - Rows whose ts fails ``try_cast`` to timestamp are EXCLUDED (a
+      version needs a time axis; tag-and-continue belongs upstream).
+    - Change detection is NULL-safe per column (``IS DISTINCT
+      FROM``): value NULL→'x' and 'x'→NULL both open versions,
+      NULL→NULL does not.
+    - Ties on ts are stabilized by ``order_cols`` (pass a unique id
+      for deterministic output — the stable_ordering discipline).
+
+    Scale shape: ONE hash shuffle on the key serves everything — the
+    change-flag window, the post-filter version numbering and the
+    valid_to lead all share partitionBy(key), so Catalyst plans a
+    single Exchange + sort; the filter between the passes only
+    shrinks partitions. No groupBy, no join, no second shuffle. At
+    10^12 rows the cost is the one key shuffle, and downstream
+    consumers hold |versions| ≤ |rows| rows.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+
+    ev = df.filter(F.col(ts_col).try_cast("timestamp").isNotNull())
+    # NULL-safe "any tracked column changed vs the previous row";
+    # the first row per key has no predecessor (lag ts is NULL) and
+    # always opens version 1
+    changed = F.lag(F.col(ts_col)).over(w).isNull()
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    # materialize the flag, THEN window again (windows can't nest);
+    # both windows share the same partitioning — one Exchange total
+    flagged = ev.withColumn("_scd_open", changed).filter(F.col("_scd_open"))
+    return (
+        flagged.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lag(F.col(ts_col), -1).over(w))
+        .select(
+            F.col(key_col),
+            F.col("version").cast("long").alias("version"),
+            *[F.col(c) for c in value_cols],
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -594,3 +594,73 @@ def test_rollup_levels_rejects_non_nested_grains(spark):
     )
     with pytest.raises(ValueError, match="multiple"):
         rollup_levels(fine, [], [("hour", 3600), ("d90m", 5400)])
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_collapses_noop_updates_and_orders_versions(spark):
+    from beats_spark.operators.temporal import scd2_build
+
+    df = spark.createDataFrame(
+        [
+            # key "u": a -> a (no-op) -> b -> b -> a  => 3 versions
+            (1, "u", _ts("2024-01-01T00:00:00"), "a"),
+            (2, "u", _ts("2024-01-01T01:00:00"), "a"),
+            (3, "u", _ts("2024-01-01T02:00:00"), "b"),
+            (4, "u", _ts("2024-01-01T03:00:00"), "b"),
+            (5, "u", _ts("2024-01-01T04:00:00"), "a"),
+            # key "v": single row => one current version
+            (6, "v", _ts("2024-01-02T00:00:00"), "x"),
+            # unparseable ts excluded
+            (7, "u", None, "z"),
+        ],
+        "id long, k string, ts timestamp, state string",
+    )
+    out = scd2_build(df, "k", "ts", ["state"], order_cols=("id",))
+    rows = {
+        (r.k, r.version): r for r in out.collect()
+    }
+    assert len(rows) == 4
+    u1, u2, u3 = rows[("u", 1)], rows[("u", 2)], rows[("u", 3)]
+    assert (u1.state, u2.state, u3.state) == ("a", "b", "a")
+    # valid_from = FIRST ts of the run, valid_to = next run's open
+    assert u1.valid_from == _ts("2024-01-01T00:00:00")
+    assert u1.valid_to == _ts("2024-01-01T02:00:00")
+    assert u2.valid_to == _ts("2024-01-01T04:00:00")
+    assert u3.valid_to is None and u3.is_current
+    assert not u1.is_current and not u2.is_current
+    v1 = rows[("v", 1)]
+    assert v1.is_current and v1.valid_from == _ts("2024-01-02T00:00:00")
+
+
+def test_scd2_null_safe_change_detection(spark):
+    from beats_spark.operators.temporal import scd2_build
+
+    df = spark.createDataFrame(
+        [
+            # NULL -> NULL does NOT open; NULL -> x and x -> NULL do
+            (1, "u", _ts("2024-01-01T00:00:00"), None),
+            (2, "u", _ts("2024-01-01T01:00:00"), None),
+            (3, "u", _ts("2024-01-01T02:00:00"), "x"),
+            (4, "u", _ts("2024-01-01T03:00:00"), None),
+        ],
+        "id long, k string, ts timestamp, state string",
+    )
+    out = scd2_build(df, "k", "ts", ["state"], order_cols=("id",))
+    got = [(r.version, r.state) for r in out.orderBy("version").collect()]
+    assert got == [(1, None), (2, "x"), (3, None)]
+
+
+def test_scd2_single_exchange(spark):
+    from beats_spark.operators.temporal import scd2_build
+
+    df = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:00"), "a")],
+        "id long, k string, ts timestamp, state string",
+    )
+    out = scd2_build(df, "k", "ts", ["state"], order_cols=("id",))
+    plan = plan_of(out)
+    # every window/filter pass shares partitionBy(k): ONE hash
+    # Exchange over the input (plus nothing else)
+    assert plan.count("Exchange hashpartitioning") == 1
