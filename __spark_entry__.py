@@ -7033,6 +7033,89 @@ FROM runs
 """
 
 
+_BM25_QUERIES = [
+    ("q_boilerplate", "the a"),
+    ("q_rare", "dup"),
+    ("q_mixed", "dup hash join"),
+    ("q_phrase", "window merge sort"),
+    ("q_missing", "zzzunseen"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance search (search.bm25_search): top-10 docs
+    per query under integer-deterministic BM25 (floor-log2 idf with
+    a presence floor, milli-rational tf normalization — module
+    docstring has the algebra). The exploded token stream joins the
+    broadcast query vocabulary BEFORE the postings shuffle, so the
+    inverted index materializes only for query terms. Oracle replays
+    every integer step in DuckDB."""
+    from beats_spark.operators.search import bm25_search
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_QUERIES, "text", "doc_id", k=10)
+
+
+_SQL_BM25_SEARCH = r"""
+WITH q(query_id, qtext) AS (
+  VALUES ('q_boilerplate', 'the a'), ('q_rare', 'dup'),
+         ('q_mixed', 'dup hash join'), ('q_phrase', 'window merge sort'),
+         ('q_missing', 'zzzunseen')
+), qt AS (
+  SELECT DISTINCT query_id, tok FROM (
+    SELECT query_id,
+           unnest(string_split(
+             trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' '
+           )) AS tok
+    FROM q
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT DISTINCT tok FROM qt
+), base AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+         ), x -> x <> '') AS tk
+  FROM documents
+), dls AS (
+  SELECT doc_id, length(tk)::BIGINT AS dl, tk FROM base
+), totals AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         ((sum(dl)::BIGINT * 1000) // greatest(count(*), 1))::BIGINT
+           AS avgdl_milli
+  FROM dls
+), toks AS (
+  SELECT doc_id, dl, unnest(tk) AS tok FROM dls
+), matched AS (
+  SELECT tok, doc_id, dl, count(*)::BIGINT AS tf
+  FROM toks JOIN vocab USING (tok)
+  GROUP BY tok, doc_id, dl
+), dfreq AS (
+  SELECT tok, count(*)::BIGINT AS df FROM matched GROUP BY tok
+), scored AS (
+  SELECT m.tok, m.doc_id,
+         greatest(1, (length(bin(2 * n_docs - 2 * df + 1)) - 1)
+                     - (length(bin(2 * df + 1)) - 1))::BIGINT
+           * ((22000000 * m.tf)
+              // (10000 * m.tf + 3000
+                  + 9 * ((m.dl * 1000000) // greatest(avgdl_milli, 1))))
+           AS partial
+  FROM matched m JOIN dfreq USING (tok), totals
+), hits AS (
+  SELECT query_id, doc_id, sum(partial)::BIGINT AS score_milli
+  FROM scored JOIN qt USING (tok)
+  GROUP BY query_id, doc_id
+  HAVING sum(partial) > 0
+)
+SELECT query_id, doc_id, score_milli,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY score_milli DESC, doc_id
+       )::BIGINT AS rank
+FROM hits
+QUALIFY rank <= 10
+"""
+
+
 def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join with no equi-key (temporal.interval_join): 40
     deterministic 5-hour incident windows (one every 17 h from
@@ -7445,6 +7528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "bm25_search": q_bm25_search,
         "scd2_versions": q_scd2_versions,
         "distinct_sketch": q_distinct_sketch,
         "freq_sketch": q_freq_sketch,
@@ -7594,6 +7678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_search": _SQL_BM25_SEARCH,
         "scd2_versions": _SQL_SCD2_VERSIONS,
         "distinct_sketch": _SQL_DISTINCT_SKETCH,
         "freq_sketch": _SQL_FREQ_SKETCH,

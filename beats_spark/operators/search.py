@@ -1,0 +1,183 @@
+"""Full-text relevance search over the corpus — BM25 on an inverted
+index, the classic analytics-engine operator (find the transcripts /
+documents most relevant to a term query), built entirely from
+relational ops with INTEGER-deterministic scoring so the DuckDB
+oracle replays every score bit-for-bit.
+
+Scoring is a deterministic BM25 variant (Robertson & Spärck Jones
+probabilistic relevance; parameter shape follows Lucene's
+BM25Similarity, k1=1.2, b=0.75, non-negative idf) with two
+engine-portability substitutions, both in the spirit of the repo's
+float discipline (CLAUDE.md):
+
+- idf uses floor-log2 bits instead of ``ln``:
+  ``idf_bits = max(1, fl2(2N - 2df + 1) - fl2(2df + 1))`` with
+  ``fl2(n) = length(bin(n)) - 1`` — the ±0.5 smoothing of the
+  Robertson idf absorbed by the ×2, and every engine agrees on
+  binary-string length. The floor is 1 (not Lucene's 0): a PRESENT
+  query term always contributes at least its tf-normalized weight,
+  so narrow-vocabulary corpora (where every term is near-ubiquitous
+  and a 0-floor would zero every score) still rank by tf saturation
+  while rare terms keep their multi-bit amplification.
+- the tf normalization is evaluated in milli-integers:
+  ``r_milli  = dl·10⁶ div avgdl_milli`` (document length ratio),
+  ``tf_milli = 22·10⁶·tf div (10⁴·tf + 3·10³ + 9·r_milli)``
+  — exactly ``1000·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+  with k1=12/10, b=3/4 cleared to integers, truncation defined by
+  integer division (identical in Spark ``div`` and DuckDB ``//``
+  for the non-negative operands here).
+
+A hit's score is ``Σ_terms idf_bits · tf_milli`` (bit-milli units):
+order-independent integer sums, no engine-ordered float addition.
+
+Overflow bounds (ANSI-safe by construction): the largest
+intermediate is ``22·10⁶ · tf`` — safe for any document under
+~4·10¹¹ occurrences of one term; ``dl·10⁶`` is safe for documents
+under ~9·10¹² tokens; the idf inputs are linear in corpus doc count
+(safe to ~4.6·10¹⁸ docs). Nothing touches the corpus token total.
+
+Scale shape (the part that matters at 10¹² turns):
+
+1. the exploded token stream joins the BROADCAST query vocabulary
+   BEFORE any shuffle — postings materialize only for query terms,
+   so the inverted-index groupBy shuffles |query-vocab postings|,
+   not the corpus;
+2. document length needs no shuffle at all — docs arrive one row
+   each, so ``dl = size(tokens)`` is a projection;
+3. corpus totals (N, avgdl) are one column-pruned aggregate pass;
+4. df / idf / per-query rollups operate on the pruned postings
+   (≤ |query terms| × |matching docs| rows) — tiny frames, tiny
+   shuffles, and the final top-k window partitions by query_id.
+
+Two passes over the corpus total (the totals scan and the postings
+scan); both are narrow scans with map-side reduction.
+
+Reference anchor: the reference pipeline ships transcript events to
+Elasticsearch for exactly this query shape (libbeat/outputs/
+elasticsearch); this operator is the in-engine equivalent of that
+search path, scoring with the same family Elasticsearch/Lucene use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fl2(col: Column) -> Column:
+    """floor(log2(n)) for positive integer columns — binary-string
+    length, the engine-portable log (textstats discipline)."""
+    return (F.length(F.bin(col)) - 1).cast("long")
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query under deterministic integer
+    BM25 (module docstring has the exact formula and bounds).
+
+    ``queries`` is a bounded driver-side list of ``(query_id,
+    query_text)`` — the interactive-search contract (same bounded-
+    queries stance as the ANN operators). Query text is normalized
+    with the corpus tokenizer; duplicate terms within one query
+    count once. Terms absent from the corpus contribute nothing
+    (df=0 rows never materialize). Ties break on ascending doc id,
+    so the ranking is deterministic at any parallelism.
+
+    Returns ``(query_id, <id_col>, score_milli, rank)`` with rank
+    1-based per query, score descending.
+    """
+    if not queries:
+        raise ValueError("bm25_search needs at least one query")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from beats_spark.operators.dedup import tokens as _toks
+
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        list(queries), "query_id string, _q string"
+    )
+    qterms = (
+        qdf.select("query_id", F.explode(_toks(F.col("_q"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    vocab = qterms.select("tok").distinct()
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.filter(_toks(F.col(text_col)), lambda x: x != "").alias("_tk"),
+    )
+    # corpus stats: one aggregate pass, one row out
+    totals = base.select(F.size("_tk").cast("long").alias("_dl")).agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+    ).select(
+        "_n_docs",
+        F.expr("_sum_dl * 1000 div greatest(_n_docs, 1)").alias(
+            "_avgdl_milli"
+        ),
+    )
+
+    # postings pruned to the query vocabulary BEFORE the tf shuffle;
+    # dl rides along (functionally dependent on _doc)
+    matched = (
+        base.select(
+            "_doc",
+            F.size("_tk").cast("long").alias("_dl"),
+            F.explode("_tk").alias("tok"),
+        )
+        .join(F.broadcast(vocab), "tok")
+        .groupBy("tok", "_doc", "_dl")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()  # feeds df AND the scoring join (multi-consumer rule)
+    )
+    dfreq = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+
+    two_n = F.col("_n_docs") * 2
+    two_df = F.col("_df") * 2
+    scored = (
+        matched.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_idf",
+            F.greatest(
+                F.lit(1).cast("long"),
+                _fl2(two_n - two_df + 1) - _fl2(two_df + 1),
+            ),
+        )
+        .withColumn(
+            "_r_milli",
+            F.expr("_dl * 1000000 div greatest(_avgdl_milli, 1)"),
+        )
+        .withColumn(
+            "_tf_milli",
+            F.expr("22000000 * _tf div (10000 * _tf + 3000 + 9 * _r_milli)"),
+        )
+        .withColumn("_partial", F.col("_idf") * F.col("_tf_milli"))
+    )
+    hits = (
+        scored.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", "_doc")
+        .agg(F.sum("_partial").cast("long").alias("score_milli"))
+        # degenerate documents (length ≫ 2400× avgdl) can tf-zero a
+        # match; ranks stay meaningful by dropping zero-score hits
+        .where(F.col("score_milli") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_milli"), F.asc("_doc")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_doc").alias(id_col),
+            "score_milli",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""BM25 full-text search (operators/search.py). Cross-engine value
+parity for the contract query runs in test_oracle_parity.py; these
+tests pin the semantics the oracle can't isolate — ranking order,
+tie handling, query-term dedup, absent terms — plus the plan shape
+(query vocabulary broadcast BEFORE the postings shuffle; never a
+corpus-side cross join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.operators.search import bm25_search
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 'cat' rare (2 docs), 'dog' everywhere
+        (1, "cat dog dog dog"),
+        (2, "cat cat dog"),
+        (3, "dog dog dog dog"),
+        (4, "dog bird"),
+        (5, "bird bird bird dog"),
+        (6, ""),  # empty doc still counts toward N / avgdl
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_rare_term_outranks_common(corpus):
+    out = bm25_search(corpus, [("q", "cat")], k=10)
+    got = [(r.doc_id, r.rank) for r in out.orderBy("rank").collect()]
+    # only the two cat docs match; doc 2 (tf=2, shorter) ranks first
+    assert [d for d, _ in got] == [2, 1]
+    assert [r for _, r in got] == [1, 2]
+
+
+def test_tf_saturation_and_doc_id_ties(corpus):
+    out = bm25_search(corpus, [("q", "dog")], k=10).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # every dog doc matches; higher tf-per-length scores higher
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    assert by_doc[3].score_milli >= by_doc[4].score_milli
+    # deterministic ranks: strictly increasing 1..5 with doc-id
+    # tiebreak inside equal scores
+    ranks = sorted((r.rank, r.doc_id) for r in out)
+    assert [r for r, _ in ranks] == [1, 2, 3, 4, 5]
+    scores = [by_doc[d].score_milli for _, d in ranks]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_k_caps_results_per_query(corpus):
+    out = bm25_search(corpus, [("q", "dog"), ("p", "bird")], k=2)
+    counts = {
+        r.query_id: r.n
+        for r in out.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"q": 2, "p": 2}
+
+
+def test_absent_and_duplicate_terms(corpus):
+    out = bm25_search(
+        corpus, [("miss", "unicorn"), ("dup", "cat cat cat")], k=10
+    )
+    rows = out.collect()
+    assert not [r for r in rows if r.query_id == "miss"]
+    # duplicate query terms count once: same scores as single 'cat'
+    single = {
+        (r.doc_id, r.score_milli)
+        for r in bm25_search(corpus, [("q", "cat")], k=10).collect()
+    }
+    dup = {(r.doc_id, r.score_milli) for r in rows if r.query_id == "dup"}
+    assert dup == single
+
+
+def test_multi_term_scores_add(corpus):
+    both = {
+        r.doc_id: r.score_milli
+        for r in bm25_search(corpus, [("q", "cat bird")], k=10).collect()
+    }
+    cat = {
+        r.doc_id: r.score_milli
+        for r in bm25_search(corpus, [("q", "cat")], k=10).collect()
+    }
+    bird = {
+        r.doc_id: r.score_milli
+        for r in bm25_search(corpus, [("q", "bird")], k=10).collect()
+    }
+    for d, s in both.items():
+        assert s == cat.get(d, 0) + bird.get(d, 0)
+
+
+def test_plan_broadcasts_query_vocab_no_corpus_cross_join(corpus):
+    out = bm25_search(corpus, [("q", "cat dog")], k=3)
+    plan = plan_of(out)
+    # the token stream meets the query vocabulary via broadcast
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the broadcast 1-row totals frame
+    assert "CartesianProduct" not in plan
+
+
+def test_rejects_bad_args(corpus):
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_search(corpus, [], k=3)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_search(corpus, [("q", "cat")], k=0)
