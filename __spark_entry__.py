@@ -7116,6 +7116,50 @@ QUALIFY rank <= 10
 """
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout proof (layout.zorder_layout_stats): events
+    keyed by Morton-interleaved (time-bucket, user-bucket) on a
+    256×256 grid, assigned to fixed-width zkey file ranges; output
+    is each file's row count and (x, y) bucket bounding box — the
+    min/max statistics a scan planner prunes on. All-integer bucket
+    and interleave math; the oracle's interleave expression is
+    emitted by the SAME loop in the other dialect."""
+    _utc(spark)
+    from beats_spark.operators.layout import zorder_layout_stats
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").try_cast("timestamp")).alias("_tus"),
+        "user_id",
+    )
+    return zorder_layout_stats(ev, "_tus", "user_id", bits=8, n_files=64)
+
+
+def _sql_zorder_stats() -> str:
+    from beats_spark.operators.layout import (
+        bucket_sql,
+        zorder_interleave_sql,
+    )
+
+    xb = bucket_sql("epoch_us(ts)", "xmin", "xmax", 8, "duckdb")
+    yb = bucket_sql("user_id", "ymin", "ymax", 8, "duckdb")
+    z = zorder_interleave_sql("xb", "yb", 8, "duckdb")
+    return f"""
+WITH mm AS (
+  SELECT min(epoch_us(ts)) AS xmin, max(epoch_us(ts)) AS xmax,
+         min(user_id) AS ymin, max(user_id) AS ymax
+  FROM events
+), keyed AS (
+  SELECT {xb} AS xb, {yb} AS yb FROM events, mm
+), z AS (
+  SELECT xb, yb, {z} AS zkey FROM keyed
+)
+SELECT (zkey // 1024)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+       min(xb)::BIGINT AS x_min, max(xb)::BIGINT AS x_max,
+       min(yb)::BIGINT AS y_min, max(yb)::BIGINT AS y_max
+FROM z GROUP BY 1
+"""
+
+
 def q_incident_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join with no equi-key (temporal.interval_join): 40
     deterministic 5-hour incident windows (one every 17 h from
@@ -7528,6 +7572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "zorder_stats": q_zorder_stats,
         "bm25_search": q_bm25_search,
         "scd2_versions": q_scd2_versions,
         "distinct_sketch": q_distinct_sketch,
@@ -7678,6 +7723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "zorder_stats": _sql_zorder_stats(),
         "bm25_search": _SQL_BM25_SEARCH,
         "scd2_versions": _SQL_SCD2_VERSIONS,
         "distinct_sketch": _SQL_DISTINCT_SKETCH,
