@@ -7018,6 +7018,7 @@ WITH ordered AS (
          (lag(ts) OVER w IS NULL
           OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS opens
   FROM events
+  WHERE ts IS NOT NULL  -- mirror scd2_build's try_cast exclusion
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), runs AS (
   SELECT user_id, ts, event_type,
@@ -7080,9 +7081,12 @@ WITH q(query_id, qtext) AS (
 ), dls AS (
   SELECT doc_id, length(tk)::BIGINT AS dl, tk FROM base
 ), totals AS (
+  -- quotient/remainder split mirrors the Spark side: the corpus
+  -- token total is never multiplied
   SELECT count(*)::BIGINT AS n_docs,
-         ((sum(dl)::BIGINT * 1000) // greatest(count(*), 1))::BIGINT
-           AS avgdl_milli
+         ((sum(dl)::BIGINT // greatest(count(*), 1)) * 1000
+          + ((sum(dl)::BIGINT % greatest(count(*), 1)) * 1000
+             // greatest(count(*), 1)))::BIGINT AS avgdl_milli
   FROM dls
 ), toks AS (
   SELECT doc_id, dl, unnest(tk) AS tok FROM dls
@@ -7116,6 +7120,10 @@ QUALIFY rank <= 10
 """
 
 
+_ZORDER_BITS = 8
+_ZORDER_FILES = 64
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout proof (layout.zorder_layout_stats): events
     keyed by Morton-interleaved (time-bucket, user-bucket) on a
@@ -7131,7 +7139,9 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").try_cast("timestamp")).alias("_tus"),
         "user_id",
     )
-    return zorder_layout_stats(ev, "_tus", "user_id", bits=8, n_files=64)
+    return zorder_layout_stats(
+        ev, "_tus", "user_id", bits=_ZORDER_BITS, n_files=_ZORDER_FILES
+    )
 
 
 def _sql_zorder_stats() -> str:
@@ -7140,9 +7150,12 @@ def _sql_zorder_stats() -> str:
         zorder_interleave_sql,
     )
 
-    xb = bucket_sql("epoch_us(ts)", "xmin", "xmax", 8, "duckdb")
-    yb = bucket_sql("user_id", "ymin", "ymax", 8, "duckdb")
-    z = zorder_interleave_sql("xb", "yb", 8, "duckdb")
+    bits, n_files = _ZORDER_BITS, _ZORDER_FILES
+    xb = bucket_sql("epoch_us(ts)", "xmin", "xmax", bits, "duckdb")
+    yb = bucket_sql("user_id", "ymin", "ymax", bits, "duckdb")
+    z = zorder_interleave_sql("xb", "yb", bits, "duckdb")
+    # same ceil rule as zorder_layout_stats — parameters can't drift
+    cpf = max(-(-(1 << (2 * bits)) // n_files), 1)
     return f"""
 WITH mm AS (
   SELECT min(epoch_us(ts)) AS xmin, max(epoch_us(ts)) AS xmax,
@@ -7153,7 +7166,7 @@ WITH mm AS (
 ), z AS (
   SELECT xb, yb, {z} AS zkey FROM keyed
 )
-SELECT (zkey // 1024)::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+SELECT (zkey // {cpf})::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
        min(xb)::BIGINT AS x_min, max(xb)::BIGINT AS x_max,
        min(yb)::BIGINT AS y_min, max(yb)::BIGINT AS y_max
 FROM z GROUP BY 1

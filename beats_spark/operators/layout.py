@@ -75,9 +75,13 @@ def bucket_sql(
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect!r}")
     d = "div" if dialect == "spark" else "//"
+    # outer coalesce: an ALL-NULL dimension (min/max NULL) still
+    # lands every row in bucket 0 — the docstring's "a layout never
+    # drops rows" guarantee; emitted in both dialects so the oracle
+    # replays it
     return (
-        f"((coalesce({v}, {vmin}) - {vmin}) {d} "
-        f"((({vmax} - {vmin}) {d} {1 << bits}) + 1))"
+        f"coalesce((coalesce({v}, {vmin}) - {vmin}) {d} "
+        f"((({vmax} - {vmin}) {d} {1 << bits}) + 1), 0)"
     )
 
 
@@ -140,7 +144,9 @@ def zorder_layout_stats(
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
     total_cells = 1 << (2 * bits)
-    cells_per_file = max(total_cells // n_files, 1)
+    # ceil, so file_id < n_files even when n_files doesn't divide the
+    # grid (floor would spill max-zkey rows into an (n_files+1)-th file)
+    cells_per_file = max(-(-total_cells // n_files), 1)
     keyed = zorder_key(df, x_col, y_col, bits)
     return (
         keyed.withColumn(

@@ -34,7 +34,9 @@ Overflow bounds (ANSI-safe by construction): the largest
 intermediate is ``22·10⁶ · tf`` — safe for any document under
 ~4·10¹¹ occurrences of one term; ``dl·10⁶`` is safe for documents
 under ~9·10¹² tokens; the idf inputs are linear in corpus doc count
-(safe to ~4.6·10¹⁸ docs). Nothing touches the corpus token total.
+(safe to ~4.6·10¹⁸ docs). The corpus token total is summed but
+never multiplied — the avgdl division is split quotient/remainder
+so ``sum·1000`` never materializes.
 
 Scale shape (the part that matters at 10¹² turns):
 
@@ -60,14 +62,10 @@ search path, scoring with the same family Elasticsearch/Lucene use.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _fl2(col: Column) -> Column:
-    """floor(log2(n)) for positive integer columns — binary-string
-    length, the engine-portable log (textstats discipline)."""
-    return (F.length(F.bin(col)) - 1).cast("long")
+from beats_spark.functions.intmath import fl2 as _fl2
 
 
 def bm25_search(
@@ -118,9 +116,15 @@ def bm25_search(
         F.sum("_dl").alias("_sum_dl"),
     ).select(
         "_n_docs",
-        F.expr("_sum_dl * 1000 div greatest(_n_docs, 1)").alias(
-            "_avgdl_milli"
-        ),
+        # (sum*1000) div n, split so the corpus token total is never
+        # multiplied (sum*1000 would overflow int64 past ~9.2e15
+        # tokens): quotient*1000 + remainder*1000 div n — identical
+        # value, remainder < n keeps every product small
+        F.expr(
+            "(_sum_dl div greatest(_n_docs, 1)) * 1000"
+            " + ((_sum_dl % greatest(_n_docs, 1)) * 1000"
+            "    div greatest(_n_docs, 1))"
+        ).alias("_avgdl_milli"),
     )
 
     # postings pruned to the query vocabulary BEFORE the tf shuffle;

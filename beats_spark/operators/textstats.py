@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from beats_spark.functions.intmath import fl2
 from pyspark.sql.window import Window
 
 # Tiny per-language stopword batteries for the n-gram/stopword
@@ -472,9 +474,6 @@ def unigram_surprisal(
     toks = _corpus_tokens(df, text_col, id_col)
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
 
-    def fl2(col: Column) -> Column:
-        return (F.length(F.bin(col)) - 1).cast("long")
-
     per_doc = (
         toks.join(counts, "tok")
         .groupBy("_id")
@@ -546,9 +545,6 @@ def bigram_surprisal(
     left_counts = bg_counts.groupBy(
         F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
     ).agg(F.sum("_cbg").alias("_cl"))
-
-    def fl2(col: Column) -> Column:
-        return (F.length(F.bin(col)) - 1).cast("long")
 
     per_doc = (
         bg.join(bg_counts, "_bg")
