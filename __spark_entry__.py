@@ -7120,6 +7120,49 @@ QUALIFY rank <= 10
 """
 
 
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (search.keyword_extract):
+    top-3 characteristic terms by integer tf-idf — tf · floor-log2
+    idf bits (presence floor 1), token-text tie-break. The full-
+    corpus doc-vector build: one (doc,tok) tf shuffle + one (tok) df
+    aggregate. Oracle replays tf, df, idf and the rank window."""
+    from beats_spark.operators.search import keyword_extract
+
+    docs = _load(spark, sf_dir, "documents")
+    return keyword_extract(docs, "text", "doc_id", k=3)
+
+
+_SQL_KEYWORD_EXTRACT = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+         ), x -> x <> '') AS tk
+  FROM documents
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM base
+), toks AS (
+  SELECT doc_id, unnest(tk) AS tok FROM base
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT t.doc_id, t.tok, t.tf,
+         (t.tf * greatest(1,
+            (length(bin(2 * n_docs - 2 * df + 1)) - 1)
+            - (length(bin(2 * df + 1)) - 1)))::BIGINT AS score
+  FROM tf t JOIN dfreq USING (tok), n
+)
+SELECT doc_id, tok, tf, score,
+       row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, tok
+       )::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 _ZORDER_BITS = 8
 _ZORDER_FILES = 64
 
@@ -7585,6 +7628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "keyword_extract": q_keyword_extract,
         "zorder_stats": q_zorder_stats,
         "bm25_search": q_bm25_search,
         "scd2_versions": q_scd2_versions,
@@ -7736,6 +7780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "keyword_extract": _SQL_KEYWORD_EXTRACT,
         "zorder_stats": _sql_zorder_stats(),
         "bm25_search": _SQL_BM25_SEARCH,
         "scd2_versions": _SQL_SCD2_VERSIONS,

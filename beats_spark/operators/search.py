@@ -68,6 +68,78 @@ from pyspark.sql import functions as F
 from beats_spark.functions.intmath import fl2 as _fl2
 
 
+def keyword_extract(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by integer tf-idf
+    — the corpus-curation companion to :func:`bm25_search` (topic
+    tagging, cluster labeling, dedup-family diagnostics). Same idf
+    rule as BM25 (floor-log2 bits with a presence floor of 1, module
+    docstring), score ``tf · idf_bits``, ties broken by ascending
+    token text so the extraction is deterministic at any parallelism.
+
+    Returns ``(<id_col>, tok, tf, score, rank)``, rank 1-based per
+    document. Documents with no tokens yield no rows.
+
+    Scale shape: unlike search (which prunes to a query vocabulary),
+    keyword extraction is a FULL-corpus doc-vector build — the
+    irreducible cost is one partially-aggregated shuffle of the
+    token stream keyed (doc, tok) for tf, plus a (tok)-keyed
+    aggregate for df whose output is |vocab| rows (AQE chooses the
+    join side to broadcast). The top-k window re-partitions the
+    (doc, tok) frame by doc alone — token-level rows, never raw
+    text. Corpus totals are one column-pruned pass (1 row).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from beats_spark.operators.dedup import tokens as _toks
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.filter(_toks(F.col(text_col)), lambda x: x != "").alias("_tk"),
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("_n_docs"))
+    toks = base.select("_doc", F.explode("_tk").alias("tok"))
+    tf = (
+        toks.groupBy("_doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds df AND the scoring join (multi-consumer rule)
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+
+    two_n = F.col("_n_docs") * 2
+    two_df = F.col("_df") * 2
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_idf",
+            F.greatest(
+                F.lit(1).cast("long"),
+                _fl2(two_n - two_df + 1) - _fl2(two_df + 1),
+            ),
+        )
+        .withColumn("score", (F.col("tf") * F.col("_idf")).cast("long"))
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_doc").alias(id_col),
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     queries: list[tuple[str, str]],

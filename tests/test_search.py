@@ -106,3 +106,37 @@ def test_rejects_bad_args(corpus):
         bm25_search(corpus, [], k=3)
     with pytest.raises(ValueError, match="k must be"):
         bm25_search(corpus, [("q", "cat")], k=0)
+
+
+# -------------------------------------------------------- keyword_extract
+
+
+def test_keywords_rare_term_beats_common_at_equal_tf(spark):
+    from beats_spark.operators.search import keyword_extract
+
+    # 8 docs; 'rare' in 1, 'common' in all — equal tf inside doc 1
+    rows = [(1, "rare common")] + [(i, "common filler%d" % i) for i in range(2, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = keyword_extract(df, k=2).collect()
+    d1 = sorted(
+        [(r.rank, r.tok) for r in out if r.doc_id == 1]
+    )
+    assert d1[0] == (1, "rare")
+    assert d1[1][1] == "common"
+
+
+def test_keywords_k_cap_tie_break_and_empty_docs(spark):
+    from beats_spark.operators.search import keyword_extract
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, "b a c d"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = keyword_extract(df, k=2).collect()
+    assert {r.doc_id for r in out} == {1}
+    got = [(r.rank, r.tok) for r in sorted(out, key=lambda r: r.rank)]
+    # all tf=1, same idf -> alphabetical tie-break, capped at k
+    assert got == [(1, "a"), (2, "b")]
+    with _pt.raises(ValueError, match="k must be"):
+        keyword_extract(df, k=0)
