@@ -123,6 +123,29 @@ def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
     return est
 
 
+def cms_cells(
+    value_col: str, depth: int = 4, width: int = 1024, seed: int = 0
+):
+    """The count-min hashing rule: one value → ``depth`` (depth_idx,
+    col_idx) structs, each row hashed with a distinct seed
+    (``seed*depth + i``). Shared by batch :func:`cms_sketch` and the
+    streaming twin (stream_cms_sketch) so finalized cell frames from
+    either origin are identical and merge by per-cell SUM."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth_idx"),
+                (sample_hash(F.col(value_col), seed * depth + i) % width)
+                .cast("int")
+                .alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame,
     value_col: str,
@@ -142,19 +165,7 @@ def cms_sketch(
     combine reduces it to ≤ depth·width rows per group.
 
     NULL values are excluded (they are not a frequency class)."""
-    if depth < 1 or width < 2:
-        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("depth_idx"),
-                (sample_hash(F.col(value_col), seed * depth + i) % width)
-                .cast("int")
-                .alias("col_idx"),
-            )
-            for i in range(depth)
-        ]
-    )
+    cells = cms_cells(value_col, depth, width, seed)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(*[F.col(c) for c in by], F.explode(cells).alias("_c"))

@@ -868,6 +868,55 @@ def stream_hll_sketch(
     )
 
 
+def stream_cms_sketch(
+    source: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window_s: int = 86400,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """``operators.sketches.cms_sketch`` per tumbling event-time
+    window, as a watermarked streaming aggregate: append-mode rows
+    are (bucket_start_us, depth_idx, col_idx, cnt) — identical to
+    the batch grid over the same bucket for every FINALIZED window,
+    because the hashing comes from the SAME ``cms_cells`` rule and
+    tumbling windows align to the batch's epoch floor-division grid.
+
+    With stream_hll_sketch this completes the mergeable-sketch
+    streaming story: frequency estimation over an unbounded stream
+    with state bounded by the sketch — ≤ depth·width counter rows
+    per open window regardless of traffic, emitted once, final, at
+    watermark passage. Finalized grids from streams, backfills and
+    other clusters merge downstream by per-cell SUM (the batch merge
+    law), and lookups stay min-over-rows overestimates.
+
+    NULL values are excluded (not a frequency class, matching
+    batch)."""
+    from beats_spark.operators.sketches import cms_cells
+
+    cells = cms_cells(value_col, depth, width, seed)
+    return (
+        source.filter(F.col(value_col).isNotNull())
+        .select(F.col(ts_col), F.explode(cells).alias("_c"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{int(window_s)} seconds").alias("_w"),
+            F.col("_c.depth_idx").alias("depth_idx"),
+            F.col("_c.col_idx").alias("col_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("bucket_start_us"),
+            "depth_idx",
+            "col_idx",
+            "cnt",
+        )
+    )
+
+
 def stream_interval_join(
     events: DataFrame,
     intervals: DataFrame,

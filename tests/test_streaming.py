@@ -883,6 +883,56 @@ def test_stream_hll_sketch_matches_batch(spark, transcripts, stream_input, tmp_p
     assert srows == brows
 
 
+def test_stream_cms_sketch_matches_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming count-min grid equals the batch cms_sketch
+    row-for-row on every finalized window — the same shared-rule
+    identity proof as the HLL twin (both sides hash via cms_cells),
+    completing the mergeable-sketch streaming pair."""
+    from beats_spark.operators.sketches import cms_sketch
+    from beats_spark.streaming.pipeline import (
+        read_transcript_stream,
+        stream_cms_sketch,
+    )
+
+    win_us = 60_000_000
+    src = read_transcript_stream(spark, stream_input)
+    q = (
+        stream_cms_sketch(
+            src, "conv_id", window_s=60, depth=4, width=64,
+            watermark="0 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("cmsstream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from cmsstream")
+
+    max_us = transcripts.agg(
+        F.max(F.unix_micros(F.col("ts").try_cast("timestamp")))
+    ).collect()[0][0]
+    batch = cms_sketch(
+        transcripts.withColumn(
+            "bucket_start_us",
+            F.expr(
+                f"unix_micros(try_cast(ts AS timestamp)) div {win_us} * {win_us}"
+            ),
+        ),
+        "conv_id",
+        by=("bucket_start_us",),
+        depth=4,
+        width=64,
+    ).filter(F.col("bucket_start_us") + win_us <= F.lit(max_us))
+
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert len(brows) > 20  # non-trivial horizon
+    assert srows == brows
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join equals the batch interval_join
     row-for-row over the same capped interval set: the bucket-grid
