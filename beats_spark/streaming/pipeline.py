@@ -763,6 +763,146 @@ def stream_turn_gaps(
     )
 
 
+def stream_scd2(
+    source: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    id_col: str = "turn_idx",
+    delay: str = "10 minutes",
+    close_seconds: int = 3600,
+):
+    """Streaming twin of ``operators.temporal.scd2_build``: maintain
+    an SCD type-2 dimension FROM A LIVE CHANGE STREAM — the libbeat
+    statestore kept with full history, continuously.
+
+    Reuses the ``stream_turn_gaps`` machinery (per-key event-time
+    sorter via ``applyInPandasWithState``: watermark reorder buffer,
+    (us, id) tie-stable order, epoch-µs computed JVM-side) with the
+    consecutive-pair logic swapped for run-collapse: state carries
+    the OPEN version (valid_from, value, ordinal); a value change —
+    NULL-safe, exactly batch's IS DISTINCT FROM — closes it (emit
+    with valid_to = the change's ts) and opens the next; no-op
+    updates extend the run silently.
+
+    Append-mode contract: CLOSED versions stream out as soon as the
+    closing change clears the watermark; the final open version
+    (valid_to NULL, the batch is_current row) is emitted when the
+    session TTL closes the key. Identity with batch (proven in
+    tests/test_streaming.py): for every TTL-flushed key the streamed
+    rows equal ``scd2_build``'s — same caveats as stream_turn_gaps
+    (disorder within ``delay``; no intra-key quiet period beyond
+    ``close_seconds``).
+
+    Scale: state per key = one open version + the watermark window's
+    pending buffer; the only shuffle is the groupBy(key).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from beats_spark.operators.analytics import _epoch_us
+
+    out_schema = (
+        f"{key_col} string, version long, {value_col} string, "
+        "valid_from_us long, valid_to_us long"
+    )
+    state_schema = (
+        "open_us long, open_val string, version long, "
+        "p_us array<long>, p_val array<string>, p_id array<long>"
+    )
+
+    def _emit(key, rows):
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(rows),
+                "version": [r[0] for r in rows],
+                value_col: [r[1] for r in rows],
+                "valid_from_us": [r[2] for r in rows],
+                "valid_to_us": [r[3] for r in rows],
+            }
+        )
+
+    def _chain(open_us, open_val, version, events):
+        closed = []
+        for us, val, _eid in events:
+            if open_us is None:
+                open_us, open_val, version = us, val, version + 1
+            elif (val is None) != (open_val is None) or (
+                val is not None and val != open_val
+            ):
+                closed.append((version, open_val, open_us, us))
+                open_us, open_val, version = us, val, version + 1
+        return closed, open_us, open_val, version
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            open_us, open_val, version, p_us, p_val, p_id = state.get
+            state.remove()
+            pend = sorted(zip(p_us, p_val, p_id), key=lambda t: (t[0], t[2]))
+            closed, open_us, open_val, version = _chain(
+                open_us, open_val, version, pend
+            )
+            if open_us is not None:
+                closed.append((version, open_val, open_us, None))
+            if closed:
+                yield _emit(k, closed)
+            return
+        if state.exists:
+            open_us, open_val, version, p_us, p_val, p_id = state.get
+            pend = list(zip(p_us, p_val, p_id))
+        else:
+            open_us, open_val, version, pend = None, None, 0, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ok = pdf["_us"].notna() & pdf[id_col].notna()
+            for u, v, i in zip(
+                pdf["_us"][ok], pdf[value_col][ok], pdf[id_col][ok]
+            ):
+                pend.append((int(u), None if pd.isna(v) else v, int(i)))
+        pend.sort(key=lambda t: (t[0], t[2]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        ready = [t for t in pend if t[0] <= wm_us]
+        keep = [t for t in pend if t[0] > wm_us]
+        closed, open_us, open_val, version = _chain(
+            open_us, open_val, version, ready
+        )
+        state.update(
+            (
+                open_us,
+                open_val,
+                version,
+                [t[0] for t in keep],
+                [t[1] for t in keep],
+                [t[2] for t in keep],
+            )
+        )
+        newest_ms = max(
+            [t[0] // 1000 for t in keep] + [(open_us or 0) // 1000]
+        )
+        base_ms = max(state.getCurrentWatermarkMs(), newest_ms)
+        state.setTimeoutTimestamp(base_ms + close_seconds * 1000)
+        if closed:
+            yield _emit(k, closed)
+
+    staged = source.withWatermark(ts_col, delay).select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(id_col),
+        F.col(ts_col),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+    )
+    return staged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_time_rollup_fine(
     source: DataFrame,
     ts_col: str = "ts",

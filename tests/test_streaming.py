@@ -637,6 +637,60 @@ def test_stream_turn_gaps_match_batch(spark, transcripts, stream_input, tmp_path
     assert stream_rollup == batch_rollup
 
 
+def test_stream_scd2_matches_batch(spark, transcripts, stream_input, tmp_path):
+    """The streaming SCD2 maintainer emits EXACTLY the batch
+    scd2_build rows for every TTL-flushed key — closed versions as
+    changes clear the watermark, the open (is_current) version at
+    session close. Role runs per conversation are the tracked value,
+    so no-op collapse and version numbering are both exercised."""
+    from beats_spark.operators.temporal import scd2_build
+    from beats_spark.streaming.pipeline import stream_scd2
+
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    vers = stream_scd2(
+        src, "conv_id", "role", ts_col="ts", id_col="turn_idx",
+        delay="0 seconds", close_seconds=1,
+    )
+    q = (
+        vers.writeStream.format("memory")
+        .queryName("scd2stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.sql("select * from scd2stream")
+
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    flushed = (
+        transcripts.groupBy("conv_id")
+        .agg(F.max("ts").alias("_last"))
+        .filter(F.col("_last") < F.lit(max_ts) - F.expr("INTERVAL 1 SECOND"))
+        .select("conv_id")
+    )
+    assert flushed.count() > 5
+
+    batch = scd2_build(
+        transcripts.join(flushed, "conv_id"),
+        "conv_id", "ts", ["role"], order_cols=("turn_idx",),
+    ).select(
+        "conv_id",
+        "version",
+        "role",
+        F.unix_micros(F.col("valid_from").try_cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").try_cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+    )
+    srows = sorted(map(tuple, streamed.join(flushed, "conv_id").collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert len(brows) > 20
+    assert srows == brows
+
+
 def test_stream_turn_gaps_reorders_across_batches(spark, tmp_path):
     """The watermark buffer must interleave rows that arrive in a
     LATER micro-batch between rows from an earlier one: conversations
