@@ -620,6 +620,37 @@ def stream_rate_counts(
     )
 
 
+def _pending_order(t):
+    """Sort key for the event-time reorder buffer: (us, id) with
+    NULL ids FIRST among equal timestamps — the batch windows' ASC
+    NULLS FIRST tie order, so sorter-based twins stay row-identical
+    to their batch operators. Tuples are (us, payload…, id)."""
+    return (t[0], t[-1] is not None, t[-1] if t[-1] is not None else 0)
+
+
+def _split_ready(pend, wm_us):
+    """Order the pending buffer and split at the watermark: rows
+    at-or-before ``wm_us`` are final (safe to fold), later rows stay
+    buffered. Shared by every sorter-based stateful twin so the
+    boundary rule (<= watermark finalizes) lives in ONE place."""
+    pend.sort(key=_pending_order)
+    return (
+        [t for t in pend if t[0] <= wm_us],
+        [t for t in pend if t[0] > wm_us],
+    )
+
+
+def _ttl_timeout_ms(state, keep, anchor_us, close_seconds):
+    """Session-TTL event-time timeout: ``close_seconds`` past the
+    key's newest known instant (buffered row or folded anchor), never
+    before the current watermark. Shared boundary math for the
+    sorter-based twins."""
+    newest_ms = max(
+        [t[0] // 1000 for t in keep] + [(anchor_us or 0) // 1000]
+    )
+    return max(state.getCurrentWatermarkMs(), newest_ms) + close_seconds * 1000
+
+
 def stream_turn_gaps(
     source: DataFrame,
     key_col: str = "conv_id",
@@ -705,7 +736,7 @@ def stream_turn_gaps(
         if state.hasTimedOut:
             last_us, last_role, p_us, p_role, p_id = state.get
             state.remove()
-            pend = sorted(zip(p_us, p_role, p_id), key=lambda t: (t[0], t[2]))
+            pend = sorted(zip(p_us, p_role, p_id), key=_pending_order)
             pairs, _, _ = _chain(last_us, last_role, pend)
             if pairs:
                 yield _emit(k, pairs)
@@ -723,10 +754,7 @@ def stream_turn_gaps(
                 pdf["_us"][ok], pdf[role_col][ok], pdf[id_col][ok]
             ):
                 pend.append((int(u), r, int(i)))
-        pend.sort(key=lambda t: (t[0], t[2]))
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        ready = [t for t in pend if t[0] <= wm_us]
-        keep = [t for t in pend if t[0] > wm_us]
+        ready, keep = _split_ready(pend, state.getCurrentWatermarkMs() * 1000)
         pairs, last_us, last_role = _chain(last_us, last_role, ready)
         state.update(
             (
@@ -737,11 +765,9 @@ def stream_turn_gaps(
                 [t[2] for t in keep],
             )
         )
-        newest_ms = max(
-            [t[0] // 1000 for t in keep] + [(last_us or 0) // 1000]
+        state.setTimeoutTimestamp(
+            _ttl_timeout_ms(state, keep, last_us, close_seconds)
         )
-        base_ms = max(state.getCurrentWatermarkMs(), newest_ms)
-        state.setTimeoutTimestamp(base_ms + close_seconds * 1000)
         if pairs:
             yield _emit(k, pairs)
 
@@ -792,7 +818,20 @@ def stream_scd2(
     tests/test_streaming.py): for every TTL-flushed key the streamed
     rows equal ``scd2_build``'s — same caveats as stream_turn_gaps
     (disorder within ``delay``; no intra-key quiet period beyond
-    ``close_seconds``).
+    ``close_seconds``). Unlike stream_turn_gaps, rows with NULL
+    ``id_col`` are KEPT and tie-ordered first (the batch window's
+    ASC NULLS FIRST), because batch scd2_build keeps them too —
+    only NULL-ts rows are excluded on both sides. A key whose whole
+    known history already ended more than ``close_seconds`` before
+    the current watermark (a late replay of a closed session)
+    flushes in the SAME micro-batch instead of waiting on a timer —
+    event-time timers must be set at-or-after the watermark, so at
+    end-of-stream a clamped timer might never fire and the flush
+    would depend on file arrival order.
+
+    Type contract: ``key_col`` and ``value_col`` must be STRING
+    columns (the state/output schemas are fixed; cast upstream) —
+    batch ``scd2_build`` is the generic-typed form.
 
     Scale: state per key = one open version + the watermark window's
     pending buffer; the only shuffle is the groupBy(key).
@@ -802,6 +841,15 @@ def stream_scd2(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from beats_spark.operators.analytics import _epoch_us
+
+    dtypes = dict(source.dtypes)
+    for c, role in ((key_col, "key_col"), (value_col, "value_col")):
+        if dtypes.get(c) != "string":
+            raise ValueError(
+                f"stream_scd2 {role} must be a string column (got "
+                f"{dtypes.get(c)!r} for {c!r}); cast upstream — batch "
+                "scd2_build is the generic-typed form"
+            )
 
     out_schema = (
         f"{key_col} string, version long, {value_col} string, "
@@ -840,7 +888,7 @@ def stream_scd2(
         if state.hasTimedOut:
             open_us, open_val, version, p_us, p_val, p_id = state.get
             state.remove()
-            pend = sorted(zip(p_us, p_val, p_id), key=lambda t: (t[0], t[2]))
+            pend = sorted(zip(p_us, p_val, p_id), key=_pending_order)
             closed, open_us, open_val, version = _chain(
                 open_us, open_val, version, pend
             )
@@ -857,33 +905,51 @@ def stream_scd2(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ok = pdf["_us"].notna() & pdf[id_col].notna()
+            # only NULL-ts rows are excluded (matching batch); NULL
+            # ids are kept and tie-ordered first by _pending_order
+            ok = pdf["_us"].notna()
             for u, v, i in zip(
                 pdf["_us"][ok], pdf[value_col][ok], pdf[id_col][ok]
             ):
-                pend.append((int(u), None if pd.isna(v) else v, int(i)))
-        pend.sort(key=lambda t: (t[0], t[2]))
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        ready = [t for t in pend if t[0] <= wm_us]
-        keep = [t for t in pend if t[0] > wm_us]
+                pend.append(
+                    (
+                        int(u),
+                        None if pd.isna(v) else v,
+                        None if pd.isna(i) else int(i),
+                    )
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        ready, keep = _split_ready(pend, wm_ms * 1000)
         closed, open_us, open_val, version = _chain(
             open_us, open_val, version, ready
         )
-        state.update(
-            (
-                open_us,
-                open_val,
-                version,
-                [t[0] for t in keep],
-                [t[1] for t in keep],
-                [t[2] for t in keep],
+        # expired-on-arrival: if the key's whole known history already
+        # ended > close_seconds before the current watermark (a late
+        # replay of a closed session), flush NOW — a timer would have
+        # to be clamped to the watermark and, at end-of-stream, might
+        # never fire, making the flush depend on file arrival order
+        if (
+            not keep
+            and open_us is not None
+            and open_us // 1000 + close_seconds * 1000 <= wm_ms
+        ):
+            closed.append((version, open_val, open_us, None))
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    open_us,
+                    open_val,
+                    version,
+                    [t[0] for t in keep],
+                    [t[1] for t in keep],
+                    [t[2] for t in keep],
+                )
             )
-        )
-        newest_ms = max(
-            [t[0] // 1000 for t in keep] + [(open_us or 0) // 1000]
-        )
-        base_ms = max(state.getCurrentWatermarkMs(), newest_ms)
-        state.setTimeoutTimestamp(base_ms + close_seconds * 1000)
+            state.setTimeoutTimestamp(
+                _ttl_timeout_ms(state, keep, open_us, close_seconds)
+            )
         if closed:
             yield _emit(k, closed)
 

@@ -691,6 +691,75 @@ def test_stream_scd2_matches_batch(spark, transcripts, stream_input, tmp_path):
     assert srows == brows
 
 
+def test_stream_scd2_keeps_null_ids_and_rejects_non_string(spark, tmp_path):
+    """Batch scd2_build keeps NULL-id rows (order_cols only stabilize
+    ties, ASC NULLS FIRST); the streaming twin must too — here the
+    NULL-id row CARRIES a value change, so dropping it would merge
+    two batch versions. Also pins the documented string-only type
+    contract."""
+    from beats_spark.operators.temporal import scd2_build
+    from beats_spark.streaming.pipeline import stream_scd2
+
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          ('u', 'a', CAST(1 AS BIGINT), timestamp'2024-01-01 00:00:00'),
+          ('u', 'b', CAST(NULL AS BIGINT), timestamp'2024-01-01 01:00:00'),
+          ('u', 'b', CAST(3 AS BIGINT), timestamp'2024-01-01 02:00:00'),
+          ('u', 'c', CAST(4 AS BIGINT), timestamp'2024-01-01 03:00:00'),
+          -- a later key whose last event pushes the watermark + TTL
+          -- far past key 'u' so u flushes fully
+          ('zz', 'x', CAST(9 AS BIGINT), timestamp'2024-03-01 00:00:00')
+        AS t(conv_id, role, turn_idx, ts)
+        """
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "chg"))
+    src = spark.readStream.schema(df.schema).parquet(str(tmp_path / "chg"))
+    q = (
+        stream_scd2(
+            src, "conv_id", "role", ts_col="ts", id_col="turn_idx",
+            delay="0 seconds", close_seconds=1,
+        )
+        .writeStream.format("memory")
+        .queryName("scd2nullid")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2n"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "select * from scd2nullid where conv_id = 'u'"
+            ).collect(),
+        )
+    )
+    batch = scd2_build(
+        df.filter("conv_id = 'u'"), "conv_id", "ts", ["role"],
+        order_cols=("turn_idx",),
+    ).select(
+        "conv_id",
+        "version",
+        "role",
+        F.unix_micros(F.col("valid_from").try_cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").try_cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+    )
+    brows = sorted(map(tuple, batch.collect()))
+    assert len(brows) == 3  # a | b(collapsed run incl. NULL id) | c
+    assert streamed == brows
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="string column"):
+        stream_scd2(src, "conv_id", "turn_idx")
+
+
 def test_stream_turn_gaps_reorders_across_batches(spark, tmp_path):
     """The watermark buffer must interleave rows that arrive in a
     LATER micro-batch between rows from an earlier one: conversations
