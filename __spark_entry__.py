@@ -7120,6 +7120,69 @@ QUALIFY rank <= 10
 """
 
 
+_PHRASE_QUERIES = [
+    ("p_hash_join", "hash join"),
+    ("p_batch3", "batch batch batch"),
+    ("p_window2", "window window"),
+    ("p_missing", "join zebra"),
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (search.phrase_search): exact
+    ordered-adjacency matches over posexplode postings pruned by the
+    broadcast phrase vocabulary, overlap-counting (Lucene sliding
+    positions — 'batch batch batch' exercises it). Oracle rebuilds
+    positional postings via list_transform-with-index and replays
+    each phrase's adjacency join chain."""
+    from beats_spark.operators.search import phrase_search
+
+    docs = _load(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE_QUERIES, "text", "doc_id", k=10)
+
+
+def _sql_phrase_search() -> str:
+    legs = []
+    for qid, text in _PHRASE_QUERIES:
+        toks = text.lower().split()
+        joins, conds = [], []
+        for off, t in enumerate(toks[1:], start=1):
+            joins.append(
+                f"JOIN post p{off} ON p{off}.doc_id = p0.doc_id "
+                f"AND p{off}.pos = p0.pos + {off} "
+                f"AND p{off}.tok = '{t}'"
+            )
+        legs.append(
+            f"SELECT '{qid}' AS query_id, p0.doc_id, "
+            "count(*)::BIGINT AS n_matches\n"
+            "  FROM post p0 " + " ".join(joins) + "\n"
+            f"  WHERE p0.tok = '{toks[0]}' GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+         ), x -> x <> '') AS tk
+  FROM documents
+), post AS (
+  SELECT doc_id, u.s.pos::BIGINT AS pos, u.s.tok AS tok
+  FROM base, unnest(list_transform(
+    tk, (x, i) -> struct_pack(pos := i - 1, tok := x)
+  )) u(s)
+), hits AS (
+{union}
+)
+SELECT query_id, doc_id, n_matches,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY n_matches DESC, doc_id
+       )::BIGINT AS rank
+FROM hits
+QUALIFY rank <= 10
+"""
+
+
 def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction (search.keyword_extract):
     top-3 characteristic terms by integer tf-idf — tf · floor-log2
@@ -7628,6 +7691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "phrase_search": q_phrase_search,
         "keyword_extract": q_keyword_extract,
         "zorder_stats": q_zorder_stats,
         "bm25_search": q_bm25_search,
@@ -7780,6 +7844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "phrase_search": _sql_phrase_search(),
         "keyword_extract": _SQL_KEYWORD_EXTRACT,
         "zorder_stats": _sql_zorder_stats(),
         "bm25_search": _SQL_BM25_SEARCH,

@@ -68,6 +68,110 @@ from pyspark.sql import functions as F
 from beats_spark.functions.intmath import fl2 as _fl2
 
 
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact ordered-phrase search via POSITIONAL postings — the
+    inverted-index operator BM25's bag-of-words scoring can't
+    express ("hash join" as adjacent words, not two terms). A
+    document matches where tokens t₁..tₘ occupy consecutive
+    positions; occurrences may overlap (Lucene sliding-position
+    semantics: 'a a a' contains 'a a' twice).
+
+    Construction: posexplode the normalized token stream →
+    positional postings (doc, pos, tok), pruned by the BROADCAST
+    phrase vocabulary before any shuffle (the bm25_search
+    discipline); each phrase then chains m−1 equi-joins on
+    (doc, pos + offset) over its own term postings — never a cross
+    join, and every join key includes the document, so candidate
+    pairs only materialize inside documents that contain ALL the
+    phrase's terms. Per-phrase frames union (phrases are a bounded
+    driver-side list, same contract as ``bm25_search`` queries).
+
+    Returns ``(query_id, <id_col>, n_matches, rank)`` — rank by
+    match count desc, doc id asc; only matching docs appear.
+
+    Scale: positional postings exist only for phrase terms, so the
+    shuffled volume is |phrase-term postings| (uniform hash keys,
+    AQE-sized); single-term phrases reduce to a tf count with no
+    join. The final top-k window partitions by query_id.
+    """
+    if not phrases:
+        raise ValueError("phrase_search needs at least one phrase")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from beats_spark.operators.dedup import tokens as _toks
+
+    spark = docs.sparkSession
+    parsed: list[tuple[str, list[str]]] = []
+    for qid, text in phrases:
+        toks = [t for t in (text or "").lower().split() if t]
+        if not toks:
+            raise ValueError(f"phrase {qid!r} has no tokens")
+        parsed.append((qid, toks))
+
+    vocab = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, ts in parsed for t in ts})],
+        "tok string",
+    )
+    postings = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(
+                F.filter(_toks(F.col(text_col)), lambda x: x != "")
+            ).alias("_pos", "tok"),
+        )
+        .join(F.broadcast(vocab), "tok")
+        .persist()  # every phrase term re-reads the pruned postings
+    )
+
+    per_phrase = []
+    for qid, toks in parsed:
+        cand = (
+            postings.where(F.col("tok") == toks[0])
+            .select(F.col("_doc"), F.col("_pos"))
+        )
+        for off, t in enumerate(toks[1:], start=1):
+            nxt = postings.where(F.col("tok") == t).select(
+                F.col("_doc").alias("_d2"),
+                (F.col("_pos") - off).alias("_p2"),
+            )
+            cand = cand.join(
+                nxt,
+                (F.col("_doc") == F.col("_d2"))
+                & (F.col("_pos") == F.col("_p2")),
+            ).select("_doc", "_pos")
+        per_phrase.append(
+            cand.groupBy("_doc")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .select(
+                F.lit(qid).alias("query_id"),
+                "_doc",
+                F.col("n_matches").cast("long").alias("n_matches"),
+            )
+        )
+    hits = per_phrase[0]
+    for f in per_phrase[1:]:
+        hits = hits.unionByName(f)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_matches"), F.asc("_doc")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_doc").alias(id_col),
+            "n_matches",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def keyword_extract(
     docs: DataFrame,
     text_col: str = "text",

@@ -140,3 +140,55 @@ def test_keywords_k_cap_tie_break_and_empty_docs(spark):
     assert got == [(1, "a"), (2, "b")]
     with _pt.raises(ValueError, match="k must be"):
         keyword_extract(df, k=0)
+
+
+# ---------------------------------------------------------- phrase_search
+
+
+def test_phrase_overlap_counting_and_order(spark):
+    from beats_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),      # 'a a' overlaps twice
+            (2, "a b a b"),      # 'a b' twice, non-adjacent a a absent
+            (3, "b a"),          # reversed order must NOT match 'a b'
+        ],
+        "doc_id long, text string",
+    )
+    out = phrase_search(df, [("aa", "a a"), ("ab", "a b")], k=10).collect()
+    got = {(r.query_id, r.doc_id): r.n_matches for r in out}
+    assert got == {("aa", 1): 2, ("ab", 1): 1, ("ab", 2): 2}
+
+
+def test_phrase_single_term_and_missing(spark):
+    from beats_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "y")], "doc_id long, text string"
+    )
+    out = phrase_search(df, [("x1", "x"), ("miss", "x z")], k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.n_matches, r.rank) for r in out}
+    assert got == {("x1", 1): (2, 1)}
+
+
+def test_phrase_rejects_bad_args(spark):
+    from beats_spark.operators.search import phrase_search
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="at least one"):
+        phrase_search(df, [])
+    with _pt.raises(ValueError, match="no tokens"):
+        phrase_search(df, [("q", "   ")])
+    with _pt.raises(ValueError, match="k must be"):
+        phrase_search(df, [("q", "x")], k=0)
+
+
+def test_phrase_plan_no_cartesian(spark):
+    from beats_spark.operators.search import phrase_search
+
+    df = spark.createDataFrame([(1, "x y")], "doc_id long, text string")
+    out = phrase_search(df, [("q", "x y")], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
