@@ -7120,6 +7120,44 @@ QUALIFY rank <= 10
 """
 
 
+def q_tool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence pair mining (analytics.cooccurrence_pairs):
+    which event types share a user — the market-basket pair stage
+    over the routed stream (which tools fire in the same
+    conversation, at transcript scale). Distinct (group, item)
+    first, capped within-group self-join, integer-ppm support.
+    Oracle replays distinct, cap, pair join and rank."""
+    from beats_spark.operators.analytics import cooccurrence_pairs
+
+    ev = _load(spark, sf_dir, "events")
+    return cooccurrence_pairs(
+        ev, "user_id", "event_type", max_items_per_group=100
+    )
+
+
+_SQL_TOOL_PAIRS = r"""
+WITH items AS (
+  SELECT DISTINCT user_id AS g, event_type AS i
+  FROM events WHERE event_type IS NOT NULL
+), tot AS (
+  SELECT count(DISTINCT g)::BIGINT AS n_total FROM items
+), narrow AS (
+  SELECT g, i FROM items
+  WHERE g IN (SELECT g FROM items GROUP BY g HAVING count(*) <= 100)
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_groups
+  FROM narrow a JOIN narrow b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_groups,
+       (n_groups * 1000000 // greatest(n_total, 1))::BIGINT AS support_ppm,
+       row_number() OVER (
+         ORDER BY n_groups DESC, item_a, item_b
+       )::BIGINT AS rank
+FROM pairs, tot
+"""
+
+
 _PHRASE_QUERIES = [
     ("p_hash_join", "hash join"),
     ("p_batch3", "batch batch batch"),
@@ -7691,6 +7729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "tool_pairs": q_tool_pairs,
         "phrase_search": q_phrase_search,
         "keyword_extract": q_keyword_extract,
         "zorder_stats": q_zorder_stats,
@@ -7844,6 +7883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tool_pairs": _SQL_TOOL_PAIRS,
         "phrase_search": _sql_phrase_search(),
         "keyword_extract": _SQL_KEYWORD_EXTRACT,
         "zorder_stats": _sql_zorder_stats(),

@@ -610,3 +610,86 @@ def disorder_stats(
         "max_late_ms",
         "sum_late_ms",
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_items_per_group: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Market-basket pair mining: which items co-occur within a
+    group — which tools fire in the same conversation, which event
+    types share a user. Classic distributed co-occurrence (the
+    Apriori pair-counting stage): per-group DISTINCT item sets, then
+    each unordered pair emitted once (sorted-array construction, so
+    ``item_a < item_b`` by build), counted across groups with an
+    integer ppm support against the group universe.
+
+    Returns ``(item_a, item_b, n_groups, support_ppm, rank)`` —
+    rank by count desc then pair text asc (deterministic).
+    ``support_ppm = n_groups(pair)·10⁶ div n_groups(total)`` —
+    integer division, oracle-exact. NULL items are excluded; groups
+    with only NULL items leave the universe entirely.
+
+    Scale shape: ONE events-scale shuffle — ``collect_set`` with
+    map-side partial aggregation dedups and gathers each group's
+    item set in the same pass (no separate distinct). Pair
+    generation is a JVM-side array transform over the sorted set
+    (no self-join, no second data shuffle); groups wider than
+    ``max_items_per_group`` are EXCLUDED before it runs (the
+    standard basket cap — wide groups are catalogs, not baskets,
+    and one 10⁵-item group would emit 5·10⁹ pairs). The cap is part
+    of the operator contract, mirrored by the oracle; note wide
+    groups still pay their collect_set buffer before the filter —
+    the cap bounds pair blowup, not ingest memory. Pair counts
+    aggregate on vocabulary-bounded keys, and the global rank
+    window runs on that pair frame only (single-partition by
+    design, like vocab_top_k's rank).
+    """
+    from pyspark.sql.window import Window
+
+    if max_items_per_group < 2:
+        raise ValueError(
+            f"max_items_per_group must be >= 2, got {max_items_per_group}"
+        )
+    grouped = (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(F.collect_set(F.col(item_col)).alias("_s"))
+        .persist()  # feeds the universe count AND the pair explode
+    )
+    totals = grouped.agg(F.count(F.lit(1)).alias("_n_total"))
+    pairs = (
+        grouped.where(F.size("_s") <= max_items_per_group)
+        .withColumn("_ss", F.array_sort("_s"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ss, (x, i) -> "
+                    "transform(slice(_ss, i + 2, size(_ss)), "
+                    "y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("_p")
+        )
+        .select("_p.item_a", "_p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .where(F.col("n_groups") >= min_count)
+    )
+    w = Window.orderBy(
+        F.desc("n_groups"), F.asc("item_a"), F.asc("item_b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(totals))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.expr("n_groups * 1000000 div greatest(_n_total, 1)").alias(
+                "support_ppm"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -158,3 +158,50 @@ def test_heavy_hitters_rejects_bad_k(spark):
     df = spark.createDataFrame([], "event_type string, user_id long")
     with pytest.raises(ValueError):
         heavy_hitters(df, k=0)
+
+
+# ------------------------------------------------------ cooccurrence_pairs
+
+
+def test_cooccurrence_counts_cap_and_support(spark):
+    from beats_spark.operators.analytics import cooccurrence_pairs
+    import pytest as _pt
+
+    rows = [
+        # g1: {a, b, c} (b repeated — distinct first)
+        (1, "a"), (1, "b"), (1, "b"), (1, "c"),
+        # g2: {a, b}
+        (2, "a"), (2, "b"),
+        # g3: single item — no pairs, still in the universe
+        (3, "a"),
+        # g4: wide group, excluded by the cap
+        (4, "a"), (4, "b"), (4, "c"), (4, "d"),
+        # NULL item excluded
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    out = cooccurrence_pairs(df, "g", "i", max_items_per_group=3).collect()
+    got = {(r.item_a, r.item_b): (r.n_groups, r.support_ppm) for r in out}
+    # universe = 5 groups with a non-null item? NULL-only group 5 is
+    # excluded entirely -> 4 groups (1,2,3,4)
+    assert got[("a", "b")] == (2, 500000)
+    assert got[("a", "c")] == (1, 250000)
+    assert got[("b", "c")] == (1, 250000)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ranks = {r.rank for r in out}
+    assert ranks == {1, 2, 3}
+    top = [r for r in out if r.rank == 1][0]
+    assert (top.item_a, top.item_b) == ("a", "b")
+    with _pt.raises(ValueError, match="max_items_per_group"):
+        cooccurrence_pairs(df, "g", "i", max_items_per_group=1)
+
+
+def test_cooccurrence_min_count_filters(spark):
+    from beats_spark.operators.analytics import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "g long, i string",
+    )
+    out = cooccurrence_pairs(df, "g", "i", min_count=2).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}
