@@ -7180,9 +7180,11 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_phrase_search() -> str:
+    from beats_spark.operators.search import phrase_tokens
+
     legs = []
     for qid, text in _PHRASE_QUERIES:
-        toks = text.lower().split()
+        toks = phrase_tokens(text)
         joins, conds = [], []
         for off, t in enumerate(toks[1:], start=1):
             joins.append(

@@ -630,8 +630,12 @@ def cooccurrence_pairs(
     Returns ``(item_a, item_b, n_groups, support_ppm, rank)`` —
     rank by count desc then pair text asc (deterministic).
     ``support_ppm = n_groups(pair)·10⁶ div n_groups(total)`` —
-    integer division, oracle-exact. NULL items are excluded; groups
-    with only NULL items leave the universe entirely.
+    integer division, oracle-exact. NULL items are excluded; NULL
+    GROUP keys are excluded too (Spark's groupBy would merge every
+    orphan row into one fabricated basket, while SQL equi-joins and
+    count(DISTINCT) drop NULLs — exclusion is both the honest
+    semantics and the only engine-portable one); groups with only
+    NULL items leave the universe entirely.
 
     Scale shape: ONE events-scale shuffle — ``collect_set`` with
     map-side partial aggregation dedups and gathers each group's
@@ -655,7 +659,9 @@ def cooccurrence_pairs(
             f"max_items_per_group must be >= 2, got {max_items_per_group}"
         )
     grouped = (
-        df.filter(F.col(item_col).isNotNull())
+        df.filter(
+            F.col(item_col).isNotNull() & F.col(group_col).isNotNull()
+        )
         .groupBy(F.col(group_col).alias("_g"))
         .agg(F.collect_set(F.col(item_col)).alias("_s"))
         .persist()  # feeds the universe count AND the pair explode

@@ -65,7 +65,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+import re as _re
+
 from beats_spark.functions.intmath import fl2 as _fl2
+
+# Java \s — the exact class Spark's regexp_replace(r"\s+") uses in
+# the corpus tokenizer. Python's str.split() would ALSO split on
+# U+00A0 and other Unicode spaces, silently fracturing a phrase the
+# engine tokenizes as one token.
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+
+def phrase_tokens(text: str | None) -> list[str]:
+    """Driver-side twin of the corpus tokenizer (dedup.tokens):
+    lowercase + split on the Java ``\\s`` class. Used for phrase
+    parsing AND the oracle-SQL generator so neither can drift from
+    the in-engine rule."""
+    return [t for t in _JAVA_WS.split((text or "").lower()) if t]
 
 
 def phrase_search(
@@ -109,7 +125,7 @@ def phrase_search(
     spark = docs.sparkSession
     parsed: list[tuple[str, list[str]]] = []
     for qid, text in phrases:
-        toks = [t for t in (text or "").lower().split() if t]
+        toks = phrase_tokens(text)
         if not toks:
             raise ValueError(f"phrase {qid!r} has no tokens")
         parsed.append((qid, toks))

@@ -205,3 +205,19 @@ def test_cooccurrence_min_count_filters(spark):
     )
     out = cooccurrence_pairs(df, "g", "i", min_count=2).collect()
     assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}
+
+
+def test_cooccurrence_excludes_null_groups(spark):
+    # NULL group keys would merge every orphan row into ONE
+    # fabricated basket under Spark groupBy while SQL equi-joins
+    # drop them — excluded on both engines (the shingles(NULL)
+    # gotcha class).
+    from beats_spark.operators.analytics import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "a"), (1, "b"), (2, "a")],
+        "g long, i string",
+    )
+    out = cooccurrence_pairs(df, "g", "i").collect()
+    got = {(r.item_a, r.item_b): (r.n_groups, r.support_ppm) for r in out}
+    assert got == {("a", "b"): (1, 500000)}

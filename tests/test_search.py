@@ -192,3 +192,19 @@ def test_phrase_plan_no_cartesian(spark):
     out = phrase_search(df, [("q", "x y")], k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_nonbreaking_space_stays_one_token(spark):
+    # U+00A0 is NOT Java \s: the engine tokenizes 'hash\xa0join' as
+    # ONE token, and the driver-side phrase parser must agree —
+    # Python str.split() would fracture it and the phrase could
+    # never match a document that literally contains it.
+    from beats_spark.operators.search import phrase_search, phrase_tokens
+
+    assert phrase_tokens("hash\xa0join x") == ["hash\xa0join", "x"]
+    df = spark.createDataFrame(
+        [(1, "hash\xa0join x"), (2, "hash join x")],
+        "doc_id long, text string",
+    )
+    out = phrase_search(df, [("q", "hash\xa0join x")], k=5).collect()
+    assert {(r.doc_id, r.n_matches) for r in out} == {(1, 1)}
