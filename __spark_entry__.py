@@ -7120,6 +7120,35 @@ QUALIFY rank <= 10
 """
 
 
+def q_domain_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native OLAP cube over the corpus dimensions — every (lang,
+    source) combination plus both one-dimension subtotals and the
+    grand total in ONE pass (Catalyst's Expand: each row fans out to
+    its 4 grouping sets before a single keyed aggregate — never 4
+    scans). grouping_id() disambiguates subtotal NULLs from data
+    NULLs; both engines put the leftmost cube column in the most
+    significant bit. Oracle is DuckDB's native GROUP BY CUBE."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select("lang", "source", "n_docs", "sum_chars", "gid")
+    )
+
+
+_SQL_DOMAIN_CUBE = r"""
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       grouping(lang, source)::BIGINT AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 def q_tool_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence pair mining (analytics.cooccurrence_pairs):
     which event types share a user — the market-basket pair stage
@@ -7731,6 +7760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
         # -- round-4 additions ------------------------------------------
+        "domain_cube": q_domain_cube,
         "tool_pairs": q_tool_pairs,
         "phrase_search": q_phrase_search,
         "keyword_extract": q_keyword_extract,
@@ -7885,6 +7915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "domain_cube": _SQL_DOMAIN_CUBE,
         "tool_pairs": _SQL_TOOL_PAIRS,
         "phrase_search": _sql_phrase_search(),
         "keyword_extract": _SQL_KEYWORD_EXTRACT,

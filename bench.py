@@ -176,6 +176,7 @@ BENCH_QUERIES = [
 # per-query comparison stays protocol-identical while round 5 still
 # gets a measured baseline for the new surface.
 EXT_QUERIES = [
+    "domain_cube",
     "tool_pairs",
     "phrase_search",
     "keyword_extract",
