@@ -7421,7 +7421,11 @@ WITH s AS (
   UNION ALL SELECT 'day', 86400000000 FROM (VALUES (1))
   UNION ALL SELECT 'week', 604800000000 FROM (VALUES (1))
 )
-SELECT lv.grain, (s.us // lv.g) * lv.g AS bucket_start_us, s.event_type,
+-- floor-aligned bucket start (x - pmod(x,g)): DuckDB // truncates
+-- toward zero on BIGINT, which would diverge from Spark's floor
+-- bucketing (and F.window's grid) for pre-1970 timestamps
+SELECT lv.grain, (s.us - (((s.us % lv.g) + lv.g) % lv.g)) AS bucket_start_us,
+       s.event_type,
        count(*)::BIGINT AS n_events,
        sum(s.v)::BIGINT AS sum_value_e6,
        min(s.v)::BIGINT AS min_value_e6,

