@@ -9,6 +9,17 @@ BPE in the public GPT-2 style (Sennrich et al. 2016; Radford et al.
 data (bpe_merges.py, built once by scripts/train_bpe.py), so every
 host tokenizes identically forever.
 
+Vocabulary scale: the checked-in table holds 12,000 merges trained on
+a deterministic ~3.6 MB seed corpus (sf0.1 documents + seeded
+morphological English prose, multi-language code, log/NDJSON lines,
+and CJK lexeme text — scripts/train_bpe.py). Measured fertility on
+held-out English prose is ~3.1 chars/token — the regime of real
+production tokenizers — so absolute token budgets priced with this
+table are realistic, not the lower bounds the earlier 849-merge
+fixture table produced. A production deployment would swap in its
+model's actual merges file; everything downstream (pack_sequences,
+budget math, the exact pure-Python twin) is table-agnostic.
+
 Design:
 - Pre-tokenizer: a GPT-2-shaped regex partition of the text (letters /
   digits / punctuation runs with an attached leading space, whitespace
