@@ -2047,8 +2047,12 @@ FROM dirty
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID: predicted language counts and
-    agreement with the labeled lang column."""
+    """Language ID v2 (script routing over 11 unique-script languages
+    + a 16-language Latin stopword battery, ~27 codes incl. 'und'):
+    predicted language counts and agreement with the labeled lang
+    column. The oracle SQL below is GENERATED from the same
+    script-range/marker tables (textstats.lang_id_sql_parts), so the
+    engines cannot drift."""
     from beats_spark.operators import textstats
 
     docs = _load(spark, sf_dir, "documents")
@@ -2063,35 +2067,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MARKER_SQL = {
-    "de": r"\b(der|die|das|und|nicht|ist|ein|mit)\b",
-    "en": r"\b(the|and|of|to|is|that|for|with)\b",
-    "es": r"\b(el|la|los|las|que|de|por|una)\b",
-    "fr": r"\b(le|la|les|des|est|que|une|dans)\b",
-    "zh": r"\b(de5|shi4|le5|zai4|wo3|you3|he2|ren2)\b",
-}
+def _sql_lang_id() -> str:
+    from beats_spark.operators.textstats import lang_id_sql_parts
 
-_SQL_LANG_ID = f"""
+    select_list, pred = lang_id_sql_parts("text")
+    return f"""
 WITH scores AS (
-  SELECT doc_id, lang,
-         len(regexp_extract_all(lower(text), '{_MARKER_SQL["de"]}')) AS s_de,
-         len(regexp_extract_all(lower(text), '{_MARKER_SQL["en"]}')) AS s_en,
-         len(regexp_extract_all(lower(text), '{_MARKER_SQL["es"]}')) AS s_es,
-         len(regexp_extract_all(lower(text), '{_MARKER_SQL["fr"]}')) AS s_fr,
-         len(regexp_extract_all(lower(text), '{_MARKER_SQL["zh"]}')) AS s_zh
+  SELECT doc_id, lang, text,
+         {select_list}
   FROM documents
 ), preds AS (
-  SELECT lang, CASE
-    WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
-    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
-    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-    WHEN s_fr >= s_zh THEN 'fr'
-    ELSE 'zh' END AS pred
+  SELECT lang, {pred} AS pred
   FROM scores)
 SELECT pred, count(*) AS n,
        sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::BIGINT AS correct
 FROM preds GROUP BY pred
 """
+
+
+_SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

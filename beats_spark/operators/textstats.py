@@ -19,16 +19,57 @@ from pyspark.sql import functions as F
 from beats_spark.functions.intmath import fl2
 from pyspark.sql.window import Window
 
-# Tiny per-language stopword batteries for the n-gram/stopword
-# language-ID heuristic. Deliberately small and public-knowledge:
-# the score is (matches of language marker words) per language,
-# argmax wins, ties broken by language code order.
+# Language ID v2 (round 5 — widened from the original 5-language
+# battery): two stages, both pure regexp counts so the DuckDB oracle
+# is GENERATED from these very tables (lang_id_sql_parts below) and
+# cannot drift from the Spark expression.
+#
+# Stage 1 — script routing: languages with a (near-)unique script are
+# identified by codepoint-range counts, far more robust than stopwords
+# (zh/ja/ko/ru/uk/ar/he/hi/th/el, plus vi via its precomposed Latin
+# extensions). \x{...} ranges parse identically in Java regex (Spark)
+# and RE2 (DuckDB); \uXXXX would not.
+LANG_SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("kana", r"[\x{3040}-\x{30ff}]"),      # hiragana + katakana → ja
+    ("hangul", r"[\x{ac00}-\x{d7af}]"),    # → ko
+    ("han", r"[\x{4e00}-\x{9fff}]"),       # → zh (ja if kana present)
+    ("cyr", r"[\x{0400}-\x{04ff}]"),       # → ru / uk
+    # Ukrainian-specific Cyrillic letters (Єє Іі Її Ґґ): the ru/uk split
+    ("ukr", r"[\x{0404}\x{0406}\x{0407}\x{0454}\x{0456}\x{0457}\x{0490}\x{0491}]"),
+    ("arab", r"[\x{0600}-\x{06ff}]"),      # → ar
+    ("hebr", r"[\x{0590}-\x{05ff}]"),      # → he
+    ("deva", r"[\x{0900}-\x{097f}]"),      # → hi
+    ("thai", r"[\x{0e00}-\x{0e7f}]"),      # → th
+    ("grek", r"[\x{0370}-\x{03ff}]"),      # → el
+    # Vietnamese precomposed vowels/đ (Latin Ext-A/B + Ext Additional)
+    ("viet", r"[\x{0102}\x{0103}\x{0110}\x{0111}\x{01a0}\x{01a1}\x{01af}\x{01b0}\x{1ea0}-\x{1ef9}]"),
+    ("lat", r"[A-Za-z\x{00c0}-\x{024f}]"),
+)
+
+# Stage 2 — stopword-marker batteries for Latin-script languages.
+# ASCII-only ON PURPOSE: \b is ASCII-word-based in BOTH Java regex
+# (default flags) and RE2, so a marker with a diacritic would anchor
+# on the accented letter as a boundary; restricting the battery to
+# ASCII markers keeps both engines trivially identical. Score =
+# marker hits over lowercased text; argmax wins, ties broken by
+# language code order; all-zero → 'und'.
 LANG_MARKERS: dict[str, list[str]] = {
+    "cs": ["je", "se", "na", "ale", "jako", "pro", "byl", "tak"],
+    "da": ["og", "det", "til", "er", "ikke", "med", "for", "af"],
     "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
     "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
-    "es": ["el", "la", "los", "las", "que", "de", "por", "una"],
-    "fr": ["le", "la", "les", "des", "est", "que", "une", "dans"],
-    "zh": ["de5", "shi4", "le5", "zai4", "wo3", "you3", "he2", "ren2"],
+    "es": ["el", "los", "las", "que", "por", "una", "como", "pero"],
+    "fi": ["ja", "on", "ei", "oli", "mutta", "joka", "kun", "niin"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "qui"],
+    "hu": ["az", "nem", "hogy", "is", "egy", "meg", "van", "mint"],
+    "id": ["yang", "dan", "di", "untuk", "dengan", "tidak", "ini", "itu"],
+    "it": ["il", "che", "di", "non", "per", "sono", "con", "della"],
+    "nl": ["het", "een", "van", "niet", "dat", "voor", "met", "op"],
+    "pl": ["nie", "jest", "sie", "na", "jak", "ale", "czy", "tak"],
+    "pt": ["para", "uma", "com", "mas", "mais", "como", "dos", "mesmo"],
+    "ro": ["este", "care", "pentru", "mai", "din", "sunt", "dar", "acest"],
+    "sv": ["och", "att", "det", "som", "inte", "med", "av", "en"],
+    "tr": ["bir", "ve", "bu", "gibi", "daha", "ama", "olarak", "sonra"],
 }
 
 STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "in", "it", "on", "as", "at", "be", "by"]
@@ -70,10 +111,25 @@ def token_count_bpe_ish(col: Column) -> Column:
 
 
 def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
-    """Heuristic language ID: per-language stopword-marker hit counts
-    over the lowercased text; argmax, ties broken by language code
-    (deterministic). Returns the language code string."""
+    """Heuristic language ID over ~27 languages. Two deterministic
+    stages (tables above; the DuckDB oracle is generated from the
+    same tables by :func:`lang_id_sql_parts`):
+
+    1. Script routing — if a non-Latin script outweighs the Latin
+       letter count, the script decides: kana→ja (han+kana vs latin),
+       hangul→ko, han→zh, cyrillic→ru (uk when Ukrainian-specific
+       letters appear), arabic→ar, hebrew→he, devanagari→hi, thai→th,
+       greek→el; ≥3 Vietnamese precomposed letters → vi.
+    2. Stopword-marker argmax over 16 Latin-script languages; ties
+       break to the alphabetically first code; all-zero scores (and
+       NULL/empty text) → 'und'.
+
+    Returns the ISO-639-1 code string (or 'und')."""
     markers = markers or LANG_MARKERS
+    sc = {
+        n: F.coalesce(F.regexp_count(col, F.lit(p)), F.lit(0))
+        for n, p in LANG_SCRIPT_RANGES
+    }
     scored = [
         F.struct(
             count_matches(F.lower(col), _word_pattern(words)).alias("score"),
@@ -85,7 +141,72 @@ def lang_id(col: Column, markers: dict[str, list[str]] | None = None) -> Column:
         )
         for i, (code, words) in enumerate(sorted(markers.items()))
     ]
-    return F.array_max(F.array(*scored)).getField("code")
+    best = F.array_max(F.array(*scored))
+    latin_pred = F.when(best.getField("score") <= 0, F.lit("und")).otherwise(
+        best.getField("code")
+    )
+    return (
+        F.when(col.isNull() | (F.length(col) == 0), F.lit("und"))
+        .when((sc["kana"] >= 1) & (sc["kana"] + sc["han"] > sc["lat"]), F.lit("ja"))
+        .when(sc["hangul"] > sc["lat"], F.lit("ko"))
+        .when(sc["han"] > sc["lat"], F.lit("zh"))
+        .when((sc["cyr"] > sc["lat"]) & (sc["ukr"] >= 1), F.lit("uk"))
+        .when(sc["cyr"] > sc["lat"], F.lit("ru"))
+        .when(sc["arab"] > sc["lat"], F.lit("ar"))
+        .when(sc["hebr"] > sc["lat"], F.lit("he"))
+        .when(sc["deva"] > sc["lat"], F.lit("hi"))
+        .when(sc["thai"] > sc["lat"], F.lit("th"))
+        .when(sc["grek"] > sc["lat"], F.lit("el"))
+        .when(sc["viet"] >= 3, F.lit("vi"))
+        .otherwise(latin_pred)
+    )
+
+
+def lang_id_sql_parts(text_expr: str = "text") -> tuple[str, str]:
+    """The DuckDB twin of :func:`lang_id`, GENERATED from the same
+    LANG_SCRIPT_RANGES / LANG_MARKERS tables so the two engines cannot
+    drift (the quality_model discipline). Returns (select_list,
+    pred_expr): put the select_list in a CTE computing each count once
+    (aliases ``c_<script>`` / ``m_<code>``), then select ``pred_expr``
+    over it."""
+    cols = [
+        f"len(regexp_extract_all({text_expr}, '{p}')) AS c_{n}"
+        for n, p in LANG_SCRIPT_RANGES
+    ]
+    codes = sorted(LANG_MARKERS)
+    cols += [
+        "len(regexp_extract_all(lower(" + text_expr + "), "
+        f"'{_word_pattern(LANG_MARKERS[c])}')) AS m_{c}"
+        for c in codes
+    ]
+    branches = []
+    for i, c in enumerate(codes):
+        rest = ", ".join(f"m_{x}" for x in codes[i + 1:])
+        cond = f"m_{c} >= greatest({rest})" if rest else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{c}'")
+    all_m = ", ".join(f"m_{c}" for c in codes)
+    latin_case = (
+        f"CASE WHEN greatest({all_m}) <= 0 THEN 'und' "
+        + " ".join(branches)
+        + " END"
+    )
+    pred = (
+        "CASE "
+        f"WHEN {text_expr} IS NULL OR length({text_expr}) = 0 THEN 'und' "
+        "WHEN c_kana >= 1 AND c_kana + c_han > c_lat THEN 'ja' "
+        "WHEN c_hangul > c_lat THEN 'ko' "
+        "WHEN c_han > c_lat THEN 'zh' "
+        "WHEN c_cyr > c_lat AND c_ukr >= 1 THEN 'uk' "
+        "WHEN c_cyr > c_lat THEN 'ru' "
+        "WHEN c_arab > c_lat THEN 'ar' "
+        "WHEN c_hebr > c_lat THEN 'he' "
+        "WHEN c_deva > c_lat THEN 'hi' "
+        "WHEN c_thai > c_lat THEN 'th' "
+        "WHEN c_grek > c_lat THEN 'el' "
+        "WHEN c_viet >= 3 THEN 'vi' "
+        f"ELSE {latin_case} END"
+    )
+    return ",\n         ".join(cols), pred
 
 
 def quality_metrics(col: Column) -> dict[str, Column]:
