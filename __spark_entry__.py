@@ -5260,6 +5260,103 @@ def _warc_fixture_blob(did, body):
     return F.when(did % 11 == 0, F.concat(info, resp)).otherwise(resp)
 
 
+def q_winlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winlog XML-export source (sources/winlog.py) + the
+    golden-verified decode_xml_wineventlog processor
+    (operators/compat.py): the first 200 events render as wevtutil-
+    style ``<Event>`` elements (provider/level/channel/record id/
+    timestamp/EventData incl. an UNNAMED <Data> → param2 per
+    winlogbeat/sys/winevent/maputil.go:60-64), concatenate 20 per
+    export file, then the source re-frames them (regexp posexplode)
+    and the processor re-parses every field. The oracle computes each
+    output analytically from the same fixture arithmetic, so framing
+    order (record_no), the level-code table, the timestamp round-trip
+    (epoch µs), and the paramN map rule are all value-exact."""
+    from beats_spark.sources.winlog import decode_winlog, split_winlog_export
+
+    ev = _load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    eid = F.col("event_id")
+    channel = (
+        F.when(eid % 3 == 0, "Application")
+        .when(eid % 3 == 1, "System")
+        .otherwise("Security")
+    )
+    xml = F.concat(
+        F.lit(
+            "<Event xmlns='http://schemas.microsoft.com/win/2004/08/"
+            "events/event'><System><Provider Name='"
+        ),
+        F.col("event_type"),
+        F.lit("'/><EventID>"),
+        (eid % 1000 + 1).cast("string"),
+        F.lit("</EventID><Level>"),
+        (eid % 6).cast("string"),
+        F.lit("</Level><TimeCreated SystemTime='"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("'/><EventRecordID>"),
+        eid.cast("string"),
+        F.lit("</EventRecordID><Channel>"),
+        channel,
+        F.lit("</Channel><Computer>host-"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit("</Computer></System><EventData><Data Name='k'>"),
+        F.col("user_id").cast("string"),
+        F.lit("</Data><Data>unnamed</Data></EventData></Event>"),
+    )
+    blobs = (
+        ev.select(F.floor(eid / 20).alias("fid"), eid.alias("eid"), xml.alias("x"))
+        .groupBy("fid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("eid", "x"))),
+                    lambda s: s.getField("x"),
+                ),
+                "\n",
+            ).alias("value")
+        )
+        .select(
+            F.concat(F.lit("chan-"), F.col("fid").cast("string")).alias("file"),
+            "value",
+        )
+    )
+    dec = decode_winlog(split_winlog_export(blobs, "value", "file"))
+    return dec.select(
+        "file",
+        F.col("record_no").cast("long").alias("record_no"),
+        F.col("winlog_provider_name").alias("provider"),
+        "event_code",
+        F.col("winlog_record_id").alias("record_id"),
+        F.col("winlog_computer_name").alias("computer"),
+        F.col("winlog_channel").alias("channel"),
+        F.col("winlog_level").alias("level"),
+        F.unix_micros(F.col("winlog_time_created")).alias("ts_us"),
+        F.element_at(F.col("winlog_event_data"), F.lit("k")).alias("k"),
+        F.element_at(F.col("winlog_event_data"), F.lit("param2")).alias("p2"),
+    )
+
+
+_SQL_WINLOG_PARSE = r"""
+SELECT
+  'chan-' || (event_id // 20)::VARCHAR AS file,
+  (event_id % 20 + 1)::BIGINT AS record_no,
+  event_type AS provider,
+  ((event_id % 1000) + 1)::VARCHAR AS event_code,
+  event_id::BIGINT AS record_id,
+  'host-' || (user_id % 5)::VARCHAR AS computer,
+  CASE event_id % 3 WHEN 0 THEN 'Application' WHEN 1 THEN 'System'
+       ELSE 'Security' END AS channel,
+  CASE event_id % 6 WHEN 1 THEN 'critical' WHEN 2 THEN 'error'
+       WHEN 3 THEN 'warning' WHEN 5 THEN 'verbose'
+       ELSE 'information' END AS level,
+  epoch_us(ts)::BIGINT AS ts_us,
+  user_id::VARCHAR AS k,
+  'unnamed' AS p2
+FROM events
+WHERE event_id < 200
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record parsing (sources/warc.py): per-document WARC blobs
     — a response record wrapping an HTTP payload, every 11th document
@@ -5612,6 +5709,93 @@ WITH nt AS (
 )
 SELECT k.doc_id FROM keep k
 WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.n = k.n)
+"""
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion NEAR-dedup (dedup.incremental_neardup):
+    a new batch — the non-indexed two-thirds of documents plus 20
+    near-verbatim replays of indexed docs (one word appended, shingle
+    Jaccard ≈ (w-4)/(w-3)) — dedups against the persistent MinHash
+    band index of the indexed third, with hashed-shingle exact-Jaccard
+    verification fetched from the shingle index: historical TEXT is
+    never read. The oracle recomputes survivors from first principles
+    (exact shingle Jaccard vs the whole history, NOT EXISTS ≥ 0.7);
+    equality holds because precision is exact (verify stage) and the
+    candidate stage uses rows=1 banding (bands == num_hashes — a
+    candidate needs ONE agreeing minhash), the recall-first discipline
+    decontamination uses: history-dedup is recall-critical (a missed
+    dup pollutes the corpus forever), and CLAUDE.md's affine-family
+    pitfall rules out trusting the rows=4 band curve (measured: a
+    short-doc replay at J≈0.75 missed all 16 rows=4 bands at
+    sf0.001). Index cost 64×24 B/doc — still key material, not text.
+    Verified green at sf0.001 and sf0.01."""
+    from beats_spark.operators.dedup import (
+        incremental_neardup,
+        neardup_index,
+        shingle_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hist = docs.where(did % 3 == 0).select("doc_id", "text")
+    replays = docs.where((did % 3 == 0) & (did < 60)).select(
+        (did + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    batch = (
+        docs.where(did % 3 != 0).select("doc_id", "text").unionByName(replays)
+    )
+    surv = incremental_neardup(
+        batch,
+        neardup_index(hist, bands=64),
+        shingle_index(hist),
+        shingle_n=5,
+        num_hashes=64,
+        bands=64,
+        threshold=0.7,
+    )
+    return surv.select("doc_id")
+
+
+_SQL_INCREMENTAL_NEARDUP = r"""
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 300000, text || ' zz'
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 60
+), shh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM hist
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+), shb AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+    FROM batch
+    WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> '')
+), matched AS (
+  SELECT DISTINCT b.doc_id
+  FROM shb b JOIN shh h
+    ON len(list_intersect(b.grams, h.grams))::DOUBLE
+         / len(list_distinct(b.grams || h.grams))::DOUBLE >= 0.7
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM matched)
 """
 
 
@@ -7757,7 +7941,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate caps how many queries it runs, the entries with no prior
     # CORRECTNESS_r* row execute before the 50 already blessed in r03.
     return {
-        # -- round-4 additions ------------------------------------------
+        # Ordered for the capped driver gate: entries never blessed in
+        # CORRECTNESS_r03/r04 come FIRST (the r5 rotation), then the rest.
+        "winlog_parse": q_winlog_parse,
+        "incremental_neardup": q_incremental_neardup,
+        "conversation_filter": q_conversation_filter,
+        "render_chat": q_render_chat,
+        "truncate_context": q_truncate_context,
+        "anonymize_speakers": q_anonymize_speakers,
+        "fetch_schedule": q_fetch_schedule,
+        "perplexity_buckets": q_perplexity_buckets,
+        "domain_stats": q_domain_stats,
+        "conversation_stats": q_conversation_stats,
+        "url_filter": q_url_filter,
+        "temperature_weights": q_temperature_weights,
+        "html_links": q_html_links,
+        "crawl_frontier": q_crawl_frontier,
+        "robots_filter": q_robots_filter,
+        "include_message": q_include_message,
+        "convert_ip": q_convert_ip,
+        "kafka_partition": q_kafka_partition,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
+        "pack_manifest": q_pack_manifest,
+        "paragraph_dedup": q_paragraph_dedup,
+        "transcript_corpus_bpe": q_transcript_corpus_bpe,
+        "extract_html_text": q_extract_html_text,
+        "html_corpus": q_html_corpus,
+        "text_stats": q_text_stats,
+        "redact_pii": q_redact_pii,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "media_features": q_media_features,
+        "media_neardup": q_media_neardup,
+        "url_canonical": q_url_canonical,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "unicode_nfc": q_unicode_nfc,
+        "quality_filter": q_quality_filter,
+        "filter_report": q_filter_report,
+        "mixture_sample": q_mixture_sample,
+        "vocab_topk": q_vocab_topk,
+        "unigram_surprisal": q_unigram_surprisal,
+        "dsir_weights": q_dsir_weights,
+        "bigram_surprisal": q_bigram_surprisal,
+        "domain_divergence": q_domain_divergence,
+        "corpus_build": q_corpus_build,
+        "transcript_corpus": q_transcript_corpus,
+        "ivf_assign": q_ivf_assign,
+        "knn_ivf": q_knn_ivf,
+        "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
         "tool_pairs": q_tool_pairs,
         "phrase_search": q_phrase_search,
@@ -7808,56 +8043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_update": q_frontier_update,
         "parse_sitemap": q_parse_sitemap,
         "tool_stats": q_tool_stats,
-        "conversation_filter": q_conversation_filter,
-        "render_chat": q_render_chat,
-        "truncate_context": q_truncate_context,
-        "anonymize_speakers": q_anonymize_speakers,
-        "fetch_schedule": q_fetch_schedule,
-        "perplexity_buckets": q_perplexity_buckets,
-        "domain_stats": q_domain_stats,
-        "conversation_stats": q_conversation_stats,
-        "url_filter": q_url_filter,
-        "temperature_weights": q_temperature_weights,
-        "html_links": q_html_links,
-        "crawl_frontier": q_crawl_frontier,
-        "robots_filter": q_robots_filter,
-        "include_message": q_include_message,
-        "convert_ip": q_convert_ip,
-        "kafka_partition": q_kafka_partition,
-        "pack_sequences_bpe": q_pack_sequences_bpe,
-        "pack_manifest": q_pack_manifest,
-        "paragraph_dedup": q_paragraph_dedup,
-        "transcript_corpus_bpe": q_transcript_corpus_bpe,
-        "extract_html_text": q_extract_html_text,
-        "html_corpus": q_html_corpus,
-        # -- round-3 additions not yet in a driver CORRECTNESS file -----
-        "text_stats": q_text_stats,
-        "redact_pii": q_redact_pii,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "media_features": q_media_features,
-        "media_neardup": q_media_neardup,
-        "url_canonical": q_url_canonical,
-        "line_dedup": q_line_dedup,
-        "decontaminate": q_decontaminate,
-        "unicode_nfc": q_unicode_nfc,
-        "quality_filter": q_quality_filter,
-        "filter_report": q_filter_report,
-        "mixture_sample": q_mixture_sample,
-        "vocab_topk": q_vocab_topk,
-        "unigram_surprisal": q_unigram_surprisal,
-        "dsir_weights": q_dsir_weights,
-        "bigram_surprisal": q_bigram_surprisal,
-        "domain_divergence": q_domain_divergence,
-        "corpus_build": q_corpus_build,
-        "transcript_corpus": q_transcript_corpus,
-        "ivf_assign": q_ivf_assign,
-        "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
-        # -- blessed in CORRECTNESS_r03 ----------------------------------
         "pipeline_fanout": q_pipeline_fanout,
         "pipeline_rows": q_pipeline_rows,
         "rate_limit": q_rate_limit,
@@ -7956,6 +8141,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_turns": _SQL_BOILERPLATE_TURNS,
         "sft_corpus": _SQL_SFT_CORPUS,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "winlog_parse": _SQL_WINLOG_PARSE,
+        "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,
         "sitemap_discovery": _SQL_SITEMAP_DISCOVERY,

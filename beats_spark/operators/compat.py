@@ -412,8 +412,24 @@ class DecodeXmlWineventlog(Processor):
             .when(F.array_contains(keywords, "Audit Failure"), "failure")
         )
         data = ed.getField("Data")
+        # Unnamed (or literal Name="Data") entries get the generic
+        # paramN key, 1-based positional — winlogbeat/sys/winevent/
+        # maputil.go:60-64; the golden corpus's <Data>msg</Data> rows
+        # would otherwise be a NULL map key (runtime error).
         event_data = F.map_from_entries(
-            F.transform(data, lambda d: F.struct(d.getField("_Name"), d.getField("_VALUE")))
+            F.transform(
+                data,
+                lambda d, i: F.struct(
+                    F.when(
+                        d.getField("_Name").isNull()
+                        | (d.getField("_Name") == "Data"),
+                        F.concat(F.lit("param"), (i + 1).cast("string")),
+                    )
+                    .otherwise(d.getField("_Name"))
+                    .alias("key"),
+                    d.getField("_VALUE").alias("value"),
+                ),
+            )
         )
         task = F.coalesce(ri.getField("Task"), sys_.getField("Task"))
 

@@ -1258,6 +1258,176 @@ def incremental_dedup(
     return fresh.drop("_ck", "_ck2")
 
 
+def _shingleable(df: DataFrame, text_col: str) -> DataFrame:
+    """Exclude NULL/whitespace-only texts from fuzzy matching — the
+    emptiness test mirrors the shingle normalization (lower + \\s+
+    collapse + trim), never bare F.trim (CLAUDE.md: shingles(NULL)
+    degenerates to [''] in Spark while DuckDB oracles produce [], so
+    blank docs would otherwise "match" each other at jaccard 1.0 in
+    Spark only)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    return df.filter(norm != "")
+
+
+def neardup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Persistent FUZZY content index — the MinHash-band extension of
+    :func:`content_index` (reference anchor: the dedup-at-sink
+    ``@metadata._id`` convention, libbeat/beat/events/util.go:27-44,
+    generalized from exact keys to near-dup signatures). One row per
+    (document, band): (``id_col``, ``band``, ``sig``) — ~``bands``×24
+    bytes per document, a flat appendable parquet dimension. Write
+    once per ingest wave (``neardup_index(survivors)`` appended); a
+    new batch then near-dups against the whole corpus history without
+    ever re-reading old text (:func:`incremental_neardup`).
+
+    Blank/NULL texts are excluded (see :func:`_shingleable`); the
+    banding parameters must match at query time — they are part of
+    the index's identity, so persist them alongside (a manifest row
+    or directory naming)."""
+    from beats_spark.operators.scale import spread
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    sh_df = spread(_shingleable(df, text_col)).select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    return sh_df.select(
+        id_col,
+        F.explode(
+            F.expr(_band_signature_sql("_sh", num_hashes, bands, seed))
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig"))
+
+
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The verify-side companion of :func:`neardup_index`: per
+    document, the sorted distinct xxhash64-hashed shingle set
+    (``id_col``, ``sh`` array<bigint>). Jaccard over these hashed
+    sets equals exact shingle Jaccard (64-bit collisions aside), so
+    the incremental verify stage never re-reads or re-tokenizes old
+    corpus text — it ships dedup key material, not payload (the
+    ``@metadata._id`` discipline again). ~8 bytes per distinct
+    shingle; blank/NULL texts excluded like the band index."""
+    return _shingleable(df, text_col).select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(
+                shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    sh_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dedup: drop every new document whose
+    exact shingle Jaccard with ANY historically indexed document is
+    ≥ ``threshold`` — the fuzzy twin of :func:`incremental_dedup`,
+    and the op a real ingest pipeline runs daily (yesterday's corpus
+    is indexed; today's crawl dedups against it without a corpus
+    rescan).
+
+    Stages:
+
+    1. band the NEW batch (one narrow projection — same
+       ``_band_signature_sql`` as the index build; parameters must
+       match the index's);
+    2. candidate join on (band, sig) against ``band_index`` — both
+       sides hash-partition on the same key; at steady state the
+       batch side is tiny vs the corpus index, so AQE broadcast-joins
+       it. Hot buckets (boilerplate shingle sets shared by >
+       ``max_bucket`` docs) are excluded via one aggregate over the
+       24-byte-row index — in production that count table is
+       maintained incrementally with the index, not recomputed;
+    3. exact verify: hashed-shingle Jaccard between the new doc
+       (computed from its text) and the historical doc (fetched from
+       ``sh_index`` for CANDIDATES ONLY — a semi-join point lookup,
+       never a corpus text read);
+    4. survivors = new rows with no verified match, returned
+       unchanged. Append ``neardup_index(survivors)`` /
+       ``shingle_index(survivors)`` for the next wave.
+
+    Composition order for a full ingest tick: exact within-batch
+    (:func:`exact_dedup`) → within-batch near-dup
+    (:func:`minhash_lsh_pairs` + keeper) → :func:`incremental_dedup`
+    (exact vs history) → this (fuzzy vs history). Assumes new ids are
+    disjoint from indexed ids (an ingest invariant). Precision is
+    exact (verify stage); recall is the LSH band curve — on a fixed
+    corpus every hash is deterministic, so the contract-query output
+    is stable (q_dedup_minhash_lsh's determinism argument).
+
+    100 TB: no corpus-scale text read anywhere; the only index-scale
+    work is the (band, sig) hash join and the hot-bucket aggregate,
+    both over 24-byte rows."""
+    from beats_spark.operators.scale import spread
+
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    new_entries = neardup_index(
+        new_docs, text_col, id_col, shingle_n, num_hashes, bands, seed
+    ).withColumnRenamed(id_col, "_new_id")
+
+    hot = (
+        band_index.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select("band", "sig")
+    )
+    old_entries = (
+        band_index.withColumnRenamed(id_col, "_old_id")
+        .join(hot, ["band", "sig"], "left_anti")
+    )
+    cand = (
+        new_entries.join(old_entries, ["band", "sig"])
+        .select("_new_id", "_old_id")
+        .dropDuplicates(["_new_id", "_old_id"])
+    )
+
+    new_sh = shingle_index(new_docs, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("_new_id"), F.col("sh").alias("_sh_new")
+    )
+    old_sh = sh_index.select(
+        F.col(id_col).alias("_old_id"), F.col("sh").alias("_sh_old")
+    )
+    verified = (
+        cand.join(new_sh, "_new_id")
+        .join(old_sh, "_old_id")
+        .withColumn("jaccard", jaccard(F.col("_sh_new"), F.col("_sh_old")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    matched = verified.select(F.col("_new_id").alias(id_col)).distinct()
+    return spread(new_docs).join(matched, id_col, "left_anti")
+
+
 def strip_repeated_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -176,6 +176,10 @@ BENCH_QUERIES = [
 # per-query comparison stays protocol-identical while round 5 still
 # gets a measured baseline for the new surface.
 EXT_QUERIES = [
+    # round-5 additions
+    "winlog_parse",
+    "incremental_neardup",
+    # round-4 surface
     "domain_cube",
     "tool_pairs",
     "phrase_search",
