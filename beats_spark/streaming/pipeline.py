@@ -1226,3 +1226,80 @@ def stream_interval_join(
         & (ev[ts_col] < iv[end_col])
     )
     return ev.join(iv, cond, "inner").drop("_sij_cell")
+
+
+def stream_curation_ingest(
+    spark: SparkSession,
+    path: str,
+    blocklist_df: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    patterns: list[str] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the curation FRONT DOOR — the crawl-ingest
+    path (extract_html_text → url_filter → quality_classifier) running
+    continuously over a document directory, proving the crawl-ingest
+    composition streams with the machinery this module already owns.
+
+    foreachBatch (run_text_stream's discipline), not a plain streaming
+    plan, because url_filter's blocked-set join-back is an
+    aggregate-then-join shape append-mode streams can't express. Every
+    stage is per-document stateless — no cross-batch state at all —
+    so per-micro-batch batch semantics ARE the batch semantics: output
+    is row-for-row identical to the batch composition over the same
+    files (tests/test_streaming.py proves it), and the incremental
+    near-dedup that follows in a full ingest tick keeps its own
+    cross-batch index (operators/dedup.incremental_neardup).
+
+    Effectively-once: the file source checkpoint assigns each file to
+    exactly one committed batch; the write partitions on ``batch_id``
+    with dynamic partition overwrite, so a crash-between-write-and-
+    commit replay rewrites the same deterministic rows.
+
+    Scale: the blocklist is a broadcast dimension (url_filter's
+    contract); extract + classify are zero-shuffle projections — each
+    micro-batch does one narrow pass plus url_filter's per-batch
+    blocked-id join, sized by the batch, never the corpus."""
+    from beats_spark.operators.html import extract_html_text
+    from beats_spark.operators.textstats import quality_classifier
+    from beats_spark.operators.urlnorm import url_filter
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        gated = url_filter(
+            extract_html_text(batch_df, html_col, "text"),
+            blocklist_df,
+            url_col=url_col,
+            id_col=id_col,
+            patterns=patterns,
+        )
+        # quality_classifier projects to (id, n_tokens, quality_milli,
+        # keep_quality); join the scores back onto the url-gate frame
+        # so the curated record carries BOTH decisions. Batch-sized
+        # join on a unique id — AQE broadcasts it.
+        curated = gated.select(
+            id_col, url_col, "host", "blocked_domain", "blocked_pattern",
+            "keep", "text",
+        ).join(quality_classifier(gated, "text", id_col), id_col)
+        curated.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(out_root)
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

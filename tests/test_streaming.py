@@ -1287,3 +1287,79 @@ def test_asof_join_broadcast_strategy_streams_as_is(spark, tmp_path):
     )
     assert len(want) == 100
     assert got == want
+
+
+def test_stream_curation_ingest_matches_batch(spark, tmp_path):
+    """The crawl-ingest front door (extract_html_text → url_filter →
+    quality_classifier) streams through stream_curation_ingest and is
+    row-for-row identical to the batch composition over the same
+    files — every stage is per-document stateless, so micro-batching
+    cannot change the result regardless of how the file source splits
+    batches (maxFilesPerTrigger=2 over 6 files → ≥3 batches)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.html import extract_html_text
+    from beats_spark.operators.textstats import quality_classifier
+    from beats_spark.operators.urlnorm import url_filter
+    from beats_spark.streaming.pipeline import stream_curation_ingest
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("id") % 10 == 0, F.lit("ads.example.com"))
+            .when(F.col("id") % 10 == 1, F.lit("sub.tracker.net"))
+            .otherwise(F.concat(F.lit("site"), (F.col("id") % 7).cast("string"), F.lit(".org"))),
+            F.lit("/p/"),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 15 == 2, F.lit("/casino-bonus")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><h1>Doc "),
+            F.col("id").cast("string"),
+            F.lit("</h1><p>some body text repeated word word"),
+            F.repeat(F.lit(" filler"), (F.col("id") % 9).cast("int")),
+            F.lit("</p><script>var x=1;</script></body></html>"),
+        ).alias("html"),
+    )
+    src_dir = tmp_path / "docs"
+    docs.repartition(6).write.parquet(str(src_dir))
+    blocklist = spark.createDataFrame(
+        [("ads.example.com",), ("tracker.net",)], "domain string"
+    )
+
+    out, ck = tmp_path / "curated", tmp_path / "ck"
+    q = stream_curation_ingest(
+        spark,
+        str(src_dir),
+        blocklist,
+        str(out),
+        str(ck),
+        patterns=["casino"],
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(out))
+    assert got.select("batch_id").distinct().count() >= 3
+
+    gated = url_filter(
+        extract_html_text(spark.read.parquet(str(src_dir)), "html", "text"),
+        blocklist,
+        patterns=["casino"],
+    )
+    expected = gated.select(
+        "doc_id", "url", "host", "blocked_domain", "blocked_pattern",
+        "keep", "text",
+    ).join(quality_classifier(gated, "text", "doc_id"), "doc_id")
+
+    cols = sorted(c for c in got.columns if c != "batch_id")
+    g = sorted(map(tuple, got.select(*cols).collect()))
+    e = sorted(map(tuple, expected.select(*cols).collect()))
+    assert g == e and len(g) == 120
+    # the gates actually fired: 24 domain blocks, pattern hits on the rest
+    kept = [r for r in got.collect() if r.keep]
+    assert 0 < len(kept) < 120
+    blocked_hosts = {r.host for r in got.collect() if r.blocked_domain}
+    assert blocked_hosts == {"ads.example.com", "sub.tracker.net"}
+    assert any(r.blocked_pattern for r in got.collect())
