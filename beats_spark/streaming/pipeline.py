@@ -1303,3 +1303,124 @@ def stream_curation_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_dedup(
+    spark: SparkSession,
+    path: str,
+    index_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 64,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The continuous-ingestion dedup TICK as a stream — the
+    composition a production corpus pipeline runs on every arrival
+    wave, uniting the exact and fuzzy persistent-index operators
+    (operators/dedup.py: incremental_dedup, incremental_neardup).
+    Per micro-batch:
+
+    1. exact: within-batch collapse + anti-join vs the persistent
+       16 B/doc content index;
+    2. fuzzy: LSH-candidate + hashed-shingle exact-Jaccard verify vs
+       the persistent band/shingle indexes (rows=1 default banding —
+       history dedup is recall-critical);
+    3. survivors land in ``out_root``; their content/band/shingle
+       index entries APPEND to ``index_root/{content,bands,shingles}``
+       so the next batch dedups against them. Historical corpus TEXT
+       is never re-read — only key material.
+
+    Idempotency without transactions: every write (survivors AND all
+    three index deltas) is partitioned by ``batch_id`` with dynamic
+    partition overwrite, and index reads EXCLUDE the current batch_id
+    — so a crash-between-index-write-and-checkpoint-commit replay
+    sees exactly the pre-batch index, recomputes the same survivors,
+    and rewrites the same partitions. Index deltas are computed from
+    the re-read survivor files, not a cached frame, so recomputation
+    cannot diverge under executor loss either.
+
+    Semantics note (documented, not a defect): near-duplicates that
+    arrive in the SAME micro-batch are not deduped against each other
+    — the fuzzy stage is new-vs-history, matching the daily-tick
+    contract; run minhash_lsh_pairs within a wave first if intra-wave
+    near-dups matter. Exact duplicates ARE collapsed within the batch.
+
+    Scale: each batch does batch-scale text work plus two key-material
+    joins sized by (batch × index); the indexes are flat appendable
+    parquet dimensions (16 B, ~bands×24 B, ~8 B/shingle per doc)."""
+    from pyspark.errors import AnalysisException
+
+    from beats_spark.operators.dedup import (
+        content_index,
+        incremental_dedup,
+        incremental_neardup,
+        neardup_index,
+        shingle_index,
+    )
+
+    def _read_index(sub: str, ddl: str, exclude_bid: int) -> DataFrame:
+        try:
+            df = spark.read.parquet(f"{index_root}/{sub}")
+        except AnalysisException:
+            return spark.createDataFrame([], ddl + ", batch_id long")
+        return df.where(F.col("batch_id") != exclude_bid)
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        cidx = _read_index("content", "_ck bigint, _ck2 bigint", batch_id)
+        bidx = _read_index(
+            "bands", f"{id_col} bigint, band int, sig string", batch_id
+        )
+        sidx = _read_index(
+            "shingles", f"{id_col} bigint, sh array<bigint>", batch_id
+        )
+        survivors = incremental_neardup(
+            incremental_dedup(batch_df, cidx, text_col, id_col),
+            bidx,
+            sidx,
+            text_col,
+            id_col,
+            shingle_n,
+            num_hashes,
+            bands,
+            threshold,
+            max_bucket=max_bucket,
+        )
+
+        def _write(df: DataFrame, dest: str) -> None:
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "batch_id"
+            ).parquet(dest)
+
+        _write(survivors, out_root)
+        # deltas from the COMMITTED survivor files — deterministic
+        # under recomputation, and the index reads above exclude this
+        # batch_id so the anti-joins never see them
+        sv = spark.read.parquet(out_root).where(F.col("batch_id") == batch_id)
+        _write(content_index(sv, text_col), f"{index_root}/content")
+        _write(
+            neardup_index(sv, text_col, id_col, shingle_n, num_hashes, bands),
+            f"{index_root}/bands",
+        )
+        _write(shingle_index(sv, text_col, id_col, shingle_n), f"{index_root}/shingles")
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,108 @@
+"""Streaming continuous-ingestion dedup tick (stream_ingest_dedup):
+per-micro-batch exact + fuzzy dedup against persistent indexes that
+evolve batch-over-batch, with restart resume."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+
+def _plant_wave(spark, src_dir, rows, mtime):
+    """Write one wave as a single parquet file with a pinned mtime so
+    the file stream (which orders candidates by modification time)
+    processes waves deterministically."""
+    tmp = str(src_dir) + f".tmp{mtime}"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(src_dir, exist_ok=True)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    dest = f"{src_dir}/wave{mtime}.parquet"
+    shutil.copyfile(part, dest)
+    os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+_BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_OTHER = "completely different second document about engines and streams ok"
+
+
+def test_stream_ingest_dedup_evolves_and_resumes(spark, tmp_path):
+    from beats_spark.streaming.pipeline import stream_ingest_dedup
+
+    src = tmp_path / "src"
+    # wave 1: two originals
+    _plant_wave(spark, src, [(1, _BASE), (2, _OTHER)], 1_000)
+    # wave 2: exact replay of 1 (drop), near-dup of 1 (drop via the
+    # band index), one fresh (keep → its index entries must append)
+    _plant_wave(
+        spark,
+        src,
+        [
+            (10, _BASE),
+            (11, _BASE + " lambda"),
+            (12, "fresh wave two doc with genuinely new words inside it yes"),
+        ],
+        2_000,
+    )
+    # wave 3: near-dup of the WAVE-2 survivor (only dropped if the
+    # index evolved), within-batch exact pair (one survives), fresh
+    _plant_wave(
+        spark,
+        src,
+        [
+            (20, "fresh wave two doc with genuinely new words inside it ok"),
+            (21, "wave three unique content nothing like the others"),
+            (22, "wave three unique content nothing like the others"),
+            (23, "and one more wholly distinct third wave document here"),
+        ],
+        3_000,
+    )
+
+    out, ck, idx = tmp_path / "out", tmp_path / "ck", tmp_path / "idx"
+    q = stream_ingest_dedup(
+        spark, str(src), str(idx), str(out), str(ck),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(900)  # generous: full-suite host contention
+
+    got = spark.read.parquet(str(out))
+    surv = {r.doc_id for r in got.select("doc_id").collect()}
+    assert surv == {1, 2, 12, 21, 23}
+    # one batch per wave, in mtime order
+    assert got.select("batch_id").distinct().count() == 3
+    by_batch = {
+        r.batch_id: r.doc_id for r in got.select("batch_id", "doc_id").collect()
+        if r.doc_id in (1, 12, 21)
+    }
+    assert sorted(by_batch) == [0, 1, 2]
+
+    # all three indexes carry exactly the survivors
+    bands = spark.read.parquet(str(idx / "bands"))
+    assert {r.doc_id for r in bands.select("doc_id").distinct().collect()} == surv
+    shingles = spark.read.parquet(str(idx / "shingles"))
+    assert {r.doc_id for r in shingles.select("doc_id").collect()} == surv
+    content = spark.read.parquet(str(idx / "content"))
+    assert content.select("_ck", "_ck2").distinct().count() == 5
+
+    # restart resume: a 4th wave against the SAME checkpoint must dedup
+    # against everything indexed so far and extend the index
+    _plant_wave(
+        spark,
+        src,
+        [
+            (30, _BASE + " mu"),  # near-dup of wave-1 #1 → drop
+            (31, "wave three unique content nothing like the others"),  # exact of 21 → drop
+            (32, "a final wave four document unlike any predecessor at all"),
+        ],
+        4_000,
+    )
+    q2 = stream_ingest_dedup(
+        spark, str(src), str(idx), str(out), str(ck),
+        max_files_per_trigger=1,
+    )
+    assert q2.awaitTermination(900)
+    got2 = spark.read.parquet(str(out))
+    assert {r.doc_id for r in got2.select("doc_id").collect()} == surv | {32}
+    assert spark.read.parquet(str(idx / "shingles")).count() == 6
