@@ -38,13 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--source-format",
         default=None,
-        choices=["parquet", "text", "container", "auditd", "journald"],
+        choices=["parquet", "text", "container", "auditd", "journald", "winlog"],
         help="'text' reads raw log files (one harvester-task per file; "
         "'input: {chunked: true}' splits huge files across tasks) "
         "through the multiline reader; 'container' reads docker "
         "json-file / CRI logs with partial-line reassembly; 'journald' "
         "reads journalctl -o export streams (input: {mode: binary, "
-        "include_matches: [...], units: [...], ...}); config key "
+        "include_matches: [...], units: [...], ...}); 'winlog' reads "
+        "wevtutil/Event Viewer XML exports through the framing reader "
+        "+ decode_xml_wineventlog; config key "
         "'input: {multiline: {...}, format: ..., stream: ...}' carries "
         "the Beats parsers block",
     )
@@ -136,6 +138,10 @@ def main(argv: list[str] | None = None) -> int:
             facilities=input_cfg.get("facilities"),
             save_remote_hostname=bool(input_cfg.get("save_remote_hostname")),
         )
+    elif source_path and source_format == "winlog":
+        from beats_spark.sources.winlog import decode_winlog, read_winlog_export
+
+        source = decode_winlog(read_winlog_export(spark, source_path))
     elif source_path and source_format == "container":
         from beats_spark.sources.container import read_container_logs
 

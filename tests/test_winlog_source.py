@@ -83,3 +83,49 @@ def test_multiline_pretty_printed_event(spark):
     assert len(rows) == 2
     assert "EventRecordID>7" in rows[0].event_xml
     assert "EventRecordID>8" in rows[1].event_xml
+
+
+def test_run_py_winlog_input_end_to_end(spark, tmp_path):
+    """The spark-submit surface ports the winlog family: XML-export
+    dir → framing → decode_xml_wineventlog → route on winlog_level →
+    fan-out sinks, via run.py's main(). Expected counts derive from
+    the library path over the same golden corpus, so the test pins
+    the CLI wiring, not the decoder (golden-pinned elsewhere)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    import run as run_mod
+
+    expected_err = (
+        decode_winlog(read_winlog_export(spark, f"{_GOLDEN}/*.xml"))
+        .filter(F.col("winlog_level") == "error")
+        .count()
+    )
+    assert expected_err > 0
+    cfg = tmp_path / "job.yml"
+    cfg.write_text(
+        f"""
+input:
+  type: winlog
+  path: {_GOLDEN}/*.xml
+router_rules:
+  - when: {{equals: {{winlog_level: error}}}}
+    index: errors
+default_sink: main
+key_field: file
+n_buckets: 4
+"""
+    )
+    metrics_out = tmp_path / "metrics.json"
+    rc = run_mod.main(
+        [
+            "--config", str(cfg),
+            "--out-root", str(tmp_path / "sinks"),
+            "--metrics-out", str(metrics_out),
+        ]
+    )
+    assert rc == 0
+    payload = json.loads(metrics_out.read_text())
+    assert payload["sink_counts"]["errors"] == expected_err
+    assert sum(payload["sink_counts"].values()) == 49
