@@ -1424,7 +1424,12 @@ def incremental_neardup(
         .withColumn("jaccard", jaccard(F.col("_sh_new"), F.col("_sh_old")))
         .filter(F.col("jaccard") >= threshold)
     )
-    matched = verified.select(F.col("_new_id").alias(id_col)).distinct()
+    # no .distinct() on matched: left_anti is existence-based, and the
+    # distinct would be one more full exchange+aggregate stage (this
+    # host prices every shuffle ~0.7-1 s flat; a doc matching k
+    # historical near-dups ships k 8-byte ids instead — cheaper than
+    # the stage at any k the max_bucket cap permits)
+    matched = verified.select(F.col("_new_id").alias(id_col))
     return spread(new_docs).join(matched, id_col, "left_anti")
 
 
