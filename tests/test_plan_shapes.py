@@ -548,3 +548,49 @@ def test_sketch_ops_single_event_scale_shuffle(spark):
     qp = plan_of(hdr_quantiles(df, "v", by=("g",)))
     assert qp.count("Exchange") == 2  # bucket agg + tiny window repartition
     assert "Join" not in qp
+
+
+def test_winlog_framing_is_zero_exchange(spark):
+    """split_winlog_export must stay ONE narrow generate+projection:
+    no Exchange, no Python — the framing rides the file scan."""
+    from beats_spark.sources.winlog import split_winlog_export
+
+    df = spark.createDataFrame(
+        [("f", "<Event a='1'><x>1</x></Event><Event b='2'><x>2</x></Event>")],
+        "file string, value string",
+    )
+    p = plan_of(split_winlog_export(df, "value", "file"))
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_incremental_neardup_shuffle_shape(spark):
+    """The fuzzy ingest-tick op must keep its docstring promises in the
+    physical plan: no CartesianProduct anywhere (candidates come from
+    the (band, sig) equi-join), the candidate join keyed on the band
+    signature, and a bounded shuffle budget — the op is a fixed
+    pipeline of key-material joins, not a data-dependent explosion.
+    (The redundant pre-anti-join distinct was measured at ~0.6 s of
+    pure Exchange cost and removed; this caps regressions.)"""
+    from beats_spark.operators.dedup import (
+        incremental_neardup,
+        neardup_index,
+        shingle_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon eta")], "doc_id long, text string"
+    )
+    out = incremental_neardup(
+        batch, neardup_index(hist), shingle_index(hist), threshold=0.7
+    )
+    p = plan_of(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"Exchange hashpartitioning\(band", p)
+    # fixed pipeline: band agg (hot) + candidate join + pair dedup +
+    # two verify joins + anti-join + spread — everything else must ride
+    # those stages (static plan, pre-AQE; AQE only removes exchanges)
+    assert p.count("Exchange") <= 14
