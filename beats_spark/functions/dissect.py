@@ -38,10 +38,11 @@ Semantics preserved from the reference (cited file:line):
   ``%{&k}`` its value. A fixed relational schema cannot hold dynamic
   column names, so these land in a ``map<string,string>`` overflow
   column (``_map`` here, ``dissect_map`` at the processor level) —
-  built JVM-side with ``map_from_arrays``. Only the append-indirect
-  combinations ``&+``/``+&`` remain rejected at plan build
-  (``UnsupportedModifier``; absent from the reference's own golden
-  corpus).
+  built JVM-side with ``map_from_arrays``. The mixed prefixes
+  ``&+``/``+&`` are rejected at plan build exactly as the REFERENCE
+  rejects them at tokenizer parse (field.go:258-263,
+  errMixedPrefixIndirectAppend / errMixedPrefixAppendIndirect) —
+  full-parity behavior, not a subset boundary.
 
 Multi-line messages work: the regex is compiled with DOTALL, matching
 the reference's byte-oriented IndexOf walk.
@@ -193,9 +194,14 @@ class DissectPattern:
             return _Key(name=f"_skip{seq}", skip=True, seq=seq)
         skip = append = pointer = indirect = False
         if raw.startswith(("&+", "+&")):
+            # REFERENCE PARITY, not a subset boundary: libbeat itself
+            # rejects both mixed prefixes at tokenizer parse with
+            # errMixedPrefix{IndirectAppend,AppendIndirect}
+            # (libbeat/processors/dissect/field.go:258-263)
             raise UnsupportedModifier(
-                f"append-indirect field %{{{raw}}} is not supported "
-                "(not present in the reference golden corpus either)"
+                f"mixed prefix %{{{raw}}}: the reference rejects "
+                "`&+`/`+&` at tokenizer parse (field.go:258-263); "
+                "so does this engine"
             )
         if raw.startswith("&"):
             indirect, raw = True, raw[1:]

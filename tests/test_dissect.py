@@ -88,11 +88,14 @@ def test_native_matches_pandas(spark):
 
 
 def test_unsupported_and_invalid():
-    # pointer/indirect now compile (map overflow column); only the
-    # append-indirect combinations stay rejected
-    with pytest.raises(UnsupportedModifier):
+    # pointer/indirect compile (map overflow column); the mixed
+    # prefixes are rejected as REFERENCE PARITY — libbeat's own
+    # tokenizer parse returns errMixedPrefix{IndirectAppend,
+    # AppendIndirect} for them (dissect/field.go:258-263), so a
+    # tokenizer the reference accepts never hits this path
+    with pytest.raises(UnsupportedModifier, match="reference rejects"):
         DissectPattern("%{&+k} %{rest}")
-    with pytest.raises(UnsupportedModifier):
+    with pytest.raises(UnsupportedModifier, match="reference rejects"):
         DissectPattern("%{+&k} %{rest}")
     with pytest.raises(DissectError):
         DissectPattern("no keys here")
