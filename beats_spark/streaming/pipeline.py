@@ -1377,14 +1377,18 @@ def stream_ingest_dedup(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
+    # empty-index fallback DDLs carry the BATCH's id type, not an
+    # assumed bigint — a string-keyed corpus must not cold-start its
+    # index joins on a mistyped empty frame
+    id_t = schema[id_col].dataType.simpleString()
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         cidx = _read_index("content", "_ck bigint, _ck2 bigint", batch_id)
         bidx = _read_index(
-            "bands", f"{id_col} bigint, band int, sig string", batch_id
+            "bands", f"{id_col} {id_t}, band int, sig string", batch_id
         )
         sidx = _read_index(
-            "shingles", f"{id_col} bigint, sh array<bigint>", batch_id
+            "shingles", f"{id_col} {id_t}, sh array<bigint>", batch_id
         )
         survivors = incremental_neardup(
             incremental_dedup(batch_df, cidx, text_col, id_col),

@@ -106,3 +106,30 @@ def test_stream_ingest_dedup_evolves_and_resumes(spark, tmp_path):
     got2 = spark.read.parquet(str(out))
     assert {r.doc_id for r in got2.select("doc_id").collect()} == surv | {32}
     assert spark.read.parquet(str(idx / "shingles")).count() == 6
+
+
+def test_stream_ingest_dedup_string_ids_cold_start(spark, tmp_path):
+    """A string-keyed corpus must cold-start cleanly: the empty-index
+    fallback frames carry the batch's id TYPE (not an assumed bigint),
+    so the first batch's index joins typecheck."""
+    import os
+
+    from beats_spark.streaming.pipeline import stream_ingest_dedup
+
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(
+        [("d-1", _BASE), ("d-2", _BASE), ("d-3", _OTHER)],
+        "doc_id string, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    q = stream_ingest_dedup(
+        spark, str(src), str(tmp_path / "idx"), str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    assert q.awaitTermination(900)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # within-batch exact collapse keeps the min id; d-3 is fresh
+    assert {r.doc_id for r in got.collect()} == {"d-1", "d-3"}
+    bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
+    assert dict(bands.dtypes)["doc_id"] == "string"
