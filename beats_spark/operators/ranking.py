@@ -1,0 +1,227 @@
+"""Pairwise-preference ranking — Bradley-Terry strengths from duel
+outcomes, integer-exact across engines.
+
+The RLHF curation layer (operators/chat.py) mines preference PAIRS;
+this module turns a corpus of pairwise outcomes into a global model
+ranking — the Chatbot-Arena-style leaderboard computation, and the
+signal a data pipeline needs to pick the teacher/judge model per
+slice or to weight best_of_n candidates. Public method: the
+Bradley-Terry model (Bradley & Terry 1952) fitted by the MM algorithm
+(Hunter 2004, "MM algorithms for generalized Bradley-Terry models"):
+
+    p_i  <-  W_i / sum_j ( n_ij / (p_i + p_j) )
+
+with W_i = total wins of i and n_ij = duels between i and j. The MM
+update is order-free (one sweep uses only the previous iterate), so
+it maps to joins+groupBy directly — unlike sequential Elo, whose
+answer depends on comparison order and which therefore cannot be a
+deterministic distributed operator.
+
+Arithmetic is fixed-point (micro-units, floor at every division,
+DECIMAL(38,0)/HUGEINT intermediates) for the same reason as
+crawl.host_pagerank: float division orders differ across engines, and
+at 10^12 comparisons the win sums exceed double's 2^53 exact-integer
+range. Scores are clamped at >= 1 micro-unit so an all-losses model
+stays a valid denominator (the standard epsilon-smoothing, made exact).
+
+Scale shape: the raw comparison corpus is aggregated ONCE into the
+duel-count frame (one shuffle at corpus scale, 16 B/pair-key rows);
+each MM iteration then runs on MODEL-PAIR granularity — two joins of
+the duel frame against the (model, score) frame plus one groupBy,
+the connected_components/host_pagerank cost class. ``iterations`` is
+fixed and small; no convergence loop, no driver collect. The duel and
+model frames are persisted: both feed every iteration, and
+ReuseExchange does not fire for shared subtrees under joins
+(CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duel_counts(
+    comparisons: DataFrame, winner_col: str = "winner", loser_col: str = "loser"
+) -> DataFrame:
+    """Comparisons → per-unordered-pair sufficient statistics
+    (``_a`` < ``_b``, ``_n`` duels, ``_wa`` wins by ``_a``): the ONE
+    corpus-scale shuffle, and a MERGEABLE frame — counts from any
+    number of waves/streams/backfills combine by groupBy-SUM, which is
+    what the streaming leaderboard twin relies on. Ties/self-duels
+    and NULL sides are dropped (a tie carries no preference signal —
+    the preference_pairs convention)."""
+    w, l = F.col(winner_col), F.col(loser_col)
+    c = comparisons.where(w.isNotNull() & l.isNotNull() & (w != l)).select(
+        w.alias("_w"), l.alias("_l")
+    )
+    return (
+        c.select(
+            F.least("_w", "_l").alias("_a"),
+            F.greatest("_w", "_l").alias("_b"),
+            (F.col("_w") <= F.col("_l")).cast("long").alias("_wa"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_wa").alias("_wa"))
+    )
+
+
+def merge_duel_counts(counts: DataFrame) -> DataFrame:
+    """The merge law: unioned count frames re-collapse by SUM."""
+    return counts.groupBy("_a", "_b").agg(
+        F.sum("_n").alias("_n"), F.sum("_wa").alias("_wa")
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Comparisons (one row per duel outcome) → (model, strength,
+    wins, n_duels): ``strength`` is the Bradley-Terry score in
+    micro-units after ``iterations`` MM sweeps from a uniform start,
+    bit-identical to the unrolled SQL oracle."""
+    return bradley_terry_from_counts(
+        duel_counts(comparisons, winner_col, loser_col), iterations, scale
+    )
+
+
+def bradley_terry_from_counts(
+    counts: DataFrame, iterations: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """MM sweeps over a (possibly merged) duel-count frame — the
+    model-pair-granularity half of ``bradley_terry``, shared with the
+    streaming twin so both paths run literally the same plan."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    s2 = scale * scale
+    duels = counts.persist()
+    wins = (
+        duels.select(F.col("_a").alias("model"), F.col("_wa").alias("_k"))
+        .unionByName(
+            duels.select(
+                F.col("_b").alias("model"), (F.col("_n") - F.col("_wa")).alias("_k")
+            )
+        )
+        .groupBy("model")
+        .agg(F.sum("_k").alias("wins"))
+        .where(F.col("wins") > 0)
+    )
+    models = (
+        duels.select(F.col("_a").alias("model"))
+        .unionByName(duels.select(F.col("_b").alias("model")))
+        .distinct()
+        .join(wins, "model", "left")
+        .select("model", F.coalesce("wins", F.lit(0)).cast("long").alias("wins"))
+        .persist()
+    )
+    scores = models.select("model", F.lit(scale).cast("long").alias("_p"))
+    for _ in range(iterations):
+        joined = (
+            duels.join(
+                scores.select(F.col("model").alias("_a"), F.col("_p").alias("_pa")),
+                "_a",
+            )
+            .join(
+                scores.select(F.col("model").alias("_b"), F.col("_p").alias("_pb")),
+                "_b",
+            )
+            # floor(n · scale² / (p_a + p_b)) — the n_ij/(p_i+p_j) term in
+            # micro-units; DECIMAL(38,0) because n·scale² tops long at
+            # ~9·10^6 duels per pair
+            .select(
+                "_a",
+                "_b",
+                F.expr(
+                    f"CAST(_n AS DECIMAL(38,0)) * {s2} div (_pa + _pb)"
+                ).alias("_t"),
+            )
+        )
+        denom = (
+            joined.select(F.col("_a").alias("model"), "_t")
+            .unionByName(joined.select(F.col("_b").alias("model"), "_t"))
+            .groupBy("model")
+            .agg(F.sum("_t").alias("_d"))
+        )
+        scores = models.join(denom, "model", "left").select(
+            "model",
+            F.expr(
+                f"greatest(CAST(wins AS DECIMAL(38,0)) * {s2} "
+                f"div greatest(coalesce(_d, 0), 1), 1)"
+            ).cast("long").alias("_p"),
+        )
+    return models.join(scores, "model").join(
+        duels.select(F.col("_a").alias("model"), "_n")
+        .unionByName(duels.select(F.col("_b").alias("model"), "_n"))
+        .groupBy("model")
+        .agg(F.sum("_n").alias("n_duels")),
+        "model",
+    ).select("model", F.col("_p").alias("strength"), "wins", "n_duels")
+
+
+def bradley_terry_sql(
+    comparisons_sql: str,
+    winner: str = "winner",
+    loser: str = "loser",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> str:
+    """The identical computation unrolled as DuckDB CTEs (the
+    host_pagerank oracle discipline): HUGEINT arithmetic, ``//``
+    floor-division (all operands positive, so truncation == floor on
+    both engines), greatest-clamps in the same places."""
+    s2 = scale * scale
+    parts = [
+        f"WITH comp AS ({comparisons_sql})",
+        f"""c AS (
+  SELECT {winner} AS w, {loser} AS l FROM comp
+  WHERE {winner} IS NOT NULL AND {loser} IS NOT NULL AND {winner} <> {loser}
+)""",
+        """duels AS (
+  SELECT least(w, l) AS a, greatest(w, l) AS b, count(*)::BIGINT AS n
+  FROM c GROUP BY 1, 2
+)""",
+        """wins AS (SELECT w AS model, count(*)::BIGINT AS wins FROM c GROUP BY 1)""",
+        """models AS (
+  SELECT m.model, coalesce(wins.wins, 0)::BIGINT AS wins
+  FROM (SELECT a AS model FROM duels UNION SELECT b FROM duels) m
+  LEFT JOIN wins ON m.model = wins.model
+)""",
+        f"""s0 AS (SELECT model, {scale}::HUGEINT AS p FROM models)""",
+    ]
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""t{i} AS (
+  SELECT duels.a, duels.b,
+         duels.n::HUGEINT * {s2} // (pa.p + pb.p) AS t
+  FROM duels
+  JOIN {prev} pa ON duels.a = pa.model
+  JOIN {prev} pb ON duels.b = pb.model
+)""")
+        parts.append(f"""d{i} AS (
+  SELECT model, sum(t) AS d FROM (
+    SELECT a AS model, t FROM t{i} UNION ALL SELECT b, t FROM t{i}
+  ) GROUP BY model
+)""")
+        parts.append(f"""s{i} AS (
+  SELECT models.model,
+         greatest(models.wins::HUGEINT * {s2}
+                  // greatest(coalesce(d{i}.d, 0), 1), 1) AS p
+  FROM models LEFT JOIN d{i} ON models.model = d{i}.model
+)""")
+        prev = f"s{i}"
+    tail = f"""
+SELECT models.model, {prev}.p::BIGINT AS strength, models.wins,
+       nd.n_duels
+FROM models
+JOIN {prev} ON models.model = {prev}.model
+JOIN (
+  SELECT model, sum(n)::BIGINT AS n_duels FROM (
+    SELECT a AS model, n FROM duels UNION ALL SELECT b, n FROM duels
+  ) GROUP BY model
+) nd ON models.model = nd.model
+"""
+    return ",\n".join(parts) + tail

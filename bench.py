@@ -179,6 +179,8 @@ EXT_QUERIES = [
     # round-5 additions
     "winlog_parse",
     "incremental_neardup",
+    "mqtt_route",
+    "model_ranking",
     # round-4 surface
     "domain_cube",
     "tool_pairs",
