@@ -1428,3 +1428,84 @@ def stream_ingest_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_model_ranking(
+    spark: SparkSession,
+    path: str,
+    state_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iterations: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous arena leaderboard — the streaming twin of
+    operators/ranking.bradley_terry, built on the op's mergeable
+    sufficient statistic: per micro-batch, the wave's duel counts
+    APPEND to a persistent count dimension (groupBy-SUM is the merge
+    law, exactly the HLL/CMS register discipline), then the SAME
+    ``bradley_terry_from_counts`` plan recomputes strengths over the
+    merged counts and snapshots the leaderboard under this batch_id.
+    Batch/stream identity is algebraic, not approximate: after any
+    wave the merged counts equal ``duel_counts`` of everything
+    ingested so far, so the snapshot is bit-identical to the batch
+    operator over the same comparisons (proven in
+    tests/test_streaming.py).
+
+    Idempotency is the ingest-tick discipline (stream_ingest_dedup):
+    count deltas and snapshots both partition by batch_id with
+    dynamic overwrite — the count delta is a pure function of the
+    micro-batch, so a crash replay overwrites the same partition with
+    the same rows and the merged read stays correct; nothing here
+    reads its own in-flight delta because merging sums re-collapse
+    duplicates only across DISTINCT batch partitions.
+
+    Scale: the corpus-scale work per wave is the one duel_counts
+    shuffle over the wave (map-side combined); the merge + MM sweeps
+    run at model-pair granularity (thousands of rows however large
+    the history), so the leaderboard tick stays O(wave) + O(models²)
+    forever — history comparisons are never re-read, only their
+    counts."""
+    from beats_spark.operators.ranking import (
+        bradley_terry_from_counts,
+        duel_counts,
+        merge_duel_counts,
+    )
+    from pyspark.errors import AnalysisException
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        delta = duel_counts(batch_df, winner_col, loser_col)
+        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(f"{state_root}/counts")
+        try:
+            all_counts = spark.read.parquet(f"{state_root}/counts").drop("batch_id")
+        except AnalysisException:
+            # an all-empty first wave writes no partition files at all
+            all_counts = delta
+        board = bradley_terry_from_counts(
+            merge_duel_counts(all_counts), iterations=iterations
+        )
+        board.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(out_root)
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

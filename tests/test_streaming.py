@@ -1363,3 +1363,75 @@ def test_stream_curation_ingest_matches_batch(spark, tmp_path):
     blocked_hosts = {r.host for r in got.collect() if r.blocked_domain}
     assert blocked_hosts == {"ads.example.com", "sub.tracker.net"}
     assert any(r.blocked_pattern for r in got.collect())
+
+
+def test_stream_model_ranking_matches_batch(spark, tmp_path):
+    """The continuous arena leaderboard (stream_model_ranking) over 3
+    arrival waves: the final snapshot must be BIT-identical to batch
+    bradley_terry over every comparison ingested — the merge law
+    (duel counts sum) plus the shared bradley_terry_from_counts plan
+    make the identity algebraic. Also checks the per-wave history:
+    the wave-0 snapshot equals batch BT over wave 0 alone."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.ranking import bradley_terry
+    from beats_spark.streaming.pipeline import stream_model_ranking
+
+    comps = spark.range(600).select(
+        F.concat(
+            F.lit("m"),
+            F.when(F.col("id") % 5 == 0, (F.col("id") + 1) % 4).otherwise(
+                F.col("id") % 4
+            ).cast("string"),
+        ).alias("winner"),
+        F.concat(
+            F.lit("m"),
+            F.when(F.col("id") % 5 == 0, F.col("id") % 4).otherwise(
+                (F.col("id") + 1) % 4
+            ).cast("string"),
+        ).alias("loser"),
+        (F.col("id") % 3).alias("wave"),
+    ).where(F.col("winner") != F.col("loser"))
+    src = tmp_path / "comps"
+    for w in range(3):
+        comps.where(F.col("wave") == w).drop("wave").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    q = stream_model_ranking(
+        spark,
+        str(src),
+        str(tmp_path / "state"),
+        str(tmp_path / "board"),
+        str(tmp_path / "ck"),
+        iterations=3,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(900)
+
+    board = spark.read.parquet(str(tmp_path / "board"))
+    n_waves = board.select("batch_id").distinct().count()
+    assert n_waves == 3
+    last_bid = board.agg(F.max("batch_id")).collect()[0][0]
+    first_bid = board.agg(F.min("batch_id")).collect()[0][0]
+
+    def _rows(df):
+        return sorted(
+            map(tuple, df.select("model", "strength", "wins", "n_duels").collect())
+        )
+
+    full = bradley_terry(comps.drop("wave"), iterations=3)
+    assert _rows(board.where(F.col("batch_id") == last_bid)) == _rows(full)
+
+    # per-wave prefix: the first snapshot is batch BT over its own wave
+    # (file order → batch order is not guaranteed, so recover the wave
+    # by matching total duel volume)
+    first = board.where(F.col("batch_id") == first_bid)
+    n_first = first.agg((F.sum("n_duels") / 2).cast("long")).collect()[0][0]
+    for w in range(3):
+        wave = comps.where(F.col("wave") == w).drop("wave")
+        if wave.count() == n_first:
+            if _rows(first) == _rows(bradley_terry(wave, iterations=3)):
+                break
+    else:
+        raise AssertionError("no single wave reproduces the first snapshot")
