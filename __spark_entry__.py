@@ -5460,6 +5460,38 @@ def _sql_model_ranking() -> str:
     return bradley_terry_sql(comp, iterations=3)
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings): per-vector max-abs scale in
+    floor(x·1e6) micro-units, truncating-division codes, and the
+    position-weighted code checksum + reconstruction-error audit —
+    every code pinned bit-exact against the DuckDB twin (same integer
+    pipeline via list_transform/range). The 4x storage step an
+    embedding corpus runs before ANN."""
+    from beats_spark.operators.similarity import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).drop("codes")
+
+
+_SQL_EMBED_QUANTIZE = r"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+), s AS (
+  SELECT vec_id, q, list_max(list_transform(q, v -> abs(v))) AS am FROM qv
+)
+SELECT vec_id,
+       am::BIGINT AS scale_micro,
+       list_sum(list_transform(q, v -> abs((v*127) // greatest(am,1))))::BIGINT AS code_l1,
+       list_sum(list_transform(range(1, len(q)+1), i -> ((q[i]*127) // greatest(am,1)) * i))::BIGINT AS code_checksum,
+       list_max(list_transform(q, v -> abs(v - (((v*127) // greatest(am,1)) * am) // 127)))::BIGINT AS max_err_micro,
+       list_sum(list_transform(q, v -> abs(v - (((v*127) // greatest(am,1)) * am) // 127)))::BIGINT AS sum_err_micro
+FROM s
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record parsing (sources/warc.py): per-document WARC blobs
     — a response record wrapping an HTTP payload, every 11th document
@@ -8100,6 +8132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver could only rows-check them anyway)
         "mqtt_route": q_mqtt_route,
         "model_ranking": q_model_ranking,
+        "embed_quantize": q_embed_quantize,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
@@ -8253,6 +8286,7 @@ def oracle_sql() -> dict[str, str]:
         "winlog_parse": _SQL_WINLOG_PARSE,
         "mqtt_route": _sql_mqtt_route(),
         "model_ranking": _sql_model_ranking(),
+        "embed_quantize": _SQL_EMBED_QUANTIZE,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -687,3 +687,66 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling) — the
+    storage/transfer path for an embedding corpus: 4x smaller than
+    float32 before ANN ever runs, the standard scalar-quantization
+    step public vector stores apply (Lucene/FAISS SQ8 family).
+
+    Everything is integer and cross-engine decidable, the
+    assign_cells_quantized discipline: elements quantize to
+    floor(x·1e6) int64 micro-units (one FP multiply on the stored
+    float, identical IEEE result in any engine); ``scale_micro`` is
+    the max-abs micro-unit; codes are ``(v·127) div scale`` —
+    Spark ``div`` and DuckDB ``//`` both truncate toward zero on
+    integers (CLAUDE.md, verified on negative dividends), so negative
+    components are exact too. Alongside the codes the pass emits the
+    audit stats a corpus job wants in the same projection:
+    ``code_l1`` (Σ|code|), ``code_checksum`` (Σ code_i·i, 1-based —
+    pins every code positionally for the oracle), and reconstruction
+    error in micro-units (``max_err_micro``/``sum_err_micro``, vs the
+    dequantized ``(code·scale) div 127``).
+
+    All-zero vectors: scale_micro 0, codes all 0, zero error (the
+    divisions guard with greatest(scale, 1)). NULL vectors are
+    dropped (no geometry to quantize).
+
+    Scale shape: ONE narrow projection riding the corpus scan — zero
+    shuffles, zero Python, whole-stage codegen; emitted as a single
+    let-bound F.expr (qv and scale bind once each) so the ~6·dim
+    terms re-read variables instead of re-inlining the quantization
+    (the CLAUDE.md re-inlining/JIT pitfall), and plan build is one
+    parse instead of thousands of py4j calls.
+    """
+    inner = (
+        "named_struct("
+        "'scale_micro', am, "
+        "'codes', transform(qv, v -> cast((v * 127) div greatest(am, 1L) as int)), "
+        "'code_l1', aggregate(qv, 0L, (acc, v) -> acc + abs((v * 127) div greatest(am, 1L))), "
+        "'code_checksum', aggregate(transform(qv, (v, i) -> ((v * 127) div greatest(am, 1L)) * (cast(i as bigint) + 1L)), 0L, (acc, x) -> acc + x), "
+        "'max_err_micro', array_max(transform(qv, v -> abs(v - (((v * 127) div greatest(am, 1L)) * am) div 127))), "
+        "'sum_err_micro', aggregate(transform(qv, v -> abs(v - (((v * 127) div greatest(am, 1L)) * am) div 127)), 0L, (acc, x) -> acc + x))"
+    )
+    q = F.expr(
+        "element_at(transform(array(transform(`" + vec_col + "`, "
+        "x -> cast(floor(cast(x as double) * 1000000) as bigint))), "
+        "qv -> element_at(transform(array(array_max(transform(qv, v -> abs(v)))), "
+        f"am -> {inner}), 1)), 1)"
+    )
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), q.alias("_q"))
+        .select(
+            id_col,
+            F.col("_q.scale_micro").alias("scale_micro"),
+            F.col("_q.codes").alias("codes"),
+            F.col("_q.code_l1").alias("code_l1"),
+            F.col("_q.code_checksum").alias("code_checksum"),
+            F.col("_q.max_err_micro").alias("max_err_micro"),
+            F.col("_q.sum_err_micro").alias("sum_err_micro"),
+        )
+    )

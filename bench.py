@@ -181,6 +181,7 @@ EXT_QUERIES = [
     "incremental_neardup",
     "mqtt_route",
     "model_ranking",
+    "embed_quantize",
     # round-4 surface
     "domain_cube",
     "tool_pairs",

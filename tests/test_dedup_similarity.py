@@ -902,3 +902,47 @@ def test_pq_recall_vs_bruteforce(spark, emb):
     hits = sum(len(got.get(k_, set()) & v) for k_, v in want.items())
     total = sum(len(v) for v in want.values())
     assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+
+
+def test_quantize_embeddings_edges(spark):
+    """int8 quantization: exact codes on a hand vector, all-zero
+    vector → scale 0 / zero codes / zero error, NULL vector dropped,
+    codes bounded to [-127, 127] with the max-abs element at ±127."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+            (3, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert set(out) == {1, 2}  # NULL dropped
+    r1 = out[1]
+    assert r1["scale_micro"] == 1_000_000
+    assert list(r1["codes"]) == [127, -63, 31, 0]  # truncation toward zero
+    assert r1["code_l1"] == 127 + 63 + 31
+    assert r1["code_checksum"] == 127 * 1 - 63 * 2 + 31 * 3
+    # dequant (truncating): -63·1e6 div 127 = -496062 → err 3938;
+    # 31·1e6 div 127 = 244094 → err 5906; extremes reconstruct exactly
+    assert r1["max_err_micro"] == 5906
+    assert r1["sum_err_micro"] == 3938 + 5906
+    r2 = out[2]
+    assert (r2["scale_micro"], r2["code_l1"], r2["max_err_micro"]) == (0, 0, 0)
+    assert list(r2["codes"]) == [0, 0, 0, 0]
+
+
+def test_quantize_embeddings_bounds_and_recon(spark, emb):
+    """Corpus-wide invariants: every code in [-127, 127], each vector
+    has a ±127 extreme (max-abs scaling is tight), and reconstruction
+    error stays under scale/127 + quantization ulp per element."""
+    out = similarity.quantize_embeddings(emb.limit(200))
+    bad = out.where(
+        F.expr("array_max(transform(codes, c -> abs(c))) <> 127")
+        & (F.col("scale_micro") > 0)
+    ).count()
+    assert bad == 0
+    viol = out.where(
+        F.col("max_err_micro") > F.col("scale_micro") / 127 + 1
+    ).count()
+    assert viol == 0
