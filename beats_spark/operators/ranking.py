@@ -90,15 +90,63 @@ def bradley_terry(
 
 
 def bradley_terry_from_counts(
-    counts: DataFrame, iterations: int = 3, scale: int = 1_000_000
+    counts: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    max_driver_pairs: int = 200_000,
 ) -> DataFrame:
     """MM sweeps over a (possibly merged) duel-count frame — the
     model-pair-granularity half of ``bradley_terry``, shared with the
-    streaming twin so both paths run literally the same plan."""
+    streaming twin so both paths produce identical integers.
+
+    Two physical strategies, one semantics (the dsir_weights
+    precedent — CLAUDE.md "many small stages cost more than the
+    work"):
+
+    - pair frame ≤ ``max_driver_pairs``: collect the sufficient
+      statistic and run the sweeps as exact Python ints on the driver
+      (all operands positive, so ``//`` == the engines' truncating
+      div; Python ints are arbitrary-precision like DECIMAL(38,0)).
+      A leaderboard's pair frame is M·(M-1)/2 for M models — a few
+      thousand rows however large the comparison corpus — and the
+      all-lazy form costs ~3 shuffles × iterations of flat stage
+      scheduling for sub-second data (measured 16.6 s → ~2 s at
+      sf0.1). This is a bounded, documented collect: the corpus-scale
+      duel_counts aggregation has already reduced the data.
+    - larger (someone ranks millions of entities — players, not
+      models): the identical arithmetic as lazy joins, never
+      collecting; 3 model-pair-granularity shuffles per sweep.
+    """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     s2 = scale * scale
     duels = counts.persist()
+    n_pairs = duels.count()
+    if n_pairs <= max_driver_pairs:
+        rows = duels.collect()
+        spark = counts.sparkSession
+        duels.unpersist()
+        pair_n = {(r["_a"], r["_b"]): int(r["_n"]) for r in rows}
+        wins_d: dict[str, int] = {}
+        nd: dict[str, int] = {}
+        for r in rows:
+            a, b, n, wa = r["_a"], r["_b"], int(r["_n"]), int(r["_wa"])
+            wins_d[a] = wins_d.get(a, 0) + wa
+            wins_d[b] = wins_d.get(b, 0) + (n - wa)
+            nd[a] = nd.get(a, 0) + n
+            nd[b] = nd.get(b, 0) + n
+        p = {m: scale for m in nd}
+        for _ in range(iterations):
+            d = {m: 0 for m in p}
+            for (a, b), n in pair_n.items():
+                t = n * s2 // (p[a] + p[b])
+                d[a] += t
+                d[b] += t
+            p = {m: max(wins_d[m] * s2 // max(d[m], 1), 1) for m in p}
+        return spark.createDataFrame(
+            [(m, p[m], wins_d[m], nd[m]) for m in sorted(p)],
+            "model string, strength long, wins long, n_duels long",
+        )
     wins = (
         duels.select(F.col("_a").alias("model"), F.col("_wa").alias("_k"))
         .unionByName(

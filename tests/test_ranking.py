@@ -83,3 +83,15 @@ def test_iterations_validated(spark):
     df = spark.createDataFrame([("a", "b")], "winner string, loser string")
     with pytest.raises(ValueError):
         bradley_terry(df, iterations=0)
+
+
+def test_lazy_join_path_matches_driver_path(spark, arena):
+    """Forcing max_driver_pairs=0 exercises the all-lazy join strategy;
+    both physical paths must produce identical integers."""
+    from beats_spark.operators.ranking import bradley_terry_from_counts, duel_counts
+
+    df = spark.createDataFrame(arena, "winner string, loser string")
+    counts = duel_counts(df)
+    fast = bradley_terry_from_counts(counts, iterations=3).collect()
+    lazy = bradley_terry_from_counts(counts, iterations=3, max_driver_pairs=0).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, lazy))
