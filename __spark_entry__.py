@@ -5492,6 +5492,44 @@ FROM s
 """
 
 
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized (SQ8) brute-force top-5 for the first 20 query
+    vectors (similarity.sq8_topk): integer code dot products, so —
+    unlike float cosine — the SCORES themselves are oracle-exact, and
+    tie-breaks (id asc) are deterministic by construction. The DuckDB
+    twin requantizes with the embed_quantize pipeline and windows the
+    same (score desc, id asc) order."""
+    from beats_spark.operators.similarity import sq8_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return sq8_topk(q, emb, k=5)
+
+
+_SQL_KNN_SQ8 = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+), codes AS (
+  SELECT vec_id,
+         list_max(list_transform(q, u -> abs(u))) AS am,
+         list_transform(q, v -> (v*127) // greatest(list_max(list_transform(q, u -> abs(u))), 1)) AS c
+  FROM qv
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+         (list_sum(list_transform(range(1, len(qq.c)+1), i -> qq.c[i] * cc.c[i])) * cc.am)::BIGINT AS score,
+         row_number() OVER (
+           PARTITION BY qq.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(qq.c)+1), i -> qq.c[i] * cc.c[i])) * cc.am DESC,
+                    cc.vec_id ASC) AS rank
+  FROM codes qq JOIN codes cc ON qq.vec_id <> cc.vec_id
+  WHERE qq.vec_id < 20)
+WHERE rank <= 5
+"""
+
+
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record parsing (sources/warc.py): per-document WARC blobs
     — a response record wrapping an HTTP payload, every 11th document
@@ -8133,6 +8171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mqtt_route": q_mqtt_route,
         "model_ranking": q_model_ranking,
         "embed_quantize": q_embed_quantize,
+        "knn_sq8": q_knn_sq8,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
@@ -8287,6 +8326,7 @@ def oracle_sql() -> dict[str, str]:
         "mqtt_route": _sql_mqtt_route(),
         "model_ranking": _sql_model_ranking(),
         "embed_quantize": _SQL_EMBED_QUANTIZE,
+        "knn_sq8": _SQL_KNN_SQ8,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

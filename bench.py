@@ -182,6 +182,7 @@ EXT_QUERIES = [
     "mqtt_route",
     "model_ranking",
     "embed_quantize",
+    "knn_sq8",
     # round-4 surface
     "domain_cube",
     "tool_pairs",

@@ -946,3 +946,25 @@ def test_quantize_embeddings_bounds_and_recon(spark, emb):
         F.col("max_err_micro") > F.col("scale_micro") / 127 + 1
     ).count()
     assert viol == 0
+
+
+def test_sq8_topk_recall_and_determinism(spark, emb):
+    """SQ8 quantized search: high recall vs exact float brute force
+    (quantization, not arithmetic, is the only approximation), and
+    partitioning-independent output — integer scores tie routinely,
+    so the deterministic (score desc, id asc) local top-k is what the
+    repartition check actually exercises."""
+    q = emb.filter(F.col("vec_id") < 20)
+    sq = similarity.sq8_topk(q, emb, k=5).collect()
+    bf = similarity.cosine_topk(q, emb, k=5).collect()
+    want, got = {}, {}
+    for r in bf:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in sq:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(got.get(k_, set()) & v) for k_, v in want.items())
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.9, f"recall@5 {hits}/{total}"
+
+    again = similarity.sq8_topk(q, emb.repartition(13), k=5).collect()
+    assert sorted(map(tuple, sq)) == sorted(map(tuple, again))
