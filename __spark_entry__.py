@@ -6234,6 +6234,33 @@ WHERE n_candidates >= 2 AND cs > rs
 """
 
 
+def q_preference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit (chat.preference_length_stats) over the
+    preference_pairs fixture: chosen-longer / rejected-longer /
+    equal-length counts and summed char-length difference per
+    floor-log2 margin bucket — the verbosity-bias check an RLHF
+    pipeline runs before training a reward model. Oracle wraps the
+    preference_pairs SQL as a CTE and replays the bucket/length
+    arithmetic."""
+    from beats_spark.operators.chat import preference_length_stats
+
+    return preference_length_stats(q_preference_pairs(spark, sf_dir))
+
+
+_SQL_PREFERENCE_STATS = (
+    "WITH pairs AS (" + _SQL_PREFERENCE_PAIRS + ")\n"
+    + r"""
+SELECT (length(bin(margin_micro)) - 1)::INTEGER AS margin_bucket,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN length(chosen) > length(rejected) THEN 1 ELSE 0 END)::BIGINT AS chosen_longer,
+       sum(CASE WHEN length(chosen) < length(rejected) THEN 1 ELSE 0 END)::BIGINT AS rejected_longer,
+       sum(CASE WHEN length(chosen) = length(rejected) THEN 1 ELSE 0 END)::BIGINT AS len_equal,
+       sum(length(chosen) - length(rejected))::BIGINT AS sum_len_diff
+FROM pairs GROUP BY 1
+"""
+)
+
+
 def q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (keep-first): plants a
     repeated header line, a thrice-repeated footer (one copy with
@@ -8172,6 +8199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_ranking": q_model_ranking,
         "embed_quantize": q_embed_quantize,
         "knn_sq8": q_knn_sq8,
+        "preference_stats": q_preference_stats,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
@@ -8327,6 +8355,7 @@ def oracle_sql() -> dict[str, str]:
         "model_ranking": _sql_model_ranking(),
         "embed_quantize": _SQL_EMBED_QUANTIZE,
         "knn_sq8": _SQL_KNN_SQ8,
+        "preference_stats": _SQL_PREFERENCE_STATS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -509,3 +509,46 @@ def best_of_n(
     )
     ranked = df.withColumn(rank_col, F.row_number().over(w))
     return ranked.filter(F.col(rank_col) <= n)
+
+
+def preference_length_stats(
+    pairs: DataFrame,
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    margin_col: str = "margin_micro",
+) -> DataFrame:
+    """Length-bias audit over preference pairs — the standard RLHF
+    dataset diagnostic: reward models trained on pairs where the
+    longer response systematically wins learn length, not quality
+    (the verbosity-bias failure mode), so a curation pipeline checks
+    the chosen-longer rate BEFORE training, stratified by preference
+    margin (bias concentrated in low-margin pairs is mostly
+    annotator tie-breaking; bias at high margins contaminates the
+    signal itself).
+
+    Per floor-log2 margin bucket (``length(bin(m)) − 1``, the
+    engine-agnostic integer idiom from textstats): pair count,
+    chosen-longer / rejected-longer / equal-length counts, and the
+    summed char-length difference (chosen − rejected). Lengths are
+    CHARACTER counts — the bias shows at any monotone length measure,
+    and chars need no tokenizer in the audit loop.
+
+    Scale: one projection over the pairs frame + a groupBy on ≤64
+    buckets — nothing corpus-scale shuffles."""
+    cl = F.length(F.col(chosen_col))
+    rl = F.length(F.col(rejected_col))
+    return (
+        pairs.select(
+            F.expr(f"length(bin({margin_col})) - 1").alias("margin_bucket"),
+            cl.alias("_cl"),
+            rl.alias("_rl"),
+        )
+        .groupBy("margin_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("_cl") > F.col("_rl")).cast("long")).alias("chosen_longer"),
+            F.sum((F.col("_cl") < F.col("_rl")).cast("long")).alias("rejected_longer"),
+            F.sum((F.col("_cl") == F.col("_rl")).cast("long")).alias("len_equal"),
+            F.sum(F.col("_cl") - F.col("_rl")).cast("long").alias("sum_len_diff"),
+        )
+    )

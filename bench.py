@@ -183,6 +183,7 @@ EXT_QUERIES = [
     "model_ranking",
     "embed_quantize",
     "knn_sq8",
+    "preference_stats",
     # round-4 surface
     "domain_cube",
     "tool_pairs",

@@ -349,3 +349,32 @@ def test_render_chat_duplicate_order_keys_spans_stay_aligned(spark):
     for span in spans.split(","):
         s, e = map(int, span.split(":"))
         assert rendered[s:e] == "zeta", (rendered, spans)
+
+
+def test_preference_length_stats_buckets_and_counts(spark):
+    """Hand-built pairs: margin 1 → bucket 0, margins 4..7 → bucket 2,
+    margin 1024 → bucket 10; chosen-longer / rejected-longer / equal
+    counts and the signed length-diff sum must be exact."""
+    from beats_spark.operators.chat import preference_length_stats
+
+    rows = [
+        ("aaaa", "bb", 1),       # bucket 0, chosen longer (+2)
+        ("a", "bbb", 1),         # bucket 0, rejected longer (-2)
+        ("aa", "bb", 4),         # bucket 2, equal
+        ("aaaaa", "b", 7),       # bucket 2, chosen longer (+4)
+        ("aaa", "bbbbbb", 1024), # bucket 10, rejected longer (-3)
+    ]
+    df = spark.createDataFrame(
+        rows, "chosen string, rejected string, margin_micro long"
+    )
+    got = {
+        r["margin_bucket"]: r
+        for r in preference_length_stats(df).collect()
+    }
+    assert set(got) == {0, 2, 10}
+    b0, b2, b10 = got[0], got[2], got[10]
+    assert (b0["n_pairs"], b0["chosen_longer"], b0["rejected_longer"], b0["len_equal"]) == (2, 1, 1, 0)
+    assert b0["sum_len_diff"] == 0
+    assert (b2["n_pairs"], b2["chosen_longer"], b2["len_equal"]) == (2, 1, 1)
+    assert b2["sum_len_diff"] == 4
+    assert (b10["n_pairs"], b10["rejected_longer"], b10["sum_len_diff"]) == (1, 1, -3)
