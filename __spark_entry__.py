@@ -6261,6 +6261,57 @@ FROM pairs GROUP BY 1
 )
 
 
+def q_tool_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection (analytics.tool_loops): longest
+    consecutive same-tool run per conversation + how many runs reach
+    min_repeats=3, over events-as-turns (every 19th turn a NULL tool
+    to exercise the exclusion). The oracle replays the two-pass
+    run-length encoding and the run_id tie-break."""
+    from beats_spark.operators.analytics import tool_loops
+
+    ev = _load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.when(F.col("event_id") % 19 != 0, F.col("event_type")).alias("tool"),
+        "ts",
+        "event_id",
+    )
+    return tool_loops(
+        turns, key_col="conv_id", tool_col="tool", order_cols=("ts", "event_id")
+    )
+
+
+_SQL_TOOL_LOOPS = r"""
+WITH t AS (
+  SELECT user_id AS conv_id, event_type AS tool, ts, event_id
+  FROM events WHERE event_id % 19 <> 0
+), f AS (
+  SELECT conv_id, tool, ts, event_id,
+         CASE WHEN lag(tool) OVER w IS NULL OR lag(tool) OVER w <> tool
+              THEN 1 ELSE 0 END AS new_run
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, event_id)
+), r AS (
+  SELECT conv_id, tool,
+         sum(new_run) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS run_id
+  FROM f
+), runs AS (
+  SELECT conv_id, run_id, tool, count(*)::BIGINT AS len
+  FROM r GROUP BY 1, 2, 3
+), best AS (
+  SELECT conv_id, run_id, tool, len,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY len DESC, run_id ASC) AS rn
+  FROM runs
+)
+SELECT conv_id,
+       sum(len)::BIGINT AS n_turns,
+       max(CASE WHEN rn = 1 THEN len END)::BIGINT AS max_run,
+       max(CASE WHEN rn = 1 THEN tool END) AS run_tool,
+       sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_loops
+FROM best GROUP BY conv_id
+"""
+
+
 def q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (keep-first): plants a
     repeated header line, a thrice-repeated footer (one copy with
@@ -8200,6 +8251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": q_embed_quantize,
         "knn_sq8": q_knn_sq8,
         "preference_stats": q_preference_stats,
+        "tool_loops": q_tool_loops,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
@@ -8356,6 +8408,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantize": _SQL_EMBED_QUANTIZE,
         "knn_sq8": _SQL_KNN_SQ8,
         "preference_stats": _SQL_PREFERENCE_STATS,
+        "tool_loops": _SQL_TOOL_LOOPS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -699,3 +699,69 @@ def cooccurrence_pairs(
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
     )
+
+
+def tool_loops(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    tool_col: str = "tool",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Stuck-agent detection over transcripts: per conversation, the
+    longest run of CONSECUTIVE identical tool calls and how many runs
+    reach ``min_repeats`` — the "agent is retrying the same tool in a
+    loop" signal an agent-transcript curation pipeline gates on
+    before training (looping trajectories teach looping; the
+    transcript twin of textstats' intra-doc repetition rules).
+
+    Output per conversation: ``n_turns`` (non-NULL tool turns),
+    ``max_run`` (longest run length), ``run_tool`` (its tool —
+    earliest run wins ties, deterministically), ``n_loops`` (runs
+    with length ≥ min_repeats). NULL tools are excluded (no call, no
+    loop); a conversation whose every tool is NULL emits nothing.
+
+    Run-length encoding is the CLAUDE.md two-pass window idiom
+    (windows can't nest): materialize the boundary flag via lag, THEN
+    the running sum over the same window — one shuffle on the
+    conversation key; the run/conversation rollups that follow are
+    conv-granularity frames. A hot conversation is inherently one
+    stream (sessions.py argument).
+    """
+    if min_repeats < 2:
+        raise ValueError("min_repeats must be >= 2 (one call is not a loop)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    t = df.where(F.col(tool_col).isNotNull()).select(
+        key_col, tool_col, *order_cols
+    )
+    flagged = t.withColumn(
+        "_new_run",
+        F.when(
+            F.lag(tool_col).over(w).isNull()
+            | (F.lag(tool_col).over(w) != F.col(tool_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = (
+        flagged.withColumn("_run_id", F.sum("_new_run").over(w))
+        .groupBy(key_col, "_run_id", tool_col)
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    # ties on run length break to the EARLIEST run — run_id is the
+    # run's ordinal within the conversation, so it IS the start order
+    # (monotone by construction), engine-portable with no struct min
+    w_best = Window.partitionBy(key_col).orderBy(
+        F.col("_len").desc(), F.col("_run_id").asc()
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(w_best))
+        .groupBy(key_col)
+        .agg(
+            F.sum("_len").alias("n_turns"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_len"))).alias("max_run"),
+            F.max(F.when(F.col("_rn") == 1, F.col(tool_col))).alias("run_tool"),
+            F.sum((F.col("_len") >= min_repeats).cast("long")).alias("n_loops"),
+        )
+    )

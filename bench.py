@@ -184,6 +184,7 @@ EXT_QUERIES = [
     "embed_quantize",
     "knn_sq8",
     "preference_stats",
+    "tool_loops",
     # round-4 surface
     "domain_cube",
     "tool_pairs",

@@ -221,3 +221,39 @@ def test_cooccurrence_excludes_null_groups(spark):
     out = cooccurrence_pairs(df, "g", "i").collect()
     got = {(r.item_a, r.item_b): (r.n_groups, r.support_ppm) for r in out}
     assert got == {("a", "b"): (1, 500000)}
+
+
+def test_tool_loops_runs_and_ties(spark):
+    """Hand-built conversation: runs a,a,a | b | a,a — max_run 3
+    (tool a, the FIRST run wins the later 2-run on length and would
+    win a tie on run_id), n_loops 1 at min_repeats=3; NULL tools
+    excluded; all-NULL conversation emits nothing."""
+    from beats_spark.operators.analytics import tool_loops
+
+    rows = [
+        ("c1", 1, "a"), ("c1", 2, "a"), ("c1", 3, "a"),
+        ("c1", 4, "b"), ("c1", 5, "a"), ("c1", 6, "a"),
+        ("c1", 7, None),
+        ("c2", 1, "x"), ("c2", 2, "x"),
+        ("c3", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {r["conv_id"]: r for r in tool_loops(df, min_repeats=3).collect()}
+    assert set(got) == {"c1", "c2"}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["max_run"], c1["run_tool"], c1["n_loops"]) == (6, 3, "a", 1)
+    c2 = got["c2"]
+    assert (c2["max_run"], c2["n_loops"]) == (2, 0)
+
+    # tie on run length: two 2-runs (y then z) — earliest run wins
+    tie = spark.createDataFrame(
+        [("t", 1, "y"), ("t", 2, "y"), ("t", 3, "z"), ("t", 4, "z")],
+        "conv_id string, turn_idx int, tool string",
+    )
+    r = tool_loops(tie, min_repeats=2).collect()[0]
+    assert (r["max_run"], r["run_tool"], r["n_loops"]) == (2, "y", 2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tool_loops(df, min_repeats=1)
