@@ -6250,7 +6250,8 @@ def q_preference_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PREFERENCE_STATS = (
     "WITH pairs AS (" + _SQL_PREFERENCE_PAIRS + ")\n"
     + r"""
-SELECT (length(bin(margin_micro)) - 1)::INTEGER AS margin_bucket,
+SELECT (CASE WHEN margin_micro <= 0 THEN -1
+             ELSE length(bin(margin_micro)) - 1 END)::INTEGER AS margin_bucket,
        count(*)::BIGINT AS n_pairs,
        sum(CASE WHEN length(chosen) > length(rejected) THEN 1 ELSE 0 END)::BIGINT AS chosen_longer,
        sum(CASE WHEN length(chosen) < length(rejected) THEN 1 ELSE 0 END)::BIGINT AS rejected_longer,

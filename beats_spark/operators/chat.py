@@ -527,7 +527,11 @@ def preference_length_stats(
     signal itself).
 
     Per floor-log2 margin bucket (``length(bin(m)) − 1``, the
-    engine-agnostic integer idiom from textstats): pair count,
+    engine-agnostic integer idiom from textstats; margins ≤ 0 —
+    sub-micro score gaps floor to 0, and caller-supplied frames may
+    carry negatives — land in bucket −1 rather than polluting bucket
+    0 or, via two's-complement bin(), masquerading as the
+    highest-confidence stratum): pair count,
     chosen-longer / rejected-longer / equal-length counts, and the
     summed char-length difference (chosen − rejected). Lengths are
     CHARACTER counts — the bias shows at any monotone length measure,
@@ -539,7 +543,10 @@ def preference_length_stats(
     rl = F.length(F.col(rejected_col))
     return (
         pairs.select(
-            F.expr(f"length(bin({margin_col})) - 1").alias("margin_bucket"),
+            F.expr(
+                f"CASE WHEN {margin_col} <= 0 THEN -1 "
+                f"ELSE length(bin({margin_col})) - 1 END"
+            ).alias("margin_bucket"),
             cl.alias("_cl"),
             rl.alias("_rl"),
         )

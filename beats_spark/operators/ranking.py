@@ -143,9 +143,12 @@ def bradley_terry_from_counts(
                 d[a] += t
                 d[b] += t
             p = {m: max(wins_d[m] * s2 // max(d[m], 1), 1) for m in p}
+        # model column type comes from the INPUT schema — integer-keyed
+        # entity ids must not crash below the cap while working above it
+        mt = counts.schema["_a"].dataType.simpleString()
         return spark.createDataFrame(
             [(m, p[m], wins_d[m], nd[m]) for m in sorted(p)],
-            "model string, strength long, wins long, n_duels long",
+            f"model {mt}, strength long, wins long, n_duels long",
         )
     wins = (
         duels.select(F.col("_a").alias("model"), F.col("_wa").alias("_k"))

@@ -796,7 +796,11 @@ def sq8_topk(
     )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.int64)
-    sentinel = np.iinfo(np.int64).min
+    # exclude-self sentinel: far below any real score (|score| <= ~10¹²)
+    # but NOT int64.min — the lexsort below negates scores, and
+    # -int64.min silently wraps back to int64.min in numpy, which would
+    # sort the self row FIRST and evict a real local candidate
+    sentinel = -(2**62)
 
     def score(batches):
         import pandas as pd

@@ -232,6 +232,7 @@ def url_filter(
     id_col: str = "doc_id",
     patterns: list[str] | None = None,
     blocklist_col: str = "domain",
+    persist: bool = True,
 ) -> DataFrame:
     """URL/domain blocklist filter — the curation gate web-crawl
     training pipelines (RefinedWeb §3.1, UT1-style lists) run before
@@ -260,8 +261,15 @@ def url_filter(
     # persisted: with_host feeds both the exploded-suffix candidate
     # frame and the join-back — without the cache the upstream df and
     # the url_host regex battery execute on both sides of the
-    # self-join (ReuseExchange doesn't fire for shared subtrees)
-    with_host = df.withColumn("host", host).persist()
+    # self-join (ReuseExchange doesn't fire for shared subtrees).
+    # ``persist=False`` is for long-running per-batch callers
+    # (streaming foreachBatch): an internal persist has no unpersist
+    # hook and would pin one cached frame per micro-batch forever —
+    # such callers cache their own upstream and eat the (cheap)
+    # host-regex recompute on the second consumer.
+    with_host = df.withColumn("host", host)
+    if persist:
+        with_host = with_host.persist()
     cand = with_host.select(
         F.col(id_col), F.explode(domain_suffixes(F.col("host"))).alias("_sfx")
     ).where(F.col("_sfx") != "")

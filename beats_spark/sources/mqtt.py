@@ -232,14 +232,17 @@ def topic_filter_regex(f: str) -> str:
     rule is NOT in the regex (RE2 has no lookahead) — see
     topic_matches."""
     validate_topic_filter(f)
+    # [\s\S], not '.': topic names may contain newlines (any UTF-8 but
+    # NUL, §4.7.3) and '.' matches neither \n in Java regex nor RE2 —
+    # a '#' that misses 'a\nb' would drop a message the broker delivered
     if f == "#":
-        return "^.*$"
+        return r"^[\s\S]*$"
     parts = []
     levels = f.split("/")
     tail = ""
     if levels[-1] == "#":
         levels = levels[:-1]
-        tail = "(/.*)?"
+        tail = r"(/[\s\S]*)?"
     for lvl in levels:
         parts.append("[^/]*" if lvl == "+" else re.escape(lvl))
     return "^" + "/".join(parts) + tail + "$"
@@ -277,10 +280,14 @@ def route_by_topic_sql(topic_expr: str, filters: list[str]) -> str:
     regex carries its own ^...$)."""
     arms = []
     for filt in filters:
-        cond = f"regexp_matches({topic_expr}, '{topic_filter_regex(filt)}')"
+        # single quotes are legal in topic filters and re.escape leaves
+        # them alone — double them or the oracle SQL parses mid-string
+        rx = topic_filter_regex(filt).replace("'", "''")
+        lit = filt.replace("'", "''")
+        cond = f"regexp_matches({topic_expr}, '{rx}')"
         if filt[0] in "+#":
             cond += f" AND NOT starts_with({topic_expr}, '$')"
-        arms.append(f"WHEN {cond} THEN '{filt}'")
+        arms.append(f"WHEN {cond} THEN '{lit}'")
     return "CASE " + " ".join(arms) + " ELSE NULL END"
 
 
@@ -344,6 +351,11 @@ def drain_mqtt(
                     # next drain — never ack what we will not deliver
                     continue
                 msg = parse_publish(flags, body)
+                if msg["qos"] == 2 and msg["message_id"] in qos2_pending:
+                    # PUBLISH retransmit while our PUBREC is in flight:
+                    # Method A [MQTT-4.3.3-2] — re-ack, do NOT redeliver
+                    sock.sendall(encode_ack(PUBREC, msg["message_id"]))
+                    continue
                 if msg["qos"] == 1:
                     sock.sendall(encode_ack(PUBACK, msg["message_id"]))
                 elif msg["qos"] == 2:

@@ -947,7 +947,13 @@ def stream_scd2(
         if (
             not keep
             and open_us is not None
-            and (last_us or open_us) // 1000 + close_seconds * 1000 <= wm_ms
+            # None-check, not truthiness: last_us == 0 (the epoch) is a
+            # legitimate newest-event anchor and must not fall back to
+            # the older open_us (pre-1970 data is supported since the
+            # time_rollup floor fix)
+            and (open_us if last_us is None else last_us) // 1000
+            + close_seconds * 1000
+            <= wm_ms
         ):
             closed.append((version, open_val, open_us, None))
             if state.exists:
@@ -1228,6 +1234,36 @@ def stream_interval_join(
     return ev.join(iv, cond, "inner").drop("_sij_cell")
 
 
+def _tick_reader(spark: SparkSession, path: str, max_files_per_trigger):
+    """Shared scaffold of the foreachBatch tick streams: a parquet
+    file-stream reader with the batch schema probed up front. Returns
+    (stream_df, schema) — some ticks derive column DDL from the
+    schema (the empty-index id-type rule)."""
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path), schema
+
+
+def _tick_write(df: DataFrame, dest: str, batch_id: int) -> None:
+    """The tick idempotency discipline: partition by batch_id with
+    dynamic overwrite, so a crash replay rewrites the same partition
+    with the same deterministic rows."""
+    df.withColumn("batch_id", F.lit(batch_id)).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(dest)
+
+
+def _tick_start(raw: DataFrame, handle, checkpoint_dir: str, available_now: bool):
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_curation_ingest(
     spark: SparkSession,
     path: str,
@@ -1269,40 +1305,38 @@ def stream_curation_ingest(
     from beats_spark.operators.textstats import quality_classifier
     from beats_spark.operators.urlnorm import url_filter
 
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
+    raw, _ = _tick_reader(spark, path, max_files_per_trigger)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        gated = url_filter(
-            extract_html_text(batch_df, html_col, "text"),
-            blocklist_df,
-            url_col=url_col,
-            id_col=id_col,
-            patterns=patterns,
-        )
-        # quality_classifier projects to (id, n_tokens, quality_milli,
-        # keep_quality); join the scores back onto the url-gate frame
-        # so the curated record carries BOTH decisions. Batch-sized
-        # join on a unique id — AQE broadcasts it.
-        curated = gated.select(
-            id_col, url_col, "host", "blocked_domain", "blocked_pattern",
-            "keep", "text",
-        ).join(quality_classifier(gated, "text", id_col), id_col)
-        curated.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "batch_id"
-        ).parquet(out_root)
+        # cache the extraction OURSELVES and unpersist after the write:
+        # url_filter's internal persist has no unpersist hook, and one
+        # pinned frame per micro-batch accumulates for the stream's
+        # whole lifetime (persist=False trades that for a cheap
+        # host-regex recompute against this cached parent)
+        prepared = extract_html_text(batch_df, html_col, "text").persist()
+        try:
+            gated = url_filter(
+                prepared,
+                blocklist_df,
+                url_col=url_col,
+                id_col=id_col,
+                patterns=patterns,
+                persist=False,
+            )
+            # quality_classifier projects to (id, n_tokens,
+            # quality_milli, keep_quality); join the scores back onto
+            # the url-gate frame so the curated record carries BOTH
+            # decisions. Batch-sized join on a unique id — AQE
+            # broadcasts it.
+            curated = gated.select(
+                id_col, url_col, "host", "blocked_domain", "blocked_pattern",
+                "keep", "text",
+            ).join(quality_classifier(gated, "text", id_col), id_col)
+            _tick_write(curated, out_root, batch_id)
+        finally:
+            prepared.unpersist()
 
-    writer = raw.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _tick_start(raw, handle, checkpoint_dir, available_now)
 
 
 def stream_ingest_dedup(
@@ -1372,11 +1406,7 @@ def stream_ingest_dedup(
             return spark.createDataFrame([], ddl + ", batch_id long")
         return df.where(F.col("batch_id") != exclude_bid)
 
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
+    raw, schema = _tick_reader(spark, path, max_files_per_trigger)
     # empty-index fallback DDLs carry the BATCH's id type, not an
     # assumed bigint — a string-keyed corpus must not cold-start its
     # index joins on a mistyped empty frame
@@ -1403,31 +1433,30 @@ def stream_ingest_dedup(
             max_bucket=max_bucket,
         )
 
-        def _write(df: DataFrame, dest: str) -> None:
-            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "batch_id"
-            ).parquet(dest)
-
-        _write(survivors, out_root)
+        _tick_write(survivors, out_root, batch_id)
         # deltas from the COMMITTED survivor files — deterministic
         # under recomputation, and the index reads above exclude this
         # batch_id so the anti-joins never see them
-        sv = spark.read.parquet(out_root).where(F.col("batch_id") == batch_id)
-        _write(content_index(sv, text_col), f"{index_root}/content")
-        _write(
+        try:
+            sv = spark.read.parquet(out_root).where(F.col("batch_id") == batch_id)
+        except AnalysisException:
+            # an all-empty FIRST wave writes no partition files at all —
+            # nothing survived, nothing to index; later batches see a
+            # readable directory
+            return
+        _tick_write(content_index(sv, text_col), f"{index_root}/content", batch_id)
+        _tick_write(
             neardup_index(sv, text_col, id_col, shingle_n, num_hashes, bands),
             f"{index_root}/bands",
+            batch_id,
         )
-        _write(shingle_index(sv, text_col, id_col, shingle_n), f"{index_root}/shingles")
+        _tick_write(
+            shingle_index(sv, text_col, id_col, shingle_n),
+            f"{index_root}/shingles",
+            batch_id,
+        )
 
-    writer = raw.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _tick_start(raw, handle, checkpoint_dir, available_now)
 
 
 def stream_model_ranking(
@@ -1476,19 +1505,11 @@ def stream_model_ranking(
     )
     from pyspark.errors import AnalysisException
 
-    schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
+    raw, _ = _tick_reader(spark, path, max_files_per_trigger)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         delta = duel_counts(batch_df, winner_col, loser_col)
-        delta.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "batch_id"
-        ).parquet(f"{state_root}/counts")
+        _tick_write(delta, f"{state_root}/counts", batch_id)
         try:
             all_counts = spark.read.parquet(f"{state_root}/counts").drop("batch_id")
         except AnalysisException:
@@ -1497,15 +1518,6 @@ def stream_model_ranking(
         board = bradley_terry_from_counts(
             merge_duel_counts(all_counts), iterations=iterations
         )
-        board.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy(
-            "batch_id"
-        ).parquet(out_root)
+        _tick_write(board, out_root, batch_id)
 
-    writer = raw.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _tick_start(raw, handle, checkpoint_dir, available_now)

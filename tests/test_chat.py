@@ -378,3 +378,18 @@ def test_preference_length_stats_buckets_and_counts(spark):
     assert (b2["n_pairs"], b2["chosen_longer"], b2["len_equal"]) == (2, 1, 1)
     assert b2["sum_len_diff"] == 4
     assert (b10["n_pairs"], b10["rejected_longer"], b10["sum_len_diff"]) == (1, 1, -3)
+
+
+def test_preference_length_stats_degenerate_margins(spark):
+    """Margin 0 (sub-micro score gap) and negative margins land in
+    bucket -1 — never in bucket 0 (which would alias margin-1 pairs)
+    and never, via two's-complement bin(), in the top bucket."""
+    from beats_spark.operators.chat import preference_length_stats
+
+    df = spark.createDataFrame(
+        [("aa", "b", 0), ("a", "bb", -5), ("ccc", "d", 1)],
+        "chosen string, rejected string, margin_micro long",
+    )
+    got = {r["margin_bucket"]: r for r in preference_length_stats(df).collect()}
+    assert set(got) == {-1, 0}
+    assert got[-1]["n_pairs"] == 2 and got[0]["n_pairs"] == 1

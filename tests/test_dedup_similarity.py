@@ -968,3 +968,11 @@ def test_sq8_topk_recall_and_determinism(spark, emb):
 
     again = similarity.sq8_topk(q, emb.repartition(13), k=5).collect()
     assert sorted(map(tuple, sq)) == sorted(map(tuple, again))
+
+    # single partition: every query's self row is co-located with ALL
+    # its neighbors — the int64 sentinel must sort LAST in the local
+    # top-k (a negated int64.min would wrap and sort first, evicting a
+    # real candidate) and never appear in the output
+    one = similarity.sq8_topk(q, emb.coalesce(1), k=5).collect()
+    assert sorted(map(tuple, sq)) == sorted(map(tuple, one))
+    assert all(r.query_id != r.neighbor_id for r in one)

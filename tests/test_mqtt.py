@@ -324,3 +324,47 @@ def test_connack_refusal_raises():
     broker = RefusingBroker([])
     with pytest.raises(ConnectionError, match="return code 5"):
         drain_mqtt("127.0.0.1", broker.port, ["#"], idle_timeout_s=1.0)
+
+
+def test_qos2_publish_retransmit_not_redelivered():
+    """Method A [MQTT-4.3.3-2]: a PUBLISH retransmitted while our
+    PUBREC is in flight is re-acked but NOT delivered again."""
+    script = [
+        encode_publish("t/a", b"once", qos=2, packet_id=9),
+        encode_publish("t/a", b"once", qos=2, packet_id=9, dup=True),
+        encode_publish("t/b", b"after", qos=0),
+    ]
+    broker = FakeBroker(script)
+    msgs = drain_mqtt("127.0.0.1", broker.port, ["#"], idle_timeout_s=2.0)
+    assert broker.done.wait(30) and not broker.errors, broker.errors
+    assert [m["payload"] for m in msgs] == [b"once", b"after"]
+    assert broker.acks.count((PUBREC, 9)) == 2  # both PUBLISHes acked
+    assert (PUBCOMP, 9) in broker.acks
+
+
+@pytest.mark.parametrize(
+    "filt,topic,expect",
+    [
+        # topics may contain newlines (any UTF-8 but NUL) — multi-level
+        # wildcards must span them ('.' does not in Java regex or RE2)
+        ("#", "a\nb", True),
+        ("sport/#", "sport/a\nb/c", True),
+        ("sport/+", "sport/a\nb", True),
+        ("sport/+/c", "sport/a\nb/c", True),  # \n is level CONTENT, not a separator
+        ("sport/+", "sport/a/b", False),  # '+' is still exactly one level
+    ],
+)
+def test_topic_filters_span_newlines(filt, topic, expect):
+    assert _match(topic, filt) is expect
+
+
+def test_route_by_topic_sql_escapes_quotes():
+    import duckdb
+
+    from beats_spark.sources.mqtt import route_by_topic_sql
+
+    case = route_by_topic_sql("topic", ["it's/+", "#"])
+    got = duckdb.sql(
+        f"SELECT {case} AS m FROM (VALUES ('it''s/x'), ('other/y')) t(topic)"
+    ).fetchall()
+    assert [r[0] for r in got] == ["it's/+", "#"]

@@ -95,3 +95,19 @@ def test_lazy_join_path_matches_driver_path(spark, arena):
     fast = bradley_terry_from_counts(counts, iterations=3).collect()
     lazy = bradley_terry_from_counts(counts, iterations=3, max_driver_pairs=0).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, lazy))
+
+
+def test_integer_entity_ids_both_paths(spark):
+    """Integer-keyed comparisons (players, model ids) must work in the
+    driver path (schema derived from input, not hardcoded string) and
+    match the lazy path."""
+    from beats_spark.operators.ranking import bradley_terry_from_counts, duel_counts
+
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (1, 3), (3, 2)], "winner long, loser long"
+    )
+    counts = duel_counts(df)
+    fast = bradley_terry_from_counts(counts, iterations=2).collect()
+    lazy = bradley_terry_from_counts(counts, iterations=2, max_driver_pairs=0).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, lazy))
+    assert {r["model"] for r in fast} == {1, 2, 3}
