@@ -6313,6 +6313,88 @@ FROM best GROUP BY conv_id
 """
 
 
+def _schema_drift_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four ingest waves (batch = event_id % 4) of an evolving JSON
+    payload, Spark side. Wave 0 is the contract baseline {a:num,
+    b:str}; wave 1 adds key c (bool); wave 2 turns b numeric, drops a
+    from half its rows (event_id % 8 = 2) and plants malformed text
+    on every 7th event; wave 3 drops a entirely, adds d (array) and a
+    sometimes-null g. Every 97th event carries a NULL payload to keep
+    the rows / n_valid / malformed denominators honest. The oracle
+    CTE in :func:`_sql_schema_drift` builds the identical strings."""
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    et = F.col("event_type")
+    w0 = F.concat(F.lit('{"a":'), es, F.lit(',"b":"'), et, F.lit('"}'))
+    w1 = F.concat(F.lit('{"a":'), es, F.lit(',"b":"'), et, F.lit('","c":true}'))
+    w2 = (
+        F.when(eid % 7 == 0, F.lit("{bad"))
+        .when(eid % 8 == 2, F.concat(F.lit('{"b":'), es, F.lit("}")))
+        .otherwise(F.concat(F.lit('{"a":'), es, F.lit(',"b":'), es, F.lit("}")))
+    )
+    w3 = F.concat(
+        F.lit('{"b":"'), et, F.lit('","d":['), es, F.lit(",1]"),
+        F.when(eid % 5 == 0, F.lit(',"g":null')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return ev.select(
+        (eid % 4).cast("long").alias("batch"),
+        F.when(eid % 97 == 0, F.lit(None).cast("string"))
+        .when(eid % 4 == 0, w0)
+        .when(eid % 4 == 1, w1)
+        .when(eid % 4 == 2, w2)
+        .otherwise(w3)
+        .alias("props"),
+    )
+
+
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-baseline payload schema audit (operators/contracts.py
+    schema_drift): the proactive twin of decode_json_fields' reactive
+    error tagging (/root/reference/libbeat/processors/actions/
+    decode_json_fields.go) — per (wave, key): dominant value class vs
+    the baseline wave, integer-ppm presence shift, new/dropped/
+    type-changed flags, and the wave's malformed-payload count. The
+    planted fixture exercises every branch: a new bool key, a str→num
+    change, a 50% presence drop, a dropped key, a JSON-null class,
+    malformed text, and NULL payloads. The oracle rebuilds the whole
+    report from json_keys/json_type over the same planted strings."""
+    from beats_spark.operators.contracts import schema_drift
+
+    planted = _schema_drift_planted(spark, sf_dir)
+    return schema_drift(planted, "props", "batch", base_batch=0)
+
+
+def _sql_schema_drift() -> str:
+    from beats_spark.operators.contracts import schema_drift_sql
+
+    planted = r"""
+  SELECT (event_id % 4)::BIGINT AS batch,
+         CASE
+           WHEN event_id % 97 = 0 THEN NULL
+           WHEN event_id % 4 = 0 THEN
+             '{"a":' || event_id::VARCHAR || ',"b":"' || event_type || '"}'
+           WHEN event_id % 4 = 1 THEN
+             '{"a":' || event_id::VARCHAR || ',"b":"' || event_type
+               || '","c":true}'
+           WHEN event_id % 4 = 2 THEN
+             CASE WHEN event_id % 7 = 0 THEN '{bad'
+                  WHEN event_id % 8 = 2 THEN
+                    '{"b":' || event_id::VARCHAR || '}'
+                  ELSE '{"a":' || event_id::VARCHAR || ',"b":'
+                    || event_id::VARCHAR || '}'
+             END
+           ELSE
+             '{"b":"' || event_type || '","d":[' || event_id::VARCHAR || ',1]'
+               || CASE WHEN event_id % 5 = 0 THEN ',"g":null' ELSE '' END
+               || '}'
+         END AS props
+  FROM events
+"""
+    return schema_drift_sql(planted, "props", "batch", base_batch=0)
+
+
 def q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (keep-first): plants a
     repeated header line, a thrice-repeated footer (one copy with
@@ -8253,6 +8335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8": q_knn_sq8,
         "preference_stats": q_preference_stats,
         "tool_loops": q_tool_loops,
+        "schema_drift": q_schema_drift,
         "knn_ivf": q_knn_ivf,
         "knn_pq": q_knn_pq,
         "domain_cube": q_domain_cube,
@@ -8410,6 +8493,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_sq8": _SQL_KNN_SQ8,
         "preference_stats": _SQL_PREFERENCE_STATS,
         "tool_loops": _SQL_TOOL_LOOPS,
+        "schema_drift": _sql_schema_drift(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

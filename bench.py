@@ -185,6 +185,7 @@ EXT_QUERIES = [
     "knn_sq8",
     "preference_stats",
     "tool_loops",
+    "schema_drift",
     # round-4 surface
     "domain_cube",
     "tool_pairs",
