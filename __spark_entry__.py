@@ -6395,6 +6395,168 @@ def _sql_schema_drift() -> str:
     return schema_drift_sql(planted, "props", "batch", base_batch=0)
 
 
+def q_refusal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant refusal-rate audit per tool (chat.refusal_stats):
+    events-as-turns with a planted refusal battery — every 11th turn
+    an apology+can't compound (priority must pick 'apology'), every
+    13th a plain 'I cannot', every 17th an 'As an AI … unable to'
+    compound (priority must pick 'unable'), every 97th a NULL text
+    (counted in the denominator, never a refusal), every 23rd a user
+    turn (excluded). Output per tool: assistant/refusal counts,
+    integer-ppm rate, dominant marker + count. The oracle replays the
+    planting, the ordered containment battery and the two-level
+    dominant-marker rollup."""
+    from beats_spark.operators.chat import refusal_stats
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    role = F.when(eid % 23 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    text = (
+        F.when(eid % 97 == 0, F.lit(None).cast("string"))
+        .when(eid % 11 == 0, F.lit("I'm sorry, but I can't help with that request."))
+        .when(
+            eid % 13 == 0,
+            F.concat(F.lit("I cannot assist with "), F.col("event_type"), F.lit(".")),
+        )
+        .when(eid % 17 == 0, F.lit("As an AI, I am unable to access that."))
+        .otherwise(
+            F.concat(F.lit("Sure! Here is result #"), eid.cast("string"), F.lit("."))
+        )
+    )
+    turns = ev.select(
+        role.alias("role"), text.alias("text"), F.col("event_type").alias("tool")
+    )
+    return refusal_stats(turns)
+
+
+_SQL_REFUSAL_STATS = r"""
+WITH t AS (
+  SELECT CASE WHEN event_id % 23 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              WHEN event_id % 11 = 0
+                THEN 'I''m sorry, but I can''t help with that request.'
+              WHEN event_id % 13 = 0
+                THEN 'I cannot assist with ' || event_type || '.'
+              WHEN event_id % 17 = 0 THEN 'As an AI, I am unable to access that.'
+              ELSE 'Sure! Here is result #' || event_id::VARCHAR || '.'
+         END AS text,
+         event_type AS tool
+  FROM events
+), a AS (
+  SELECT tool,
+         CASE WHEN strpos(lower(text), 'i''m sorry') > 0 THEN 'apology'
+              WHEN strpos(lower(text), 'i cannot') > 0 THEN 'cannot'
+              WHEN strpos(lower(text), 'i can''t') > 0 THEN 'cant'
+              WHEN strpos(lower(text), 'i won''t') > 0 THEN 'wont'
+              WHEN strpos(lower(text), 'unable to') > 0 THEN 'unable'
+              WHEN strpos(lower(text), 'as an ai') > 0 THEN 'as_an_ai'
+         END AS marker
+  FROM t WHERE role = 'assistant'
+), per AS (
+  SELECT tool, marker, count(*)::BIGINT AS n FROM a GROUP BY 1, 2
+), tot AS (
+  SELECT tool, sum(n)::BIGINT AS n_assistant,
+         sum(CASE WHEN marker IS NOT NULL THEN n ELSE 0 END)::BIGINT AS n_refusals
+  FROM per GROUP BY tool
+), top AS (
+  SELECT tool, marker AS top_marker, n AS top_marker_n,
+         row_number() OVER (PARTITION BY tool
+                            ORDER BY n DESC, marker ASC) AS rn
+  FROM per WHERE marker IS NOT NULL
+)
+SELECT tot.tool, n_assistant, n_refusals,
+       (n_refusals * 1000000 // n_assistant)::BIGINT AS refusal_ppm,
+       top_marker, COALESCE(top_marker_n, 0)::BIGINT AS top_marker_n
+FROM tot LEFT JOIN top ON top.tool = tot.tool AND top.rn = 1
+"""
+
+
+def q_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity per source (textstats.
+    ngram_diversity): total/distinct 1/2/3-gram counts and the
+    integer-ppm distinct ratio — the post-dedup mode-collapse audit
+    (cross-document boilerplate keeps per-doc stats healthy while
+    corpus-level diversity craters). The oracle replays the dedup-
+    normalization tokenizer, the multiplicity gram walk and the exact
+    distinct counts."""
+    from beats_spark.operators.textstats import ngram_diversity
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_diversity(docs, "text", "source", ns=(1, 2, 3))
+
+
+_SQL_DIVERSITY_STATS = r"""
+WITH base AS (
+  SELECT source,
+         string_split_regex(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+  WHERE text IS NOT NULL
+    AND trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''
+), g AS (
+  SELECT source, tn.n AS n,
+         array_to_string(toks[ti.i + 1 : ti.i + tn.n], ' ') AS gram
+  FROM base,
+       unnest([1, 2, 3]) AS tn(n),
+       unnest(range(0, greatest(len(toks) - tn.n, 0) + 1)) AS ti(i)
+)
+SELECT source, n::INTEGER AS n, count(*)::BIGINT AS n_grams,
+       count(DISTINCT gram)::BIGINT AS n_distinct,
+       (count(DISTINCT gram) * 1000000 // count(*))::BIGINT AS distinct_ppm
+FROM g GROUP BY 1, 2
+"""
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × benchmark-split contamination rollup (textstats.
+    contamination_matrix) — the data-card table behind the per-doc
+    decontaminate sweep: every 13th document doubles as a verbatim
+    benchmark item (split dev/test by parity), so every source
+    provably leaks and the matrix counts docs/pairs/windows per cell.
+    The oracle replays the 32-char/16-stride rolling fingerprints and
+    both rollup levels."""
+    from beats_spark.operators.textstats import contamination_matrix
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    train = docs.select("doc_id", "source", "text")
+    eval_ = docs.where(did % 13 == 0).select(
+        "doc_id",
+        F.when(did % 26 == 0, F.lit("test")).otherwise(F.lit("dev")).alias("split"),
+        "text",
+    )
+    return contamination_matrix(
+        train, eval_, train_group="source", eval_group="split"
+    )
+
+
+_SQL_CONTAMINATION_MATRIX = """
+WITH tf AS (
+  SELECT DISTINCT doc_id AS train_id, source AS train_group,
+         md5(substr(text, s, 32)) AS fp
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 32 + 1, 1) + 1, 16)) AS t(s)
+), ef AS (
+  SELECT DISTINCT doc_id AS eval_id,
+         CASE WHEN doc_id % 26 = 0 THEN 'test' ELSE 'dev' END AS eval_group,
+         md5(substr(text, s, 32)) AS fp
+  FROM documents,
+       unnest(range(1, greatest(length(text) - 32 + 1, 1) + 1, 16)) AS t(s)
+  WHERE doc_id % 13 = 0
+), pairs AS (
+  SELECT train_group, eval_group, train_id, eval_id,
+         count(*)::BIGINT AS shared_windows
+  FROM tf JOIN ef USING (fp) GROUP BY 1, 2, 3, 4
+)
+SELECT train_group, eval_group,
+       count(DISTINCT train_id)::BIGINT AS n_train_docs,
+       count(DISTINCT eval_id)::BIGINT AS n_eval_docs,
+       count(*)::BIGINT AS n_pairs,
+       sum(shared_windows)::BIGINT AS shared_windows
+FROM pairs GROUP BY 1, 2
+"""
+
+
 def q_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition removal (keep-first): plants a
     repeated header line, a thrice-repeated footer (one copy with
@@ -8330,10 +8492,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_stats": q_preference_stats,
         "tool_loops": q_tool_loops,
         "schema_drift": q_schema_drift,
+        "refusal_stats": q_refusal_stats,
+        "diversity_stats": q_diversity_stats,
+        "contamination_matrix": q_contamination_matrix,
+        # knn_pq is rows-only: it already carries an in-suite recall
+        # gate, so the oracle-checked entries above outrank it for the
+        # capped gate's last window slots (same rule as knn_ivf below)
         "knn_pq": q_knn_pq,
         # --- everything below already has a green CORRECTNESS_r01-r04
-        # row; the 50 entries above are exactly the never-driver-blessed
-        # set, so a 50-query capped gate blesses all of them in r05 ---
+        # row; the entries above are the never-driver-blessed set. The
+        # closing r5 additions grew it past 50, so under a 50-query
+        # capped gate the tail (diversity_stats, contamination_matrix,
+        # knn_pq) relies on BENCH/PARITY_r05_sf0.01.json + the in-suite
+        # sf0.001 parity as its green evidence instead ---
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -8497,6 +8668,9 @@ def oracle_sql() -> dict[str, str]:
         "preference_stats": _SQL_PREFERENCE_STATS,
         "tool_loops": _SQL_TOOL_LOOPS,
         "schema_drift": _sql_schema_drift(),
+        "refusal_stats": _SQL_REFUSAL_STATS,
+        "diversity_stats": _SQL_DIVERSITY_STATS,
+        "contamination_matrix": _SQL_CONTAMINATION_MATRIX,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

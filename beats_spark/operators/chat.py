@@ -559,3 +559,89 @@ def preference_length_stats(
             F.sum(F.col("_cl") - F.col("_rl")).cast("long").alias("sum_len_diff"),
         )
     )
+
+
+# Ordered refusal-marker battery: (tag, lowercase phrase). Order is the
+# match priority — a turn matching several phrases is attributed to the
+# FIRST battery entry it contains (deterministic, engine-portable).
+# Phrases are the standard public refusal-audit markers (the set every
+# RLHF curation writeup greps for); callers pass their own battery for
+# domain-specific audits.
+REFUSAL_MARKERS: tuple[tuple[str, str], ...] = (
+    ("apology", "i'm sorry"),
+    ("cannot", "i cannot"),
+    ("cant", "i can't"),
+    ("wont", "i won't"),
+    ("unable", "unable to"),
+    ("as_an_ai", "as an ai"),
+)
+
+
+def refusal_stats(
+    turns: DataFrame,
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    markers: tuple[tuple[str, str], ...] = REFUSAL_MARKERS,
+) -> DataFrame:
+    """Assistant refusal-rate audit per tool/category — the SFT-corpus
+    diagnostic run before training: a tool whose assistant turns are
+    mostly refusals teaches the model to refuse that tool, so curation
+    pipelines measure per-category refusal rates (and WHICH phrase
+    dominates) before mixing.
+
+    Per ``tool_col`` value over assistant turns only: turn count,
+    refusal count (first-matching marker from the ordered battery —
+    plain lowercase substring containment, no regex, so the test is
+    byte-identical on any engine), integer-ppm refusal rate
+    (``n_refusals*1e6 div n_assistant`` — exact int division, no
+    float), and the dominant marker with its count (ties broken by
+    marker tag ascending; NULL/0 when the tool has no refusals).
+    NULL text never matches (SQL three-valued logic keeps it out of
+    every branch), mirroring libbeat's contains-condition semantics
+    (/root/reference/libbeat/conditions/matcher.go).
+
+    Scale shape: ONE events-scale partial-aggregated groupBy down to
+    the tiny (tool × marker) frame, then window totals + dominant-
+    marker pick over that frame under a single tool-key exchange —
+    single-pass so the corpus-scale aggregate is never recomputed
+    (the shared-aggregate-subtree-under-join pitfall in CLAUDE.md:
+    ReuseExchange does not fire for a totals ⋈ top split)."""
+    low = F.lower(F.col(text_col))
+    marker: Column = F.lit(None).cast("string")
+    for tag, phrase in reversed(markers):
+        marker = F.when(F.locate(phrase, low) > 0, F.lit(tag)).otherwise(marker)
+    per = (
+        turns.where(F.col(role_col) == "assistant")
+        .select(F.col(tool_col).alias("tool"), marker.alias("marker"))
+        .groupBy("tool", "marker")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    is_ref = F.col("marker").isNotNull()
+    w_tool = Window.partitionBy("tool")
+    # refusal rows rank first (best n, then tag); a tool with no
+    # refusals surfaces its NULL-marker row at rn=1 instead
+    w_ord = Window.partitionBy("tool").orderBy(
+        F.asc(~is_ref), F.desc("n"), F.asc("marker")
+    )
+    return (
+        per.withColumn("n_assistant", F.sum("n").over(w_tool).cast("long"))
+        .withColumn(
+            "n_refusals",
+            F.sum(F.when(is_ref, F.col("n")).otherwise(0)).over(w_tool).cast("long"),
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .where(F.col("rn") == 1)
+        .select(
+            "tool",
+            "n_assistant",
+            "n_refusals",
+            F.expr("CAST(n_refusals * 1000000 DIV n_assistant AS BIGINT)").alias(
+                "refusal_ppm"
+            ),
+            F.when(is_ref, F.col("marker")).alias("top_marker"),
+            F.when(is_ref, F.col("n")).otherwise(0).cast("long").alias(
+                "top_marker_n"
+            ),
+        )
+    )

@@ -1236,3 +1236,115 @@ def tokenizer_fertility(
             "sum_chars * 1000 div greatest(coalesce(sum_tokens_bpe, 0), 1)"
         ).alias("chars_per_bpe_token_milli"),
     ).orderBy("dominant_script")
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n corpus diversity (the distinct-1/2/3-gram ratios of
+    Li et al. 2016, the standard post-dedup mode-collapse audit): per
+    ``group_col`` and n-gram order, total gram occurrences, distinct
+    grams, and the integer-ppm distinct ratio — a slice whose
+    distinct-2 ppm collapses is template spam that per-document dedup
+    missed (near-identical boilerplate across MANY documents keeps
+    per-doc stats healthy while corpus diversity craters).
+
+    Tokenization is the dedup module's normalization (lower, collapse
+    whitespace, trim); grams keep multiplicity (repetition is the
+    signal). Documents empty AFTER normalization are excluded on both
+    engines — the shingles(NULL) Spark/DuckDB divergence documented in
+    CLAUDE.md. Ratio is exact integer ``distinct*1e6 div total``.
+
+    Scale shape: one narrow explode (each doc fans out to
+    sum(len-n+1) gram rows) + ONE groupBy — Spark plans the distinct
+    aggregate as the two-phase partial-dedup-then-merge expansion, so
+    the shuffle carries (group, n, gram) once per distinct gram per
+    map partition, not per occurrence. At 100 TB the exact distinct
+    count is the honest-but-heavy path; ``sketches.hll_sketch`` is the
+    mergeable approximate twin when ppm precision isn't needed."""
+    from beats_spark.operators.dedup import normalize_text
+
+    def tag(n: int):
+        def inner(g: Column) -> Column:
+            return F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("gram")
+            )
+
+        return inner
+
+    base = df.where(normalize_text(F.col(text_col)) != "")
+    grams = F.explode(
+        F.flatten(
+            F.array(*[F.transform(_word_ngrams(F.col(text_col), n), tag(n)) for n in ns])
+        )
+    ).alias("g")
+    return (
+        base.select(F.col(group_col).alias("source"), grams)
+        .select("source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n",
+            "n_grams",
+            "n_distinct",
+            F.expr("CAST(n_distinct * 1000000 DIV n_grams AS BIGINT)").alias(
+                "distinct_ppm"
+            ),
+        )
+    )
+
+
+def contamination_matrix(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_group: str = "source",
+    eval_group: str = "split",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Corpus-level contamination rollup — the release-report twin of
+    :func:`contamination_pairs`: instead of per-document pairs, one
+    row per (training source × benchmark split) with contaminated-doc
+    and shared-window totals. This is the table a data card publishes
+    ("source X leaks into benchmark Y") and the gate a mixture build
+    checks before weighting a source up.
+
+    The group labels ride the fingerprint explode, so the rollup adds
+    NO corpus-scale join over :func:`contamination_pairs` — the fp
+    equi-join shuffle grows by one small string per row and the two
+    aggregations after it run on match rows only (empty when the
+    corpus is clean).
+
+    Output: ``train_group``/``eval_group``, distinct contaminated
+    train/eval docs, pair count, summed shared windows."""
+    def fps(df: DataFrame, out_id: str, grp: str, out_grp: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(grp).alias(out_grp),
+            F.explode(
+                rolling_fingerprints(F.col(text_col), window, stride)
+            ).alias("fp"),
+        ).dropDuplicates([out_id, "fp"])
+
+    t = fps(train_df, "train_id", train_group, "train_group")
+    e = fps(eval_df, "eval_id", eval_group, "eval_group")
+    pairs = (
+        t.join(e, "fp")
+        .groupBy("train_group", "eval_group", "train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    return pairs.groupBy("train_group", "eval_group").agg(
+        F.countDistinct("train_id").cast("long").alias("n_train_docs"),
+        F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("shared_windows").cast("long").alias("shared_windows"),
+    )

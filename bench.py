@@ -186,6 +186,9 @@ EXT_QUERIES = [
     "preference_stats",
     "tool_loops",
     "schema_drift",
+    "refusal_stats",
+    "diversity_stats",
+    "contamination_matrix",
     # round-4 surface
     "domain_cube",
     "tool_pairs",
