@@ -1266,6 +1266,7 @@ def ngram_diversity(
     count is the honest-but-heavy path; ``sketches.hll_sketch`` is the
     mergeable approximate twin when ppm precision isn't needed."""
     from beats_spark.operators.dedup import normalize_text
+    from beats_spark.operators.scale import spread
 
     def tag(n: int):
         def inner(g: Column) -> Column:
@@ -1275,7 +1276,7 @@ def ngram_diversity(
 
         return inner
 
-    base = df.where(normalize_text(F.col(text_col)) != "")
+    base = spread(df.where(normalize_text(F.col(text_col)) != ""))
     grams = F.explode(
         F.flatten(
             F.array(*[F.transform(_word_ngrams(F.col(text_col), n), tag(n)) for n in ns])
