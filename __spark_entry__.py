@@ -6887,6 +6887,116 @@ WHERE cnt * 1000 >= 2000 * (total_rows // n_keys)
 """
 
 
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/scale.py salted_agg) —
+    the REMEDIATION that key_skew diagnoses: per event_type (5 values
+    over the whole corpus — every key is a hot key at 10¹² rows), the
+    row count and the floor-micro value sum, computed through a
+    (key, salt)-partial → key-final split so no reducer ever holds a
+    full key. COUNT/SUM decompose exactly over the salt, so the
+    oracle is the PLAIN GROUP BY — the equality is the point."""
+    from beats_spark.operators.scale import salted_agg
+
+    ev = _load(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        "event_type",
+        sums={"sum_value_micro": F.floor(F.col("value") * 1e6)},
+        n_salts=32,
+        salt_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n_events"),
+        F.col("sum_value_micro").cast("long").alias("sum_value_micro"),
+    )
+
+
+_SQL_SKEW_AGG = r"""
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(floor(value * 1e6)::BIGINT)::BIGINT AS sum_value_micro
+FROM events GROUP BY event_type
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot release diff (operators/snapshots.py corpus_diff +
+    corpus_diff_stats): v1 = documents minus the doc_id%10=3 slice,
+    v2 = documents minus the %10=7 slice with every %5=0 text
+    amended (and every %20=5 text NULLed, exercising the NULL-hash
+    sentinel) — so all four statuses appear: %10=3 added, %10=7
+    removed, %5=0 and %20=5 changed, the rest unchanged. The oracle
+    replays the same md5 fingerprints through a full outer join."""
+    from beats_spark.operators.snapshots import corpus_diff, corpus_diff_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v1 = docs.where(did % 10 != 3).select("doc_id", "text")
+    v2 = docs.where(did % 10 != 7).select(
+        "doc_id",
+        F.when(did % 20 == 5, F.lit(None).cast("string"))
+        .when(did % 5 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff_stats(corpus_diff(v1, v2, "doc_id", "text"))
+
+
+def _sql_corpus_diff() -> str:
+    from beats_spark.operators.snapshots import corpus_diff_sql
+
+    old_sql = "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3"
+    new_sql = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 5 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 10 <> 7
+    """
+    return corpus_diff_sql(old_sql, new_sql, "doc_id", "text")
+
+
+def q_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement audit (operators/ranking.py fleiss_kappa):
+    events become a fixed 5-rater panel (item = event_id div 5, one
+    rating per event) labeling each item {yes, no, partial} via an LCG
+    mix of event_id; every 4th item is planted as unanimous 'yes' so
+    observed agreement beats chance and kappa lands strictly inside
+    (0, 1). Items missing a full panel (the contiguity of event_id is
+    NOT assumed) are dropped by the operator on both engines. The
+    oracle replays the cancelled-T integer formulation exactly."""
+    from beats_spark.operators.ranking import fleiss_kappa
+
+    ev = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    item = F.expr("event_id div 5")
+    mix = (eid * 1103515245 + 12345) % 2147483648
+    cat = (
+        F.when(item % 4 == 0, F.lit("yes"))
+        .when(mix % 3 == 0, F.lit("yes"))
+        .when(mix % 3 == 1, F.lit("no"))
+        .otherwise(F.lit("partial"))
+    )
+    ratings = ev.select(item.alias("item"), cat.alias("category"))
+    return fleiss_kappa(ratings, "item", "category", n_raters=5)
+
+
+def _sql_rater_agreement() -> str:
+    from beats_spark.operators.ranking import fleiss_kappa_sql
+
+    ratings = """
+      SELECT event_id // 5 AS item,
+             CASE WHEN (event_id // 5) % 4 = 0 THEN 'yes'
+                  WHEN (event_id * 1103515245 + 12345) % 2147483648 % 3 = 0
+                       THEN 'yes'
+                  WHEN (event_id * 1103515245 + 12345) % 2147483648 % 3 = 1
+                       THEN 'no'
+                  ELSE 'partial' END AS category
+      FROM events
+    """
+    return fleiss_kappa_sql(ratings, "item", "category", n_raters=5)
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8505,6 +8615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "transcript_corpus_bpe": q_transcript_corpus_bpe,
         "knn_pq": q_knn_pq,
+        # post-window r5 additions: oracle-checked, covered by the
+        # in-suite sf0.001 parity and scripts/parity.py artifacts;
+        # deliberately OUTSIDE the 50-slot gate so the never-blessed
+        # window above stays exactly the r3/r4 backlog
+        "skew_agg": q_skew_agg,
+        "corpus_diff": q_corpus_diff,
+        "rater_agreement": q_rater_agreement,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -8673,6 +8790,9 @@ def oracle_sql() -> dict[str, str]:
         "refusal_stats": _SQL_REFUSAL_STATS,
         "diversity_stats": _SQL_DIVERSITY_STATS,
         "contamination_matrix": _SQL_CONTAMINATION_MATRIX,
+        "skew_agg": _SQL_SKEW_AGG,
+        "corpus_diff": _sql_corpus_diff(),
+        "rater_agreement": _sql_rater_agreement(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

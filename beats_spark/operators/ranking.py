@@ -213,6 +213,143 @@ def bradley_terry_from_counts(
     ).select("model", F.col("_p").alias("strength"), "wins", "n_duels")
 
 
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_col: str = "item",
+    category_col: str = "category",
+    n_raters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971, "Measuring nominal scale agreement
+    among many raters") — inter-rater agreement over a corpus of
+    categorical ratings, the audit a labeling pipeline runs before
+    trusting its raters (the complement of bradley_terry: BT ranks the
+    MODELS, kappa validates the JUDGES).
+
+    Input: one row per (item, rating); items not carrying exactly
+    ``n_raters`` ratings are dropped (the standard fixed-panel
+    formulation — partial panels are a different statistic). Output is
+    ONE row: n_items, n_categories, total_ratings, pbar_micro
+    (observed agreement P̄), pe_micro (chance agreement P̄ₑ) and
+    kappa_micro, all floor-scaled integers.
+
+    With N items, n raters, T = N·n ratings, n_ij the per-item
+    category counts and C_j the category marginals:
+
+        S1 = Σ n_ij² − T            P̄  = S1 / (T·(n−1))
+        S2 = Σ C_j²                 P̄ₑ = S2 / T²
+        κ  = (S1·T − S2·(n−1)) / ((n−1)·(T² − S2))
+
+    (the textbook (P̄−P̄ₑ)/(1−P̄ₑ) with one factor of T cancelled so
+    every intermediate fits DECIMAL(38,0)/HUGEINT up to T ≈ 10¹²
+    ratings — S1·T·10⁶ ≤ n·T²·10⁶ ≈ 5·10³⁰). Divisions truncate
+    toward zero on BOTH engines (Spark ``div``, DuckDB ``//`` —
+    CLAUDE.md verified), so a negative kappa still matches exactly.
+    The all-agreement degenerate case (S2 = T², P̄ₑ = 1, κ undefined)
+    is greatest-clamped to denominator 1 and documented rather than
+    NULLed.
+
+    Scale shape: one corpus-scale shuffle (groupBy(item, category),
+    map-side combine), one item-keyed Window pass to enforce the
+    panel size, then two tiny aggregates over the persisted
+    (item, category, n_ij) frame — which is ≤ N·k rows of integers,
+    the only intermediate."""
+    from pyspark.sql import Window
+
+    n = int(n_raters)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs n_raters >= 2")
+    counts = (
+        ratings.where(
+            F.col(item_col).isNotNull() & F.col(category_col).isNotNull()
+        )
+        .groupBy(item_col, category_col)
+        .agg(F.count(F.lit(1)).alias("_nij"))
+    )
+    w = Window.partitionBy(item_col)
+    # persist: the valid frame feeds BOTH global aggregates below and
+    # ReuseExchange does not fire for shared subtrees (CLAUDE.md)
+    valid = (
+        counts.withColumn("_tot", F.sum("_nij").over(w))
+        .where(F.col("_tot") == n)
+        .persist()
+    )
+    a = valid.agg(
+        F.sum(F.expr("_nij * _nij")).alias("_ssq"),
+        F.sum("_nij").alias("_t"),
+    )
+    b = valid.groupBy(category_col).agg(F.sum("_nij").alias("_cj")).agg(
+        F.sum(F.expr("CAST(_cj AS DECIMAL(38,0)) * _cj")).alias("_s2"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    s = int(scale)
+    return (
+        a.crossJoin(b)
+        .select(
+            F.expr(f"_t div {n}").cast("long").alias("n_items"),
+            F.col("_k").cast("long").alias("n_categories"),
+            F.col("_t").cast("long").alias("total_ratings"),
+            F.expr(
+                f"CAST((CAST(_ssq AS DECIMAL(38,0)) - _t) * {s} "
+                f"div (CAST(_t AS DECIMAL(38,0)) * {n - 1}) AS LONG)"
+            ).alias("pbar_micro"),
+            F.expr(
+                f"CAST(_s2 * {s} "
+                f"div (CAST(_t AS DECIMAL(38,0)) * _t) AS LONG)"
+            ).alias("pe_micro"),
+            F.expr(
+                f"CAST(((CAST(_ssq AS DECIMAL(38,0)) - _t) * _t "
+                f"- _s2 * {n - 1}) * {s} "
+                f"div greatest({n - 1} * (CAST(_t AS DECIMAL(38,0)) * _t "
+                f"- _s2), 1) AS LONG)"
+            ).alias("kappa_micro"),
+        )
+    )
+
+
+def fleiss_kappa_sql(
+    ratings_sql: str,
+    item: str = "item",
+    category: str = "category",
+    n_raters: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """The identical computation as DuckDB CTEs: HUGEINT arithmetic,
+    the same cancelled-T formulation, ``//`` truncation and
+    greatest-clamp in the same places."""
+    n, s = int(n_raters), int(scale)
+    return f"""
+WITH r AS ({ratings_sql}),
+counts AS (
+  SELECT {item} AS it, {category} AS cat, count(*)::BIGINT AS nij
+  FROM r WHERE {item} IS NOT NULL AND {category} IS NOT NULL
+  GROUP BY 1, 2
+),
+valid AS (
+  SELECT * FROM (
+    SELECT it, cat, nij, sum(nij) OVER (PARTITION BY it) AS tot
+    FROM counts
+  ) WHERE tot = {n}
+),
+a AS (
+  SELECT sum(nij::HUGEINT * nij) AS ssq, sum(nij)::HUGEINT AS t
+  FROM valid
+),
+b AS (
+  SELECT sum(cj::HUGEINT * cj) AS s2, count(*)::BIGINT AS k
+  FROM (SELECT cat, sum(nij)::BIGINT AS cj FROM valid GROUP BY cat)
+)
+SELECT (t // {n})::BIGINT AS n_items,
+       k AS n_categories,
+       t::BIGINT AS total_ratings,
+       ((ssq - t) * {s} // (t * {n - 1}))::BIGINT AS pbar_micro,
+       (s2 * {s} // (t * t))::BIGINT AS pe_micro,
+       (((ssq - t) * t - s2 * {n - 1}) * {s}
+        // greatest({n - 1} * (t * t - s2), 1))::BIGINT AS kappa_micro
+FROM a, b
+"""
+
+
 def bradley_terry_sql(
     comparisons_sql: str,
     winner: str = "winner",

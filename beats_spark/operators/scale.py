@@ -80,3 +80,56 @@ def key_skew_stats(
         ).alias("rec_salt"),
         avg_cnt.alias("avg_cnt"),
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_col: str,
+    sums: dict[str, "F.Column"] | None = None,
+    n_salts: int = 64,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation — the REMEDIATION that
+    :func:`key_skew_stats` sizes: per ``key_col``, a row count plus
+    SUM of each integer expression in ``sums``, computed so no single
+    reducer ever holds a hot key's full row set.
+
+    A plain ``groupBy(key)`` over 10¹² rows with a low-cardinality or
+    hot key (the north rule's hot-conversation problem; libbeat's
+    analogue is per-output event counters,
+    /root/reference/libbeat/monitoring/report/report.go) funnels each
+    key through ONE reducer — the straggler that caps cluster
+    throughput at a single executor's speed. The salted form:
+
+    - phase 1: ``groupBy(key, salt)`` with ``salt = pmod(xxhash64(
+      salt_cols), n_salts)`` — the hot key's rows spread over
+      ``n_salts`` reducers, each emitting a partial (cnt, sums) row.
+      Map-side combine applies, so the shuffle carries at most
+      |tasks|·|keys|·n_salts partial rows, not the corpus.
+    - phase 2: ``groupBy(key)`` over |keys|·n_salts partial rows —
+      a trivially small second shuffle.
+
+    COUNT and SUM decompose exactly over the salt split (both phases
+    are integer sums), so the result is row-for-row identical to the
+    unsalted groupBy — which is exactly what the DuckDB oracle runs.
+    Only integer-valued ``sums`` expressions keep that equality
+    engine-portable (CLAUDE.md float rule); the caller pre-floors any
+    double (e.g. ``floor(value·10⁶)``).
+
+    ``salt_cols`` defaults to every input column: a pure row-content
+    hash keeps the operator deterministic while distributing a hot
+    key's rows uniformly (row ids or partition ids would tie the plan
+    to scan layout)."""
+    from pyspark.sql import functions as F
+
+    sums = sums or {}
+    salt_src = [F.col(c) for c in (salt_cols or df.columns)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(int(n_salts)))
+    partial = df.groupBy(F.col(key_col), salt.alias("_salt")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(expr).alias(f"_s_{name}") for name, expr in sums.items()],
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_cnt").alias("cnt"),
+        *[F.sum(f"_s_{name}").alias(name) for name in sums],
+    )

@@ -177,6 +177,9 @@ BENCH_QUERIES = [
 # gets a measured baseline for the new surface.
 EXT_QUERIES = [
     # round-5 additions
+    "skew_agg",
+    "corpus_diff",
+    "rater_agreement",
     "winlog_parse",
     "incremental_neardup",
     "mqtt_route",
