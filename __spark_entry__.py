@@ -6997,6 +6997,66 @@ def _sql_rater_agreement() -> str:
     return fleiss_kappa_sql(ratings, "item", "category", n_raters=5)
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe cluster-aware split (sampling.cluster_safe_split):
+    the dedup_cluster star+bridge duplicate graph feeds
+    connected_components, then the split coin is flipped on the
+    CLUSTER label instead of the doc id — every member of a near-dup
+    cluster lands on the same side by construction (the straddle
+    clean_split has to detect after the fact cannot occur here).
+    Singleton docs (not in the graph) fall back to the plain hash
+    split on their own id. The oracle recomputes true components with
+    a recursive CTE and replays the identical md5 gate, so the
+    hash-match proves both the graph traversal and the per-cluster
+    split agreement row by row."""
+    from beats_spark.operators.dedup import connected_components
+    from beats_spark.operators.sampling import cluster_safe_split
+
+    docs = _load(spark, sf_dir, "documents")
+    spokes = docs.where("doc_id % 7 != 0 and doc_id % 3 != 0").select(
+        F.col("doc_id").alias("a"),
+        F.expr("doc_id - doc_id % 7").alias("b"),
+    )
+    bridges = docs.where(
+        "doc_id % 7 = 0 and doc_id > 0 and (doc_id div 7) % 3 = 1"
+    ).select(F.col("doc_id").alias("a"), F.expr("doc_id - 1").alias("b"))
+    comp = connected_components(spokes.unionByName(bridges), "a", "b")
+    out = cluster_safe_split(
+        docs, comp, eval_fraction=0.25, seed=11
+    )
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "split",
+    )
+
+
+_SQL_CLUSTER_SPLIT = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id > 0 AND (doc_id // 7) % 3 = 1
+), sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id)::BIGINT AS component,
+       CASE WHEN ('0x' || substr(md5(
+                 's11|' || COALESCE(c.component, d.doc_id)::VARCHAR), 1, 15)
+            )::BIGINT < {int(0.25 * (1 << 60))}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8622,6 +8682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_agg": q_skew_agg,
         "corpus_diff": q_corpus_diff,
         "rater_agreement": q_rater_agreement,
+        "cluster_split": q_cluster_split,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -8793,6 +8854,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_agg": _SQL_SKEW_AGG,
         "corpus_diff": _sql_corpus_diff(),
         "rater_agreement": _sql_rater_agreement(),
+        "cluster_split": _SQL_CLUSTER_SPLIT,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -71,6 +71,60 @@ def split_train_eval(
     )
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    eval_fraction: float = 0.01,
+    seed: int = 0,
+    split_col: str = "split",
+    component_col: str = "component",
+) -> DataFrame:
+    """Leakage-safe train/eval split: hash the duplicate-CLUSTER id,
+    not the document id, so every member of a near-dup cluster lands
+    on the same side of the split.
+
+    ``split_train_eval`` is blind to near-duplicates: a doc and its
+    near-copy flip independent coins, and with any realistic dup rate
+    some pairs straddle the split — the eval set then scores memorized
+    training text (the contamination ``fuzzy_decontaminate`` has to
+    repair after the fact). Splitting by the connected-component label
+    of the duplicate graph (RefinedWeb/Dolma practice) prevents the
+    straddle by construction: members share a label, the label takes
+    one coin flip, and the flip is the same deterministic md5 gate as
+    ``split_train_eval`` (engine-portable, any parallelism).
+
+    ``components`` is the ``(node, component)`` frame from
+    ``dedup.connected_components`` over any of the pair generators.
+    Documents absent from the graph (singletons — in practice almost
+    the whole corpus) fall back to their own id, i.e. exactly the
+    plain hash split.
+
+    Scale shape: the components frame is 8-16 B per DUPLICATE-graph
+    node (not per corpus row); the single join is id-keyed and AQE
+    broadcasts the label side whenever the dup graph is small relative
+    to the corpus. The split column itself is a narrow projection — no
+    second shuffle.
+    """
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError(f"eval_fraction must be in [0, 1], got {eval_fraction}")
+    threshold = int(eval_fraction * _SCALE)
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("_cs_comp")
+    )
+    group = F.coalesce(F.col("_cs_comp"), F.col(id_col))
+    h = sample_hash(group.cast("string"), seed)
+    return (
+        docs.join(comp, id_col, "left")
+        .withColumn(component_col, group)
+        .withColumn(
+            split_col,
+            F.when(h < F.lit(threshold), F.lit("eval")).otherwise(F.lit("train")),
+        )
+        .drop("_cs_comp")
+    )
+
+
 def stratified_quota(
     df: DataFrame,
     stratum_col: str,

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
 # gets a measured baseline for the new surface.
 EXT_QUERIES = [
     # round-5 additions
+    "cluster_split",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -182,3 +182,51 @@ def test_cluster_balance_rejects_huge_cap(spark):
     df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         cluster_balance(df, [[1]], cap_per_cluster=(1 << 22) + 1)
+
+
+def test_cluster_safe_split_members_share_side(spark):
+    """Every member of a duplicate cluster lands on the same split
+    side; singletons get exactly the plain hash split on their own
+    id (same seed → same coin as split_train_eval)."""
+    import hashlib
+
+    from beats_spark.operators.dedup import connected_components
+    from beats_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    # two chained clusters {0,1,2,11} and {20,21}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 0), (11, 1), (21, 20)], "a long, b long"
+    )
+    comp = connected_components(pairs, "a", "b")
+    out = cluster_safe_split(docs, comp, eval_fraction=0.5, seed=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 30
+    # chaining resolved: 11 reaches 0 through 1
+    assert {rows[i].component for i in (0, 1, 2, 11)} == {0}
+    assert {rows[i].component for i in (20, 21)} == {20}
+    assert len({rows[i].split for i in (0, 1, 2, 11)}) == 1
+    assert len({rows[i].split for i in (20, 21)}) == 1
+    # the coin is the md5 gate on the group key
+    thr = int(0.5 * (1 << 60))
+    for i in (0, 5, 20):
+        h = int(
+            hashlib.md5(f"s3|{rows[i].component}".encode()).hexdigest()[:15], 16
+        )
+        want = "eval" if h < thr else "train"
+        assert rows[i].split == want, i
+    # singleton component is its own id
+    assert rows[5].component == 5
+
+
+def test_cluster_safe_split_rejects_bad_fraction(spark):
+    import pytest
+
+    from beats_spark.operators.sampling import cluster_safe_split
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    comp = spark.createDataFrame([(1, 1)], "node long, component long")
+    with pytest.raises(ValueError):
+        cluster_safe_split(docs, comp, eval_fraction=1.5)
