@@ -7057,6 +7057,91 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+_BLOOM_BITS, _BLOOM_K, _BLOOM_SEED = 1 << 11, 3, 11
+
+
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter seen-set (sketches.bloom_build/bloom_probe): the
+    bounded-size membership tier in front of a crawl frontier or
+    incremental-ingest index. Pages get deterministic URLs; the 2/3
+    with doc_id%3!=0 are 'already crawled' and build the filter; ALL
+    pages probe it. Exactness contract: zero false negatives (every
+    truly_seen page reads maybe_seen) and deterministic false
+    positives — is_fp marks novel pages whose 3 bit positions all
+    collide with set bits (n_bits=2048 keeps the fill ratio in the
+    FP-visible range at every test SF). The oracle replays the position
+    hashes, the distinct position set, and the all-k probe — the
+    approximate structure still passes the exact hash gate because
+    the STATE is integer-deterministic (module discipline)."""
+    from beats_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select(
+        "doc_id", url.alias("url"), (F.col("doc_id") % 3 != 0).alias("truly_seen")
+    )
+    bloom = bloom_build(
+        pages.filter("truly_seen"), "url", _BLOOM_BITS, _BLOOM_K, _BLOOM_SEED
+    )
+    probed = bloom_probe(
+        pages, bloom, "url", _BLOOM_BITS, _BLOOM_K, _BLOOM_SEED
+    )
+    return probed.select(
+        "doc_id",
+        "url",
+        "truly_seen",
+        "maybe_seen",
+        (F.col("maybe_seen") & ~F.col("truly_seen")).alias("is_fp"),
+    )
+
+
+def _sql_bloom_seen() -> str:
+    nb, k, seed = _BLOOM_BITS, _BLOOM_K, _BLOOM_SEED
+
+    def pos(i: int) -> str:
+        return (
+            f"('0x' || substr(md5('s{seed * 1000 + i}|' || url), 1, 15))"
+            f"::BIGINT % {nb}"
+        )
+
+    seen_bits = "\n  UNION ALL\n".join(
+        f"  SELECT {pos(i)} AS bit FROM pages WHERE truly_seen"
+        for i in range(k)
+    )
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, url, truly_seen, {pos(i)} AS pos FROM pages"
+        for i in range(k)
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://' || source || '/doc/' || doc_id::VARCHAR AS url,
+         doc_id % 3 <> 0 AS truly_seen
+  FROM documents
+), bits AS (
+  SELECT DISTINCT bit FROM (
+{seen_bits}
+  )
+), pp AS (
+{probe_rows}
+), j AS (
+  SELECT pp.doc_id, pp.url, pp.truly_seen,
+         count(*) FILTER (WHERE bits.bit IS NOT NULL) AS nhit
+  FROM pp LEFT JOIN bits ON bits.bit = pp.pos
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, url, truly_seen,
+       nhit = {k} AS maybe_seen,
+       (nhit = {k} AND NOT truly_seen) AS is_fp
+FROM j
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8683,6 +8768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "rater_agreement": q_rater_agreement,
         "cluster_split": q_cluster_split,
+        "bloom_seen": q_bloom_seen,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -8855,6 +8941,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _sql_corpus_diff(),
         "rater_agreement": _sql_rater_agreement(),
         "cluster_split": _SQL_CLUSTER_SPLIT,
+        "bloom_seen": _sql_bloom_seen(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -285,3 +285,114 @@ def hdr_quantiles(
         F.col("_p.q").alias("q"),
         F.col("_p.bucket_lo").alias("bucket_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: bounded-size set membership (the crawl seen-set)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(
+    key: Column, n_bits: int, k: int, seed: int = 0
+) -> Column:
+    """``array<long>`` of the ``k`` Bloom bit positions for ``key`` —
+    each an independent md5-60 hash (distinct seed material per hash
+    index) reduced mod ``n_bits``. Engine-portable: DuckDB replays
+    ``('0x' || substr(md5('s<seed*1000+i>|' || key), 1, 15))::BIGINT
+    % n_bits`` exactly (the hash is non-negative, so ``%`` and pmod
+    agree)."""
+    return F.array(
+        *[
+            F.pmod(sample_hash(key, seed=seed * 1000 + i), F.lit(n_bits))
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as its POSITION-SET form:
+    one ``(bit)`` row per set bit — semantically the classic bit
+    array, represented relationally so it stays mergeable (union +
+    distinct merges filters built on different days/shards/clusters)
+    and joinable (membership probes are hash joins, not per-row
+    array scans).
+
+    Why this exists: the exact seen-set behind a crawl frontier or an
+    incremental-ingest dedup index costs ≥ 16 B per key — 16 TB of
+    state at 10¹² URLs. A Bloom filter at ~10 bits/key answers "have
+    I seen this key?" with NO false negatives and a tunable
+    false-positive rate (~(fill)^k; 10 bits/key, k=3 → ~1-2%), so the
+    exact index only has to serve the tiny maybe-seen fraction — the
+    standard two-tier membership architecture. False positives DROP
+    work (a never-seen URL mistaken as seen is skipped); recall of
+    the filter is exact, which is the safe direction for dedup and
+    the wrong one for billing — callers that cannot tolerate FP skips
+    chase the maybe-seen set through the exact index.
+
+    Scale shape: one explode (×k) then a distinct whose map-side
+    combine caps every task's output at ``n_bits`` rows — the reduced
+    frame is ≤ ``n_bits`` rows TOTAL regardless of corpus size.
+    Integer-deterministic throughout (module hash discipline), so the
+    filter a 1000-executor cluster builds is row-identical to the
+    local one and to the DuckDB oracle's."""
+    if n_bits <= 0:
+        raise ValueError(f"n_bits must be positive, got {n_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    pos = bloom_positions(F.col(key_col).cast("string"), n_bits, k, seed)
+    return df.select(F.explode(pos).alias("bit")).distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    n_bits: int,
+    k: int = 3,
+    seed: int = 0,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe every row of ``df`` against a ``bloom_build`` filter:
+    adds boolean ``flag_col`` — true iff ALL ``k`` bit positions of
+    the row's key are set (membership is a pure function of the key,
+    so rows sharing a key correctly share a verdict — unlike
+    decision-joins keyed on a non-unique id, which OR unrelated
+    outcomes together).
+
+    Plan: distinct keys → explode to ``k`` position rows → ONE join
+    against the position set (≤ ``n_bits`` rows, so AQE broadcasts it
+    at any realistic sizing) → per-key all-``k`` AND → flag joined
+    back to ``df`` on the key. Two key-shuffles worst case; the
+    position-set side never scales with the corpus. The caller owns
+    persistence of ``bloom`` when probing it more than once
+    (streaming-safe: no operator-internal persist)."""
+    if n_bits <= 0:
+        raise ValueError(f"n_bits must be positive, got {n_bits}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    pos = bloom_positions(F.col(key_col).cast("string"), n_bits, k, seed)
+    hits = (
+        df.select(key_col)
+        .distinct()
+        .select(F.col(key_col), F.explode(pos).alias("_bbit"))
+        .join(
+            bloom.select(
+                F.col("bit").alias("_bbit"), F.lit(1).alias("_bhit")
+            ),
+            "_bbit",
+            "left",
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("_bhit"), F.lit(0))) == F.lit(k)).alias(
+                flag_col
+            )
+        )
+    )
+    return df.join(hits, key_col, "left")

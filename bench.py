@@ -178,6 +178,7 @@ BENCH_QUERIES = [
 EXT_QUERIES = [
     # round-5 additions
     "cluster_split",
+    "bloom_seen",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",
