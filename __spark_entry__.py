@@ -7142,6 +7142,49 @@ FROM j
 """
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard planner (layout.shard_plan): global byte
+    offsets + shard ids over documents in doc_id order via the
+    two-pass distributed prefix sum (range-bucket → parallel
+    per-bucket running sums → n_buckets-row bucket-offset broadcast)
+    — NOT the single-partition global window the oracle is allowed to
+    use (DuckDB runs on one node anyway). n_buckets=8 so the
+    bucket-combination path is genuinely multi-bucket at every SF;
+    the output is boundary-independent, so the sampled range split
+    cannot affect parity. shard_bytes=16384 yields a multi-shard plan
+    with straddling rows (first-byte-owns-the-row convention) at
+    sf0.01."""
+    from beats_spark.operators.layout import shard_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    out = shard_plan(
+        docs,
+        F.octet_length(F.col("text")),
+        shard_bytes=16384,
+        order_col="doc_id",
+        n_buckets=8,
+    )
+    return out.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        "offset_bytes",
+        "shard",
+    )
+
+
+_SQL_SHARD_PLAN = """
+SELECT doc_id,
+       strlen(text)::BIGINT AS n_bytes,
+       COALESCE(SUM(strlen(text)) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0)::BIGINT AS offset_bytes,
+       (COALESCE(SUM(strlen(text)) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) // 16384)::BIGINT AS shard
+FROM documents
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8769,6 +8812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rater_agreement": q_rater_agreement,
         "cluster_split": q_cluster_split,
         "bloom_seen": q_bloom_seen,
+        "shard_plan": q_shard_plan,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -8942,6 +8986,7 @@ def oracle_sql() -> dict[str, str]:
         "rater_agreement": _sql_rater_agreement(),
         "cluster_split": _SQL_CLUSTER_SPLIT,
         "bloom_seen": _sql_bloom_seen(),
+        "shard_plan": _SQL_SHARD_PLAN,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -161,3 +161,91 @@ def zorder_layout_stats(
             F.max("y_bucket").alias("y_max"),
         )
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    size_col,
+    shard_bytes: int,
+    order_col: str = "doc_id",
+    n_buckets: int = 256,
+    persist: bool = True,
+) -> DataFrame:
+    """Size-balanced contiguous shard plan: every row gets its global
+    byte ``offset_bytes`` (sum of all earlier rows' sizes in
+    ``order_col`` order) and ``shard = offset_bytes div shard_bytes``
+    — the write plan that turns a curated corpus into ~equal-sized
+    output files/tar shards in a deterministic order (WebDataset /
+    training-shard convention: capped file sizes, stable order, and a
+    byte-addressable manifest).
+
+    The interesting part is HOW the running total is computed: a
+    global ``SUM() OVER (ORDER BY ...)`` window is a single-partition
+    sort — the one-core bottleneck that stops working the moment the
+    corpus doesn't fit one machine. This is the standard two-pass
+    distributed prefix sum instead:
+
+    1. range-bucket rows on ``order_col`` (``repartitionByRange`` —
+       buckets are ordered, contiguous key ranges);
+    2. per-bucket running sum (window PARTITIONED by bucket — every
+       bucket sorts in parallel);
+    3. bucket totals (``n_buckets`` rows) get their own prefix sum on
+       a single partition — bounded by ``n_buckets``, never by data —
+       and broadcast back as per-bucket offsets;
+    4. ``offset = bucket_offset + within_bucket_offset``.
+
+    The output is a pure function of (key order, sizes): bucket
+    BOUNDARIES don't appear in it, so range-sampling wobble can't
+    change the answer — but ``order_col`` must be unique (ties could
+    split across buckets in arbitrary order). Two corpus shuffles
+    (range + bucket-window); the frame is persisted by default
+    because the bucket-totals pass and the window pass both consume
+    the range exchange and Spark recomputes shared subtrees
+    (CLAUDE.md: ReuseExchange does not fire here) — streaming callers
+    pass ``persist=False`` and manage their own caching.
+
+    Shard semantics: a row whose span crosses a boundary belongs to
+    the shard its FIRST byte lands in, so shards can overshoot by at
+    most one row — the convention that keeps assignment a pure
+    projection of the offset (writers that must hard-cap bytes split
+    the straddling row downstream).
+    """
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    d = (
+        df.withColumn("_sp_sz", F.coalesce(size.cast("long"), F.lit(0)))
+        .repartitionByRange(n_buckets, F.col(order_col))
+        .withColumn("_sp_b", F.spark_partition_id())
+    )
+    if persist:
+        d = d.persist()
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("_sp_b")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = d.groupBy("_sp_b").agg(F.sum("_sp_sz").alias("_sp_tot"))
+    w_b = Window.orderBy("_sp_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_sp_b",
+        F.coalesce(F.sum("_sp_tot").over(w_b), F.lit(0)).alias("_sp_boff"),
+    )
+    out = (
+        d.withColumn(
+            "_sp_inoff", F.coalesce(F.sum("_sp_sz").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "_sp_b")
+        .withColumn(
+            "offset_bytes", (F.col("_sp_boff") + F.col("_sp_inoff")).cast("long")
+        )
+        .withColumn(
+            "shard", F.expr(f"offset_bytes div {int(shard_bytes)}").cast("long")
+        )
+        .drop("_sp_b", "_sp_sz", "_sp_inoff", "_sp_boff")
+    )
+    return out

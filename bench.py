@@ -179,6 +179,7 @@ EXT_QUERIES = [
     # round-5 additions
     "cluster_split",
     "bloom_seen",
+    "shard_plan",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -117,3 +117,55 @@ def test_rejects_bad_args(spark):
         zorder_interleave_sql("a", "b", 8, "postgres")
     with pytest.raises(ValueError, match="dialect"):
         bucket_sql("a", "mn", "mx", 8, "postgres")
+
+
+def test_shard_plan_matches_serial_cumsum_any_buckets(spark):
+    """The two-pass distributed prefix sum equals the serial running
+    total at every bucket count, including the degenerate 1-bucket
+    case; shard = offset div shard_bytes with first-byte ownership."""
+    from beats_spark.operators.layout import shard_plan
+
+    rows = [(i, "x" * ((i * 37) % 100 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sizes = {i: len(t) for i, t in rows}
+    offsets, acc = {}, 0
+    for i in sorted(sizes):
+        offsets[i] = acc
+        acc += sizes[i]
+    from pyspark.sql import functions as F
+
+    for nb in (1, 3, 8):
+        out = {
+            r.doc_id: r
+            for r in shard_plan(
+                df, F.octet_length("text"), shard_bytes=500,
+                order_col="doc_id", n_buckets=nb,
+            ).collect()
+        }
+        assert len(out) == 200
+        for i in sorted(sizes):
+            assert out[i].offset_bytes == offsets[i], (nb, i)
+            assert out[i].shard == offsets[i] // 500
+    # multiple shards actually produced, and shards are contiguous
+    shards = [out[i].shard for i in sorted(sizes)]
+    assert shards == sorted(shards) and shards[-1] > 5
+
+
+def test_shard_plan_null_sizes_and_bad_params(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.layout import shard_plan
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "defg")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in shard_plan(
+        df, F.octet_length("text"), shard_bytes=4, n_buckets=2
+    ).collect()}
+    assert out[2].offset_bytes == 3  # NULL size folds to 0
+    assert out[3].offset_bytes == 3
+    with pytest.raises(ValueError):
+        shard_plan(df, F.octet_length("text"), shard_bytes=0)
+    with pytest.raises(ValueError):
+        shard_plan(df, F.octet_length("text"), shard_bytes=4, n_buckets=0)
