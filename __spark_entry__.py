@@ -7185,6 +7185,114 @@ FROM documents
 """
 
 
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text rollup (html.anchor_stats): planted per-doc HTML
+    links 13 targets with 3 rotating anchor texts plus a
+    fragment-variant link ('#sec' must fold into the same target), a
+    hub target whose two anchors tie exactly (alpha/zeta at did%10==1
+    vs ==6 over dense ids — lexicographic tie-break exercised), and
+    the documented exclusions: a single-quoted anchor, a relative
+    href, and a nested-markup anchor (all must NOT appear). The
+    oracle replays the SAME regex grammar in DuckDB (RE2 vs Java
+    agreement on the shared pattern) and both aggregations."""
+    from beats_spark.operators.html import anchor_stats
+    from beats_spark.operators.scale import spread
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    k = (did % 13).cast("string")
+    t1 = (
+        F.when(did % 3 == 0, F.lit("Read More"))
+        .when(did % 3 == 1, F.lit(" read\n more "))
+        .otherwise(F.lit("Details"))
+    )
+    html = F.concat(
+        F.lit('<a href="https://site.example.org/p'), k, F.lit('">'),
+        t1, F.lit("</a>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<a href="https://site.example.org/p'), k,
+                F.lit('#sec">sec link</a>'),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 10 == 1,
+            F.lit('<a href="https://hub.example.net/t">alpha</a>'),
+        ).otherwise(""),
+        F.when(
+            did % 10 == 6,
+            F.lit('<a href="https://hub.example.net/t">zeta</a>'),
+        ).otherwise(""),
+        F.lit("<a href='https://skip.example/q'>sq</a>"
+              '<a href="/rel.html">rel</a>'),
+        F.when(
+            did % 7 == 0,
+            F.lit('<a href="https://nested.example/n"><b>x</b></a>'),
+        ).otherwise(""),
+    )
+    return anchor_stats(docs.select("doc_id", html.alias("html")))
+
+
+def _sql_anchor_stats() -> str:
+    from beats_spark.operators.html import ANCHOR_PAIR_RE
+
+    nl = chr(10)
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+    '<a href="https://site.example.org/p' || (doc_id % 13)::VARCHAR || '">'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'Read More'
+             WHEN doc_id % 3 = 1 THEN ' read{nl} more '
+             ELSE 'Details' END) || '</a>'
+    || (CASE WHEN doc_id % 2 = 0
+             THEN '<a href="https://site.example.org/p'
+                  || (doc_id % 13)::VARCHAR || '#sec">sec link</a>'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 10 = 1
+             THEN '<a href="https://hub.example.net/t">alpha</a>'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 10 = 6
+             THEN '<a href="https://hub.example.net/t">zeta</a>'
+             ELSE '' END)
+    || '<a href=''https://skip.example/q''>sq</a><a href="/rel.html">rel</a>'
+    || (CASE WHEN doc_id % 7 = 0
+             THEN '<a href="https://nested.example/n"><b>x</b></a>'
+             ELSE '' END) AS html
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '{ANCHOR_PAIR_RE}', 0)) AS frag
+  FROM fx
+), p AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_extract(frag, '{ANCHOR_PAIR_RE}', 1), '#.*$', ''
+         ) AS target,
+         trim(regexp_replace(
+           regexp_extract(frag, '{ANCHOR_PAIR_RE}', 2), '\\s+', ' ', 'g'
+         )) AS anchor
+  FROM m
+  WHERE regexp_matches(
+    regexp_extract(frag, '{ANCHOR_PAIR_RE}', 1), '^https?://')
+), per AS (
+  SELECT target, anchor, count(*) AS n FROM p GROUP BY 1, 2
+), tot AS (
+  SELECT target, count(*)::BIGINT AS n_refs,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM p GROUP BY 1
+), tops AS (
+  SELECT target, anchor AS top_anchor, n::BIGINT AS top_anchor_refs,
+         row_number() OVER (
+           PARTITION BY target ORDER BY n DESC, anchor ASC
+         ) AS rn
+  FROM per
+)
+SELECT t.target, t.n_refs, t.n_docs, s.top_anchor, s.top_anchor_refs
+FROM tot t JOIN tops s ON s.target = t.target AND s.rn = 1
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8813,6 +8921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "bloom_seen": q_bloom_seen,
         "shard_plan": q_shard_plan,
+        "anchor_stats": q_anchor_stats,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -8987,6 +9096,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_split": _SQL_CLUSTER_SPLIT,
         "bloom_seen": _sql_bloom_seen(),
         "shard_plan": _SQL_SHARD_PLAN,
+        "anchor_stats": _sql_anchor_stats(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

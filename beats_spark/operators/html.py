@@ -231,3 +231,97 @@ def extract_links(
         tmp.select(F.col(id_col), F.explode(links).alias("link"))
         .withColumn("canonical_link", canonicalize_url(F.col("link")))
     )
+
+
+# anchor-pair extraction: group 1 = the double-quoted href value,
+# group 2 = the immediate inner text (no nested markup). Kept to ONE
+# pattern used for full-match slicing AND group extraction in both
+# engines, so the operator and its oracle share the grammar exactly.
+ANCHOR_PAIR_RE = r"(?i)<a\b[^>]*\shref\s*=\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+
+def anchor_stats(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    persist: bool = True,
+) -> DataFrame:
+    """Per-target anchor-text rollup — the web-graph description
+    signal: what OTHER pages call a URL. Search ranking and quality
+    classifiers both consume it (anchors describe the target better
+    than the target describes itself, per the original web-search
+    literature), and at crawl scale it is the cheapest page-level
+    label you can mine.
+
+    Extracts ``<a href="...">text</a>`` pairs (documented subset:
+    double-quoted hrefs, inner text without nested markup — the full
+    href grammar incl. single-quoted/unquoted lives in
+    :func:`extract_links`, which feeds the frontier; THIS op wants
+    the text, which only anchor-shaped elements carry), keeps
+    absolute http(s) targets, folds fragments, whitespace-normalizes
+    the anchor text, and emits per target: ``n_refs`` (total anchor
+    occurrences), ``n_docs`` (distinct linking docs), ``top_anchor``
+    + ``top_anchor_refs`` (most frequent normalized text, ties broken
+    lexicographically so the answer is deterministic).
+
+    Scale shape: regex projection + explode (zero shuffle), then two
+    map-side-combined aggregations over the pair frame — by
+    (target, anchor) and by (target) — and a per-target window over
+    the already-reduced (target, anchor) counts. The pair frame is
+    persisted by default because both aggregations consume it
+    (CLAUDE.md: shared subtrees recompute); streaming callers pass
+    ``persist=False`` and cache upstream themselves. Join of the two
+    target-keyed reductions is AQE-sized (both are rollup-cardinality,
+    not corpus-cardinality).
+    """
+    from pyspark.sql import Window
+
+    c = F.col(html_col)
+    pat = ANCHOR_PAIR_RE
+
+    def pair(m: Column) -> Column:
+        return F.struct(
+            F.regexp_extract(m, pat, 1).alias("_href"),
+            F.regexp_extract(m, pat, 2).alias("_txt"),
+        )
+
+    pairs = F.transform(F.regexp_extract_all(c, F.lit(pat), 0), pair)
+    ex = (
+        df.select(F.col(id_col).alias("_aid"), F.explode(pairs).alias("_p"))
+        .select(
+            "_aid",
+            F.col("_p._href").alias("_href"),
+            F.trim(
+                F.regexp_replace(F.col("_p._txt"), r"\s+", " ")
+            ).alias("anchor"),
+        )
+        .filter(F.col("_href").rlike(r"^https?://"))
+        .withColumn("target", F.regexp_replace(F.col("_href"), r"#.*$", ""))
+        .drop("_href")
+    )
+    if persist:
+        ex = ex.persist()
+    per = ex.groupBy("target", "anchor").agg(F.count(F.lit(1)).alias("_n"))
+    tot = ex.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.countDistinct("_aid").alias("n_docs"),
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("_n").desc(), F.col("anchor").asc()
+    )
+    tops = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "target",
+            F.col("anchor").alias("top_anchor"),
+            F.col("_n").cast("long").alias("top_anchor_refs"),
+        )
+    )
+    return tot.join(tops, "target").select(
+        "target",
+        F.col("n_refs").cast("long").alias("n_refs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "top_anchor",
+        "top_anchor_refs",
+    )

@@ -180,6 +180,7 @@ EXT_QUERIES = [
     "cluster_split",
     "bloom_seen",
     "shard_plan",
+    "anchor_stats",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -166,3 +166,48 @@ def test_extract_links_resolution_matches_urljoin(spark):
     got = {r.doc_id: r.link for r in extract_links(df).collect()}
     for i, (b, h) in enumerate(product(bases, hrefs)):
         assert got[i] == urljoin(b, h), (b, h, got[i])
+
+
+def test_anchor_stats_grammar_and_rollup(spark):
+    """Pairs extract from double-quoted anchors only; nested markup
+    and relative targets are skipped; fragments fold; text
+    whitespace-normalizes; top anchor ties break lexicographically."""
+    from beats_spark.operators.html import anchor_stats
+
+    rows = [
+        (1, '<a href="https://t.example/a">Read More</a>'
+            '<a href="https://t.example/a#frag"> read\n more </a>'),
+        (2, '<a href="https://t.example/a">read more</a>'
+            "<a href='https://t.example/a'>single-quoted skipped</a>"),
+        (3, '<a href="https://t.example/a"><b>nested skipped</b></a>'
+            '<a href="/rel.html">relative skipped</a>'
+            '<a href="https://t.example/b">beta</a>'),
+        (4, '<a href="https://t.example/b">alpha</a>'),
+        (5, '<A HREF="https://t.example/b">alpha</A>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    out = {r.target: r for r in anchor_stats(df).collect()}
+    a = out["https://t.example/a"]
+    # doc1 contributes 2 (fragment folds), doc2 contributes 1
+    assert a.n_refs == 3 and a.n_docs == 2
+    # "read more" normalized twice vs "Read More" once
+    assert a.top_anchor == "read more" and a.top_anchor_refs == 2
+    b = out["https://t.example/b"]
+    assert b.n_refs == 3 and b.n_docs == 3
+    # alpha(2) beats beta(1); case-insensitive <A HREF> matched
+    assert b.top_anchor == "alpha" and b.top_anchor_refs == 2
+    assert set(out) == {"https://t.example/a", "https://t.example/b"}
+
+
+def test_anchor_stats_tie_breaks_lexicographically(spark):
+    from beats_spark.operators.html import anchor_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="https://t.example/x">zeta</a>'),
+            (2, '<a href="https://t.example/x">alpha</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    r = anchor_stats(df).collect()[0]
+    assert r.top_anchor == "alpha" and r.top_anchor_refs == 1
