@@ -7293,6 +7293,46 @@ FROM tot t JOIN tops s ON s.target = t.target AND s.rn = 1
 """
 
 
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length trim (textstats.
+    adaptive_length_filter): exact nearest-rank [p5, p95] token-count
+    band per lang, thresholds broadcast back, every doc audited with
+    its band and verdict. The oracle replays the whitespace token
+    convention (the mixture_epochs twin expression), the nearest-rank
+    selection with id tie-break, and the band join."""
+    from beats_spark.operators.scale import spread
+    from beats_spark.operators.textstats import adaptive_length_filter
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    return adaptive_length_filter(docs, "lang", "text", "doc_id", 5, 95)
+
+
+_SQL_LENGTH_FILTER = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT
+           AS n_toks
+  FROM documents
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM base WHERE n_toks IS NOT NULL
+), p AS (
+  SELECT lang,
+         max(CASE WHEN rn = (n - 1) * 5 // 100 + 1 THEN n_toks END)::BIGINT
+           AS lo_toks,
+         max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN n_toks END)::BIGINT
+           AS hi_toks
+  FROM r GROUP BY lang
+)
+SELECT b.doc_id, b.lang, b.n_toks, p.lo_toks, p.hi_toks,
+       (b.n_toks >= p.lo_toks AND b.n_toks <= p.hi_toks) AS kept
+FROM base b JOIN p USING (lang)
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8922,6 +8962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_seen": q_bloom_seen,
         "shard_plan": q_shard_plan,
         "anchor_stats": q_anchor_stats,
+        "length_filter": q_length_filter,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9097,6 +9138,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_seen": _sql_bloom_seen(),
         "shard_plan": _SQL_SHARD_PLAN,
         "anchor_stats": _sql_anchor_stats(),
+        "length_filter": _SQL_LENGTH_FILTER,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

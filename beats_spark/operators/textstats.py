@@ -1349,3 +1349,69 @@ def contamination_matrix(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("shared_windows").cast("long").alias("shared_windows"),
     )
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-language length-outlier trim: keep a document iff its
+    whitespace token count lies inside the [lo_pct, hi_pct] exact
+    nearest-rank percentile band OF ITS OWN GROUP.
+
+    Fixed length thresholds are wrong multilingually — a 40-token
+    Chinese document and a 40-token German document are different
+    beasts, and one global cutoff either starves compact-script
+    languages or keeps boilerplate in verbose ones. The adaptive form
+    learns each group's own distribution and trims both tails
+    (truncated fragments below, concatenation/boilerplate blobs
+    above) — the per-language threshold practice of the multilingual
+    curation literature (CCNet's per-language perplexity buckets are
+    the same move on a different signal).
+
+    Emits every row (audit-friendly: thresholds + verdict, filter on
+    ``kept`` downstream): ``(id, group, n_toks, lo_toks, hi_toks,
+    kept)``. Exactness contract: the thresholds are SELECTED elements
+    (group_percentiles discipline — never interpolated floats), ties
+    broken on ``id_col``, so the verdict is deterministic at any
+    parallelism and engine-portable.
+
+    Plan: one group-keyed window sort for the ranks (the
+    group_percentiles pass), then the ≤|groups|-row threshold frame
+    broadcast-joins back onto the token-count projection — the
+    second corpus pass re-derives n_toks in codegen rather than
+    shuffling the corpus a second time (narrow projection beats a
+    corpus-wide exchange). Exact percentiles cost a per-group sort;
+    at extreme per-group cardinality feed the hdr_quantiles sketch
+    into the same band-join shape instead.
+    """
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError(f"bad percentile band: [{lo_pct}, {hi_pct}]")
+    from beats_spark.operators.analytics import group_percentiles
+
+    toks = token_count_whitespace(F.col(text_col)).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(group_col), toks.alias("n_toks")
+    )
+    pct = group_percentiles(
+        base, group_col, "n_toks", id_col, (lo_pct, hi_pct)
+    ).select(
+        F.col(group_col),
+        F.col(f"p{lo_pct}").cast("long").alias("lo_toks"),
+        F.col(f"p{hi_pct}").cast("long").alias("hi_toks"),
+    )
+    return base.join(F.broadcast(pct), group_col).select(
+        id_col,
+        group_col,
+        "n_toks",
+        "lo_toks",
+        "hi_toks",
+        (
+            (F.col("n_toks") >= F.col("lo_toks"))
+            & (F.col("n_toks") <= F.col("hi_toks"))
+        ).alias("kept"),
+    )

@@ -181,6 +181,7 @@ EXT_QUERIES = [
     "bloom_seen",
     "shard_plan",
     "anchor_stats",
+    "length_filter",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",
