@@ -7333,6 +7333,69 @@ FROM base b JOIN p USING (lang)
 """
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair fetch-budget waterfill (crawl.crawl_budget): 37
+    synthetic hosts with rotating politeness caps and a 250-fetch
+    wave budget — small-eff hosts saturate, the big ones split the
+    remainder with a non-zero mod spread, so every branch (saturated
+    prefix, base share, +1 remainder units, 0-cap clamp) is live at
+    every SF. The oracle replays the exact integer algorithm with a
+    plain global window (DuckDB is single-node; the Spark side uses
+    the two-pass distributed prefix instead — same output, proven by
+    the hash gate)."""
+    from beats_spark.operators.crawl import crawl_budget
+    from beats_spark.operators.scale import spread
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    g = F.col("doc_id") % 37
+    hosts = (
+        docs.groupBy(g.alias("_g"))
+        .agg(F.count(F.lit(1)).alias("demand"))
+        .select(
+            F.concat(F.lit("h"), F.col("_g").cast("string")).alias("host"),
+            F.col("demand").cast("long").alias("demand"),
+            (F.lit(4) + (F.col("_g") % 7) * 3).cast("long").alias("cap"),
+        )
+    )
+    return crawl_budget(hosts, 250, n_buckets=4)
+
+
+_SQL_CRAWL_BUDGET = """
+WITH hosts AS (
+  SELECT 'h' || g::VARCHAR AS host,
+         count(*)::BIGINT AS demand,
+         (4 + (g % 7) * 3)::BIGINT AS cap
+  FROM (SELECT doc_id % 37 AS g FROM documents) GROUP BY g
+), e AS (
+  SELECT host, demand, cap,
+         CASE WHEN cap IS NULL OR demand <= cap THEN demand ELSE cap END
+           AS eff
+  FROM hosts
+), r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY eff, host) AS i,
+         COALESCE(SUM(eff) OVER (
+           ORDER BY eff, host ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s_excl,
+         count(*) OVER () AS n
+  FROM e
+), sat AS (
+  SELECT *, (s_excl + eff * (n - i + 1) <= 250) AS saturated FROM r
+), kk AS (
+  SELECT COALESCE(max(CASE WHEN saturated THEN i END), 0) AS k,
+         COALESCE(max(CASE WHEN saturated THEN s_excl + eff END), 0) AS sk
+  FROM sat
+)
+SELECT s.host, s.demand, s.cap, s.eff::BIGINT AS eff, s.saturated,
+       (CASE WHEN s.saturated THEN s.eff
+             ELSE (250 - kk.sk) // (s.n - kk.k)
+                  + (CASE WHEN s.i - kk.k <= (250 - kk.sk) % (s.n - kk.k)
+                          THEN 1 ELSE 0 END)
+        END)::BIGINT AS allocated
+FROM sat s, kk
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -8963,6 +9026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "anchor_stats": q_anchor_stats,
         "length_filter": q_length_filter,
+        "crawl_budget": q_crawl_budget,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9139,6 +9203,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": _SQL_SHARD_PLAN,
         "anchor_stats": _sql_anchor_stats(),
         "length_filter": _SQL_LENGTH_FILTER,
+        "crawl_budget": _SQL_CRAWL_BUDGET,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

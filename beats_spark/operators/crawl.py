@@ -228,3 +228,102 @@ def host_pagerank(
             ).cast("long").alias("score"),
         )
     return scores
+
+
+def crawl_budget(
+    hosts: DataFrame,
+    budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    cap_col: str = "cap",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Max-min fair (waterfilling) allocation of a global fetch
+    budget across hosts: every host wants ``demand`` fetches, may
+    take at most ``cap`` (politeness — crawl-delay × wave length),
+    and the wave can afford ``budget`` total. Hosts whose effective
+    need ``eff = min(demand, cap)`` fits under the fair water level
+    get it all (``saturated``); the rest split what remains equally
+    — the allocation that maximizes the minimum per-host share, so a
+    handful of giant hosts can't starve the long tail (and the tail
+    can't be starved by them: this is the scheduling-fairness dual of
+    the skew salt).
+
+    Exact integer algorithm (engine-portable, no floats): sort hosts
+    by ``eff`` ascending (host tie-break), S = exclusive prefix sum,
+    i = rank, n = host count. Host i saturates iff giving ITS eff to
+    every not-yet-decided host fits: ``S_i + eff_i·(n-i+1) ≤ B`` — a
+    condition monotone in i, so the saturated set is a prefix [1..k].
+    The unsaturated m = n-k hosts split R = B - S_k as ``base = R
+    div m`` each, with the ``R mod m`` remainder going one unit each
+    to the first hosts past k (deterministic order). Total allocated
+    = min(B, Σeff) exactly; 0-demand hosts allocate 0.
+
+    Scale shape: the per-host frame is already frontier-reduced
+    (≤ distinct-host cardinality — still possibly 10⁸ rows), so the
+    global sort/prefix uses :func:`layout.running_prefix` (two-pass
+    distributed prefix — NO single-partition corpus sort); the two
+    1-row decision frames (n; k, S_k) ride broadcast crossJoins (the
+    blessed totals idiom). ``cap`` NULL means uncapped.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    from beats_spark.operators.layout import running_prefix
+
+    d, c = F.col(demand_col), F.col(cap_col)
+    eff = F.when(c.isNull() | (d <= c), d).otherwise(c).cast("long")
+    base = hosts.select(
+        F.col(host_col).alias("host"),
+        d.cast("long").alias("demand"),
+        c.cast("long").alias("cap"),
+        eff.alias("eff"),
+    )
+    pref = running_prefix(
+        base,
+        ["eff", "host"],
+        "eff",
+        n_buckets=n_buckets,
+        prefix_col="_s_excl",
+        rank_col="_i",
+    )
+    n_row = pref.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    staged = pref.crossJoin(F.broadcast(n_row)).withColumn(
+        "saturated",
+        (
+            F.col("_s_excl")
+            + F.col("eff") * (F.col("_n") - F.col("_i") + 1)
+        )
+        <= F.lit(int(budget)),
+    )
+    k_row = staged.groupBy().agg(
+        F.coalesce(
+            F.max(F.when(F.col("saturated"), F.col("_i"))), F.lit(0)
+        ).alias("_k"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("saturated"), F.col("_s_excl") + F.col("eff"))
+            ),
+            F.lit(0),
+        ).alias("_sk"),
+    )
+    # the otherwise-branch div/_mod are reached only on unsaturated
+    # rows, whose existence implies _n - _k >= 1 (k < i <= n) — no
+    # ANSI divide-by-zero path
+    out = (
+        staged.crossJoin(F.broadcast(k_row))
+        .withColumn(
+            "allocated",
+            F.when(F.col("saturated"), F.col("eff"))
+            .otherwise(
+                F.expr(f"({int(budget)} - _sk) div (_n - _k)")
+                + F.when(
+                    (F.col("_i") - F.col("_k"))
+                    <= F.expr(f"({int(budget)} - _sk) % (_n - _k)"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long"),
+        )
+        .select("host", "demand", "cap", "eff", "saturated", "allocated")
+    )
+    return out

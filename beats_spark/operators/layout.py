@@ -212,40 +212,86 @@ def shard_plan(
     """
     if shard_bytes <= 0:
         raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    out = (
+        running_prefix(
+            df,
+            [order_col],
+            size_col,
+            n_buckets=n_buckets,
+            persist=persist,
+            prefix_col="offset_bytes",
+            rank_col="_sp_rank",
+        )
+        .withColumn(
+            "shard", F.expr(f"offset_bytes div {int(shard_bytes)}").cast("long")
+        )
+        .drop("_sp_rank")
+    )
+    return out
+
+
+def running_prefix(
+    df: DataFrame,
+    order_cols: list,
+    size_col,
+    n_buckets: int = 256,
+    persist: bool = True,
+    prefix_col: str = "prefix_sum",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The reusable two-pass distributed prefix: adds ``prefix_col``
+    (EXCLUSIVE running sum of ``size_col`` in ``order_cols`` order)
+    and ``rank_col`` (1-based global position) without ever sorting
+    the data on one partition.
+
+    Pattern (the shard_plan pipeline, factored for reuse):
+    range-bucket on the order key → per-bucket window (running sum +
+    row_number, every bucket in parallel) → ``n_buckets``-row bucket
+    totals get their own prefix on a bounded single partition →
+    broadcast back as (sum, count) offsets. Output is a pure function
+    of (order, sizes) — bucket boundaries cancel out — but the
+    combined ``order_cols`` must be a unique key (ties could split
+    across buckets in arbitrary order). NULL sizes fold to 0.
+    """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     size = F.col(size_col) if isinstance(size_col, str) else size_col
     d = (
-        df.withColumn("_sp_sz", F.coalesce(size.cast("long"), F.lit(0)))
-        .repartitionByRange(n_buckets, F.col(order_col))
-        .withColumn("_sp_b", F.spark_partition_id())
+        df.withColumn("_rp_sz", F.coalesce(size.cast("long"), F.lit(0)))
+        .repartitionByRange(n_buckets, *[F.col(c) for c in order_cols])
+        .withColumn("_rp_b", F.spark_partition_id())
     )
     if persist:
         d = d.persist()
     from pyspark.sql import Window
 
-    w_in = (
-        Window.partitionBy("_sp_b")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_in = Window.partitionBy("_rp_b").orderBy(*order_cols)
+    totals = d.groupBy("_rp_b").agg(
+        F.sum("_rp_sz").alias("_rp_tot"), F.count(F.lit(1)).alias("_rp_cnt")
     )
-    totals = d.groupBy("_sp_b").agg(F.sum("_sp_sz").alias("_sp_tot"))
-    w_b = Window.orderBy("_sp_b").rowsBetween(Window.unboundedPreceding, -1)
+    w_b = Window.orderBy("_rp_b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "_sp_b",
-        F.coalesce(F.sum("_sp_tot").over(w_b), F.lit(0)).alias("_sp_boff"),
+        "_rp_b",
+        F.coalesce(F.sum("_rp_tot").over(w_b), F.lit(0)).alias("_rp_boff"),
+        F.coalesce(F.sum("_rp_cnt").over(w_b), F.lit(0)).alias("_rp_coff"),
     )
-    out = (
+    return (
         d.withColumn(
-            "_sp_inoff", F.coalesce(F.sum("_sp_sz").over(w_in), F.lit(0))
+            "_rp_inoff",
+            F.coalesce(
+                F.sum("_rp_sz").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
         )
-        .join(F.broadcast(offsets), "_sp_b")
+        .withColumn("_rp_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_rp_b")
         .withColumn(
-            "offset_bytes", (F.col("_sp_boff") + F.col("_sp_inoff")).cast("long")
+            prefix_col, (F.col("_rp_boff") + F.col("_rp_inoff")).cast("long")
         )
         .withColumn(
-            "shard", F.expr(f"offset_bytes div {int(shard_bytes)}").cast("long")
+            rank_col, (F.col("_rp_coff") + F.col("_rp_rn")).cast("long")
         )
-        .drop("_sp_b", "_sp_sz", "_sp_inoff", "_sp_boff")
+        .drop("_rp_b", "_rp_sz", "_rp_inoff", "_rp_rn", "_rp_boff", "_rp_coff")
     )
-    return out

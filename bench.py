@@ -182,6 +182,7 @@ EXT_QUERIES = [
     "shard_plan",
     "anchor_stats",
     "length_filter",
+    "crawl_budget",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

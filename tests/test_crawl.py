@@ -168,3 +168,58 @@ def test_host_pagerank_deterministic_any_partitioning(spark):
         for r in host_pagerank(edges.repartition(13)).collect()
     }
     assert a == b and len(a) == 7
+
+
+def _waterfill_twin(hosts, budget):
+    """Pure-Python max-min fair allocation: hosts = [(host, demand, cap)]."""
+    eff = {h: min(d, c) if c is not None else d for h, d, c in hosts}
+    order = sorted(eff, key=lambda h: (eff[h], h))
+    n = len(order)
+    alloc, s, k = {}, 0, 0
+    for i, h in enumerate(order, 1):
+        if s + eff[h] * (n - i + 1) <= budget:
+            alloc[h] = eff[h]
+            s += eff[h]
+            k = i
+        else:
+            break
+    rest, m = budget - s, n - k
+    for j, h in enumerate(order[k:], 1):
+        alloc[h] = rest // m + (1 if j <= rest % m else 0)
+    return alloc
+
+
+def test_crawl_budget_matches_waterfill_twin(spark):
+    from beats_spark.operators.crawl import crawl_budget
+
+    hosts = [
+        ("a.com", 100, 40), ("b.com", 3, None), ("c.com", 50, 50),
+        ("d.com", 0, 10), ("e.com", 7, 5), ("f.com", 60, 200),
+        ("g.com", 12, 12), ("h.com", 45, 30),
+    ]
+    df = spark.createDataFrame(hosts, "host string, demand long, cap long")
+    for budget in (0, 10, 60, 120, 1000):
+        out = {r.host: r for r in
+               crawl_budget(df, budget, n_buckets=3).collect()}
+        want = _waterfill_twin(hosts, budget)
+        got = {h: out[h].allocated for h in want}
+        assert got == want, (budget, got, want)
+        total = sum(got.values())
+        total_eff = sum(min(d, c) if c is not None else d for _, d, c in hosts)
+        assert total == min(budget, total_eff), budget
+        for h, d, c in hosts:
+            assert got[h] <= (min(d, c) if c is not None else d)
+    # budget=1000 >= total eff: everything saturated
+    out = {r.host: r for r in crawl_budget(df, 1000).collect()}
+    assert all(r.saturated for r in out.values())
+    assert out["b.com"].allocated == 3  # NULL cap = uncapped
+
+
+def test_crawl_budget_rejects_negative(spark):
+    import pytest
+
+    from beats_spark.operators.crawl import crawl_budget
+
+    df = spark.createDataFrame([("a", 1, 1)], "host string, demand long, cap long")
+    with pytest.raises(ValueError):
+        crawl_budget(df, -1)
