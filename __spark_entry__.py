@@ -7396,6 +7396,70 @@ FROM sat s, kk
 """
 
 
+def q_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate keeper (dedup.dedup_keep_best): the
+    dedup_cluster star+bridge graph, but the survivor of each cluster
+    is the LONGEST member (n_chars, min-id tie-break) — the
+    keep-best-duplicate practice — via a single max_by aggregate over
+    a packed (score, -id) struct, never a corpus window sort. The
+    oracle recomputes components with the recursive CTE and replays
+    the argmax with an explicit deterministic window."""
+    from beats_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_best,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    spokes = docs.where("doc_id % 7 != 0 and doc_id % 3 != 0").select(
+        F.col("doc_id").alias("a"),
+        F.expr("doc_id - doc_id % 7").alias("b"),
+    )
+    bridges = docs.where(
+        "doc_id % 7 = 0 and doc_id > 0 and (doc_id div 7) % 3 = 1"
+    ).select(F.col("doc_id").alias("a"), F.expr("doc_id - 1").alias("b"))
+    comp = connected_components(spokes.unionByName(bridges), "a", "b")
+    out = dedup_keep_best(docs, comp, "n_chars")
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        "kept",
+    )
+
+
+_SQL_QUALITY_KEEPER = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id > 0 AND (doc_id // 7) % 3 = 1
+), sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+  ) AS rn
+  FROM labeled
+), keep AS (
+  SELECT component, doc_id AS keeper_id FROM ranked WHERE rn = 1
+)
+SELECT l.doc_id, l.component::BIGINT AS component,
+       k.keeper_id::BIGINT AS keeper_id,
+       (l.doc_id = k.keeper_id) AS kept
+FROM labeled l JOIN keep k ON k.component = l.component
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9027,6 +9091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": q_anchor_stats,
         "length_filter": q_length_filter,
         "crawl_budget": q_crawl_budget,
+        "quality_keeper": q_quality_keeper,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9204,6 +9269,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _sql_anchor_stats(),
         "length_filter": _SQL_LENGTH_FILTER,
         "crawl_budget": _SQL_CRAWL_BUDGET,
+        "quality_keeper": _SQL_QUALITY_KEEPER,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1484,3 +1484,60 @@ def strip_repeated_lines(
         F.size(kept).cast("long").alias("n_kept"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware cluster keeper: within every duplicate cluster
+    keep the HIGHEST-scoring member (ties broken on min id), not the
+    minimum id. ``dedup_keep_canonical``'s min-id keeper is the right
+    default for exact duplicates (all copies identical — any keeper
+    works, cheapest rule wins); for NEAR duplicates the members
+    differ, and production pipelines keep the best copy — longest,
+    highest quality-classifier score, newest snapshot (the
+    keep-best-duplicate practice of the Dolma/RefinedWeb lineage).
+
+    Emits an audit row per document: ``(id, component, keeper_id,
+    kept)`` — documents outside the graph are their own keeper.
+    Filter on ``kept`` (or anti-join the losers) downstream.
+
+    Plan: the label frame joins the corpus id-keyed (AQE broadcasts
+    it when the dup graph is sparse — the common case); the argmax
+    runs as ONE max_by aggregate over (component, score, id) — 24
+    B/doc shuffle with map-side combine, tie-break folded into the
+    packed ordering key, never a corpus-wide window sort. The packed
+    key is (score asc, id desc) lexicographic via struct comparison:
+    ``max_by`` with a struct compares fields in order, so max score
+    wins and WITHIN a score the larger struct field ``-id`` (i.e.
+    smaller id) wins — deterministic at any parallelism.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component").alias("_kb_comp")
+    )
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    labeled = (
+        docs.join(comp, id_col, "left")
+        .withColumn(
+            "component", F.coalesce(F.col("_kb_comp"), F.col(id_col))
+        )
+        .drop("_kb_comp")
+    )
+    keepers = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(
+                score.cast("long").alias("s"),
+                (-F.col(id_col)).alias("negid"),
+            ),
+        ).alias("keeper_id")
+    )
+    return labeled.join(keepers, "component").select(
+        id_col,
+        "component",
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("kept"),
+    )

@@ -183,6 +183,7 @@ EXT_QUERIES = [
     "anchor_stats",
     "length_filter",
     "crawl_budget",
+    "quality_keeper",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -976,3 +976,34 @@ def test_sq8_topk_recall_and_determinism(spark, emb):
     one = similarity.sq8_topk(q, emb.coalesce(1), k=5).collect()
     assert sorted(map(tuple, sq)) == sorted(map(tuple, one))
     assert all(r.query_id != r.neighbor_id for r in one)
+
+
+def test_dedup_keep_best_argmax_and_tiebreak(spark):
+    """Keeper is max score, min id on ties; singletons keep
+    themselves; audit rows cover every doc."""
+    from beats_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, 10), (1, 50), (2, 50), (11, 7),   # cluster {0,1,2,11}
+            (20, 5), (21, 5),                      # cluster {20,21}: tie
+            (30, 99),                              # singleton
+        ],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 0), (2, 0), (11, 1), (21, 20)], "a long, b long"
+    )
+    comp = connected_components(pairs, "a", "b")
+    out = {r.doc_id: r for r in
+           dedup_keep_best(docs, comp, "n_chars").collect()}
+    assert len(out) == 7
+    # max score 50 shared by 1 and 2 → min id 1 wins
+    assert all(out[i].keeper_id == 1 for i in (0, 1, 2, 11))
+    assert [out[i].kept for i in (0, 1, 2, 11)] == [False, True, False, False]
+    # pure tie cluster → min id
+    assert out[20].keeper_id == 20 and out[20].kept and not out[21].kept
+    assert out[30].keeper_id == 30 and out[30].kept and out[30].component == 30
