@@ -1459,6 +1459,75 @@ def stream_ingest_dedup(
     return _tick_start(raw, handle, checkpoint_dir, available_now)
 
 
+def stream_bloom_seen(
+    spark: SparkSession,
+    path: str,
+    index_root: str,
+    out_root: str,
+    checkpoint_dir: str,
+    key_col: str = "url",
+    n_bits: int = 1 << 14,
+    k: int = 3,
+    seed: int = 0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The two-tier membership front door as a stream: every arrival
+    wave probes the PERSISTENT Bloom position set (zero false
+    negatives against all PRIOR waves), writes per-row verdicts, and
+    appends only its genuinely NEW bits — so the index is bounded at
+    ``n_bits`` rows TOTAL forever, regardless of how many waves
+    accumulate (the streaming twin of sketches.bloom_build/
+    bloom_probe, and the filter tier a stream_ingest_dedup-style
+    exact index hides behind at 10¹² keys).
+
+    Idempotency (the ingest-tick idiom): verdicts AND bit deltas are
+    partitioned by ``batch_id`` with dynamic partition overwrite, the
+    index read EXCLUDES the current batch_id, and the delta is an
+    anti-join of this wave's bits against the pre-batch set — a crash
+    replay sees the pre-batch index, recomputes identical verdicts,
+    rewrites identical partitions. The index read distincts before
+    probing: batch-delta unions are disjoint by construction, but the
+    probe's all-``k`` counting join must never see a duplicated bit
+    (the merge-by-union contract is distinct-set semantics).
+
+    Wave semantics (documented, matching the tick contract): keys
+    repeated WITHIN one wave all probe the pre-wave filter — same-wave
+    duplicates read unseen; exact same-wave collapse is
+    stream_ingest_dedup's job, not the membership tier's.
+    """
+    from pyspark.errors import AnalysisException
+
+    from beats_spark.operators.sketches import bloom_build, bloom_probe
+
+    raw, _schema = _tick_reader(spark, path, max_files_per_trigger)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            idx = spark.read.parquet(f"{index_root}/bloom")
+            prior = (
+                idx.where(F.col("batch_id") != batch_id)
+                .select("bit")
+                .distinct()
+            )
+        except AnalysisException:
+            prior = spark.createDataFrame([], "bit bigint")
+        prior = prior.persist()
+        try:
+            probed = bloom_probe(
+                batch_df, prior, key_col, n_bits, k, seed
+            )
+            _tick_write(probed, out_root, batch_id)
+            delta = bloom_build(batch_df, key_col, n_bits, k, seed).join(
+                prior, "bit", "left_anti"
+            )
+            _tick_write(delta, f"{index_root}/bloom", batch_id)
+        finally:
+            prior.unpersist()
+
+    return _tick_start(raw, handle, checkpoint_dir, available_now)
+
+
 def stream_model_ranking(
     spark: SparkSession,
     path: str,

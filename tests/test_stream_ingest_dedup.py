@@ -133,3 +133,78 @@ def test_stream_ingest_dedup_string_ids_cold_start(spark, tmp_path):
     assert {r.doc_id for r in got.collect()} == {"d-1", "d-3"}
     bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
     assert dict(bands.dtypes)["doc_id"] == "string"
+
+
+def _plant_url_wave(spark, src_dir, rows, mtime):
+    tmp = str(src_dir) + f".tmp{mtime}"
+    df = spark.createDataFrame(rows, "url string")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(src_dir, exist_ok=True)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    dest = f"{src_dir}/wave{mtime}.parquet"
+    shutil.copyfile(part, dest)
+    os.utime(dest, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def test_stream_bloom_seen_matches_sequential_batch(spark, tmp_path):
+    """Per-wave verdicts equal a sequential batch replay of
+    bloom_build/bloom_probe; the persistent index ends exactly equal
+    to the filter built over all keys at once (bounded, distinct)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sketches import bloom_build, bloom_probe
+    from beats_spark.streaming.pipeline import stream_bloom_seen
+
+    NB, K, SEED = 512, 3, 4
+    waves = [
+        [(f"https://w1.example/{i}",) for i in range(30)],
+        # wave 2: 10 repeats of wave 1 + 20 fresh
+        [(f"https://w1.example/{i}",) for i in range(10)]
+        + [(f"https://w2.example/{i}",) for i in range(20)],
+        # wave 3: repeats from both + fresh, plus a within-wave dup
+        [(f"https://w1.example/{5}",), (f"https://w2.example/{7}",),
+         (f"https://w3.example/a",), (f"https://w3.example/a",),
+         (f"https://w3.example/b",)],
+    ]
+    src = tmp_path / "src"
+    for n, rows in enumerate(waves, 1):
+        _plant_url_wave(spark, src, rows, 1000 * n)
+    q = stream_bloom_seen(
+        spark, str(src), str(tmp_path / "idx"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), key_col="url", n_bits=NB, k=K, seed=SEED,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(900)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # batch replay: wave i probes the filter of waves < i
+    prior = spark.createDataFrame([], "bit bigint")
+    for bid, rows in enumerate(waves):
+        df = spark.createDataFrame(rows, "url string")
+        want = {
+            (r.url, r.maybe_seen)
+            for r in bloom_probe(df, prior, "url", NB, K, SEED).collect()
+        }
+        got_rows = out.where(F.col("batch_id") == bid).collect()
+        got = {(r.url, r.maybe_seen) for r in got_rows}
+        assert got == want, bid
+        # and batch row multiplicity preserved (within-wave dup kept)
+        assert len(got_rows) == len(rows), bid
+        prior = prior.unionByName(
+            bloom_build(df, "url", NB, K, SEED)
+        ).distinct()
+    # no false negatives across waves: every wave-2/3 repeat flagged
+    w2 = {r.url: r.maybe_seen for r in out.where("batch_id = 1").collect()}
+    assert all(w2[f"https://w1.example/{i}"] for i in range(10))
+    w3 = {r.url: r.maybe_seen for r in out.where("batch_id = 2").collect()}
+    assert w3["https://w1.example/5"] and w3["https://w2.example/7"]
+    # final index == filter over all keys at once; distinct and bounded
+    idx = spark.read.parquet(str(tmp_path / "idx") + "/bloom")
+    all_urls = spark.createDataFrame(
+        [r for w in waves for r in w], "url string"
+    )
+    want_bits = {r.bit for r in bloom_build(all_urls, "url", NB, K, SEED).collect()}
+    got_bits = [r.bit for r in idx.select("bit").collect()]
+    assert len(got_bits) == len(set(got_bits))  # batch deltas disjoint
+    assert set(got_bits) == want_bits
+    assert len(got_bits) <= NB
