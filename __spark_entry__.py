@@ -7460,6 +7460,99 @@ FROM labeled l JOIN keep k ON k.component = l.component
 """
 
 
+_KMR_K, _KMR_D, _KMR_IT = 4, 64, 2
+
+
+def _kmr_init() -> list[list[int]]:
+    return [
+        [((j * 31 + d * 17) % 21 - 10) * 40000 for d in range(_KMR_D)]
+        for j in range(_KMR_K)
+    ]
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd refinement of an IVF coarse quantizer
+    (similarity.kmeans_refine_quantized): formula-seeded integer
+    centroids over the embeddings table, two exact-int64 update
+    rounds (truncating integer means — negative sums included), then
+    the final assignment. Output is the (cell, dim) centroid table
+    with final cell sizes — 256 rows that encode the ENTIRE training
+    trajectory, so a single hash match proves both engines ran the
+    same clustering step for step. The oracle replays both rounds
+    relationally (exploded vector ⋈ centroid join-aggregates) where
+    Spark compiles literal-centroid codegen passes — same integers
+    either way."""
+    from beats_spark.operators.similarity import kmeans_refine_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_refine_quantized(emb, _kmr_init(), _KMR_IT)
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cdf = spark.createDataFrame(
+        [
+            (j, d, cents[j][d])
+            for j in range(_KMR_K)
+            for d in range(_KMR_D)
+        ],
+        "cell int, dim int, centroid_q long",
+    )
+    return cdf.join(sizes, "cell", "left").select(
+        "cell",
+        "dim",
+        "centroid_q",
+        F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+    )
+
+
+def _sql_kmeans_refine() -> str:
+    k, d, it = _KMR_K, _KMR_D, _KMR_IT
+    parts = [
+        f"""qv AS (
+  SELECT vec_id, r.range AS dim,
+         floor(embedding[r.range + 1]::DOUBLE * 1000000)::BIGINT AS q
+  FROM embeddings, range(0, {d}) r
+), c0 AS (
+  SELECT j.range AS cell, dd.range AS dim,
+         (((j.range * 31 + dd.range * 17) % 21) - 10) * 40000 AS c
+  FROM range(0, {k}) j, range(0, {d}) dd
+)"""
+    ]
+    for i in range(it + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY sum((q.q - c.c) * (q.q - c.c)), c.cell) AS rn
+    FROM qv q JOIN c{i} c ON c.dim = q.dim
+    GROUP BY q.vec_id, c.cell
+  ) WHERE rn = 1
+)"""
+        )
+        if i < it:
+            parts.append(
+                f"""c{i + 1} AS (
+  SELECT p.cell, p.dim, COALESCE((u.s // u.n), p.c) AS c
+  FROM c{i} p LEFT JOIN (
+    SELECT a.cell, q.dim, sum(q.q)::BIGINT AS s, count(*)::BIGINT AS n
+    FROM a{i} a JOIN qv q ON q.vec_id = a.vec_id
+    GROUP BY a.cell, q.dim
+  ) u ON u.cell = p.cell AND u.dim = p.dim
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT c{it}.cell::INT AS cell, c{it}.dim::INT AS dim,
+       c{it}.c::BIGINT AS centroid_q,
+       COALESCE(n.n, 0)::BIGINT AS n_vecs
+FROM c{it} LEFT JOIN (
+  SELECT cell, count(*)::BIGINT AS n FROM a{it} GROUP BY cell
+) n ON n.cell = c{it}.cell
+"""
+    )
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9092,6 +9185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter": q_length_filter,
         "crawl_budget": q_crawl_budget,
         "quality_keeper": q_quality_keeper,
+        "kmeans_refine": q_kmeans_refine,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9270,6 +9364,7 @@ def oracle_sql() -> dict[str, str]:
         "length_filter": _SQL_LENGTH_FILTER,
         "crawl_budget": _SQL_CRAWL_BUDGET,
         "quality_keeper": _SQL_QUALITY_KEEPER,
+        "kmeans_refine": _sql_kmeans_refine(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

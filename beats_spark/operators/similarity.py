@@ -843,3 +843,92 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "score")
     )
+
+
+def kmeans_refine_quantized(
+    corpus: DataFrame,
+    centroids_q: list[list[int]],
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd refinement of an IVF coarse quantizer in
+    EXACT int64 — the trainable twin of :func:`assign_cells_quantized`
+    (which is fixed-±1): general integer centroids, nearest by true
+    squared distance, centroid update = truncating integer mean.
+    Returns ``(assignments, centroids)`` — the assignment frame
+    evaluated against the FINAL centroids plus the refined centroid
+    table itself (list of k dim-length int lists).
+
+    Determinism contract (what makes a clustering oracle-checkable at
+    all): vectors enter as floor(x·10⁶) int64 (one IEEE multiply),
+    distances are exact integer sums (|q|≤~10⁷ → diff²·dim ≪ 2⁶³),
+    argmin ties break to the lowest cell, and the update is
+    ``sum div count`` — truncation toward zero, which Spark ``div``
+    and DuckDB ``//`` agree on even for negative sums (CLAUDE.md:
+    verified, floats are what differ). Empty cells keep their previous
+    centroid. Identical input ⇒ bit-identical centroids on any
+    engine, any cluster size, any iteration count.
+
+    Scale shape per iteration: ONE corpus pass — the assignment is a
+    let-bound codegen expression with literal centroids (zero
+    shuffle), the update is a posexplode to (cell, dim, q) whose
+    groupBy reduces map-side to ≤ k·dim rows per task; the k·dim
+    partial-sum frame collects to the driver and recompiles into the
+    next iteration's literals (the dsir_weights bounded-model idiom —
+    k·dim ints, never data). Callers iterating many rounds should
+    persist the corpus projection upstream.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    k = len(centroids_q)
+    if k == 0:
+        raise ValueError("need at least one centroid")
+    dim = len(centroids_q[0])
+    if any(len(c) != dim for c in centroids_q):
+        raise ValueError("ragged centroid table")
+
+    def _assign(cents: list[list[int]]):
+        arrs = ", ".join(
+            "named_struct('d', aggregate(zip_with(qv, array("
+            + ", ".join(f"{int(v)}L" for v in cent)
+            + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x), "
+            f"'j', {j})"
+            for j, cent in enumerate(cents)
+        )
+        return F.expr(
+            f"element_at(transform(array(transform(`{vec_col}`, "
+            "x -> cast(floor(cast(x as double) * 1000000) as bigint))), "
+            f"qv -> array_min(array({arrs})).j), 1)"
+        )
+
+    cents = [list(map(int, c)) for c in centroids_q]
+    qv = F.expr(
+        f"transform(`{vec_col}`, "
+        "x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+    )
+    for _ in range(iterations):
+        staged = corpus.select(
+            _assign(cents).alias("cell"), qv.alias("_qv")
+        )
+        parts = (
+            staged.select("cell", F.posexplode("_qv").alias("dim", "q"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in parts:
+            new[r["cell"]][r["dim"]] = _trunc_div(int(r["s"]), int(r["n"]))
+        cents = new
+    assign = corpus.select(
+        F.col(id_col), _assign(cents).cast("int").alias("cell")
+    )
+    return assign, cents
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark div / DuckDB //
+    semantics) — Python's // floors, which differs on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q

@@ -184,6 +184,7 @@ EXT_QUERIES = [
     "length_filter",
     "crawl_budget",
     "quality_keeper",
+    "kmeans_refine",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -1007,3 +1007,62 @@ def test_dedup_keep_best_argmax_and_tiebreak(spark):
     # pure tie cluster → min id
     assert out[20].keeper_id == 20 and out[20].kept and not out[21].kept
     assert out[30].keeper_id == 30 and out[30].kept and out[30].component == 30
+
+
+def test_kmeans_refine_quantized_matches_python_twin(spark):
+    """Two Lloyd rounds on 2-D ints match an exact pure-Python twin:
+    truncating mean (negative sums included), empty-cell retention,
+    tie-to-lowest-cell."""
+    from beats_spark.operators.similarity import (
+        _trunc_div,
+        kmeans_refine_quantized,
+    )
+
+    vecs = [
+        (0, [0.9, 0.9]), (1, [1.1, 1.1]), (2, [-0.9, -1.1]),
+        (3, [-1.1, -0.9]), (4, [0.0, 0.0]),  # equidistant-ish prober
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    c0 = [[1000000, 1000000], [-1000000, -1000000], [9000000, 9000000]]
+
+    def twin(cents, iters):
+        q = {i: [int(__import__("math").floor(x * 1e6)) for x in v]
+             for i, v in vecs}
+        cents = [list(c) for c in cents]
+        def assign():
+            out = {}
+            for i, qv in q.items():
+                best = min(
+                    (sum((a - b) ** 2 for a, b in zip(qv, c)), j)
+                    for j, c in enumerate(cents)
+                )
+                out[i] = best[1]
+            return out
+        for _ in range(iters):
+            a = assign()
+            sums = {}
+            for i, cell in a.items():
+                s, n = sums.setdefault(cell, ([0] * 2, 0))
+                sums[cell] = ([x + y for x, y in zip(s, q[i])], n + 1)
+            for cell, (s, n) in sums.items():
+                cents[cell] = [_trunc_div(x, n) for x in s]
+        return assign(), cents
+
+    a_df, cents = kmeans_refine_quantized(df, c0, iterations=2)
+    want_assign, want_cents = twin(c0, 2)
+    got_assign = {r.vec_id: r.cell for r in a_df.collect()}
+    assert got_assign == want_assign
+    assert cents == want_cents
+    # cell 2 (far away) never won a vector: retained verbatim
+    assert cents[2] == c0[2]
+    # negative coordinate sums really exercised the trunc-div path
+    assert any(v < 0 for v in cents[1])
+
+
+def test_trunc_div_semantics():
+    from beats_spark.operators.similarity import _trunc_div
+
+    assert _trunc_div(-8, 7) == -1      # DuckDB -8//7 = -1 (trunc)
+    assert _trunc_div(8, 7) == 1
+    assert _trunc_div(-7, 7) == -1
+    assert _trunc_div(8, -7) == -1
