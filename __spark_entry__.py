@@ -7553,6 +7553,36 @@ FROM c{it} LEFT JOIN (
     )
 
 
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) sketch state per source (sketches.kmv_sketch):
+    the 16 smallest distinct text-hashes of every source — the
+    mergeable synopsis that answers corpus-overlap questions HLL
+    can't (union AND intersection combine). State is exact integers,
+    so the approximate operator passes the exact hash gate; the
+    20-source fixture has ~25 distinct texts per source, so the
+    rank cap genuinely truncates every group (k=16 < 25) at the gate
+    SFs; the undersized-exact branch is pytest-pinned. Oracle: plain DISTINCT + window rank replay of the salted
+    two-phase min-k (output is salt-independent by construction)."""
+    from beats_spark.operators.sketches import kmv_sketch
+
+    docs = _load(spark, sf_dir, "documents")
+    return kmv_sketch(docs, "text", ["source"], k=16, salts=4)
+
+
+_SQL_KMV_SKETCH = """
+WITH h AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('s0|' || text), 1, 15))::BIGINT AS h
+  FROM documents
+), r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+  FROM h
+)
+SELECT source, rank::BIGINT AS rank, h FROM r WHERE rank <= 16
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9186,6 +9216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "quality_keeper": q_quality_keeper,
         "kmeans_refine": q_kmeans_refine,
+        "kmv_sketch": q_kmv_sketch,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9365,6 +9396,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _SQL_CRAWL_BUDGET,
         "quality_keeper": _SQL_QUALITY_KEEPER,
         "kmeans_refine": _sql_kmeans_refine(),
+        "kmv_sketch": _SQL_KMV_SKETCH,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -396,3 +396,106 @@ def bloom_probe(
         )
     )
     return df.join(hits, key_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) sketch: distinct counts AND set
+# overlap — the capability HLL lacks
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    by: list[str] | tuple[str, ...] = (),
+    k: int = 64,
+    salts: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Bottom-k sketch per group: the ``k`` smallest DISTINCT md5-60
+    hash values of ``key_col`` — ``(*by, rank, h)`` rows.
+
+    Why beside :func:`hll_sketch`: HLL registers answer "how many
+    distinct" but cannot intersect — corpus-overlap questions ("how
+    much of the crawl is already in last month's corpus", "what
+    fraction of benchmark X leaked into source Y") need a sketch
+    whose states COMBINE under both union and intersection. Bottom-k
+    does both (Beyer et al. 2007, "On Synopses for Distinct-Value
+    Estimation"): merge = min-k of the union of states (proven equal
+    to the sketch of the union — every one of the true k smallest is
+    in its own side's bottom-k), distinct estimate = (k-1)·2⁶⁰/h_k,
+    and |A∩B|/|A∪B| ≈ the fraction of the merged bottom-k present in
+    both sides. The STATE is exact integers (module discipline) — the
+    oracle checks it hash-for-hash; only driver-side ESTIMATES are
+    float (never oracle-checked; accuracy is pytest-gated vs exact).
+
+    Plan — the salted two-phase min-k: hashes dedup per
+    ``(group, salt)`` with ``salt = pmod(h, salts)`` (same h → same
+    salt, so the dedup is globally correct), a per-(group, salt)
+    window keeps each bucket's local bottom-k in parallel — a HOT
+    GROUP spreads over ``salts`` reducers instead of serializing on
+    one — then the final per-group window ranks ≤ salts·k survivors.
+    Both shuffles carry (group, salt, h) triples, never corpus rows.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if salts <= 0:
+        raise ValueError(f"salts must be positive, got {salts}")
+    h = sample_hash(F.col(key_col).cast("string"), seed)
+    gcols = [F.col(c) for c in by]
+    staged = (
+        df.select(*gcols, h.alias("h"))
+        .withColumn("_salt", F.pmod(F.col("h"), F.lit(salts)))
+        .distinct()
+    )
+    w1 = Window.partitionBy(*by, "_salt").orderBy("h")
+    local = (
+        staged.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(*by).orderBy("h")
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h")
+    )
+
+
+def kmv_merge(states, by: list[str] | tuple[str, ...] = (), k: int = 64):
+    """Merge bottom-k states (frames of ``(*by, rank, h)``): distinct
+    union → re-rank → bottom-k. Equal to the sketch built over the
+    unioned raw data (pytest-pinned)."""
+    from functools import reduce
+
+    u = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select(*by, "h") for s in states],
+    ).distinct()
+    w = Window.partitionBy(*by).orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h")
+    )
+
+
+def kmv_estimate(hs: list[int], k: int) -> float:
+    """Driver-side distinct-count estimate from one group's bottom-k
+    hash list: (k-1)·2⁶⁰/h_k when the sketch is full, else the exact
+    count (fewer than k distinct values = the state IS the set)."""
+    hs = sorted(hs)
+    if len(hs) < k:
+        return float(len(hs))
+    return (k - 1) * float(1 << _HASH_BITS) / float(hs[k - 1])
+
+
+def kmv_jaccard(a: list[int], b: list[int], k: int) -> float:
+    """Driver-side Jaccard estimate of two bottom-k states: the
+    fraction of the MERGED bottom-k present in both sides."""
+    sa, sb = set(a), set(b)
+    merged = sorted(sa | sb)[:k]
+    if not merged:
+        return 0.0
+    both = sum(1 for h in merged if h in sa and h in sb)
+    return both / len(merged)

@@ -185,6 +185,7 @@ EXT_QUERIES = [
     "crawl_budget",
     "quality_keeper",
     "kmeans_refine",
+    "kmv_sketch",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

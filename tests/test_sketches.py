@@ -230,3 +230,77 @@ def test_bloom_rejects_bad_params(spark):
         bloom_build(df, "u", 0, 3)
     with pytest.raises(ValueError):
         bloom_build(df, "u", 64, 0)
+
+
+def test_kmv_state_merge_and_estimates(spark):
+    """State = exact k smallest distinct hashes (python twin); merge
+    of shard sketches equals the sketch of the union; estimates land
+    within the k=64 error envelope; undersized groups are exact."""
+    import hashlib
+
+    from beats_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    K = 64
+    keys_a = [f"doc-a-{i}" for i in range(2000)]
+    keys_b = [f"doc-a-{i}" for i in range(1000)] + [
+        f"doc-b-{i}" for i in range(1000)
+    ]  # true |A∩B|=1000, |A∪B|=3000, J=1/3
+    df = spark.createDataFrame(
+        [("a", u) for u in keys_a] + [("b", u) for u in keys_b]
+        + [("tiny", "x"), ("tiny", "y"), ("tiny", "x")],
+        "grp string, u string",
+    )
+    st = kmv_sketch(df, "u", ["grp"], k=K, salts=4)
+    rows = st.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append((r.rank, r.h))
+
+    def twin(keys):
+        hs = sorted({
+            int(hashlib.md5(f"s0|{u}".encode()).hexdigest()[:15], 16)
+            for u in keys
+        })
+        return hs[:K]
+
+    for grp, keys in (("a", keys_a), ("b", keys_b)):
+        got = [h for _, h in sorted(by_grp[grp])]
+        assert got == twin(keys), grp
+    assert sorted(h for _, h in by_grp["tiny"]) == twin(["x", "y"])
+    assert kmv_estimate([h for _, h in by_grp["tiny"]], K) == 2.0
+    # estimates: k=64 → relative σ ≈ 1/sqrt(62) ≈ 13%; allow 3σ
+    est_a = kmv_estimate([h for _, h in by_grp["a"]], K)
+    assert abs(est_a - 2000) / 2000 < 0.4, est_a
+    j = kmv_jaccard(
+        [h for _, h in by_grp["a"]], [h for _, h in by_grp["b"]], K
+    )
+    assert abs(j - 1 / 3) < 0.25, j
+    # merge property: shard sketches merge to the union's sketch
+    sh1 = kmv_sketch(
+        spark.createDataFrame([("a", u) for u in keys_a[:900]], "grp string, u string"),
+        "u", ["grp"], k=K, salts=4,
+    )
+    sh2 = kmv_sketch(
+        spark.createDataFrame([("a", u) for u in keys_a[900:]], "grp string, u string"),
+        "u", ["grp"], k=K, salts=4,
+    )
+    merged = {(r.rank, r.h) for r in kmv_merge([sh1, sh2], ["grp"], K).collect()}
+    direct = {(r.rank, r.h) for r in st.where("grp = 'a'").collect()}
+    assert merged == direct
+
+
+def test_kmv_rejects_bad_params(spark):
+    import pytest
+
+    from beats_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("x",)], "u string")
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "u", k=0)
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "u", salts=0)
