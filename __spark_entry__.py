@@ -7583,6 +7583,113 @@ SELECT source, rank::BIGINT AS rank, h FROM r WHERE rank <= 16
 """
 
 
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-RELEASE flagship: duplicate graph →
+    connected-components clusters → quality-aware keeper
+    (dedup_keep_best, longest member survives) → leakage-safe
+    cluster-aware split of the survivors (cluster_safe_split — no
+    near-dup pair straddles train/eval) → size-balanced shard plan
+    over the train side (shard_plan's distributed prefix sum). One
+    audit row per document: cluster, keep verdict, split side
+    (survivors only), byte offset + shard (train survivors only).
+    The oracle rebuilds all four stages from first principles —
+    recursive-CTE closure, window argmax, md5 gate, global running
+    sum — so a single hash match proves the whole release pipeline."""
+    from beats_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_best,
+    )
+    from beats_spark.operators.layout import shard_plan
+    from beats_spark.operators.sampling import cluster_safe_split
+
+    docs = _load(spark, sf_dir, "documents")
+    spokes = docs.where("doc_id % 7 != 0 and doc_id % 3 != 0").select(
+        F.col("doc_id").alias("a"),
+        F.expr("doc_id - doc_id % 7").alias("b"),
+    )
+    bridges = docs.where(
+        "doc_id % 7 = 0 and doc_id > 0 and (doc_id div 7) % 3 = 1"
+    ).select(F.col("doc_id").alias("a"), F.expr("doc_id - 1").alias("b"))
+    comp = connected_components(spokes.unionByName(bridges), "a", "b")
+    verdict = dedup_keep_best(docs, comp, "n_chars")
+    kept_docs = docs.join(
+        verdict.where("kept").select("doc_id"), "doc_id"
+    )
+    split = cluster_safe_split(
+        kept_docs, comp, eval_fraction=0.25, seed=11
+    )
+    train = split.where("split = 'train'")
+    plan = shard_plan(
+        train,
+        F.octet_length(F.col("text")),
+        shard_bytes=16384,
+        order_col="doc_id",
+        n_buckets=8,
+    )
+    return (
+        verdict.select(
+            "doc_id",
+            F.col("component").cast("long").alias("component"),
+            "kept",
+        )
+        .join(split.select("doc_id", "split"), "doc_id", "left")
+        .join(
+            plan.select("doc_id", "offset_bytes", "shard"),
+            "doc_id",
+            "left",
+        )
+    )
+
+
+_SQL_CORPUS_RELEASE = f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS a, doc_id - doc_id % 7 AS b FROM documents
+  WHERE doc_id % 7 != 0 AND doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id, doc_id - 1 FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id > 0 AND (doc_id // 7) % 3 = 1
+), sym AS (
+  SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges
+), reach AS (
+  SELECT u AS node, u AS label FROM sym
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         d.n_chars, d.text
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+  ) AS rn
+  FROM labeled
+), verdict AS (
+  SELECT l.doc_id, l.component, (l.rn = 1) AS kept, l.text
+  FROM ranked l
+), split AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5('s11|' || component::VARCHAR), 1, 15)
+              )::BIGINT < {int(0.25 * (1 << 60))}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM verdict WHERE kept
+), plan AS (
+  SELECT doc_id,
+         COALESCE(SUM(strlen(text)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS offset_bytes
+  FROM split WHERE split = 'train'
+)
+SELECT v.doc_id, v.component::BIGINT AS component, v.kept,
+       s.split, p.offset_bytes,
+       (p.offset_bytes // 16384)::BIGINT AS shard
+FROM verdict v
+LEFT JOIN split s ON s.doc_id = v.doc_id
+LEFT JOIN plan p ON p.doc_id = v.doc_id
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9217,6 +9324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_keeper": q_quality_keeper,
         "kmeans_refine": q_kmeans_refine,
         "kmv_sketch": q_kmv_sketch,
+        "corpus_release": q_corpus_release,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9397,6 +9505,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_keeper": _SQL_QUALITY_KEEPER,
         "kmeans_refine": _sql_kmeans_refine(),
         "kmv_sketch": _SQL_KMV_SKETCH,
+        "corpus_release": _SQL_CORPUS_RELEASE,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

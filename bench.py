@@ -186,6 +186,7 @@ EXT_QUERIES = [
     "quality_keeper",
     "kmeans_refine",
     "kmv_sketch",
+    "corpus_release",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",
