@@ -7690,6 +7690,74 @@ LEFT JOIN plan p ON p.doc_id = v.doc_id
 """
 
 
+def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix from bottom-k states alone
+    (sketches.kmv_overlap_matrix): every doc_id%3==0 document's key
+    is replaced by one of 13 planted 'shared-*' keys — both moduli
+    are coprime to source = doc_id%20, so every source carries a
+    partial, differing slice of the shared pool and the 190-pair
+    matrix gets non-degenerate non-zero ``n_both`` cells (plants
+    aligned to the source modulus collapse to all-or-nothing pairs
+    and prove nothing — measured before this choice); all other documents keep their distinct text.
+    The raw corpora are never joined — only the ≤ k-row-per-source
+    states expand. Output is the exact-integer Jaccard sufficient
+    statistic (k_used, n_both) per pair; the oracle rebuilds the
+    states and replays the merged-bottom-k counting."""
+    from beats_spark.operators.sketches import kmv_overlap_matrix, kmv_sketch
+
+    docs = _load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("shared-"), (F.col("doc_id") % 13).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("key"),
+    )
+    st = kmv_sketch(keyed, "key", ["source"], k=16, salts=4)
+    return kmv_overlap_matrix(st, "source", k=16)
+
+
+_SQL_OVERLAP_MATRIX = """
+WITH keyed AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'shared-' || (doc_id % 13)::VARCHAR
+              ELSE text END AS key
+  FROM documents
+), hh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5('s0|' || key), 1, 15))::BIGINT AS h
+  FROM keyed
+), st AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hh
+  ) WHERE rn <= 16
+), srcs AS (
+  SELECT DISTINCT source FROM st
+), pr AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a, srcs b WHERE a.source < b.source
+), u AS (
+  SELECT pr.src_a, pr.src_b, st.h,
+         (st.source = pr.src_a) AS ia, (st.source = pr.src_b) AS ib
+  FROM pr JOIN st ON st.source = pr.src_a OR st.source = pr.src_b
+), g AS (
+  SELECT src_a, src_b, h, max(ia) AS ia, max(ib) AS ib
+  FROM u GROUP BY 1, 2, 3
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM g
+)
+SELECT src_a, src_b, count(*)::BIGINT AS k_used,
+       sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END)::BIGINT AS n_both
+FROM r2 WHERE rn <= 16 GROUP BY src_a, src_b
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9325,6 +9393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_refine": q_kmeans_refine,
         "kmv_sketch": q_kmv_sketch,
         "corpus_release": q_corpus_release,
+        "overlap_matrix": q_overlap_matrix,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9506,6 +9575,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_refine": _sql_kmeans_refine(),
         "kmv_sketch": _SQL_KMV_SKETCH,
         "corpus_release": _SQL_CORPUS_RELEASE,
+        "overlap_matrix": _SQL_OVERLAP_MATRIX,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

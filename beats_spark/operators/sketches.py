@@ -499,3 +499,68 @@ def kmv_jaccard(a: list[int], b: list[int], k: int) -> float:
         return 0.0
     both = sum(1 for h in merged if h in sa and h in sb)
     return both / len(merged)
+
+
+def kmv_overlap_matrix(
+    states: DataFrame,
+    by: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise overlap statistics for every pair of groups, computed
+    ONLY from their bottom-k states — the whole point of KMV: the
+    corpus-overlap matrix (which sources duplicate each other, how
+    much of a benchmark bled into each crawl slice) without ever
+    joining raw corpora. Emits per ``(src_a, src_b)`` with
+    ``src_a < src_b``: ``k_used`` (size of the merged bottom-k) and
+    ``n_both`` (how many of those hashes appear in BOTH sides) — the
+    exact-integer sufficient statistic of the Jaccard estimate
+    ``n_both / k_used`` (Beyer et al. 2007; the float division stays
+    driver-side per the oracle float discipline).
+
+    Scale shape: the input is sketch states — ≤ k rows per group
+    regardless of corpus size — so the all-pairs expansion is
+    (groups² · k) SKETCH rows, never data; every join is an equi-join
+    on the group key and the final two aggregations reduce map-side.
+    At 10⁴ groups × k=64 that is ~6.4 GB of expansion worst case —
+    shard the pair grid if groups grow past that, the states never
+    change."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    s = states.select(F.col(by).alias("_src"), "h")
+    srcs = s.select("_src").distinct()
+    pairs = (
+        srcs.select(F.col("_src").alias("src_a"))
+        .join(
+            srcs.select(F.col("_src").alias("src_b")),
+            F.col("src_a") < F.col("src_b"),
+        )
+    )
+    left = pairs.join(
+        s.withColumnRenamed("_src", "src_a"), "src_a"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(True).alias("_ia"), F.lit(False).alias("_ib"),
+    )
+    right = pairs.join(
+        s.withColumnRenamed("_src", "src_b"), "src_b"
+    ).select(
+        "src_a", "src_b", "h",
+        F.lit(False).alias("_ia"), F.lit(True).alias("_ib"),
+    )
+    g = (
+        left.unionByName(right)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.sum(
+                F.when(F.col("_ia") & F.col("_ib"), 1).otherwise(0)
+            ).cast("long").alias("n_both"),
+        )
+    )

@@ -187,6 +187,7 @@ EXT_QUERIES = [
     "kmeans_refine",
     "kmv_sketch",
     "corpus_release",
+    "overlap_matrix",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -304,3 +304,26 @@ def test_kmv_rejects_bad_params(spark):
         kmv_sketch(df, "u", k=0)
     with pytest.raises(ValueError):
         kmv_sketch(df, "u", salts=0)
+
+
+def test_kmv_overlap_matrix_counts_merged_bottom_k(spark):
+    """n_both counts only hashes inside the MERGED bottom-k that sit
+    in both states; pairs are a<b once; k_used caps at k."""
+    from beats_spark.operators.sketches import kmv_overlap_matrix
+
+    rows = (
+        [("a", h) for h in (1, 2, 3, 50)]
+        + [("b", h) for h in (2, 3, 40, 60)]
+        + [("c", h) for h in (100, 101)]
+    )
+    st = spark.createDataFrame(rows, "source string, h long")
+    out = {(r.src_a, r.src_b): r for r in
+           kmv_overlap_matrix(st, "source", k=4).collect()}
+    ab = out[("a", "b")]
+    # merged bottom-4 of {1,2,3,40,50,60} = {1,2,3,40}; both = {2,3}
+    assert ab.k_used == 4 and ab.n_both == 2
+    ac = out[("a", "c")]
+    assert ac.k_used == 4 and ac.n_both == 0  # merged {1,2,3,50}
+    bc = out[("b", "c")]
+    assert bc.k_used == 4 and bc.n_both == 0
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
