@@ -1528,6 +1528,61 @@ def stream_bloom_seen(
     return _tick_start(raw, handle, checkpoint_dir, available_now)
 
 
+def stream_kmv_state(
+    spark: SparkSession,
+    path: str,
+    index_root: str,
+    checkpoint_dir: str,
+    key_col: str,
+    by: tuple = (),
+    k: int = 64,
+    salts: int = 16,
+    seed: int = 0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Rolling bottom-k (KMV) state across ingest waves — the
+    streaming twin of sketches.kmv_sketch/kmv_merge, completing the
+    sketch family's twins (HLL/CMS window aggregates, Bloom tick
+    index): every wave's sketch merges into the persistent state by
+    the min-k-of-union merge law, so after any number of waves the
+    state EQUALS the sketch built over the union of all raw data
+    (pytest-pinned) while never holding more than groups·k rows.
+
+    State layout: each tick writes the FULL merged state under its
+    ``batch_id`` partition (it is sketch-sized, not data-sized — a
+    rewrite costs nothing); reads take the newest partition EXCLUDING
+    the current batch_id, so a crash-replay re-merges from the
+    pre-batch state and rewrites the identical partition (the
+    ingest-tick idempotency idiom). Old partitions are superseded,
+    not read — prune them on any schedule."""
+    from pyspark.errors import AnalysisException
+
+    from beats_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    raw, _schema = _tick_reader(spark, path, max_files_per_trigger)
+    bys = list(by)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        wave = kmv_sketch(batch_df, key_col, bys, k, salts, seed)
+        states = [wave]
+        try:
+            idx = spark.read.parquet(f"{index_root}/kmv").where(
+                F.col("batch_id") != batch_id
+            )
+            last = idx.agg(F.max("batch_id").alias("m")).first()["m"]
+            if last is not None:
+                states.append(
+                    idx.where(F.col("batch_id") == last).select(*bys, "h")
+                )
+        except AnalysisException:
+            pass
+        merged = kmv_merge(states, bys, k) if len(states) > 1 else wave
+        _tick_write(merged, f"{index_root}/kmv", batch_id)
+
+    return _tick_start(raw, handle, checkpoint_dir, available_now)
+
+
 def stream_model_ranking(
     spark: SparkSession,
     path: str,

@@ -208,3 +208,48 @@ def test_stream_bloom_seen_matches_sequential_batch(spark, tmp_path):
     assert len(got_bits) == len(set(got_bits))  # batch deltas disjoint
     assert set(got_bits) == want_bits
     assert len(got_bits) <= NB
+
+
+def test_stream_kmv_state_equals_union_sketch(spark, tmp_path):
+    """After three waves the rolling bottom-k state equals the sketch
+    built over all raw keys at once (the merge law, streamed)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sketches import kmv_sketch
+    from beats_spark.streaming.pipeline import stream_kmv_state
+
+    K = 16
+    waves = [
+        [(f"s{i % 3}", f"k-{i}") for i in range(60)],
+        [(f"s{i % 3}", f"k-{i}") for i in range(30, 90)],   # overlap
+        [(f"s{i % 3}", f"fresh-{i}") for i in range(20)],
+    ]
+    src = tmp_path / "src"
+    for n, rows in enumerate(waves, 1):
+        tmp = str(src) + f".tmp{n}"
+        spark.createDataFrame(rows, "grp string, u string").coalesce(1)\
+            .write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/wave{n}.parquet"
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1000 * n, 1000 * n))
+        shutil.rmtree(tmp)
+    q = stream_kmv_state(
+        spark, str(src), str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+        key_col="u", by=("grp",), k=K, salts=4,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(900)
+    idx = spark.read.parquet(str(tmp_path / "idx") + "/kmv")
+    last = idx.agg(F.max("batch_id")).first()[0]
+    got = {(r.grp, r.rank, r.h)
+           for r in idx.where(F.col("batch_id") == last).collect()}
+    all_rows = [r for w in waves for r in w]
+    direct = {(r.grp, r.rank, r.h) for r in kmv_sketch(
+        spark.createDataFrame(all_rows, "grp string, u string"),
+        "u", ["grp"], k=K, salts=4,
+    ).collect()}
+    assert got == direct
+    # every wave left a superseded state partition
+    assert idx.select("batch_id").distinct().count() == 3
