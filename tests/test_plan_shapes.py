@@ -594,3 +594,67 @@ def test_incremental_neardup_shuffle_shape(spark):
     # two verify joins + anti-join + spread — everything else must ride
     # those stages (static plan, pre-AQE; AQE only removes exchanges)
     assert p.count("Exchange") <= 14
+
+
+def test_bloom_probe_broadcasts_the_position_set(spark, tmp_path):
+    """The probe joins the ≤ n_bits-row position set as a broadcast
+    hash join — the bit lookup never shuffles the probe stream.
+    Parquet-backed inputs so the static planner has size stats
+    (CLAUDE.md: executedPlan() strings are pre-AQE; in-memory frames
+    without stats would show the runtime-only SMJ fallback)."""
+    from beats_spark.operators.sketches import bloom_build, bloom_probe
+
+    src = str(tmp_path / "u.parquet")
+    spark.createDataFrame(
+        [(f"u{i}",) for i in range(50)], "u string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    bp = str(tmp_path / "bloom.parquet")
+    bloom_build(df, "u", 1024, 3).write.parquet(bp)
+    bloom = spark.read.parquet(bp)
+    p = plan_of(bloom_probe(df, bloom, "u", 1024, 3))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_running_prefix_has_no_global_single_partition_sort(spark):
+    """shard_plan's prefix must never compile to the single-partition
+    global window: the only SinglePartition exchange allowed is the
+    n_buckets-row bucket-totals frame; corpus-side movement is the
+    range partitioning + the per-bucket window hash."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.layout import shard_plan
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    p = plan_of(
+        shard_plan(df, F.octet_length("text"), 64, n_buckets=4, persist=False)
+    )
+    assert "rangepartitioning" in p.lower()
+    # the broadcast of the 4-row offsets frame, never a corpus join
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # SinglePartition exchanges exist only on the bucket-totals side:
+    # they must sit under the broadcast subtree, i.e. count must be
+    # small and the final output partitioning must NOT be single
+    assert p.count("SinglePartition") <= 2
+
+
+def test_kmv_two_phase_windows_are_salt_then_group(spark):
+    """The salted min-k runs two window sorts — (group, salt) then
+    (group) — and nothing else heavy: no joins at all."""
+    from beats_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(40)], "grp string, u string"
+    )
+    p = plan_of(kmv_sketch(df, "u", ["grp"], k=8, salts=4))
+    assert "Join" not in p
+    assert p.count("+- Window ") == 2
+    # Spark's WindowGroupLimit kicks in: each rank filter prunes to k
+    # rows per group PARTIALLY before its shuffle — the map-side
+    # combine of order statistics, exactly the bounded-state claim
+    assert "WindowGroupLimit" in p and ", Partial" in p
