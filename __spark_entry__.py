@@ -7758,6 +7758,70 @@ FROM r2 WHERE rn <= 16 GROUP BY src_a, src_b
 """
 
 
+_RECRAWL_NOW_US = 1_700_000_000_000_000
+
+
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling (crawl.recrawl_priority):
+    synthetic fetch histories over 37 hosts exercise every branch —
+    minutes-to-hours ages, unfetched pages (rate 0), a
+    changes>fetches page (rate clamps at 10⁶ ppm), and a doc_id%97
+    slice whose 'future' last_fetch clamps age to 0; per-host cap 5
+    ranks deterministically (priority desc, url asc). ``now`` is a
+    fixed literal — wall clocks never enter plans. The oracle replays
+    the integer scoring and the window."""
+    from beats_spark.operators.crawl import recrawl_priority
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 37).cast("string"))
+    now = _RECRAWL_NOW_US
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(host, F.lit("/p"), did.cast("string")).alias("url"),
+        F.when(did % 97 == 0, F.lit(now + 1_000_000_000))
+        .otherwise(F.lit(now) - (did % 1000 + 1) * 60_000_000)
+        .cast("long")
+        .alias("last_fetch_us"),
+        (did % 9).cast("long").alias("n_fetches"),
+        (did % 4).cast("long").alias("n_changes"),
+    )
+    return recrawl_priority(pages, now, per_host_cap=5)
+
+
+_SQL_RECRAWL_PRIORITY = f"""
+WITH pages AS (
+  SELECT 'h' || (doc_id % 37)::VARCHAR AS host,
+         'h' || (doc_id % 37)::VARCHAR || '/p' || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 97 = 0
+              THEN {_RECRAWL_NOW_US} + 1000000000
+              ELSE {_RECRAWL_NOW_US} - (doc_id % 1000 + 1) * 60000000
+         END AS last_fetch_us,
+         (doc_id % 9)::BIGINT AS n_fetches,
+         (doc_id % 4)::BIGINT AS n_changes
+  FROM documents
+), s AS (
+  SELECT url, host,
+         (greatest({_RECRAWL_NOW_US} - last_fetch_us, 0) // 1000000)::BIGINT
+           AS age_s,
+         (CASE WHEN n_fetches > 0
+               THEN least(n_changes * 1000000 // n_fetches, 1000000)
+               ELSE 0 END)::BIGINT AS change_rate_ppm
+  FROM pages
+), p AS (
+  SELECT *, (age_s * (change_rate_ppm + 10000))::BIGINT AS priority FROM s
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY priority DESC, url ASC
+  )::BIGINT AS host_rank
+  FROM p
+)
+SELECT url, host, age_s, change_rate_ppm, priority, host_rank,
+       (host_rank <= 5) AS due
+FROM r
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9394,6 +9458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_sketch": q_kmv_sketch,
         "corpus_release": q_corpus_release,
         "overlap_matrix": q_overlap_matrix,
+        "recrawl_priority": q_recrawl_priority,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9576,6 +9641,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_sketch": _SQL_KMV_SKETCH,
         "corpus_release": _SQL_CORPUS_RELEASE,
         "overlap_matrix": _SQL_OVERLAP_MATRIX,
+        "recrawl_priority": _SQL_RECRAWL_PRIORITY,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

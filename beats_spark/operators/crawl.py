@@ -327,3 +327,72 @@ def crawl_budget(
         .select("host", "demand", "cap", "eff", "saturated", "allocated")
     )
     return out
+
+
+def recrawl_priority(
+    pages: DataFrame,
+    now_us: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    last_fetch_col: str = "last_fetch_us",
+    fetches_col: str = "n_fetches",
+    changes_col: str = "n_changes",
+    base_ppm: int = 10_000,
+    per_host_cap: int = 10,
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling: which already-crawled URLs
+    deserve a refetch THIS wave. Classic crawl economics (Cho &
+    Garcia-Molina's freshness studies, and every production
+    scheduler since): refetch value grows with the page's AGE since
+    last fetch and its observed CHANGE RATE — a news index page that
+    changes hourly outranks a static doc fetched the same day, but
+    even never-changing pages accrue priority through ``base_ppm``
+    (content drift is only OBSERVABLE by refetching).
+
+    Exact integer scoring (``now_us`` is an explicit parameter —
+    determinism forbids wall clocks inside the plan):
+    ``age_s = max(0, now_us - last_fetch) div 10⁶``;
+    ``change_rate_ppm = min(10⁶, changes·10⁶ div fetches)`` (0 when
+    unfetched); ``priority = age_s · (change_rate_ppm + base_ppm)``
+    — bounded ≪ 2⁶³ for any realistic age. Per-host ranking (priority
+    desc, url tie-break) caps the wave at ``per_host_cap`` per host —
+    politeness composes here, before fetch_schedule spaces the
+    survivors in time; ``due`` flags the cut, rows are kept for audit.
+
+    Scale: one codegen projection + ONE host-keyed window whose
+    rank-filter consumers let Spark's WindowGroupLimit prune each
+    partition to the cap map-side; no joins, no corpus re-reads.
+    """
+    if per_host_cap <= 0:
+        raise ValueError(f"per_host_cap must be positive, got {per_host_cap}")
+    if base_ppm < 0:
+        raise ValueError(f"base_ppm must be non-negative, got {base_ppm}")
+    last, fet, chg = (
+        F.col(last_fetch_col), F.col(fetches_col), F.col(changes_col)
+    )
+    age_s = F.expr(
+        f"greatest(cast({int(now_us)} as bigint) - {last_fetch_col}, 0L)"
+        " div 1000000"
+    )
+    raw_rate = F.expr(
+        f"case when {fetches_col} > 0"
+        f" then ({changes_col} * 1000000L) div {fetches_col}"
+        " else 0L end"
+    )
+    rate = F.when(raw_rate > 1_000_000, F.lit(1_000_000)).otherwise(raw_rate)
+    staged = pages.select(
+        F.col(url_col),
+        F.col(host_col),
+        age_s.cast("long").alias("age_s"),
+        rate.cast("long").alias("change_rate_ppm"),
+    ).withColumn(
+        "priority",
+        (F.col("age_s") * (F.col("change_rate_ppm") + F.lit(int(base_ppm))))
+        .cast("long"),
+    )
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("priority").desc(), F.col(url_col).asc()
+    )
+    return staged.withColumn(
+        "host_rank", F.row_number().over(w).cast("long")
+    ).withColumn("due", F.col("host_rank") <= per_host_cap)

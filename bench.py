@@ -188,6 +188,7 @@ EXT_QUERIES = [
     "kmv_sketch",
     "corpus_release",
     "overlap_matrix",
+    "recrawl_priority",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -223,3 +223,51 @@ def test_crawl_budget_rejects_negative(spark):
     df = spark.createDataFrame([("a", 1, 1)], "host string, demand long, cap long")
     with pytest.raises(ValueError):
         crawl_budget(df, -1)
+
+
+def test_recrawl_priority_scoring_and_host_cap(spark):
+    from beats_spark.operators.crawl import recrawl_priority
+
+    NOW = 2_000_000_000_000_000  # µs
+    rows = [
+        # host a: three urls — changed-often wins over old-but-static
+        ("a", "u/fresh-changer", NOW - 100 * 1_000_000, 10, 10),
+        ("a", "u/old-static", NOW - 10_000 * 1_000_000, 10, 0),
+        ("a", "u/unfetched", NOW - 50 * 1_000_000, 0, 0),
+        # host b: future last_fetch clamps age to 0; rate clamps at 1e6
+        ("b", "u/future", NOW + 10 ** 9, 1, 1),
+        ("b", "u/over-rate", NOW - 1_000_000, 1, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, last_fetch_us long,"
+              " n_fetches long, n_changes long"
+    )
+    out = {r.url: r for r in
+           recrawl_priority(df, NOW, per_host_cap=2).collect()}
+    f = out["u/fresh-changer"]
+    assert f.age_s == 100 and f.change_rate_ppm == 1_000_000
+    assert f.priority == 100 * (1_000_000 + 10_000)
+    s = out["u/old-static"]
+    assert s.age_s == 10_000 and s.change_rate_ppm == 0
+    assert s.priority == 10_000 * 10_000
+    assert out["u/unfetched"].change_rate_ppm == 0
+    # cap: host a keeps top-2 due, third not due
+    dues = sorted((r.host_rank, u) for u, r in out.items() if r.host == "a")
+    assert [out[u].due for _, u in dues] == [True, True, False]
+    assert out["u/future"].age_s == 0 and out["u/future"].priority == 0
+    assert out["u/over-rate"].change_rate_ppm == 1_000_000  # clamped
+
+
+def test_recrawl_priority_rejects_bad_params(spark):
+    import pytest
+
+    from beats_spark.operators.crawl import recrawl_priority
+
+    df = spark.createDataFrame(
+        [("a", "u", 0, 1, 0)],
+        "host string, url string, last_fetch_us long, n_fetches long, n_changes long",
+    )
+    with pytest.raises(ValueError):
+        recrawl_priority(df, 0, per_host_cap=0)
+    with pytest.raises(ValueError):
+        recrawl_priority(df, 0, base_ppm=-1)
