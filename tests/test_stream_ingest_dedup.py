@@ -253,3 +253,90 @@ def test_stream_kmv_state_equals_union_sketch(spark, tmp_path):
     assert got == direct
     # every wave left a superseded state partition
     assert idx.select("batch_id").distinct().count() == 3
+
+
+def test_stream_bloom_seen_restart_resume(spark, tmp_path):
+    """Two waves, stream stops (availableNow), a third wave arrives,
+    the stream restarts on the SAME checkpoint: the resumed run must
+    probe against the persisted bits (wave-1/2 repeats flagged) and
+    the final index must equal the uninterrupted 3-wave filter —
+    bounded, distinct, no double-processing of waves 1-2."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sketches import bloom_build
+    from beats_spark.streaming.pipeline import stream_bloom_seen
+
+    NB, K, SEED = 256, 3, 9
+    w1 = [(f"https://r.example/{i}",) for i in range(20)]
+    w2 = [(f"https://r.example/{i}",) for i in range(10, 35)]
+    w3 = [(f"https://r.example/{i}",) for i in range(5, 15)] + [
+        ("https://r.example/new",)
+    ]
+    src = tmp_path / "src"
+    _plant_url_wave(spark, src, w1, 1000)
+    _plant_url_wave(spark, src, w2, 2000)
+    args = (str(src), str(tmp_path / "idx"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"))
+    q = stream_bloom_seen(spark, *args, key_col="url", n_bits=NB, k=K,
+                          seed=SEED, max_files_per_trigger=1)
+    assert q.awaitTermination(900)
+    _plant_url_wave(spark, src, w3, 3000)
+    q2 = stream_bloom_seen(spark, *args, key_col="url", n_bits=NB, k=K,
+                           seed=SEED, max_files_per_trigger=1)
+    assert q2.awaitTermination(900)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # exactly one verdict row per (wave, url): waves 1-2 not replayed
+    assert out.count() == len(w1) + len(w2) + len(w3)
+    w3rows = {r.url: r.maybe_seen for r in out.where("batch_id = 2").collect()}
+    assert all(w3rows[u] for (u,) in w3[:-1])  # all repeats flagged
+    # final index == uninterrupted filter over all three waves
+    idx = spark.read.parquet(str(tmp_path / "idx") + "/bloom")
+    bits = [r.bit for r in idx.select("bit").collect()]
+    assert len(bits) == len(set(bits))
+    all_urls = spark.createDataFrame(w1 + w2 + w3, "url string")
+    want = {r.bit for r in bloom_build(all_urls, "url", NB, K, SEED).collect()}
+    assert set(bits) == want
+
+
+def test_stream_kmv_state_restart_resume(spark, tmp_path):
+    """Rolling bottom-k across a restart: the resumed wave merges into
+    the persisted state, ending equal to the all-at-once sketch."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sketches import kmv_sketch
+    from beats_spark.streaming.pipeline import stream_kmv_state
+
+    K = 8
+    w1 = [("g", f"k-{i}") for i in range(30)]
+    w2 = [("g", f"k-{i}") for i in range(20, 50)]
+    src = tmp_path / "src"
+
+    def plant(rows, mtime):
+        tmp = str(src) + f".tmp{mtime}"
+        spark.createDataFrame(rows, "grp string, u string").coalesce(1)\
+            .write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/wave{mtime}.parquet"
+        shutil.copyfile(part, dest)
+        os.utime(dest, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    plant(w1, 1000)
+    args = (str(src), str(tmp_path / "idx"), str(tmp_path / "ckpt"))
+    q = stream_kmv_state(spark, *args, key_col="u", by=("grp",), k=K,
+                         salts=4, max_files_per_trigger=1)
+    assert q.awaitTermination(900)
+    plant(w2, 2000)
+    q2 = stream_kmv_state(spark, *args, key_col="u", by=("grp",), k=K,
+                          salts=4, max_files_per_trigger=1)
+    assert q2.awaitTermination(900)
+    idx = spark.read.parquet(str(tmp_path / "idx") + "/kmv")
+    last = idx.agg(F.max("batch_id")).first()[0]
+    got = {(r.grp, r.rank, r.h)
+           for r in idx.where(F.col("batch_id") == last).collect()}
+    direct = {(r.grp, r.rank, r.h) for r in kmv_sketch(
+        spark.createDataFrame(w1 + w2, "grp string, u string"),
+        "u", ["grp"], k=K, salts=4,
+    ).collect()}
+    assert got == direct
