@@ -84,6 +84,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent packing streams")
     p.add_argument("--tokenizer", choices=["whitespace", "bpe"],
                    default="whitespace")
+    p.add_argument("--split-eval-milli", type=int, default=0,
+                   help="reserve N/1000 of docs as a held-out eval side "
+                        "before packing (0 = off); assignment written to "
+                        "<out>/split_assignment")
+    p.add_argument("--split-mode", choices=["hash", "cluster"],
+                   default="hash",
+                   help="hash = independent per-doc coin; cluster = "
+                        "near-dup clusters (MinHash-LSH + connected "
+                        "components) share one coin so no near-copy "
+                        "straddles train/eval")
+    p.add_argument("--shard-bytes", type=int, default=0,
+                   help="emit a size-balanced shard plan for the train "
+                        "side at <out>/shard_plan (0 = off)")
     p.add_argument("--plan-report", action="store_true",
                    help="also emit the scale-planning report: per-"
                         "stratum skew diagnosis (salt recommendation) "
@@ -248,6 +261,58 @@ def main(argv: list[str] | None = None) -> int:
     if args.dedup == "exact":
         df = exact_dedup(df, text_col, id_col).persist()
         stats["docs_unique"] = df.count()
+
+    if args.split_eval_milli > 0:
+        # split BEFORE any upsampling: the eval side must never see
+        # mixture copies, and cluster mode must group near-dups first
+        if not 0 < args.split_eval_milli < 1000:
+            parser.error("--split-eval-milli must be in (0, 1000)")
+        frac = args.split_eval_milli / 1000.0
+        if args.split_mode == "cluster":
+            from beats_spark.operators.dedup import (
+                connected_components,
+                minhash_lsh_pairs,
+            )
+            from beats_spark.operators.sampling import cluster_safe_split
+
+            pairs = minhash_lsh_pairs(df, text_col, id_col)
+            comp = connected_components(pairs, "id_a", "id_b")
+            split = cluster_safe_split(
+                df, comp, id_col, frac, seed=args.seed
+            ).drop("component")
+        else:
+            from beats_spark.operators.sampling import split_train_eval
+
+            split = split_train_eval(df, id_col, frac, seed=args.seed)
+        # persisted: the assignment write, the eval count, and the
+        # train-side continuation all consume it (and in cluster mode
+        # the upstream CC iteration must not recompute per consumer)
+        split = split.persist()
+        split.select(id_col, "split").write.mode("overwrite").parquet(
+            f"{args.out}/split_assignment"
+        )
+        stats["docs_eval"] = split.where("split = 'eval'").count()
+        df = split.where("split = 'train'").drop("split")
+        stats["docs_train"] = df.count()
+
+    if args.shard_bytes > 0:
+        from beats_spark.operators.layout import shard_plan
+
+        plan = shard_plan(
+            df.select(id_col, text_col),
+            F.octet_length(F.col(text_col)),
+            shard_bytes=args.shard_bytes,
+            order_col=id_col,
+            n_buckets=args.buckets,
+        )
+        plan.select(id_col, "offset_bytes", "shard").write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/shard_plan")
+        stats["shards"] = (
+            spark.read.parquet(f"{args.out}/shard_plan")
+            .agg((F.max("shard") + 1).cast("long").alias("s"))
+            .collect()[0]["s"]
+        )
 
     if args.temperature:
         tw = temperature_weights(df, args.lang_col)

@@ -195,3 +195,82 @@ def test_corpus_cli_plan_report_transcripts_no_stratum(spark, transcripts, tmp_p
     assert stats["skew_heavy_strata"] is None
     assert stats["tokens_real"] > 0
     assert spark.read.parquet(f"{out}/padding_report").count() > 0
+
+
+def test_corpus_cli_release_split_and_shards(spark, tmp_path, capsys):
+    """--split-eval-milli + --shard-bytes: split assignment written
+    and disjoint, eval never packed, shard plan covers the train
+    side; hash mode replays the deterministic coin."""
+    import hashlib
+
+    out = str(tmp_path / "rel")
+    rc = corpus_cli.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--no-quality",
+            "--split-eval-milli", "200",
+            "--shard-bytes", "8192",
+            "--budget", "256",
+            "--buckets", "8",
+            "--cores", "8",
+            "--seed", "5",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_train"] + stats["docs_eval"] == stats["docs_unique"]
+    assert 0 < stats["docs_eval"] < stats["docs_unique"]
+    assign = {r.doc_id: r.split
+              for r in spark.read.parquet(f"{out}/split_assignment").collect()}
+    # the deterministic md5 coin, replayed
+    thr = int(0.2 * (1 << 60))
+    for did, sp in list(assign.items())[:50]:
+        h = int(hashlib.md5(f"s5|{did}".encode()).hexdigest()[:15], 16)
+        assert sp == ("eval" if h < thr else "train"), did
+    plan = spark.read.parquet(f"{out}/shard_plan")
+    assert plan.count() == stats["docs_train"]
+    assert stats["shards"] == plan.agg({"shard": "max"}).collect()[0][0] + 1
+    # packed manifest holds only train docs (pid = doc_id here)
+    manifest = spark.read.parquet(f"{out}/manifest")
+    packed_ids = {r["_pid"] for r in manifest.select("_pid").collect()}
+    eval_ids = {d for d, s in assign.items() if s == "eval"}
+    assert not packed_ids & eval_ids
+
+
+def test_corpus_cli_cluster_split_mode(spark, tmp_path, capsys):
+    """--split-mode cluster groups near-dup docs onto one side: the
+    sf0.001 fixture's near-dup families must not straddle."""
+    out = str(tmp_path / "rel2")
+    rc = corpus_cli.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--out", out,
+            "--no-quality",
+            "--dedup", "none",
+            "--split-eval-milli", "300",
+            "--split-mode", "cluster",
+            "--budget", "256",
+            "--buckets", "8",
+            "--cores", "8",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_train"] + stats["docs_eval"] == stats["docs_in"]
+    # verify the grouping invariant directly: every minhash near-dup
+    # pair of the input shares a split side
+    from beats_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assign = spark.read.parquet(f"{out}/split_assignment")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    a = assign.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = assign.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    straddle = joined.where("split_a != split_b").count()
+    assert straddle == 0 and joined.count() > 0
