@@ -7822,6 +7822,38 @@ FROM r
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (similarity.
+    cosine_topk with exclude_same='label'): for each query vector the
+    5 most similar vectors of a DIFFERENT label — the embedding-model
+    training staple (the negatives that actually move the loss are
+    the near-miss lookalikes, not random picks). Same block-GEMM
+    plan as knn_bruteforce with the label mask applied inside the
+    same pass; ids-only output (float-order-stable, knn_bruteforce
+    precedent), oracle adds one label-inequality predicate."""
+    from beats_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(q, emb, k=5, exclude_same="label").select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+
+
+_SQL_HARD_NEGATIVES = """
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id <> c.vec_id AND q.label <> c.label
+  WHERE q.vec_id < 20)
+WHERE rank <= 5
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9459,6 +9491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_release": q_corpus_release,
         "overlap_matrix": q_overlap_matrix,
         "recrawl_priority": q_recrawl_priority,
+        "hard_negatives": q_hard_negatives,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9642,6 +9675,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_release": _SQL_CORPUS_RELEASE,
         "overlap_matrix": _SQL_OVERLAP_MATRIX,
         "recrawl_priority": _SQL_RECRAWL_PRIORITY,
+        "hard_negatives": _SQL_HARD_NEGATIVES,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

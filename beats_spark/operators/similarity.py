@@ -75,6 +75,7 @@ def cosine_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    exclude_same: str | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, rank, neighbor_id,
     cosine).
@@ -86,15 +87,24 @@ def cosine_topk(
     — never the full score matrix. The final exact top-k is a Window
     over that small candidate set. Scales linearly in corpus size with
     zero growth in shuffle volume.
+
+    ``exclude_same`` names a column present on BOTH frames: candidates
+    sharing the query's value are masked out in the same GEMM pass —
+    the hard-negative-mining switch (top-k most similar items of a
+    DIFFERENT class), at zero extra data movement.
     """
     import numpy as np
 
     from beats_spark.operators.scale import spread
 
-    q_rows = queries.select(query_id, vec_col).collect()
+    q_cols = [query_id, vec_col] + ([exclude_same] if exclude_same else [])
+    q_rows = queries.select(*q_cols).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_lab = (
+        np.array([r[2] for r in q_rows]) if exclude_same else None
+    )
 
     def score(batches):
         import pandas as pd
@@ -108,6 +118,9 @@ def cosine_topk(
             sims = c_mat @ q_mat.T  # (batch, n_queries)
             if exclude_self:
                 sims[c_ids[:, None] == q_ids[None, :]] = -np.inf
+            if q_lab is not None:
+                c_lab = pdf[exclude_same].to_numpy()
+                sims[c_lab[:, None] == q_lab[None, :]] = -np.inf
             kk = min(k, sims.shape[0])
             # local top-k per query (argpartition: O(n) per column)
             idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
@@ -121,7 +134,8 @@ def cosine_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
             )
 
-    cand = spread(corpus.select(corpus_id, vec_col)).mapInPandas(
+    c_cols = [corpus_id, vec_col] + ([exclude_same] if exclude_same else [])
+    cand = spread(corpus.select(*c_cols)).mapInPandas(
         score, "query_id long, neighbor_id long, cosine double"
     )
     cand = cand.filter(F.col("cosine") > float("-inf"))

@@ -189,6 +189,7 @@ EXT_QUERIES = [
     "corpus_release",
     "overlap_matrix",
     "recrawl_priority",
+    "hard_negatives",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -1066,3 +1066,35 @@ def test_trunc_div_semantics():
     assert _trunc_div(8, 7) == 1
     assert _trunc_div(-7, 7) == -1
     assert _trunc_div(8, -7) == -1
+
+
+def test_cosine_topk_exclude_same_label(spark):
+    """exclude_same masks same-class candidates inside the GEMM: the
+    returned neighbors all carry a different label, and equal the
+    numpy replay with the same mask."""
+    import numpy as np
+
+    from beats_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(8).tolist(), i % 3) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.cosine_topk(
+        df.filter("vec_id < 4"), df, k=3, exclude_same="label"
+    ).collect()
+    labels = {i: l for i, _, l in rows}
+    mats = np.array([v for _, v, _ in rows])
+    mats /= np.linalg.norm(mats, axis=1, keepdims=True)
+    for q in range(4):
+        got = [(r.rank, r.neighbor_id) for r in out if r.query_id == q]
+        assert len(got) == 3
+        sims = mats @ mats[q]
+        cands = sorted(
+            ((-sims[j], j) for j in range(30)
+             if j != q and labels[j] != labels[q])
+        )[:3]
+        want = [(rk + 1, j) for rk, (_, j) in enumerate(cands)]
+        assert sorted(got) == want, q
+        assert all(labels[j] != labels[q] for _, j in got)
