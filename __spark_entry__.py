@@ -7854,6 +7854,78 @@ WHERE rank <= 5
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (dedup.containment_pairs): the
+    doc-inside-doc detector. Planted quote rows — the first 8
+    normalized tokens of every doc_id%9==2 document (containment
+    exactly 10⁶ against its source) and the same prefix with one
+    foreign tail token for %9==5 (a strictly-partial ratio) — ride
+    on the natural corpus; Jaccard would score both near 0. The
+    oracle brute-forces list_intersect over all pairs with the
+    identical integer ppm formula."""
+    from beats_spark.operators.dedup import containment_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    q1 = docs.where(did % 9 == 2).select(
+        (did + 100000).alias("doc_id"), prefix.alias("text")
+    )
+    q2 = docs.where(did % 9 == 5).select(
+        (did + 200000).alias("doc_id"),
+        F.concat(prefix, F.lit(" zzqq"), did.cast("string")).alias("text"),
+    )
+    uni = docs.select("doc_id", "text").unionByName(q1).unionByName(q2)
+    return containment_pairs(uni, n=3, threshold_ppm=700_000)
+
+
+_SQL_CONTAINMENT = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         string_split_regex(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+         ) AS toks
+  FROM documents
+), uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, array_to_string(toks[1:8], ' ')
+  FROM toks0 WHERE doc_id % 9 = 2
+  UNION ALL
+  SELECT doc_id + 200000,
+         array_to_string(toks[1:8], ' ') || ' zzqq' || doc_id::VARCHAR
+  FROM toks0 WHERE doc_id % 9 = 5
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 3, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 3], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+           ) AS toks
+    FROM uni
+    WHERE trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+          <> ''
+  )
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams))::BIGINT AS inter,
+         len(a.grams)::BIGINT AS n_a, len(b.grams)::BIGINT AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, inter, n_a, n_b,
+       (inter * 1000000 // least(n_a, n_b))::BIGINT AS containment_ppm
+FROM p
+WHERE inter * 1000000 // least(n_a, n_b) >= 700000
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9492,6 +9564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_matrix": q_overlap_matrix,
         "recrawl_priority": q_recrawl_priority,
         "hard_negatives": q_hard_negatives,
+        "containment_pairs": q_containment,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9676,6 +9749,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_matrix": _SQL_OVERLAP_MATRIX,
         "recrawl_priority": _SQL_RECRAWL_PRIORITY,
         "hard_negatives": _SQL_HARD_NEGATIVES,
+        "containment_pairs": _SQL_CONTAINMENT,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1541,3 +1541,86 @@ def dedup_keep_best(
         "keeper_id",
         (F.col(id_col) == F.col("keeper_id")).alias("kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 800_000,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric set CONTAINMENT pairs: ``C = |A∩B| / min(|A|,|B|)``
+    over word n-gram shingles, in exact integer ppm — the
+    doc-inside-doc signal Jaccard structurally misses (a 50-gram
+    quote fully embedded in a 5000-gram page has J ≈ 0.01 but C = 1):
+    Broder's containment measure beside resemblance, the standard
+    detector for quote inclusion, boilerplate wrappers, and
+    benchmark-passage embedding.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs`` (a pair only
+    materializes on an actual shared gram; the one shuffle keys on
+    grams; ``max_doc_freq`` bounds boilerplate blowup one-sidedly, as
+    there), with the containment formula at the end — integer ppm
+    (``inter·10⁶ div min(n_a, n_b)``) so the output is engine-exact,
+    never an engine-ordered float. NULL/blank texts are excluded with
+    the shingle-normalized emptiness test (CLAUDE.md: ``shingles``
+    degenerates to [''] for them in Spark but [] in SQL oracles).
+
+    Emits ``(id_a, id_b, inter, n_a, n_b, containment_ppm)`` with
+    ``id_a < id_b`` — sizes kept so consumers can tell which side is
+    the contained one.
+    """
+    from pyspark import StorageLevel
+
+    from beats_spark.operators.scale import spread
+
+    if not 0 <= threshold_ppm <= 1_000_000:
+        raise ValueError(f"threshold_ppm out of range: {threshold_ppm}")
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
+    )
+    shingled = spread(df.filter(norm != "")).select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    grams = shingled.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if max_doc_freq is not None:
+        heavy = (
+            grams.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_g")
+        )
+        grams = grams.join(heavy, "_g", "left_anti")
+    a = grams.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("n_a"), "_g"
+    )
+    b = grams.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("n_b"), "_g"
+    )
+    inter = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # n_a/n_b are non-null by construction, so least() is safe here
+    # (the NULL-skipping least gotcha needs nullable inputs)
+    ppm = F.expr("inter * 1000000L div least(n_a, n_b)")
+    return (
+        inter.withColumn("containment_ppm", ppm.cast("long"))
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select(
+            "id_a", "id_b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "containment_ppm",
+        )
+    )

@@ -190,6 +190,7 @@ EXT_QUERIES = [
     "overlap_matrix",
     "recrawl_priority",
     "hard_negatives",
+    "containment_pairs",
     "skew_agg",
     "corpus_diff",
     "rater_agreement",

@@ -1098,3 +1098,32 @@ def test_cosine_topk_exclude_same_label(spark):
         want = [(rk + 1, j) for rk, (_, j) in enumerate(cands)]
         assert sorted(got) == want, q
         assert all(labels[j] != labels[q] for _, j in got)
+
+
+def test_containment_pairs_subset_vs_jaccard(spark):
+    """A short quote fully inside a long page scores containment 1e6
+    while its Jaccard is tiny; partial embedding prices exactly; NULL
+    and blank texts never pair."""
+    from beats_spark.operators.dedup import containment_pairs
+
+    page = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(8))           # prefix of page
+    partial = " ".join(f"w{i}" for i in range(6)) + " zz"  # 1 foreign tail
+    docs = spark.createDataFrame(
+        [(1, page), (2, quote), (3, partial), (4, None), (5, "   ")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in containment_pairs(docs, n=3, threshold_ppm=0).collect()}
+    q = out[(1, 2)]
+    assert q.inter == 6 and q.n_a == 58 and q.n_b == 6
+    assert q.containment_ppm == 1_000_000
+    p = out[(1, 3)]
+    # partial: tokens w0..w5 zz → 5 grams, 4 contained (the zz gram isn't)
+    assert p.n_b == 5 and p.inter == 4
+    assert p.containment_ppm == 4 * 1_000_000 // 5
+    assert not any(4 in k or 5 in k for k in out)  # NULL/blank excluded
+    # threshold filters the partial pair out
+    hi = {(r.id_a, r.id_b)
+          for r in containment_pairs(docs, n=3, threshold_ppm=900_000).collect()}
+    assert (1, 2) in hi and (1, 3) not in hi
