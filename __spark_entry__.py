@@ -7926,6 +7926,83 @@ WHERE inter * 1000000 // least(n_a, n_b) >= 700000
 """
 
 
+# three distinct ~180-char spans for the winnowing plant — lowercase
+# [a-z0-9 ] only, so the literals survive both engines' SQL quoting
+_WINNOW_SPANS = tuple(
+    " ".join(
+        f"span{g} tok{g}{j} winnowmark{(g * 31 + j * 7) % 97}"
+        for j in range(12)
+    )
+    for g in range(3)
+)
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing shared-span candidates (textstats.winnow_pairs,
+    Schleimer/Wilkerson/Aiken SIGMOD 2003 — the MOSS selector): every
+    doc_id%11==3 document gets one of three ~180-char spans appended
+    ((doc_id div 11) % 3; modulus 11 is coprime to the source
+    alignment, CLAUDE.md), so same-span docs MUST share interior
+    fingerprints regardless of byte offset — the length >= k+w-1
+    guarantee the stride-aligned rolling_fingerprint cannot give. The
+    oracle replays the IDENTICAL generated winnow SQL (shared-battery
+    discipline, html_steps_sql precedent) through a posting-capped
+    self-join."""
+    from beats_spark.operators.scale import spread
+    from beats_spark.operators.textstats import winnow_pairs
+
+    # the winnow selection is compute-dense (one md5 per char): spread
+    # the single-file fixture scan so it runs at session parallelism
+    # (no-op on a real many-file corpus — CLAUDE.md single-file trap)
+    docs = spread(_load(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    span = F.element_at(
+        F.array(*[F.lit(s) for s in _WINNOW_SPANS]),
+        F.expr("cast((doc_id div 11) % 3 + 1 as int)"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 11 == 3, F.concat(F.col("text"), F.lit(" "), span))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return winnow_pairs(planted, min_shared=2)
+
+
+def _sql_winnow_pairs() -> str:
+    from beats_spark.operators.textstats import winnow_fingerprint_sql
+
+    fp = winnow_fingerprint_sql(
+        "text", 24, 8, 4000, dialect="duckdb", hashes_only=True
+    )
+    case = (
+        "CASE (doc_id // 11) % 3 "
+        + " ".join(
+            f"WHEN {g} THEN '{s}'" for g, s in enumerate(_WINNOW_SPANS)
+        )
+        + " END"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3 THEN text || ' ' || {case}
+              ELSE text END AS text
+  FROM documents
+), fps AS (
+  SELECT doc_id, unnest({fp}) AS fp FROM planted
+), posting AS (
+  SELECT fp, count(*) AS n FROM fps GROUP BY fp
+), keep AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN posting p USING (fp)
+  WHERE p.n BETWEEN 2 AND 1000
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING count(*) >= 2
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9565,6 +9642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": q_recrawl_priority,
         "hard_negatives": q_hard_negatives,
         "containment_pairs": q_containment,
+        "winnow_pairs": q_winnow_pairs,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9750,6 +9828,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_priority": _SQL_RECRAWL_PRIORITY,
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "containment_pairs": _SQL_CONTAINMENT,
+        "winnow_pairs": _sql_winnow_pairs(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

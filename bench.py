@@ -177,6 +177,7 @@ BENCH_QUERIES = [
 # gets a measured baseline for the new surface.
 EXT_QUERIES = [
     # round-5 additions
+    "winnow_pairs",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
