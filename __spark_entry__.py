@@ -8003,6 +8003,76 @@ HAVING count(*) >= 2
 """
 
 
+def q_thread_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branched-transcript linearization (chat.linearize_threads):
+    events become per-user turn forests — turn idx by (ts, event_id)
+    row_number, parent = previous turn except every event_id%5==0
+    turn branches back up to 7 ancestors (regenerated-answer /
+    tree-of-thought shape) — and the operator emits one root→leaf
+    path per leaf via POINTER DOUBLING: ceil(log2 depth) self-joins
+    (7 rounds for these ≤99-turn threads) where the DuckDB oracle's
+    recursive CTE descends one level per pass. The oracle is a
+    genuinely independent algorithm for the same contract — the
+    asof_versions discipline."""
+    from pyspark.sql import Window
+
+    from beats_spark.operators.chat import linearize_threads
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = F.col("idx")
+    turns = (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("idx", F.row_number().over(w))
+        .select(
+            F.col("user_id").alias("conv_id"),
+            idx.cast("long").alias("turn_id"),
+            F.when(idx == 1, F.lit(None).cast("long"))
+            .when(
+                F.col("event_id") % 5 == 0,
+                F.greatest(
+                    idx - 1 - F.col("event_id") % 7, F.lit(1).cast("long")
+                ).cast("long"),
+            )
+            .otherwise((idx - 1).cast("long"))
+            .alias("parent_id"),
+            F.col("event_type").alias("tok"),
+        )
+    )
+    return linearize_threads(turns)
+
+
+_SQL_THREAD_PATHS = r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS conv_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS idx
+  FROM events
+), turns AS (
+  SELECT conv_id, idx::BIGINT AS turn_id,
+         (CASE WHEN idx = 1 THEN NULL
+               WHEN event_id % 5 = 0
+                 THEN greatest(idx - 1 - event_id % 7, 1)
+               ELSE idx - 1 END)::BIGINT AS parent_id,
+         event_type AS tok
+  FROM ev
+), walk AS (
+  SELECT conv_id, turn_id, tok AS path, 1 AS depth
+  FROM turns WHERE parent_id IS NULL
+  UNION ALL
+  SELECT t.conv_id, t.turn_id, w.path || '>' || t.tok, w.depth + 1
+  FROM turns t JOIN walk w
+    ON t.conv_id = w.conv_id AND t.parent_id = w.turn_id
+)
+SELECT w.conv_id, w.turn_id, w.depth::BIGINT AS depth, w.path,
+       false AS orphaned
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM turns c
+                  WHERE c.conv_id = w.conv_id
+                    AND c.parent_id = w.turn_id)
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9643,6 +9713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "containment_pairs": q_containment,
         "winnow_pairs": q_winnow_pairs,
+        "thread_paths": q_thread_paths,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9829,6 +9900,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _SQL_HARD_NEGATIVES,
         "containment_pairs": _SQL_CONTAINMENT,
         "winnow_pairs": _sql_winnow_pairs(),
+        "thread_paths": _SQL_THREAD_PATHS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

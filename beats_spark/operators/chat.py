@@ -645,3 +645,124 @@ def refusal_stats(
             ),
         )
     )
+
+
+def linearize_threads(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    id_col: str = "turn_id",
+    parent_col: str = "parent_id",
+    tok_col: str = "tok",
+    sep: str = ">",
+    max_rounds: int = 48,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Branched-transcript linearization: multi-branch conversations
+    (regenerated answers, tool retries, tree-of-thought sampling)
+    store turns as (id, parent) forests; an SFT corpus needs
+    root-to-leaf PATHS. Emits one row per LEAF turn — ``conv_col``,
+    ``id_col`` (the leaf), ``depth`` (turns on the path), ``path``
+    (``sep``-joined ``tok_col`` values root→leaf), ``orphaned``
+    (true when the chain hits a dangling parent pointer — the turn
+    row lost to a crash-truncated log; the partial path is kept and
+    tagged, never dropped: tag-and-continue, libbeat semantics).
+
+    Spark-first scale shape — POINTER DOUBLING (parallel list
+    ranking), not per-level descent: the state row of every turn
+    starts as (ptr=parent, path=own tok, depth=1) and each round
+    jumps through the pointed-to node's CURRENT pointer, prepending
+    its accumulated prefix. After r rounds a path covers 2^r
+    ancestors, so a depth-D forest finishes in ceil(log2 D)
+    self-joins — 7 rounds for 100-turn threads, 14 for 10k-turn ones
+    — where naive recursion (the DuckDB oracle's recursive CTE) runs
+    D sequential passes. Each round is one (conv, id)-keyed shuffle
+    of id/ptr/path state rows; convergence (no live pointers) is read
+    off the SAME action that materializes the round's persist, the
+    connected_components discipline, and lineage is truncated with a
+    localCheckpoint every ``checkpoint_every`` rounds. Path bytes
+    grow toward the rendered-conversation size — the same order a
+    transcript pipeline shuffles anyway; keep ``tok_col`` a turn KEY
+    (role / type tag), not the full text, and join text back by leaf
+    id downstream if needed.
+    """
+    conv, tid = F.col(conv_col), F.col(id_col)
+    state = df.select(
+        conv.alias("_conv"),
+        tid.alias("_id"),
+        F.col(parent_col).alias("_ptr"),
+        F.col(tok_col).cast("string").alias("_path"),
+        F.lit(1).cast("long").alias("_depth"),
+        F.lit(False).alias("_orphaned"),
+    ).persist()
+    live, n_total = state.agg(
+        F.sum(F.col("_ptr").isNotNull().cast("long")),
+        F.count(F.lit(1)),
+    ).first()
+    rounds = 0
+    while live:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"linearize_threads: depth exceeds 2^{max_rounds} after "
+                f"{max_rounds} doubling rounds — cyclic parent pointers?"
+            )
+        a, b = state.alias("a"), state.alias("b")
+        nxt = (
+            a.join(
+                b,
+                (F.col("a._conv") == F.col("b._conv"))
+                & (F.col("a._ptr") == F.col("b._id")),
+                "left",
+            )
+            .select(
+                F.col("a._conv").alias("_conv"),
+                F.col("a._id").alias("_id"),
+                F.col("b._ptr").alias("_ptr"),
+                F.when(
+                    F.col("b._id").isNotNull(),
+                    F.concat(
+                        F.col("b._path"), F.lit(sep), F.col("a._path")
+                    ),
+                )
+                .otherwise(F.col("a._path"))
+                .alias("_path"),
+                (
+                    F.col("a._depth") + F.coalesce(F.col("b._depth"), F.lit(0))
+                ).alias("_depth"),
+                (
+                    F.col("a._orphaned")
+                    | F.coalesce(F.col("b._orphaned"), F.lit(False))
+                    # live pointer with no matching node: dangling edge
+                    | (F.col("a._ptr").isNotNull() & F.col("b._id").isNull())
+                ).alias("_orphaned"),
+            )
+        )
+        if rounds % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        nxt = nxt.persist()
+        live, max_depth = nxt.agg(
+            F.sum(F.col("_ptr").isNotNull().cast("long")),
+            F.max("_depth"),
+        ).first()
+        state.unpersist()
+        state = nxt
+        # an acyclic path can never hold more turns than the input
+        # has rows; a cycle doubles path bytes every round — fail
+        # fast before the strings outgrow the executors
+        if max_depth is not None and max_depth > n_total:
+            raise ValueError(
+                "linearize_threads: path depth exceeds the input row "
+                "count — cyclic parent pointers"
+            )
+    # leaves: turns no other turn points at (per conversation)
+    children = df.where(F.col(parent_col).isNotNull()).select(
+        conv.alias("_conv"), F.col(parent_col).alias("_id")
+    )
+    out = state.join(children, ["_conv", "_id"], "left_anti").select(
+        F.col("_conv").alias(conv_col),
+        F.col("_id").alias(id_col),
+        F.col("_depth").alias("depth"),
+        F.col("_path").alias("path"),
+        F.col("_orphaned").alias("orphaned"),
+    )
+    return out

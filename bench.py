@@ -178,6 +178,7 @@ BENCH_QUERIES = [
 EXT_QUERIES = [
     # round-5 additions
     "winnow_pairs",
+    "thread_paths",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
