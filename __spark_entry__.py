@@ -8073,6 +8073,79 @@ WHERE NOT EXISTS (SELECT 1 FROM turns c
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (analytics.event_transitions): counts plus exact
+    integer-milli row-conditional probabilities, with a '_start_'
+    pseudo-state carrying the initial distribution — the agent-loop
+    behavioral signature. One corpus-scale key-window shuffle; the
+    probability window runs on the ≤|types|² reduced frame."""
+    from beats_spark.operators.analytics import event_transitions
+
+    return event_transitions(_load(spark, sf_dir, "events"))
+
+
+_SQL_EVENT_TRANSITIONS = r"""
+WITH t AS (
+  SELECT coalesce(lag(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ), '_start_') AS prev_type,
+         event_type
+  FROM events
+), g AS (
+  SELECT prev_type, event_type, count(*)::BIGINT AS n_transitions
+  FROM t GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n_transitions,
+       (n_transitions * 1000 //
+        sum(n_transitions) OVER (PARTITION BY prev_type))::BIGINT
+         AS p_milli
+FROM g
+"""
+
+
+def q_prefix_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation shared-prefix economics
+    (chat.prefix_cache_stats): per probe depth k ∈ {1,2,4,8}, how
+    many conversations share their first k turn tokens and how many
+    prefix turns a KV-prefix cache (vLLM APC / RadixAttention
+    economics) or a dedup-at-pack pass would save. 3 shuffles total
+    for ALL depths (ordered-array build, (k, prefix) groupBy, ≤4-row
+    rollup) — never one pass per depth."""
+    from beats_spark.operators.chat import prefix_cache_stats
+
+    ev = _load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        "ts",
+        F.col("event_id").alias("turn_id"),
+        F.col("event_type").alias("tok"),
+    )
+    return prefix_cache_stats(turns)
+
+
+_SQL_PREFIX_SHARE = r"""
+WITH ordered AS (
+  SELECT user_id AS conv, count(*) AS n_turns,
+         list(event_type ORDER BY ts, event_id) AS toks
+  FROM events GROUP BY user_id
+), probes AS (
+  SELECT conv, ks.k AS k,
+         array_to_string(list_slice(toks, 1, ks.k), '>') AS prefix
+  FROM ordered, (VALUES (1), (2), (4), (8)) ks(k)
+  WHERE n_turns >= ks.k
+), groups AS (
+  SELECT k, prefix, count(*) AS cnt FROM probes GROUP BY k, prefix
+)
+SELECT k::BIGINT AS k, sum(cnt)::BIGINT AS n_convs,
+       count(*)::BIGINT AS n_prefixes,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT
+         AS n_shared_convs,
+       sum((cnt - 1) * k)::BIGINT AS turns_saved
+FROM groups GROUP BY k
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9714,6 +9787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment,
         "winnow_pairs": q_winnow_pairs,
         "thread_paths": q_thread_paths,
+        "event_transitions": q_event_transitions,
+        "prefix_share": q_prefix_share,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9901,6 +9976,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT,
         "winnow_pairs": _sql_winnow_pairs(),
         "thread_paths": _SQL_THREAD_PATHS,
+        "event_transitions": _SQL_EVENT_TRANSITIONS,
+        "prefix_share": _SQL_PREFIX_SHARE,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

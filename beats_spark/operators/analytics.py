@@ -765,3 +765,52 @@ def tool_loops(
             F.sum((F.col("_len") >= min_repeats).cast("long")).alias("n_loops"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    start_token: str = "_start_",
+) -> DataFrame:
+    """First-order Markov transition profile over per-key event
+    sequences: for every (prev_type → type) pair, the transition
+    count and its integer-milli probability among transitions OUT of
+    prev_type. The first event of each key transitions from
+    ``start_token``, so the initial-state distribution rides in the
+    same frame — together they are the behavioral signature a
+    transcript pipeline uses for agent-loop drift detection and for
+    sampling synthetic sessions.
+
+    Output: ``prev_type``, ``type_col``, ``n_transitions``,
+    ``p_milli`` (= n·1000 div Σ n over prev_type — exact integer
+    division, CLAUDE.md float discipline).
+
+    Scale shape: ONE key-hash window shuffle (lag ordered by
+    (ts, id) — tie-stable, the turn_latency discipline) reduces the
+    corpus to the ≤ |types|² transition frame; the probability
+    window runs over that reduced frame, not the events. Hot keys
+    are one partition's stream — same exposure as every other
+    per-key window in this module.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(F.col(type_col), 1, start_token).over(w)
+    trans = (
+        df.select(
+            F.col(key_col), F.col(ts_col), F.col(id_col), F.col(type_col)
+        )
+        .withColumn("prev_type", prev)
+        .groupBy("prev_type", type_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    return trans.withColumn(
+        "p_milli",
+        F.expr(
+            "cast(n_transitions * 1000 div "
+            "sum(n_transitions) over (partition by prev_type) as long)"
+        ),
+    )

@@ -766,3 +766,98 @@ def linearize_threads(
         F.col("_orphaned").alias("orphaned"),
     )
     return out
+
+
+def prefix_cache_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    id_col: str = "turn_id",
+    tok_col: str = "tok",
+    depths: tuple[int, ...] = (1, 2, 4, 8),
+    sep: str = ">",
+) -> DataFrame:
+    """Cross-conversation shared-prefix profile — the KV-cache /
+    system-prompt dedup economics of a transcript corpus: at each
+    probe depth k, how many conversations share their first k turn
+    tokens with another conversation, and how many prefix turns a
+    prefix cache (or a dedup-at-pack pass) would save. Serving
+    stacks (vLLM automatic prefix caching, SGLang RadixAttention)
+    monetize exactly this statistic; corpora dominated by one
+    system-prompt opening show near-total sharing at small k.
+
+    Per depth k (only conversations with ≥ k turns participate):
+    ``n_convs``, ``n_prefixes`` (distinct k-prefixes),
+    ``n_shared_convs`` (convs whose k-prefix occurs >1 time),
+    ``turns_saved`` (Σ over prefix groups of (count−1)·k — the turn
+    instances a per-depth cache would not recompute; depths overlap
+    by construction, so rows are per-k profiles, not addable).
+
+    Scale shape: ONE conv-key shuffle builds the ordered token array
+    (sort_array(collect_list) — map-side combined partials), every
+    probe depth is sliced from that SAME array in one projection
+    (array carries ≤ max(depths) short tokens after the slice), and
+    one (k, prefix)-key shuffle of prefix strings feeds the final
+    ≤ |depths|-row rollup — 3 shuffles TOTAL regardless of how many
+    depths are probed, never one pass per depth (the many-tiny-
+    shuffles trap, CLAUDE.md).
+    """
+    ks = sorted(set(int(k) for k in depths))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"bad depths: {depths!r}")
+    ordered = (
+        df.select(
+            F.col(conv_col).alias("_conv"),
+            F.struct(
+                F.col(ts_col).alias("o1"),
+                F.col(id_col).alias("o2"),
+                F.col(tok_col).cast("string").alias("tok"),
+            ).alias("_s"),
+        )
+        .groupBy("_conv")
+        .agg(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("_s")), 1, ks[-1]),
+                lambda s: s["tok"],
+            ).alias("_toks"),
+            F.count(F.lit(1)).alias("_n_turns"),
+        )
+    )
+    probes = ordered.select(
+        "_conv",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("k"),
+                            F.when(
+                                F.col("_n_turns") >= k,
+                                F.concat_ws(
+                                    sep, F.slice(F.col("_toks"), 1, k)
+                                ),
+                            ).alias("prefix"),
+                        )
+                        for k in ks
+                    ]
+                ),
+                lambda x: x["prefix"].isNotNull(),
+            )
+        ).alias("_p"),
+    ).select("_conv", F.col("_p.k").alias("k"), F.col("_p.prefix").alias("prefix"))
+    groups = probes.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        groups.groupBy("k")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_prefixes"),
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_shared_convs"),
+            F.sum((F.col("_cnt") - 1) * F.col("k"))
+            .cast("long")
+            .alias("turns_saved"),
+        )
+    )

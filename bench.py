@@ -179,6 +179,8 @@ EXT_QUERIES = [
     # round-5 additions
     "winnow_pairs",
     "thread_paths",
+    "event_transitions",
+    "prefix_share",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
