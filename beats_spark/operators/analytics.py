@@ -799,12 +799,33 @@ def event_transitions(
 
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(F.col(type_col), 1, start_token).over(w)
-    trans = (
+    pairs = (
         df.select(
             F.col(key_col), F.col(ts_col), F.col(id_col), F.col(type_col)
         )
         .withColumn("prev_type", prev)
-        .groupBy("prev_type", type_col)
+        .select("prev_type", F.col(type_col).alias("type"))
+    )
+    return rollup_transitions(pairs, out_type_col=type_col)
+
+
+def rollup_transitions(
+    pairs: DataFrame,
+    prev_col: str = "prev_type",
+    type_col: str = "type",
+    out_type_col: str = "event_type",
+) -> DataFrame:
+    """Shared verdict stage for batch + streaming transition pairs
+    (the rollup_turn_gaps discipline): (prev, type) rows → counts and
+    integer-milli conditional probabilities. The groupBy input is
+    already the reduced pair stream; the probability window runs on
+    the ≤ |types|² aggregate frame."""
+    trans = (
+        pairs.select(
+            F.col(prev_col).alias("prev_type"),
+            F.col(type_col).alias(out_type_col),
+        )
+        .groupBy("prev_type", out_type_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
     return trans.withColumn(

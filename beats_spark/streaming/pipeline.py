@@ -1645,3 +1645,121 @@ def stream_model_ranking(
         _tick_write(board, out_root, batch_id)
 
     return _tick_start(raw, handle, checkpoint_dir, available_now)
+
+
+def stream_event_transitions(
+    source: DataFrame,
+    key_col: str = "conv_id",
+    type_col: str = "role",
+    ts_col: str = "ts",
+    id_col: str = "turn_idx",
+    delay: str = "10 minutes",
+    close_seconds: int = 3600,
+    start_token: str = "_start_",
+):
+    """Streaming twin of ``analytics.event_transitions``' pair stage:
+    per-key EVENT-TIME-ordered (prev_type → type) transition pairs
+    from a live stream, via the same watermark reorder-buffer sorter
+    as ``stream_turn_gaps`` (shared ``_pending_order`` /
+    ``_split_ready`` / ``_ttl_timeout_ms`` helpers; TTL anchored on
+    the newest FOLDED event — the heartbeat-safe last_us discipline).
+
+    The first finalized event of a key emits a (``start_token`` →
+    type) pair — the initial-state distribution, exactly the batch
+    operator's lag default. A key whose session TTL closed and that
+    later receives new events restarts its chain with a fresh
+    ``start_token`` pair: the same session cut stream_turn_gaps
+    makes, and the identity caveat to go with it (batch/stream
+    identity holds on the flushed-and-not-restarted horizon, proven
+    in tests/test_streaming.py).
+
+    Emits (key, prev_type, type) append-only; feed the rows to
+    ``analytics.rollup_transitions`` for the batch-identical verdict.
+    State per key is one event + the reorder window's pending buffer
+    — bounded by ``delay``, not stream length; the only shuffle is
+    the groupBy(key).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from beats_spark.operators.analytics import _epoch_us
+
+    out_schema = f"{key_col} string, prev_type string, type string"
+    state_schema = (
+        "last_us long, last_type string, "
+        "p_us array<long>, p_type array<string>, p_id array<long>"
+    )
+
+    def _emit(key, pairs):
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(pairs),
+                "prev_type": [p[0] for p in pairs],
+                "type": [p[1] for p in pairs],
+            }
+        )
+
+    def _chain(prev_us, prev_type, events):
+        pairs = []
+        for us, ty, _pid in events:
+            pairs.append(
+                (prev_type if prev_us is not None else start_token, ty)
+            )
+            prev_us, prev_type = us, ty
+        return pairs, prev_us, prev_type
+
+    def update(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            last_us, last_type, p_us, p_type, p_id = state.get
+            state.remove()
+            pend = sorted(zip(p_us, p_type, p_id), key=_pending_order)
+            pairs, _, _ = _chain(last_us, last_type, pend)
+            if pairs:
+                yield _emit(k, pairs)
+            return
+        if state.exists:
+            last_us, last_type, p_us, p_type, p_id = state.get
+            pend = list(zip(p_us, p_type, p_id))
+        else:
+            last_us, last_type, pend = None, None, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ok = pdf["_us"].notna() & pdf[id_col].notna()
+            for u, ty, i in zip(
+                pdf["_us"][ok], pdf[type_col][ok], pdf[id_col][ok]
+            ):
+                pend.append((int(u), ty, int(i)))
+        ready, keep = _split_ready(pend, state.getCurrentWatermarkMs() * 1000)
+        pairs, last_us, last_type = _chain(last_us, last_type, ready)
+        state.update(
+            (
+                last_us,
+                last_type,
+                [t[0] for t in keep],
+                [t[1] for t in keep],
+                [t[2] for t in keep],
+            )
+        )
+        state.setTimeoutTimestamp(
+            _ttl_timeout_ms(state, keep, last_us, close_seconds)
+        )
+        if pairs:
+            yield _emit(k, pairs)
+
+    staged = source.withWatermark(ts_col, delay).select(
+        F.col(key_col),
+        F.col(type_col),
+        F.col(id_col),
+        F.col(ts_col),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+    )
+    return staged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

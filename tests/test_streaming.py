@@ -1435,3 +1435,59 @@ def test_stream_model_ranking_matches_batch(spark, tmp_path):
                 break
     else:
         raise AssertionError("no single wave reproduces the first snapshot")
+
+
+def test_stream_event_transitions_match_batch(
+    spark, transcripts, stream_input, tmp_path
+):
+    """The streaming transition sorter emits EXACTLY the batch
+    event_transitions pairs (including the _start_ initial-state
+    pseudo-transitions) for every flushed conversation — verified
+    through the SAME rollup_transitions verdict code."""
+    from beats_spark.operators.analytics import (
+        event_transitions,
+        rollup_transitions,
+    )
+    from beats_spark.streaming.pipeline import stream_event_transitions
+
+    src = read_transcript_stream(spark, stream_input, max_files_per_trigger=4)
+    pairs = stream_event_transitions(src, delay="0 seconds", close_seconds=1)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("evtrans")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(900)
+    streamed = spark.sql("select * from evtrans")
+
+    max_ts = transcripts.agg(F.max("ts")).collect()[0][0]
+    flushed = (
+        transcripts.groupBy("conv_id")
+        .agg(F.max("ts").alias("_last"))
+        .filter(F.col("_last") < F.lit(max_ts) - F.expr("INTERVAL 1 SECOND"))
+        .select("conv_id")
+    )
+    n_convs = transcripts.select("conv_id").distinct().count()
+    assert flushed.count() >= n_convs - 2
+
+    batch_rollup = {
+        (r["prev_type"], r["role"]): (r["n_transitions"], r["p_milli"])
+        for r in event_transitions(
+            transcripts.join(flushed, "conv_id"),
+            key_col="conv_id",
+            ts_col="ts",
+            type_col="role",
+            id_col="turn_idx",
+        ).collect()
+    }
+    stream_rollup = {
+        (r["prev_type"], r["role"]): (r["n_transitions"], r["p_milli"])
+        for r in rollup_transitions(
+            streamed.join(flushed, "conv_id").select("prev_type", "type"),
+            out_type_col="role",
+        ).collect()
+    }
+    assert stream_rollup == batch_rollup
