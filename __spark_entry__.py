@@ -8146,6 +8146,107 @@ FROM groups GROUP BY k
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability battery
+    (textstats.readability_stats): whitespace words, [.!?]+ sentence
+    runs floored at 1, [aeiouy]+ vowel-group syllables, exact
+    integer-milli scores — zero-shuffle codegen projection; the
+    oracle replays every regexp count and the CASE-guarded integer
+    divisions (greatest is banned on the NULL path, CLAUDE.md)."""
+    from beats_spark.operators.textstats import readability_stats
+
+    return readability_stats(_load(spark, sf_dir, "documents"))
+
+
+_SQL_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+'))
+          END)::BIGINT AS n_words,
+         (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+               THEN len(regexp_extract_all(text, '[.!?]+'))
+               ELSE 1 END)::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - (1015 * n_words) // n_sentences
+        - (84600 * n_syllables) //
+          (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END))::BIGINT
+         AS flesch_milli,
+       ((390 * n_words) // n_sentences
+        + (11800 * n_syllables) //
+          (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END)
+        - 15590)::BIGINT AS fk_grade_milli
+FROM base
+"""
+
+
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page robots META gate (html.meta_robots) — the in-document
+    half of RFC 9309 (robots.txt is the server half, robots.py): a
+    planted meta tag rides ahead of the shared messy-HTML wrapper for
+    doc_id%13 ∈ {2,3,5,8,11}, covering both attribute orders,
+    uppercase, single quotes, 'none', and a benign 'index, follow'.
+    The oracle runs SQL generated from the SAME pattern constants
+    (meta_robots_sql — html_steps_sql discipline)."""
+    from beats_spark.operators.html import meta_robots
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    meta = (
+        F.when(did % 13 == 2,
+               F.lit('<meta name="robots" content="index, follow">'))
+        .when(did % 13 == 3,
+              F.lit("<meta name='robots' content='noindex'>"))
+        .when(did % 13 == 5,
+              F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(did % 13 == 8,
+              F.lit('<META CONTENT="NOFOLLOW" NAME="ROBOTS">'))
+        .when(did % 13 == 11,
+              F.lit('<meta name="robots" content="none">'))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(meta, _planted_html(did, F.col("text"))).alias("html"),
+    )
+    return meta_robots(planted)
+
+
+def _sql_meta_robots() -> str:
+    from beats_spark.operators.html import meta_robots_sql
+
+    meta_case = (
+        "CASE doc_id % 13 "
+        "WHEN 2 THEN '<meta name=\"robots\" content=\"index, follow\">' "
+        "WHEN 3 THEN '<meta name=''robots'' content=''noindex''>' "
+        "WHEN 5 THEN '<meta name=\"robots\" content=\"noindex, follow\">' "
+        "WHEN 8 THEN '<META CONTENT=\"NOFOLLOW\" NAME=\"ROBOTS\">' "
+        "WHEN 11 THEN '<meta name=\"robots\" content=\"none\">' "
+        "ELSE '' END"
+    )
+    flag = (
+        "(list_contains(string_split(directives, ','), '{d}') "
+        "OR list_contains(string_split(directives, ','), 'none'))"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, ({meta_case}) || {_SQL_PLANTED_HTML} AS html
+  FROM documents
+), meta AS (
+{meta_robots_sql("html")}
+  FROM planted
+)
+SELECT doc_id, has_meta, directives,
+       {flag.format(d="noindex")} AS noindex,
+       {flag.format(d="nofollow")} AS nofollow
+FROM meta
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9789,6 +9890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thread_paths": q_thread_paths,
         "event_transitions": q_event_transitions,
         "prefix_share": q_prefix_share,
+        "readability": q_readability,
+        "meta_robots": q_meta_robots,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -9978,6 +10081,8 @@ def oracle_sql() -> dict[str, str]:
         "thread_paths": _SQL_THREAD_PATHS,
         "event_transitions": _SQL_EVENT_TRANSITIONS,
         "prefix_share": _SQL_PREFIX_SHARE,
+        "readability": _SQL_READABILITY,
+        "meta_robots": _sql_meta_robots(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -325,3 +325,91 @@ def anchor_stats(
         "top_anchor",
         "top_anchor_refs",
     )
+
+
+# meta-robots extraction: ONE pattern grammar shared verbatim by both
+# engines (Java regex on Spark, RE2 in DuckDB — the html_steps_sql
+# discipline: no backrefs, no lookaround, ["'] classes only), one
+# variant per attribute order. (?i) covers <META NAME="ROBOTS">.
+_META_ROBOTS_NAME_FIRST = (
+    "(?i)<meta[^>]*name[ \\t]*=[ \\t]*[\"']robots[\"']"
+    "[^>]*content[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+)
+_META_ROBOTS_CONTENT_FIRST = (
+    "(?i)<meta[^>]*content[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+    "[^>]*name[ \\t]*=[ \\t]*[\"']robots[\"']"
+)
+
+
+def meta_robots(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-page robots META directives — the in-document half of the
+    RFC 9309 story (operators/robots.py covers the server-side
+    robots.txt half): a crawl corpus must honor ``noindex`` before
+    training-data inclusion and ``nofollow`` before frontier
+    expansion, and the directive lives in the page bytes, so the
+    gate belongs in the same scan-side projection as extract_html_text.
+
+    Emits ``id_col``, ``has_meta`` (a robots meta tag exists),
+    ``directives`` (lowercased, trimmed, comma-joined as written),
+    ``noindex`` / ``nofollow`` (directive or ``none`` present —
+    'none' = 'noindex, nofollow' per the Google/Bing convention).
+    Both attribute orders match; first matching tag wins (document
+    order within each pattern, name-first pattern preferred — the
+    deterministic tie both engines share). Zero shuffle.
+    """
+    html = F.col(html_col)
+    has1 = html.rlike(_META_ROBOTS_NAME_FIRST)
+    has2 = html.rlike(_META_ROBOTS_CONTENT_FIRST)
+    raw = F.when(
+        has1, F.regexp_extract(html, _META_ROBOTS_NAME_FIRST, 1)
+    ).when(has2, F.regexp_extract(html, _META_ROBOTS_CONTENT_FIRST, 1))
+    # explicit one-arg lambda: transform() passes (element, index) to
+    # any two-arg callable, and F.trim HAS a two-arg form (trimStr) —
+    # bare F.trim here silently trims by stringified index instead
+    dirs = F.array_join(
+        F.transform(F.split(F.lower(raw), ","), lambda x: F.trim(x)), ","
+    )
+    base = df.select(
+        F.col(id_col),
+        (has1 | has2).alias("has_meta"),
+        dirs.alias("directives"),
+    )
+    toks = F.split(F.col("directives"), ",")
+    hit = lambda d: F.coalesce(  # noqa: E731 — tiny local combinator
+        F.array_contains(toks, d) | F.array_contains(toks, "none"),
+        F.lit(False),
+    )
+    return base.select(
+        id_col,
+        "has_meta",
+        F.coalesce(F.col("directives"), F.lit("")).alias("directives"),
+        hit("noindex").alias("noindex"),
+        hit("nofollow").alias("nofollow"),
+    )
+
+
+def meta_robots_sql(html_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`meta_robots`, generated from the SAME
+    pattern constants — a SELECT fragment over a relation exposing
+    ``html_expr``."""
+    p1 = _META_ROBOTS_NAME_FIRST.replace("'", "''")
+    p2 = _META_ROBOTS_CONTENT_FIRST.replace("'", "''")
+    return f"""
+  SELECT {id_expr} AS doc_id,
+         (regexp_matches({html_expr}, '{p1}')
+          OR regexp_matches({html_expr}, '{p2}')) AS has_meta,
+         COALESCE(CASE
+           WHEN regexp_matches({html_expr}, '{p1}')
+             THEN array_to_string(list_transform(
+               string_split(lower(regexp_extract({html_expr}, '{p1}', 1)), ','),
+               x -> trim(x)), ',')
+           WHEN regexp_matches({html_expr}, '{p2}')
+             THEN array_to_string(list_transform(
+               string_split(lower(regexp_extract({html_expr}, '{p2}', 1)), ','),
+               x -> trim(x)), ',')
+         END, '') AS directives
+"""

@@ -1595,3 +1595,67 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def readability_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classic readability battery per document — Flesch Reading Ease
+    and Flesch-Kincaid grade (Kincaid et al. 1975), the curation
+    signal quality pipelines use to bound audience difficulty (both
+    tails are suspect in web text: a too-low grade is boilerplate /
+    spam, a too-high one is OCR debris and token soup).
+
+    Heuristics, chosen for exact SQL replicability (every term is a
+    regexp count — the lang_id discipline):
+
+    - words = whitespace tokens (token_count_whitespace convention);
+    - sentences = runs of ``[.!?]`` floored at 1 (a headline is one
+      sentence, not zero);
+    - syllables = vowel-group runs ``[aeiouy]+`` of the lowercased
+      text — the standard cheap estimator (miscounts silent-e words,
+      but deterministically and identically on both engines).
+
+    Scores are exact integer-milli arithmetic (CLAUDE.md float
+    discipline), divisions guarded by the floor-1 denominators:
+    ``flesch_milli`` = 206835 − (1015·w) div s − (84600·syl) div
+    max(w,1); ``fk_grade_milli`` = (390·w) div s + (11800·syl) div
+    max(w,1) − 15590. Zero shuffle — one codegen projection over the
+    scan; the two-step select exists because integer ``div`` is an
+    F.expr on named columns (PySpark Column has no floordiv).
+    """
+    text = F.col(text_col)
+    sent_runs = F.size(
+        F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        token_count_whitespace(text).cast("long").alias("n_words"),
+        # CASE, not greatest: Spark greatest SKIPS NULLs while DuckDB
+        # propagates them (CLAUDE.md) — the when-form gives both
+        # engines 1 for a NULL text identically
+        F.when(sent_runs >= 1, sent_runs)
+        .otherwise(F.lit(1).cast("long"))
+        .alias("n_sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), F.lit(0))
+        ).cast("long").alias("n_syllables"),
+    )
+    w1 = "(case when n_words >= 1 then n_words else 1 end)"
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "cast(206835 - (1015 * n_words) div n_sentences "
+            f"- (84600 * n_syllables) div {w1} as long)"
+        ).alias("flesch_milli"),
+        F.expr(
+            "cast((390 * n_words) div n_sentences "
+            f"+ (11800 * n_syllables) div {w1} "
+            "- 15590 as long)"
+        ).alias("fk_grade_milli"),
+    )

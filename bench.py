@@ -181,6 +181,8 @@ EXT_QUERIES = [
     "thread_paths",
     "event_transitions",
     "prefix_share",
+    "readability",
+    "meta_robots",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
