@@ -8247,6 +8247,60 @@ FROM meta
 """
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-per-token budget selection (sampling.budget_select):
+    the density-ordered knapsack prefix every "best N tokens" pass
+    runs, on the reusable two-pass distributed prefix sum (no
+    single-partition corpus sort — the shard_plan machinery). Quality
+    is a deterministic md5-derived milli score, tokens the whitespace
+    convention; the oracle is the NAIVE single-window formulation —
+    equality proves the bucketed plan computes the same prefix."""
+    from beats_spark.operators.sampling import budget_select
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    docs = _load(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id",
+        token_count_whitespace(F.col("text")).cast("long").alias("n_toks"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat('bq|', cast(doc_id as string)))"
+                ", 1, 15), 16, 10) as bigint) % 1000"
+            )
+        ).alias("q_milli"),
+    )
+    return budget_select(frame, budget_tokens=20_000)
+
+
+_SQL_BUDGET_SELECT = r"""
+WITH base AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+'))
+          END)::BIGINT AS n_toks,
+         ('0x' || substr(md5('bq|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000 AS _q
+  FROM documents
+), d AS (
+  SELECT doc_id, n_toks,
+         ((_q * 1000) //
+          (CASE WHEN n_toks >= 1 THEN n_toks ELSE 1 END))::BIGINT
+           AS density_micro
+  FROM base
+), r AS (
+  SELECT doc_id, n_toks, density_micro,
+         row_number() OVER (ORDER BY -density_micro, doc_id) AS rank,
+         sum(n_toks) OVER (ORDER BY -density_micro, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, n_toks, density_micro, rank::BIGINT AS rank,
+       cum_tokens::BIGINT AS cum_tokens,
+       cum_tokens <= 20000 AS kept
+FROM r
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9892,6 +9946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_share": q_prefix_share,
         "readability": q_readability,
         "meta_robots": q_meta_robots,
+        "budget_select": q_budget_select,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10083,6 +10138,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_share": _SQL_PREFIX_SHARE,
         "readability": _SQL_READABILITY,
         "meta_robots": _sql_meta_robots(),
+        "budget_select": _SQL_BUDGET_SELECT,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -953,3 +953,71 @@ def cluster_balance(
     return joined.select(
         F.col(id_col), "cell", "n_cluster", kept.alias("kept")
     )
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q_milli",
+    tokens_col: str = "n_toks",
+    budget_tokens: int = 100_000,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Greedy quality-per-token corpus selection under a global token
+    budget — the classic density-ordered knapsack relaxation every
+    "best N-billion-token subset" curation pass runs: rank documents
+    by value density (quality per token, exact integer micro scale),
+    keep the maximal density-ordered prefix whose cumulative token
+    count fits the budget. Tokens are non-negative, so the running
+    sum is monotone and the kept set is EXACTLY a prefix — no holes,
+    no re-scan, deterministic.
+
+    Emits one AUDIT row per doc (the url_filter convention):
+    ``id_col``, ``tokens_col``, ``density_micro`` (quality·1000 div
+    max(tokens,1) — CASE-guarded, not greatest), ``rank`` (1-based
+    density order, id tie-break), ``cum_tokens`` (inclusive running
+    sum in that order), ``kept`` (cum_tokens ≤ budget).
+
+    100 TB shape: the naive plan — SUM() OVER (ORDER BY density) — is
+    a single-partition global sort of the corpus; this reuses
+    layout.running_prefix (range-bucket → per-bucket parallel window
+    → n_buckets-row offset broadcast), so the only bounded-by-one-
+    partition step is the n_buckets-row bucket-total prefix. The
+    density order key is (-density, id): ints stay far inside the
+    negatable range (no int64.min sentinel wrap, CLAUDE.md).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    toks = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        toks.alias(tokens_col),
+        F.col(quality_col).cast("long").alias("_q"),
+    ).withColumn(
+        "density_micro",
+        F.expr(
+            f"cast((_q * 1000) div "
+            f"(case when {tokens_col} >= 1 then {tokens_col} else 1 end) "
+            "as long)"
+        ),
+    )
+    from beats_spark.operators.layout import running_prefix
+
+    ranked = running_prefix(
+        base.withColumn("_neg_d", -F.col("density_micro")),
+        order_cols=["_neg_d", id_col],
+        size_col=tokens_col,
+        n_buckets=n_buckets,
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        "density_micro",
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("prefix_sum") + F.col(tokens_col))
+        .cast("long")
+        .alias("cum_tokens"),
+        (
+            (F.col("prefix_sum") + F.col(tokens_col)) <= F.lit(budget_tokens)
+        ).alias("kept"),
+    )

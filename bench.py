@@ -183,6 +183,7 @@ EXT_QUERIES = [
     "prefix_share",
     "readability",
     "meta_robots",
+    "budget_select",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

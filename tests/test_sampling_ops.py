@@ -230,3 +230,39 @@ def test_cluster_safe_split_rejects_bad_fraction(spark):
     comp = spark.createDataFrame([(1, 1)], "node long, component long")
     with pytest.raises(ValueError):
         cluster_safe_split(docs, comp, eval_fraction=1.5)
+
+
+def test_budget_select_greedy_prefix(spark):
+    from beats_spark.operators.sampling import budget_select
+
+    # (id, toks, q): densities 9000, 4000, 2000, 1000 micro
+    rows = [(1, 10, 90), (2, 20, 80), (3, 30, 60), (4, 40, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long, q_milli long")
+    out = {r.doc_id: r.asDict() for r in
+           budget_select(df, budget_tokens=60, n_buckets=3).collect()}
+    assert [out[i]["rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3, 4)] == [10, 30, 60, 100]
+    # exact-fit boundary: doc 3 lands exactly on the budget and is kept
+    assert [out[i]["kept"] for i in (1, 2, 3, 4)] == [True, True, True, False]
+
+
+def test_budget_select_ties_and_zero_budget(spark):
+    from beats_spark.operators.sampling import budget_select
+
+    rows = [(2, 10, 50), (1, 10, 50), (3, 0, 99)]
+    df = spark.createDataFrame(rows, "doc_id long, n_toks long, q_milli long")
+    out = {r.doc_id: r.asDict() for r in
+           budget_select(df, budget_tokens=10, n_buckets=2).collect()}
+    # zero-token doc has top density (q*1000 div 1) and costs nothing
+    assert out[3]["rank"] == 1 and out[3]["kept"]
+    # equal densities tie-break by id
+    assert out[1]["rank"] == 2 and out[2]["rank"] == 3
+    assert out[1]["kept"] and not out[2]["kept"]
+    zero = budget_select(df, budget_tokens=0, n_buckets=2)
+    kept = {r.doc_id for r in zero.collect() if r.kept}
+    assert kept == {3}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        budget_select(df, budget_tokens=-1)
