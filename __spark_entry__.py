@@ -8301,6 +8301,113 @@ FROM r
 """
 
 
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-distribution drift between snapshots
+    (snapshots.quality_drift over readability_stats' FK grade): v2
+    drops the doc_id%9==7 slice and appends an unpunctuated tail to
+    every %7==1 text (both moduli COPRIME to the source=doc_id%20
+    alignment, CLAUDE.md — every source sees the edit), shifting the
+    grade histogram; the monitor reports exact integer L1 ppm per
+    source. The oracle replays the readability formula on both sides
+    and the full histogram/ppm/L1 pipeline."""
+    from beats_spark.operators.snapshots import quality_drift
+    from beats_spark.operators.textstats import readability_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v1 = docs.select("source", "text")
+    v2 = docs.where(did % 9 != 7).select(
+        "source",
+        F.when(
+            did % 7 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" plain tail words with no punctuation at all"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s1 = readability_stats(v1, id_col="source")
+    s2 = readability_stats(v2, id_col="source")
+    return quality_drift(
+        s1, s2, key_col="source", score_col="fk_grade_milli"
+    )
+
+
+def _sql_fk_by_source(src_sql: str) -> str:
+    return f"""
+    SELECT source,
+           ((390 * n_words) // n_sentences
+            + (11800 * n_syllables) //
+              (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END)
+            - 15590)::BIGINT AS score
+    FROM (
+      SELECT source,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+'))
+              END)::BIGINT AS n_words,
+             (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+                   THEN len(regexp_extract_all(text, '[.!?]+'))
+                   ELSE 1 END)::BIGINT AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS n_syllables
+      FROM ({src_sql})
+    )"""
+
+
+def _sql_quality_drift() -> str:
+    v1 = "SELECT source, text FROM documents"
+    v2 = """
+      SELECT source,
+             CASE WHEN doc_id % 7 = 1
+               THEN text || ' plain tail words with no punctuation at all'
+               ELSE text END AS text
+      FROM documents WHERE doc_id % 9 <> 7
+    """
+    binexpr = (
+        "CASE WHEN score IS NULL THEN NULL "
+        "WHEN score < -16000 THEN 0 "
+        "WHEN score >= 32000 THEN 15 "
+        "ELSE (score + 16000) * 16 // 48000 END"
+    )
+    return f"""
+WITH s1 AS ({_sql_fk_by_source(v1)}),
+s2 AS ({_sql_fk_by_source(v2)}),
+h1 AS (
+  SELECT source, {binexpr} AS bin, count(*)::BIGINT AS c1
+  FROM s1 WHERE ({binexpr}) IS NOT NULL GROUP BY 1, 2
+),
+h2 AS (
+  SELECT source, {binexpr} AS bin, count(*)::BIGINT AS c2
+  FROM s2 WHERE ({binexpr}) IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT COALESCE(h1.source, h2.source) AS source,
+         COALESCE(h1.bin, h2.bin) AS bin,
+         COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+  FROM h1 FULL OUTER JOIN h2
+    ON h1.source = h2.source AND h1.bin = h2.bin
+),
+t AS (
+  SELECT source, sum(c1)::BIGINT AS n_v1, sum(c2)::BIGINT AS n_v2
+  FROM m GROUP BY source
+),
+d AS (
+  SELECT m.source,
+         abs((c1 * 1000000 //
+              (CASE WHEN n_v1 >= 1 THEN n_v1 ELSE 1 END))::BIGINT
+           - (c2 * 1000000 //
+              (CASE WHEN n_v2 >= 1 THEN n_v2 ELSE 1 END))::BIGINT) AS dd
+  FROM m JOIN t ON m.source = t.source
+)
+SELECT t.source, n_v1, n_v2, l1.l1_ppm
+FROM t JOIN (
+  SELECT source, sum(dd)::BIGINT AS l1_ppm FROM d GROUP BY source
+) l1 ON t.source = l1.source
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -9947,6 +10054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "meta_robots": q_meta_robots,
         "budget_select": q_budget_select,
+        "quality_drift": q_quality_drift,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10139,6 +10247,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _SQL_READABILITY,
         "meta_robots": _sql_meta_robots(),
         "budget_select": _SQL_BUDGET_SELECT,
+        "quality_drift": _sql_quality_drift(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

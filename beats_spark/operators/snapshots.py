@@ -110,3 +110,86 @@ SELECT status, count(*)::BIGINT AS n_docs,
        sum(new_chars - old_chars)::BIGINT AS delta_chars
 FROM d GROUP BY status
 """
+
+
+def quality_drift(
+    v1: DataFrame,
+    v2: DataFrame,
+    key_col: str = "source",
+    score_col: str = "score_milli",
+    n_bins: int = 16,
+    lo: int = -16_000,
+    hi: int = 32_000,
+) -> DataFrame:
+    """Per-group distribution drift between two corpus snapshots —
+    the release-gate companion to corpus_diff (which answers "which
+    docs changed"; this answers "did the QUALITY PROFILE move"): each
+    side's integer score column is histogrammed into ``n_bins`` equal
+    buckets over [lo, hi) (outliers clamp into the edge bins), the
+    histograms are normalized to exact integer ppm per group, and the
+    drift is the L1 distance Σ|ppm₁−ppm₂| ∈ [0, 2·10⁶] — total
+    variation ×2, the standard data-drift monitor statistic.
+
+    Emits per group: ``n_v1``, ``n_v2``, ``l1_ppm``. Groups present
+    on one side only drift against the empty histogram (l1 = 10⁶ when
+    the populated side is non-empty). All arithmetic is integer-exact
+    (ppm via div on counts), so the monitor is oracle-checkable.
+
+    Scale shape: each side reduces to a ≤ |groups|·n_bins count frame
+    BEFORE anything joins (one map-side-combined groupBy per side on
+    10¹²-row corpora shuffles partial counts only); the histogram
+    join, per-group totals, and the L1 rollup all run on those
+    bounded frames. Clamping uses CASE, not least/greatest — NULL
+    scores stay NULL and are dropped with a count (never silently
+    resurrected as the clamp bound, CLAUDE.md).
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"bad histogram spec n_bins={n_bins} [{lo}, {hi})")
+    span = hi - lo
+
+    def hist(df: DataFrame, cnt_name: str) -> DataFrame:
+        s = F.col(score_col).cast("long")
+        # truncation-toward-zero == floor here: (s - lo) >= 0 after
+        # the lower clamp, so div is safe on every engine
+        raw = F.expr(
+            f"cast((cast({score_col} as long) - {lo}) * {n_bins} "
+            f"div {span} as long)"
+        )
+        b = (
+            F.when(s.isNull(), F.lit(None).cast("long"))
+            .when(s < lo, F.lit(0))
+            .when(s >= hi, F.lit(n_bins - 1))
+            .otherwise(raw)
+        )
+        return (
+            df.select(F.col(key_col).alias("_k"), b.alias("_bin"))
+            .where(F.col("_bin").isNotNull())
+            .groupBy("_k", "_bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(cnt_name))
+        )
+
+    h1, h2 = hist(v1, "_c1"), hist(v2, "_c2")
+    merged = h1.join(h2, ["_k", "_bin"], "full_outer").select(
+        "_k",
+        "_bin",
+        F.coalesce("_c1", F.lit(0)).alias("_c1"),
+        F.coalesce("_c2", F.lit(0)).alias("_c2"),
+    )
+    totals = merged.groupBy("_k").agg(
+        F.sum("_c1").cast("long").alias("n_v1"),
+        F.sum("_c2").cast("long").alias("n_v2"),
+    )
+    ppm = merged.join(totals, "_k").select(
+        "_k",
+        F.expr(
+            "abs(cast(_c1 * 1000000 div "
+            "(case when n_v1 >= 1 then n_v1 else 1 end) as long) "
+            "- cast(_c2 * 1000000 div "
+            "(case when n_v2 >= 1 then n_v2 else 1 end) as long))"
+        ).alias("_d"),
+    )
+    out = ppm.groupBy("_k").agg(F.sum("_d").cast("long").alias("l1_ppm"))
+    return (
+        totals.join(out, "_k")
+        .select(F.col("_k").alias(key_col), "n_v1", "n_v2", "l1_ppm")
+    )

@@ -184,6 +184,7 @@ EXT_QUERIES = [
     "readability",
     "meta_robots",
     "budget_select",
+    "quality_drift",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

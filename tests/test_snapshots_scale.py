@@ -160,3 +160,45 @@ def test_fleiss_kappa_perfect_and_inverse(spark):
     # degenerate single-category corpus: clamped denominator -> 0
     mono = [(i, "yes") for i in range(4) for _ in range(2)]
     assert _kappa_row(spark, mono, 2)["kappa_micro"] == 0
+
+
+def test_quality_drift_semantics(spark):
+    from beats_spark.operators.snapshots import quality_drift
+
+    schema = "source string, score_milli long"
+    v1 = spark.createDataFrame(
+        [("a", 0), ("a", 3000), ("a", 3000), ("b", 9000), ("c", 1)], schema
+    )
+    # identical snapshots: zero drift everywhere
+    same = {r.source: r for r in quality_drift(v1, v1).collect()}
+    assert {k: v.l1_ppm for k, v in same.items()} == {"a": 0, "b": 0, "c": 0}
+    assert same["a"].n_v1 == 3 and same["a"].n_v2 == 3
+
+    # group 'a' shifts one doc a whole bin; 'b' vanishes; 'd' appears;
+    # NULL scores are dropped with a count
+    v2 = spark.createDataFrame(
+        [("a", 0), ("a", 3000), ("a", 30000), ("c", 1), ("d", 5000),
+         ("c", None)],
+        schema,
+    )
+    got = {r.source: r for r in quality_drift(v1, v2).collect()}
+    # a: bins (0,1,1) -> (0,1,15): |1/3-1/3|=0 twice cancels; moved
+    # mass 1/3 out of bin1, into bin15 => 2 * 333333
+    assert got["a"].l1_ppm == 666666
+    # one-sided groups drift 10^6 against the empty histogram
+    assert got["b"].n_v2 == 0 and got["b"].l1_ppm == 1_000_000
+    assert got["d"].n_v1 == 0 and got["d"].l1_ppm == 1_000_000
+    # NULL score dropped: c has one comparable row per side, no drift
+    assert got["c"].n_v2 == 1 and got["c"].l1_ppm == 0
+
+
+def test_quality_drift_rejects_bad_spec(spark):
+    import pytest
+
+    from beats_spark.operators.snapshots import quality_drift
+
+    df = spark.createDataFrame([("a", 1)], "source string, score_milli long")
+    with pytest.raises(ValueError):
+        quality_drift(df, df, n_bins=0)
+    with pytest.raises(ValueError):
+        quality_drift(df, df, lo=5, hi=5)
