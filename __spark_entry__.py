@@ -8408,6 +8408,49 @@ FROM t JOIN (
 """
 
 
+def q_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-first benchmark decontamination on winnowed fingerprints
+    (textstats.winnow_decontaminate): the eval set is the first 200
+    chars of every doc_id%17==4 document (a pasted-benchmark shape —
+    every eval doc MUST flag at least its own source), matched via a
+    broadcast of the benchmark fingerprint set — zero corpus-scale
+    shuffle. The oracle replays the IDENTICAL generated winnow SQL on
+    both sides plus the join/rollup."""
+    from beats_spark.operators.scale import spread
+    from beats_spark.operators.textstats import winnow_decontaminate
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    ev = docs.where(F.col("doc_id") % 17 == 4).select(
+        (F.col("doc_id") + 500000).alias("eval_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    return winnow_decontaminate(docs, ev)
+
+
+def _sql_winnow_decontaminate() -> str:
+    from beats_spark.operators.textstats import winnow_fingerprint_sql
+
+    fp = winnow_fingerprint_sql(
+        "text", 24, 8, 4000, dialect="duckdb", hashes_only=True
+    )
+    return f"""
+WITH cfps AS (
+  SELECT doc_id, unnest({fp}) AS fp FROM documents
+), ev AS (
+  SELECT doc_id + 500000 AS eval_id, substr(text, 1, 200) AS text
+  FROM documents WHERE doc_id % 17 = 4
+), efps AS (
+  SELECT eval_id, unnest({fp}) AS fp FROM ev
+)
+SELECT c.doc_id,
+       count(DISTINCT e.eval_id)::BIGINT AS n_eval_partners,
+       count(DISTINCT c.fp)::BIGINT AS n_shared_fps
+FROM cfps c JOIN efps e ON c.fp = e.fp
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.fp) >= 2
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10055,6 +10098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": q_meta_robots,
         "budget_select": q_budget_select,
         "quality_drift": q_quality_drift,
+        "winnow_decontaminate": q_winnow_decontaminate,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10248,6 +10292,7 @@ def oracle_sql() -> dict[str, str]:
         "meta_robots": _sql_meta_robots(),
         "budget_select": _SQL_BUDGET_SELECT,
         "quality_drift": _sql_quality_drift(),
+        "winnow_decontaminate": _sql_winnow_decontaminate(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

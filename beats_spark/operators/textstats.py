@@ -1659,3 +1659,57 @@ def readability_stats(
             "- 15590 as long)"
         ).alias("fk_grade_milli"),
     )
+
+
+def winnow_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    k: int = 24,
+    w: int = 8,
+    max_chars: int = 4000,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination on winnowed fingerprints: flag every
+    corpus document sharing ≥ ``min_shared`` distinct selected hashes
+    with the benchmark set. The winnowing guarantee makes this the
+    recall-first tier — ANY shared normalized span of length ≥
+    k + w − 1 chars yields a shared hash, so a benchmark passage
+    pasted into a training doc cannot be missed (the same
+    recall-over-precision stance as fuzzy_decontaminate's rows=1
+    banding, with a density-2/(w+1) fingerprint set instead of full
+    shingle inventories).
+
+    Output per FLAGGED corpus doc: ``id_col``, ``n_eval_partners``
+    (distinct benchmark docs hit), ``n_shared_fps`` (distinct shared
+    hashes — the evidence count a reviewer triages by).
+
+    100 TB shape: benchmark suites are 10⁴–10⁶ docs — their
+    fingerprint set fits comfortably in a broadcast, so the corpus
+    side stays a scan-side projection + explode and the flag join is
+    a BroadcastHashJoin: ZERO corpus-scale shuffle. The only exchange
+    is the groupBy over MATCHED rows (contamination-sized, not
+    corpus-sized). Empty/short texts fingerprint to [] on both
+    engines and can never match (the shingles-NULL pitfall stays
+    closed).
+    """
+    hsql = winnow_fingerprint_sql(
+        text_col, k, w, max_chars, "spark", hashes_only=True
+    )
+    cfps = corpus.select(
+        F.col(id_col), F.explode(F.expr(hsql)).alias("_fp")
+    )
+    efps = eval_df.select(
+        F.col(eval_id_col), F.explode(F.expr(hsql)).alias("_fp")
+    )
+    hits = cfps.join(F.broadcast(efps), "_fp")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct(eval_id_col).cast("long").alias("n_eval_partners"),
+            F.countDistinct("_fp").cast("long").alias("n_shared_fps"),
+        )
+        .where(F.col("n_shared_fps") >= min_shared)
+    )

@@ -185,6 +185,7 @@ EXT_QUERIES = [
     "meta_robots",
     "budget_select",
     "quality_drift",
+    "winnow_decontaminate",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

@@ -125,3 +125,48 @@ def test_bad_params_rejected():
         winnow_fingerprint_sql("text", max_chars=1 << 20)
     with pytest.raises(ValueError):
         winnow_fingerprint_sql("text", dialect="postgres")
+
+
+def test_decontaminate_flags_every_source(spark):
+    """Pasted-benchmark recall: an eval doc cut from a corpus doc's
+    first 200 chars MUST flag that source doc (winnowing guarantee —
+    the shared span is far longer than k + w - 1)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.textstats import winnow_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 17 == 4).select(
+        (F.col("doc_id") + 500000).alias("eval_id"),
+        F.substring(F.col("text"), 1, 200).alias("text"),
+    )
+    flagged = {
+        r.doc_id: r for r in winnow_decontaminate(docs, ev).collect()
+    }
+    sources = [r.doc_id for r in docs.where("doc_id % 17 = 4").collect()]
+    for d in sources:
+        assert d in flagged, d
+        assert flagged[d].n_eval_partners >= 1
+
+
+def test_decontaminate_flag_join_broadcasts(spark):
+    """The eval fingerprint set rides a BroadcastHashJoin — the
+    corpus side never shuffles toward the benchmark."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.textstats import winnow_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.limit(5).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = winnow_decontaminate(docs, ev)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
