@@ -8451,6 +8451,38 @@ HAVING count(DISTINCT c.fp) >= 2
 """
 
 
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement
+    (analytics.decayed_engagement): integer-exact power-of-two step
+    decay (half-life 7 d) against an explicit pinned 'now' — the
+    freshness profile for sampling/ranking. One map-side-combined
+    groupBy; the oracle replays the halving arithmetic exactly."""
+    from beats_spark.operators.analytics import decayed_engagement
+
+    return decayed_engagement(
+        _load(spark, sf_dir, "events"), now="2024-03-01 00:00:00"
+    )
+
+
+_SQL_DECAYED_ENGAGEMENT = r"""
+WITH staged AS (
+  SELECT user_id,
+         floor(value * 1000000)::BIGINT AS v,
+         CASE WHEN date_diff('microsecond', ts,
+                             TIMESTAMP '2024-03-01 00:00:00') < 0 THEN 0
+              ELSE date_diff('microsecond', ts,
+                             TIMESTAMP '2024-03-01 00:00:00')
+                   // 86400000000 // 7 END AS h
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(v)::BIGINT AS raw_micro,
+       sum(CASE WHEN h > 40 THEN 0
+                ELSE v // power(2, h)::BIGINT END)::BIGINT AS decayed_micro
+FROM staged GROUP BY user_id
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10099,6 +10131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "quality_drift": q_quality_drift,
         "winnow_decontaminate": q_winnow_decontaminate,
+        "decayed_engagement": q_decayed_engagement,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10293,6 +10326,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _SQL_BUDGET_SELECT,
         "quality_drift": _sql_quality_drift(),
         "winnow_decontaminate": _sql_winnow_decontaminate(),
+        "decayed_engagement": _SQL_DECAYED_ENGAGEMENT,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -835,3 +835,66 @@ def rollup_transitions(
             "sum(n_transitions) over (partition by prev_type) as long)"
         ),
     )
+
+
+def decayed_engagement(
+    df: DataFrame,
+    now: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    max_halvings: int = 40,
+) -> DataFrame:
+    """Recency-weighted engagement per key — the freshness profile a
+    sampling/ranking pass keys on (recent activity counts full, old
+    history decays): each event contributes floor(value·10⁶) div
+    2^(age_days div half_life_days) — an integer-exact power-of-two
+    step decay, chosen over float exp(−λt) because the float sum is
+    engine-ordered (CLAUDE.md float discipline); the step
+    quantization is the price of exactness, the same monitoring-grade
+    granularity the HDR buckets accept.
+
+    ``now`` is an explicit timestamp literal (the recrawl_priority
+    convention — no wall clock inside an oracle-checked operator).
+    Future events (ts > now) clamp to age 0 — a CASE, not least()
+    (NULL-skip trap); ages beyond ``max_halvings`` half-lives
+    contribute 0, which also keeps pow(2, n) exact in the double it
+    routes through. NULL ts/value rows contribute NULL terms that
+    sum-skip (tag-and-exclude).
+
+    Emits per key: ``n_events``, ``raw_micro`` (undecayed Σ),
+    ``decayed_micro``. ONE map-side-combined groupBy — a hot key
+    shuffles one partial row per task.
+    """
+    if half_life_days <= 0 or max_halvings <= 0:
+        raise ValueError(
+            f"bad decay spec half_life_days={half_life_days} "
+            f"max_halvings={max_halvings}"
+        )
+    staged = df.select(
+        F.col(key_col),
+        F.floor(F.col(value_col) * F.lit(1_000_000))
+        .cast("long")
+        .alias("_v"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, {ts_col}, timestamp'{now}')"
+        ).alias("_age_us"),
+    ).select(
+        key_col,
+        "_v",
+        F.expr(
+            "case when _age_us is null then null "
+            "when _age_us < 0 then 0 "
+            f"else _age_us div {_US_PER_DAY} div {half_life_days} end"
+        ).alias("_halvings"),
+    )
+    decayed = F.expr(
+        f"case when _halvings > {max_halvings} then 0 "
+        "else _v div cast(power(2, _halvings) as bigint) end"
+    )
+    return staged.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_v").cast("long").alias("raw_micro"),
+        F.sum(decayed).cast("long").alias("decayed_micro"),
+    )

@@ -186,6 +186,7 @@ EXT_QUERIES = [
     "budget_select",
     "quality_drift",
     "winnow_decontaminate",
+    "decayed_engagement",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

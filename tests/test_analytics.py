@@ -257,3 +257,38 @@ def test_tool_loops_runs_and_ties(spark):
 
     with pytest.raises(ValueError):
         tool_loops(df, min_repeats=1)
+
+
+def test_decayed_engagement_halvings(spark):
+    import datetime as dt
+
+    from beats_spark.operators.analytics import decayed_engagement
+
+    now = "2024-03-01 00:00:00"
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        # age 0 days: full value
+        (1, t0, 8.0),
+        # age 7 days: one halving
+        (1, t0 - dt.timedelta(days=7), 8.0),
+        # age 20 days: 20 // 7 = 2 halvings
+        (1, t0 - dt.timedelta(days=20), 8.0),
+        # future event clamps to age 0
+        (2, t0 + dt.timedelta(days=3), 4.0),
+        # beyond max_halvings contributes 0
+        (3, t0 - dt.timedelta(days=7 * 50), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r.user_id: r
+        for r in decayed_engagement(df, now=now, max_halvings=40).collect()
+    }
+    assert got[1].raw_micro == 24_000_000
+    assert got[1].decayed_micro == 8_000_000 + 4_000_000 + 2_000_000
+    assert got[2].decayed_micro == 4_000_000
+    assert got[3].n_events == 1 and got[3].decayed_micro == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decayed_engagement(df, now=now, half_life_days=0)
