@@ -8483,6 +8483,42 @@ FROM staged GROUP BY user_id
 """
 
 
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling (sampling.stratified_quota):
+    per-source dict quotas — src0..src4 get 10, src5 gets 40 (more
+    than some strata hold at small SF, exercising min(quota, n)),
+    everything else 0 (allowlist semantics) — selected by md5-hash
+    rank. The oracle replays the hash and the row_number window."""
+    from beats_spark.operators.sampling import stratified_quota
+
+    docs = _load(spark, sf_dir, "documents")
+    quota = {f"src{i}": 10 for i in range(5)}
+    quota["src5"] = 40
+    return stratified_quota(docs, quota=quota, seed=3)
+
+
+_SQL_STRATIFIED_QUOTA = r"""
+WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('q3|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           AS hv
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+           AS rank
+  FROM h
+)
+SELECT source, doc_id, rank::BIGINT AS rank,
+       rank <= (CASE source
+                  WHEN 'src0' THEN 10 WHEN 'src1' THEN 10
+                  WHEN 'src2' THEN 10 WHEN 'src3' THEN 10
+                  WHEN 'src4' THEN 10 WHEN 'src5' THEN 40
+                  ELSE 0 END) AS kept
+FROM r
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10132,6 +10168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drift": q_quality_drift,
         "winnow_decontaminate": q_winnow_decontaminate,
         "decayed_engagement": q_decayed_engagement,
+        "stratified_quota": q_stratified_quota,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10327,6 +10364,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_drift": _sql_quality_drift(),
         "winnow_decontaminate": _sql_winnow_decontaminate(),
         "decayed_engagement": _SQL_DECAYED_ENGAGEMENT,
+        "stratified_quota": _SQL_STRATIFIED_QUOTA,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

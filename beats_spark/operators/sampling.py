@@ -1021,3 +1021,64 @@ def budget_select(
             (F.col("prefix_sum") + F.col(tokens_col)) <= F.lit(budget_tokens)
         ).alias("kept"),
     )
+
+
+def stratified_quota(
+    df: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    quota: int | dict[str, int] = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-count stratified sampling: EXACTLY min(quota, n) rows per
+    stratum, selected by deterministic md5-hash rank — the eval-set /
+    human-review-batch constructor. mixture_sample's hash-gate
+    thinning gives EXPECTED fractions (right for training mixtures,
+    scale-free); audit and eval sets need exact counts, which cost a
+    rank — this operator pays it per stratum, never globally.
+
+    Selection = the quota smallest md5('q<seed>|' || id) values per
+    stratum: order-independent, replayable by any engine, and stable
+    under corpus growth ONLY for the rows whose hash stays inside the
+    quota boundary (documented: adding docs can displace boundary
+    rows — exact counts and insertion-stability are mutually
+    exclusive; mixture_sample is the stable-membership tier).
+
+    Emits every input row with ``rank`` (1-based within stratum) and
+    ``kept`` (rank ≤ quota) — the url_filter audit convention. Quota
+    may be one int or a per-stratum dict (missing strata get 0 —
+    explicit allowlist semantics, the mixture_epochs convention).
+
+    Scale shape: ONE stratum-key window shuffle carrying (key, id,
+    60-bit hash) — 24 B/row, never text. A hot stratum sorts on one
+    reducer: quotas are audit-sized, so if a stratum is corpus-scale
+    the CALLER should pre-thin with mixture_sample (documented); the
+    rank itself cannot be salted without breaking exactness.
+    """
+    if isinstance(quota, dict):
+        pairs = ", ".join(
+            f"'{k}', {int(v)}" for k, v in sorted(quota.items())
+        )
+        qcol = F.expr(
+            f"coalesce(element_at(map({pairs}), {key_col}), 0)"
+        ) if quota else F.lit(0)
+        for v in quota.values():
+            if v < 0:
+                raise ValueError(f"negative quota in {quota!r}")
+    else:
+        if quota < 0:
+            raise ValueError(f"quota must be >= 0, got {quota}")
+        qcol = F.lit(int(quota))
+    from pyspark.sql import Window
+
+    h = F.expr(
+        f"cast(conv(substr(md5(concat('q{int(seed)}|', "
+        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy(key_col).orderBy("_h", id_col)
+    return (
+        df.select(F.col(key_col), F.col(id_col), h.alias("_h"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rank") <= qcol)
+        .select(key_col, id_col, "rank", "kept")
+    )

@@ -187,6 +187,7 @@ EXT_QUERIES = [
     "quality_drift",
     "winnow_decontaminate",
     "decayed_engagement",
+    "stratified_quota",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
