@@ -8519,6 +8519,36 @@ FROM r
 """
 
 
+def q_depth_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-depth survival curve (sessions.depth_survival)
+    over per-user event streams: where dialogues die, as exact
+    integer hazard complements. One corpus-scale groupBy; histogram
+    + suffix window on the bounded depth frame."""
+    from beats_spark.operators.sessions import depth_survival
+
+    return depth_survival(_load(spark, sf_dir, "events"), key_col="user_id")
+
+
+_SQL_DEPTH_SURVIVAL = r"""
+WITH per_conv AS (
+  SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id
+), hist AS (
+  SELECT n AS depth, count(*)::BIGINT AS n_ending
+  FROM per_conv GROUP BY n
+), s AS (
+  SELECT depth, n_ending,
+         sum(n_ending) OVER (ORDER BY depth DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS n_reaching
+  FROM hist
+)
+SELECT depth, n_reaching, n_ending,
+       ((n_reaching - n_ending) * 1000000 // n_reaching)::BIGINT
+         AS continue_ppm
+FROM s
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10169,6 +10199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_decontaminate": q_winnow_decontaminate,
         "decayed_engagement": q_decayed_engagement,
         "stratified_quota": q_stratified_quota,
+        "depth_survival": q_depth_survival,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10365,6 +10396,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_decontaminate": _sql_winnow_decontaminate(),
         "decayed_engagement": _SQL_DECAYED_ENGAGEMENT,
         "stratified_quota": _SQL_STRATIFIED_QUOTA,
+        "depth_survival": _SQL_DEPTH_SURVIVAL,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

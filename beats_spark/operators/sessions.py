@@ -194,3 +194,53 @@ def tool_stats(
         )
         .drop("_pos_sum")
     )
+
+
+def depth_survival(
+    df: DataFrame,
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Conversation-depth survival curve — the abandonment profile a
+    transcript product team reads (where do dialogues die?) and a
+    curation pass uses to pick truncation depths that keep p99 of
+    real conversations intact.
+
+    One row per OCCURRING terminal depth d (a depth no conversation
+    ends at has n_ending 0 and the same n_reaching as its successor —
+    the sparse encoding): ``n_reaching`` (conversations with ≥ d
+    turns), ``n_ending`` (exactly d), ``continue_ppm`` =
+    (n_reaching − n_ending)·10⁶ div n_reaching — the per-turn
+    survival hazard complement, exact integers.
+
+    Scale shape: ONE corpus-scale groupBy(key) reduces 10¹² turns to
+    one count per conversation (map-side combined); the depth
+    histogram and its suffix-sum window run on the ≤ max-depth row
+    frame — the bounded-frame window is free, the corpus never sees
+    a window. (Suffix sums over an UNBOUNDED depth domain would be
+    the shard_plan prefix machinery; conversation depth is bounded
+    by context windows in practice, so the plain window is the right
+    tier.)
+    """
+    from pyspark.sql import Window
+
+    per_conv = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    hist = per_conv.groupBy("_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ending")
+    )
+    w = Window.orderBy(F.col("_n").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn("n_reaching", F.sum("n_ending").over(w).cast("long"))
+        .select(
+            F.col("_n").alias("depth"),
+            "n_reaching",
+            "n_ending",
+            F.expr(
+                "cast((n_reaching - n_ending) * 1000000 "
+                "div n_reaching as long)"
+            ).alias("continue_ppm"),
+        )
+    )

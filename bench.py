@@ -188,6 +188,7 @@ EXT_QUERIES = [
     "winnow_decontaminate",
     "decayed_engagement",
     "stratified_quota",
+    "depth_survival",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

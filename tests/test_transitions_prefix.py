@@ -91,3 +91,21 @@ def test_prefix_share_bad_depths():
         prefix_cache_stats(None, depths=())
     with pytest.raises(ValueError):
         prefix_cache_stats(None, depths=(0, 2))
+
+
+def test_depth_survival_hand_built(spark):
+    from beats_spark.operators.sessions import depth_survival
+
+    # convs of lengths 1, 1, 2, 3, 3, 3  (depth 2 present; no conv of
+    # length > 3)
+    rows = []
+    for conv, n in [(1, 1), (2, 1), (3, 2), (4, 3), (5, 3), (6, 3)]:
+        rows += [(conv, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "conv_id long, turn_id long")
+    got = {r.depth: r for r in depth_survival(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_reaching, got[1].n_ending) == (6, 2)
+    assert (got[2].n_reaching, got[2].n_ending) == (4, 1)
+    assert (got[3].n_reaching, got[3].n_ending) == (3, 3)
+    assert got[1].continue_ppm == 4 * 1_000_000 // 6
+    assert got[3].continue_ppm == 0
