@@ -8484,23 +8484,26 @@ FROM staged GROUP BY user_id
 
 
 def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-count stratified sampling (sampling.stratified_quota):
-    per-source dict quotas — src0..src4 get 10, src5 gets 40 (more
-    than some strata hold at small SF, exercising min(quota, n)),
-    everything else 0 (allowlist semantics) — selected by md5-hash
-    rank. The oracle replays the hash and the row_number window."""
+    """Exact-count stratified sampling (sampling.stratified_quota in
+    its audit form): per-source dict quotas — src0..src4 get 10,
+    src5 gets 40 (more than some strata hold at small SF, exercising
+    min(quota, n)), everything else 0 (allowlist semantics) —
+    selected by md5-hash rank. The oracle replays the sample_hash
+    and the row_number window."""
     from beats_spark.operators.sampling import stratified_quota
 
     docs = _load(spark, sf_dir, "documents")
     quota = {f"src{i}": 10 for i in range(5)}
     quota["src5"] = 40
-    return stratified_quota(docs, quota=quota, seed=3)
+    return stratified_quota(
+        docs, "source", quota, "doc_id", seed=3, audit=True
+    )
 
 
 _SQL_STRATIFIED_QUOTA = r"""
 WITH h AS (
   SELECT source, doc_id,
-         ('0x' || substr(md5('q3|' || doc_id::VARCHAR), 1, 15))::BIGINT
+         ('0x' || substr(md5('s3|' || doc_id::VARCHAR), 1, 15))::BIGINT
            AS hv
   FROM documents
 ), r AS (

@@ -128,24 +128,57 @@ def cluster_safe_split(
 def stratified_quota(
     df: DataFrame,
     stratum_col: str,
-    n_per_stratum: int,
+    n_per_stratum: int | dict[str, int],
     key_col: str,
     seed: int = 0,
+    audit: bool = False,
 ) -> DataFrame:
     """At most ``n_per_stratum`` rows per stratum, selected in hash
     order (deterministic pseudo-random, id-tie-broken). One shuffle
     keyed on the stratum; skewed strata are bounded by the quota
     itself — the window only has to RANK, never materialize, beyond
-    n rows per partition after the limit pushdown."""
-    if n_per_stratum <= 0:
-        raise ValueError("n_per_stratum must be positive")
+    n rows per partition after the limit pushdown.
+
+    ``n_per_stratum`` may be a per-stratum dict (missing strata get
+    quota 0 — explicit allowlist semantics, the mixture_epochs
+    convention); the exact-count contract is min(quota, stratum
+    size). With ``audit=True`` every input row is kept and stamped
+    (``stratum_col``, ``key_col``, ``rank``, ``kept``) — the
+    url_filter audit convention for review-batch / eval-set
+    construction; the default remains the filtered subset with the
+    original columns. Membership is NOT insertion-stable: adding
+    rows can displace boundary ranks — exact counts and stable
+    membership are mutually exclusive; hash_sample is the
+    stable-membership tier.
+    """
+    if isinstance(n_per_stratum, dict):
+        for v in n_per_stratum.values():
+            if v < 0:
+                raise ValueError(f"negative quota in {n_per_stratum!r}")
+        if n_per_stratum:
+            pairs = ", ".join(
+                f"'{k}', {int(v)}" for k, v in sorted(n_per_stratum.items())
+            )
+            qcol = F.expr(
+                f"coalesce(element_at(map({pairs}), {stratum_col}), 0)"
+            )
+        else:
+            qcol = F.lit(0)
+    else:
+        if n_per_stratum <= 0:
+            raise ValueError("n_per_stratum must be positive")
+        qcol = F.lit(int(n_per_stratum))
     h = sample_hash(F.col(key_col), seed)
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .filter(F.col("_rank") <= n_per_stratum)
-        .drop("_rank")
-    )
+    ranked = df.withColumn("_rank", F.row_number().over(w))
+    if audit:
+        return ranked.select(
+            stratum_col,
+            key_col,
+            F.col("_rank").cast("long").alias("rank"),
+            (F.col("_rank") <= qcol).alias("kept"),
+        )
+    return ranked.filter(F.col("_rank") <= qcol).drop("_rank")
 
 
 def pack_sequences(
@@ -1020,65 +1053,4 @@ def budget_select(
         (
             (F.col("prefix_sum") + F.col(tokens_col)) <= F.lit(budget_tokens)
         ).alias("kept"),
-    )
-
-
-def stratified_quota(
-    df: DataFrame,
-    key_col: str = "source",
-    id_col: str = "doc_id",
-    quota: int | dict[str, int] = 100,
-    seed: int = 0,
-) -> DataFrame:
-    """Exact-count stratified sampling: EXACTLY min(quota, n) rows per
-    stratum, selected by deterministic md5-hash rank — the eval-set /
-    human-review-batch constructor. mixture_sample's hash-gate
-    thinning gives EXPECTED fractions (right for training mixtures,
-    scale-free); audit and eval sets need exact counts, which cost a
-    rank — this operator pays it per stratum, never globally.
-
-    Selection = the quota smallest md5('q<seed>|' || id) values per
-    stratum: order-independent, replayable by any engine, and stable
-    under corpus growth ONLY for the rows whose hash stays inside the
-    quota boundary (documented: adding docs can displace boundary
-    rows — exact counts and insertion-stability are mutually
-    exclusive; mixture_sample is the stable-membership tier).
-
-    Emits every input row with ``rank`` (1-based within stratum) and
-    ``kept`` (rank ≤ quota) — the url_filter audit convention. Quota
-    may be one int or a per-stratum dict (missing strata get 0 —
-    explicit allowlist semantics, the mixture_epochs convention).
-
-    Scale shape: ONE stratum-key window shuffle carrying (key, id,
-    60-bit hash) — 24 B/row, never text. A hot stratum sorts on one
-    reducer: quotas are audit-sized, so if a stratum is corpus-scale
-    the CALLER should pre-thin with mixture_sample (documented); the
-    rank itself cannot be salted without breaking exactness.
-    """
-    if isinstance(quota, dict):
-        pairs = ", ".join(
-            f"'{k}', {int(v)}" for k, v in sorted(quota.items())
-        )
-        qcol = F.expr(
-            f"coalesce(element_at(map({pairs}), {key_col}), 0)"
-        ) if quota else F.lit(0)
-        for v in quota.values():
-            if v < 0:
-                raise ValueError(f"negative quota in {quota!r}")
-    else:
-        if quota < 0:
-            raise ValueError(f"quota must be >= 0, got {quota}")
-        qcol = F.lit(int(quota))
-    from pyspark.sql import Window
-
-    h = F.expr(
-        f"cast(conv(substr(md5(concat('q{int(seed)}|', "
-        f"cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
-    )
-    w = Window.partitionBy(key_col).orderBy("_h", id_col)
-    return (
-        df.select(F.col(key_col), F.col(id_col), h.alias("_h"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("kept", F.col("rank") <= qcol)
-        .select(key_col, id_col, "rank", "kept")
     )

@@ -268,27 +268,32 @@ def test_budget_select_ties_and_zero_budget(spark):
         budget_select(df, budget_tokens=-1)
 
 
-def test_stratified_quota_exact_counts(spark):
+def test_stratified_quota_audit_exact_counts(spark):
     from beats_spark.operators.sampling import stratified_quota
 
     rows = [(f"s{i % 3}", i) for i in range(30)]
     df = spark.createDataFrame(rows, "source string, doc_id long")
-    out = stratified_quota(df, quota=4, seed=1).collect()
+    out = stratified_quota(
+        df, "source", 4, "doc_id", seed=1, audit=True
+    ).collect()
     kept = {}
     for r in out:
         kept.setdefault(r.source, []).append(r)
     for s, rs in kept.items():
         assert sum(1 for r in rs if r.kept) == 4, s
-        ranks = sorted(r.rank for r in rs)
-        assert ranks == list(range(1, 11))
-    # determinism: same seed → same set; different seed → (almost
-    # surely) different set
-    a = {(r.source, r.doc_id) for r in out if r.kept}
-    b = {(r.source, r.doc_id)
-         for r in stratified_quota(df, quota=4, seed=1).collect() if r.kept}
-    c = {(r.source, r.doc_id)
-         for r in stratified_quota(df, quota=4, seed=2).collect() if r.kept}
-    assert a == b and a != c
+        assert sorted(r.rank for r in rs) == list(range(1, 11))
+    # audit kept-set == the original filtered-subset contract
+    subset = {
+        (r.source, r.doc_id)
+        for r in stratified_quota(df, "source", 4, "doc_id", seed=1).collect()
+    }
+    assert {(r.source, r.doc_id) for r in out if r.kept} == subset
+    # different seed → different selection
+    other = {
+        (r.source, r.doc_id)
+        for r in stratified_quota(df, "source", 4, "doc_id", seed=2).collect()
+    }
+    assert subset != other
 
 
 def test_stratified_quota_dict_and_overdraw(spark):
@@ -298,12 +303,21 @@ def test_stratified_quota_dict_and_overdraw(spark):
 
     rows = [("a", 1), ("a", 2), ("b", 3)]
     df = spark.createDataFrame(rows, "source string, doc_id long")
-    out = {(r.source, r.doc_id): r.kept
-           for r in stratified_quota(df, quota={"a": 5}).collect()}
+    out = {
+        (r.source, r.doc_id): r.kept
+        for r in stratified_quota(
+            df, "source", {"a": 5}, "doc_id", audit=True
+        ).collect()
+    }
     # quota over stratum size keeps everything; missing stratum keeps none
     assert out[("a", 1)] and out[("a", 2)]
     assert not out[("b", 3)]
+    # non-audit dict form filters the allowlist subset
+    assert {
+        r.doc_id
+        for r in stratified_quota(df, "source", {"a": 5}, "doc_id").collect()
+    } == {1, 2}
     with pytest.raises(ValueError):
-        stratified_quota(df, quota=-1)
+        stratified_quota(df, "source", -1, "doc_id")
     with pytest.raises(ValueError):
-        stratified_quota(df, quota={"a": -2})
+        stratified_quota(df, "source", {"a": -2}, "doc_id")
