@@ -8552,6 +8552,62 @@ FROM s
 """
 
 
+_MD_PREFIX = (
+    "# section one\n- item one\n- item two\n```\ncode line\n```\n"
+    "> quoted line\n| a | b |\n[a link](http://example.com/x)\n"
+)
+
+
+def q_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown structure profile (textstats.doc_structure_stats):
+    every doc_id%7==2 document gets a deterministic markdown preamble
+    (heading, two list items, one fence pair, quote, table row,
+    inline link) so each counter fires; plain docs keep near-zero
+    structure. Shared (?m) regex grammar across engines."""
+    from beats_spark.operators.textstats import doc_structure_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 7 == 2, F.concat(F.lit(_MD_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return doc_structure_stats(planted)
+
+
+def _sql_doc_structure() -> str:
+    md = _MD_PREFIX.replace("\n", "' || chr(10) || '")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN '{md}' || text ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '(?m)^#{{1,6}} '))::BIGINT
+           AS n_headings,
+         len(regexp_extract_all(text, '```'))::BIGINT AS ticks,
+         len(regexp_extract_all(text, '(?m)^[ \t]*[-*+] '))::BIGINT
+           AS n_list_items,
+         len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)'))::BIGINT
+           AS n_links,
+         len(regexp_extract_all(text, '(?m)^\|.*\|$'))::BIGINT
+           AS n_table_rows,
+         len(regexp_extract_all(text, '(?m)^> '))::BIGINT AS n_quotes,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines
+  FROM planted
+)
+SELECT doc_id, n_headings, (ticks // 2)::BIGINT AS n_fences,
+       n_list_items, n_links, n_table_rows, n_quotes,
+       ((n_headings + n_list_items + n_table_rows + n_quotes) * 1000
+        // (CASE WHEN n_lines >= 1 THEN n_lines ELSE 1 END))::BIGINT
+         AS structured_milli
+FROM c
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10203,6 +10259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_engagement": q_decayed_engagement,
         "stratified_quota": q_stratified_quota,
         "depth_survival": q_depth_survival,
+        "doc_structure": q_doc_structure,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10400,6 +10457,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_engagement": _SQL_DECAYED_ENGAGEMENT,
         "stratified_quota": _SQL_STRATIFIED_QUOTA,
         "depth_survival": _SQL_DEPTH_SURVIVAL,
+        "doc_structure": _sql_doc_structure(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

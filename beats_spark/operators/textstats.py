@@ -1713,3 +1713,64 @@ def winnow_decontaminate(
         )
         .where(F.col("n_shared_fps") >= min_shared)
     )
+
+
+def doc_structure_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Markdown/document-structure profile — the instruction-data
+    curation signal the flat-prose battery misses: how much of a doc
+    is headings, lists, fenced code, tables, quotes, links. Heavily
+    structured docs route to different cleaning (keep the fences,
+    don't sentence-split tables) and different mixtures (markdown-
+    rich sources over-sample for instruction tuning).
+
+    All counts are single regexp passes with the (?m) flag — Java
+    regex and RE2 share the grammar (html_steps_sql discipline):
+
+    - ``n_headings``    (?m)^#{1,6} lines
+    - ``n_fences``      ``` runs div 2 (fence PAIRS; an unclosed
+      trailing fence truncates down — tag-free tolerance)
+    - ``n_list_items``  (?m)^[ \\t]*[-*+][ ] lines
+    - ``n_links``       inline [text](url) occurrences
+    - ``n_table_rows``  (?m)^\\|.*\\|$ lines
+    - ``n_quotes``      (?m)^> lines
+    - ``structured_milli`` structured lines per 1000 newline-split
+      lines (headings + list items + table rows + quotes)
+
+    Zero shuffle — one codegen projection; NULL text yields NULL
+    counts (tag-and-exclude downstream).
+    """
+    t = F.col(text_col)
+
+    def cnt(pat: str) -> Column:
+        return F.size(
+            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    base = df.select(
+        F.col(id_col),
+        cnt(r"(?m)^#{1,6} ").alias("n_headings"),
+        cnt("```").alias("_ticks"),
+        cnt(r"(?m)^[ \t]*[-*+] ").alias("n_list_items"),
+        cnt(r"\[[^\]]*\]\([^)]*\)").alias("n_links"),
+        cnt(r"(?m)^\|.*\|$").alias("n_table_rows"),
+        cnt(r"(?m)^> ").alias("n_quotes"),
+        F.size(F.split(t, "\n", -1)).cast("long").alias("_n_lines"),
+    )
+    return base.select(
+        id_col,
+        "n_headings",
+        F.expr("_ticks div 2").cast("long").alias("n_fences"),
+        "n_list_items",
+        "n_links",
+        "n_table_rows",
+        "n_quotes",
+        F.expr(
+            "cast((n_headings + n_list_items + n_table_rows + n_quotes) "
+            "* 1000 div (case when _n_lines >= 1 then _n_lines else 1 end)"
+            " as long)"
+        ).alias("structured_milli"),
+    )

@@ -189,6 +189,7 @@ EXT_QUERIES = [
     "decayed_engagement",
     "stratified_quota",
     "depth_survival",
+    "doc_structure",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

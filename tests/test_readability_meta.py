@@ -75,3 +75,33 @@ def test_meta_robots_variants(spark):
     assert (got[7]["has_meta"], got[7]["directives"], got[7]["noindex"]) == (
         True, "", False,
     )
+
+
+def test_doc_structure_hand_built(spark):
+    from beats_spark.operators.textstats import doc_structure_stats
+
+    md = (
+        "# h1\n## h2\n- a\n- b\n* c\n```\nx=1\n```\n```\nunclosed\n"
+        "> q1\n> q2\n| a | b |\n|c|d|\nsee [one](u1) and [two](u2)\n"
+        "####### not a heading (7 hashes)\nplain line"
+    )
+    df = spark.createDataFrame(
+        [(1, md), (2, "plain prose only"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in doc_structure_stats(df).collect()}
+    assert got[1] == {
+        "doc_id": 1,
+        "n_headings": 2,
+        # 3 tick runs -> 1 complete fence pair (unclosed truncates)
+        "n_fences": 1,
+        "n_list_items": 3,
+        "n_links": 2,
+        "n_table_rows": 2,
+        "n_quotes": 2,
+        # structured lines: 2 headings + 3 list + 2 table + 2 quotes
+        # = 9 of 17 lines
+        "structured_milli": 9000 // 17,
+    }
+    assert got[2]["structured_milli"] == 0 and got[2]["n_fences"] == 0
+    assert got[3]["n_headings"] is None
