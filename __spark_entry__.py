@@ -8608,6 +8608,71 @@ FROM c
 """
 
 
+# two APERIODIC ~600-char spans for the CDC plant (a periodic span
+# collapses its repeated chunks into one hash — learned in smoke)
+_CDC_SPANS = tuple(
+    " ".join(f"cdc{g}w{j}tok{(g * 41 + j * 13) % 89}" for j in range(55))
+    for g in range(2)
+)
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc chunk sharing
+    (dedup.cdc_chunk_sql / cdc_shared_stats — LBFS SOSP'01, the
+    FastCDC core without the serializing min/max clamps): every
+    doc_id%13==6 document gets one of two aperiodic ~600-char spans
+    appended at its own offset; content-local boundaries make the
+    interior chunks byte-identical across offsets, so same-span docs
+    MUST report shared chunks. The oracle replays the IDENTICAL
+    generated chunking SQL plus the sharing rollup."""
+    from beats_spark.operators.dedup import cdc_shared_stats
+    from beats_spark.operators.scale import spread
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    span = F.element_at(
+        F.array(*[F.lit(s) for s in _CDC_SPANS]),
+        F.expr("cast((doc_id div 13) % 2 + 1 as int)"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.when(did % 13 == 6, F.concat(F.col("text"), F.lit(" "), span))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cdc_shared_stats(planted)
+
+
+def _sql_cdc_chunks() -> str:
+    from beats_spark.operators.dedup import cdc_chunk_sql
+
+    c = cdc_chunk_sql("text", 16, 6, 8000, dialect="duckdb")
+    case = (
+        "CASE (doc_id // 13) % 2 "
+        + " ".join(f"WHEN {g} THEN '{s}'" for g, s in enumerate(_CDC_SPANS))
+        + " END"
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 6 THEN text || ' ' || {case}
+              ELSE text END AS text
+  FROM documents
+), chunks AS (
+  SELECT doc_id, unnest({c}) AS c FROM planted
+), flat AS (
+  SELECT doc_id, c.chunk_len AS len, c.chunk_md5 AS h FROM chunks
+), dp AS (
+  SELECT h, count(DISTINCT doc_id) AS ndocs FROM flat GROUP BY h
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       sum((ndocs > 1)::INT)::BIGINT AS n_shared_chunks,
+       sum(CASE WHEN ndocs > 1 THEN len ELSE 0 END)::BIGINT
+         AS chars_shared
+FROM flat JOIN dp USING (h) GROUP BY doc_id
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10260,6 +10325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quota": q_stratified_quota,
         "depth_survival": q_depth_survival,
         "doc_structure": q_doc_structure,
+        "cdc_chunks": q_cdc_chunks,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10458,6 +10524,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_quota": _SQL_STRATIFIED_QUOTA,
         "depth_survival": _SQL_DEPTH_SURVIVAL,
         "doc_structure": _sql_doc_structure(),
+        "cdc_chunks": _sql_cdc_chunks(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

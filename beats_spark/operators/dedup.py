@@ -1624,3 +1624,145 @@ def containment_pairs(
             "containment_ppm",
         )
     )
+
+
+def cdc_chunk_sql(
+    text_expr: str,
+    gram: int = 16,
+    mask_bits: int = 6,
+    max_chars: int = 8000,
+    dialect: str = "spark",
+) -> str:
+    """Content-defined chunking (LBFS, Muthitacharoen et al. SOSP'01;
+    the gear-less core of FastCDC) as ONE generated SQL expression per
+    dialect — array<struct(chunk_idx, start_pos, chunk_len,
+    chunk_md5)>.
+
+    A cut lands after position p+gram−1 wherever the 40-bit md5
+    prefix of the gram at p is ≡ 0 mod 2^mask_bits — expected chunk
+    length 2^mask_bits chars. Boundaries are purely content-LOCAL
+    (deliberately no FastCDC min/max clamps: those make each cut
+    depend on the previous one, serializing the scan AND breaking
+    cut alignment between shifted copies), so a shared region yields
+    IDENTICAL interior chunks at any byte offset — the dedup
+    property. Raw text (no normalization — storage dedup is
+    byte-level), capped at ``max_chars``; shorter-than-gram non-empty
+    docs are one whole-text chunk; NULL/empty yield no chunks.
+
+    Shared-battery discipline (winnow_fingerprint_sql precedent):
+    both engines run SQL generated HERE. Everything is let-bound
+    (tx → ends0 → ends) against the re-inlining trap.
+    """
+    if gram < 2 or mask_bits < 1 or mask_bits > 20:
+        raise ValueError(f"bad cdc params gram={gram} mask_bits={mask_bits}")
+    mod = 1 << mask_bits
+    if dialect == "spark":
+        start = "(case when i = 1 then 1 else element_at(ends, i - 1) + 1 end)"
+        ln = f"(element_at(ends, i) - {start} + 1)"
+        return f"""element_at(transform(array(substr({text_expr}, 1, {max_chars})), tx ->
+  CASE WHEN length(tx) >= {gram} THEN
+    element_at(transform(array(
+        transform(
+          filter(sequence(1, length(tx) - {gram} + 1),
+            p -> cast(conv(substr(md5(substr(tx, p, {gram})), 1, 10),
+                           16, 10) as bigint) % {mod} = 0),
+          p -> p + {gram} - 1)
+      ), ends0 ->
+      element_at(transform(array(
+          case when size(ends0) > 0
+                    and element_at(ends0, -1) = length(tx)
+               then ends0
+               else concat(ends0, array(length(tx))) end
+        ), ends ->
+        transform(sequence(1, size(ends)), i -> named_struct(
+          'chunk_idx', cast(i as long),
+          'start_pos', cast({start} as long),
+          'chunk_len', cast({ln} as long),
+          'chunk_md5', md5(substr(tx, {start}, {ln}))))
+      ), 1)
+    ), 1)
+  WHEN length(tx) > 0 THEN
+    array(named_struct('chunk_idx', cast(1 as long),
+                       'start_pos', cast(1 as long),
+                       'chunk_len', cast(length(tx) as long),
+                       'chunk_md5', md5(tx)))
+  ELSE cast(array() as
+    array<struct<chunk_idx:bigint,start_pos:bigint,
+                 chunk_len:bigint,chunk_md5:string>>) END
+), 1)"""
+    if dialect == "duckdb":
+        start = "(CASE WHEN i = 1 THEN 1 ELSE ends[i - 1] + 1 END)"
+        ln = f"(ends[i] - {start} + 1)"
+        return f"""(list_transform([substr({text_expr}, 1, {max_chars})], tx ->
+  CASE WHEN length(tx) >= {gram} THEN
+    (list_transform([
+        list_transform(
+          list_filter(range(1, length(tx) - {gram} + 2),
+            p -> ('0x' || substr(md5(substr(tx, p, {gram})), 1, 10))::BIGINT
+                 % {mod} = 0),
+          p -> p + {gram} - 1)
+      ], ends0 ->
+      (list_transform([
+          CASE WHEN len(ends0) > 0 AND ends0[-1] = length(tx)
+               THEN ends0
+               ELSE list_concat(ends0, [length(tx)]) END
+        ], ends ->
+        list_transform(range(1, len(ends) + 1), i -> {{
+          'chunk_idx': i::BIGINT,
+          'start_pos': {start}::BIGINT,
+          'chunk_len': {ln}::BIGINT,
+          'chunk_md5': md5(substr(tx, {start}, {ln}))}}))
+      )[1])
+    )[1]
+  WHEN length(tx) > 0 THEN
+    [{{'chunk_idx': 1::BIGINT, 'start_pos': 1::BIGINT,
+       'chunk_len': length(tx)::BIGINT, 'chunk_md5': md5(tx)}}]
+  ELSE []::STRUCT(chunk_idx BIGINT, start_pos BIGINT,
+                  chunk_len BIGINT, chunk_md5 VARCHAR)[] END
+))[1]"""
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def cdc_shared_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 16,
+    mask_bits: int = 6,
+    max_chars: int = 8000,
+) -> DataFrame:
+    """Cross-document chunk-sharing rollup over content-defined
+    chunks: per doc, how many CDC chunks it holds and how many of
+    them (count and chars) also appear in at least one OTHER doc —
+    the storage-dedup / shared-boilerplate audit that byte-offset-
+    sensitive fixed chunking (chunk_documents) cannot compute.
+
+    100 TB shape: chunking is a scan-side projection (zero shuffle);
+    the explode carries (id, md5, len) — ~48 B per expected
+    2^mask_bits chars, never text. Sharing is one chunk-hash-keyed
+    groupBy (map-side-combined distinct-doc partials) joined back on
+    the same hash key, then one id-keyed rollup: shuffle bytes are
+    chunk-index-scale on uniform md5 keys (no skew by construction),
+    three exchanges total.
+    """
+    sql = cdc_chunk_sql(text_col, gram, mask_bits, max_chars, "spark")
+    chunks = df.select(
+        F.col(id_col), F.explode(F.expr(sql)).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_len").alias("_len"),
+        F.col("_c.chunk_md5").alias("_h"),
+    )
+    docs_per = chunks.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_ndocs")
+    )
+    joined = chunks.join(docs_per, "_h")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("_ndocs") > 1).cast("long")).cast("long").alias(
+            "n_shared_chunks"
+        ),
+        F.sum(
+            F.when(F.col("_ndocs") > 1, F.col("_len")).otherwise(0)
+        ).cast("long").alias("chars_shared"),
+    )

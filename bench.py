@@ -190,6 +190,7 @@ EXT_QUERIES = [
     "stratified_quota",
     "depth_survival",
     "doc_structure",
+    "cdc_chunks",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
