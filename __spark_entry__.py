@@ -8673,6 +8673,106 @@ FROM flat JOIN dp USING (h) GROUP BY doc_id
 """
 
 
+def q_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC (ranking.model_auc) of the Flesch
+    readability score as an is-English detector (lang = 'en' labels —
+    a real, imperfect separation, so the AUC is non-degenerate).
+    Global rank via the distributed prefix machinery; the oracle is
+    the NAIVE single-window rank formulation — equality proves the
+    bucketed rank."""
+    from beats_spark.operators.ranking import model_auc
+    from beats_spark.operators.textstats import readability_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = readability_stats(docs).select("doc_id", "flesch_milli")
+    frame = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        F.col("flesch_milli").alias("score_milli"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return model_auc(frame)
+
+
+_SQL_MODEL_AUC = r"""
+WITH base AS (
+  SELECT doc_id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\s+'))
+          END)::BIGINT AS n_words,
+         (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+               THEN len(regexp_extract_all(text, '[.!?]+'))
+               ELSE 1 END)::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+           AS n_syllables,
+         lang = 'en' AS y
+  FROM documents
+), s AS (
+  SELECT doc_id, y,
+         (206835 - (1015 * n_words) // n_sentences
+          - (84600 * n_syllables) //
+            (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END))::BIGINT
+           AS score
+  FROM base WHERE n_words IS NOT NULL
+), r AS (
+  SELECT y, row_number() OVER (ORDER BY score, doc_id) AS rank FROM s
+), a AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+         sum(CASE WHEN y THEN rank ELSE 0 END)::BIGINT AS rpos
+  FROM r
+)
+SELECT n_pos, n_neg,
+       (CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        (rpos - n_pos * (n_pos + 1) // 2) * 1000000
+        // (n_pos * n_neg) END)::BIGINT AS auc_ppm
+FROM a
+"""
+
+
+def q_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (ranking.model_calibration): planted
+    near-calibrated probabilities — p = md5-hash % 1001 (the 1000
+    edge exercises the top-bin clamp), label = independent-hash
+    Bernoulli(p) — so frac_pos tracks mean_pred per bin up to
+    sampling noise, exactly reproduced by both engines."""
+    from beats_spark.operators.ranking import model_calibration
+
+    docs = _load(spark, sf_dir, "documents")
+    h1 = (
+        "cast(conv(substr(md5(concat('cp|', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1001"
+    )
+    h2 = (
+        "cast(conv(substr(md5(concat('cl|', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint) % 1000"
+    )
+    frame = docs.select(
+        F.expr(h1).alias("p_milli"),
+        F.expr(f"({h2}) < ({h1})").alias("label"),
+    )
+    return model_calibration(frame)
+
+
+_SQL_MODEL_CALIBRATION = r"""
+WITH h AS (
+  SELECT ('0x' || substr(md5('cp|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1001 AS p,
+         ('0x' || substr(md5('cl|' || doc_id::VARCHAR), 1, 15))::BIGINT
+           % 1000 AS q
+  FROM documents
+), staged AS (
+  SELECT (CASE WHEN p >= 1000 THEN 9 ELSE p // 100 END)::BIGINT AS bin,
+         p, (q < p) AS y
+  FROM h
+)
+SELECT bin, count(*)::BIGINT AS n,
+       (sum(p) // count(*))::BIGINT AS mean_pred_milli,
+       (sum(CASE WHEN y THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+         AS frac_pos_milli
+FROM staged GROUP BY bin
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10326,6 +10426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "depth_survival": q_depth_survival,
         "doc_structure": q_doc_structure,
         "cdc_chunks": q_cdc_chunks,
+        "model_auc": q_model_auc,
+        "model_calibration": q_model_calibration,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10525,6 +10627,8 @@ def oracle_sql() -> dict[str, str]:
         "depth_survival": _SQL_DEPTH_SURVIVAL,
         "doc_structure": _sql_doc_structure(),
         "cdc_chunks": _sql_cdc_chunks(),
+        "model_auc": _SQL_MODEL_AUC,
+        "model_calibration": _SQL_MODEL_CALIBRATION,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

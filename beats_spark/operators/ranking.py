@@ -413,3 +413,101 @@ JOIN (
 ) nd ON models.model = nd.model
 """
     return ",\n".join(parts) + tail
+
+
+def model_auc(
+    df: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact AUC-ROC of an integer score against a boolean label via
+    the Mann-Whitney rank-sum identity — the evaluation half the
+    model operators (quality_classifier, dsir_weights, model_ranking)
+    were missing: AUC = (Σ ranks of positives − n₊(n₊+1)/2) /
+    (n₊·n₋), emitted as exact integer ppm.
+
+    Deterministic-tie-break variant: ranks order by (score, id), so
+    tied scores split by id instead of receiving the average rank —
+    bias O(ties)/n against the textbook mid-rank AUC, zero for
+    continuous scores, and both engines replay the SAME tie-break
+    (the heavy_hitters determinism discipline). NULL scores/labels
+    are excluded with the usual tag-and-exclude contract.
+
+    100 TB shape: the global rank is layout.running_prefix (range-
+    bucket → parallel per-bucket windows → n_buckets-row offset
+    broadcast) — the naive RANK() OVER (ORDER BY score) is a single-
+    partition corpus sort. After ranking: one map-side-combined
+    global aggregate. Output: one row (n_pos, n_neg, auc_ppm).
+    """
+    from beats_spark.operators.layout import running_prefix
+
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).cast("long").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).where("_s is not null and _y is not null")
+    ranked = running_prefix(
+        base,
+        order_cols=["_s", id_col],
+        size_col=F.lit(1),
+        n_buckets=n_buckets,
+    )
+    agg = ranked.agg(
+        F.sum(F.col("_y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("_y")).cast("long")).alias("n_neg"),
+        F.sum(F.when(F.col("_y"), F.col("rank")).otherwise(0)).alias("_rpos"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "cast(case when n_pos = 0 or n_neg = 0 then null else "
+            "(_rpos - n_pos * (n_pos + 1) div 2) * 1000000 "
+            "div (n_pos * n_neg) end as long)"
+        ).alias("auc_ppm"),
+    )
+
+
+def model_calibration(
+    df: DataFrame,
+    pred_col: str = "p_milli",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for an integer-milli probability column:
+    bucket predictions into ``n_bins`` over [0, 1000], and per bucket
+    report count, mean predicted milli, and empirical positive rate
+    milli — the calibration audit for any score used as a sampling
+    weight (a miscalibrated quality probability silently reweights
+    the mixture). Exact integers; the 1000-milli edge clamps into
+    the top bin (CASE, not least — the NULL-skip trap). One
+    map-side-combined groupBy over ≤ n_bins keys.
+    """
+    if n_bins < 1 or 1000 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 1000, got {n_bins}")
+    width = 1000 // n_bins
+    p = F.col(pred_col).cast("long")
+    b = (
+        F.when(p.isNull(), F.lit(None).cast("long"))
+        .when(p >= 1000, F.lit(n_bins - 1))
+        .when(p < 0, F.lit(0))
+        .otherwise(F.expr(f"cast({pred_col} as long) div {width}"))
+    )
+    staged = df.select(
+        b.alias("bin"),
+        p.alias("_p"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    ).where("bin is not null and _y is not null")
+    g = staged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_p").alias("_sp"),
+        F.sum(F.col("_y").cast("long")).alias("_np"),
+    )
+    return g.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n",
+        F.expr("cast(_sp div n as long)").alias("mean_pred_milli"),
+        F.expr("cast(_np * 1000 div n as long)").alias("frac_pos_milli"),
+    )

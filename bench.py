@@ -191,6 +191,8 @@ EXT_QUERIES = [
     "depth_survival",
     "doc_structure",
     "cdc_chunks",
+    "model_auc",
+    "model_calibration",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

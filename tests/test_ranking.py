@@ -111,3 +111,44 @@ def test_integer_entity_ids_both_paths(spark):
     lazy = bradley_terry_from_counts(counts, iterations=2, max_driver_pairs=0).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, lazy))
     assert {r["model"] for r in fast} == {1, 2, 3}
+
+
+def test_model_auc_known_values(spark):
+    from beats_spark.operators.ranking import model_auc
+
+    # perfect separation
+    rows = [(i, i * 10, i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label boolean")
+    r = model_auc(df, n_buckets=3).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc_ppm) == (5, 5, 1_000_000)
+    # perfectly wrong
+    rows = [(i, -i * 10, i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label boolean")
+    assert model_auc(df, n_buckets=3).collect()[0].auc_ppm == 0
+    # random-ish hand case: scores 1..4, labels alternate -> AUC 1/2
+    rows = [(1, 10, True), (2, 20, False), (3, 30, True), (4, 40, False)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label boolean")
+    # ranks: 1T 2F 3T 4F -> rpos = 4, U = 4 - 3 = 1, auc = 1/4
+    assert model_auc(df, n_buckets=2).collect()[0].auc_ppm == 250_000
+    # degenerate single-class input -> NULL
+    rows = [(1, 10, True), (2, 20, True)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long, label boolean")
+    assert model_auc(df).collect()[0].auc_ppm is None
+
+
+def test_model_calibration_bins_and_clamp(spark):
+    import pytest
+
+    from beats_spark.operators.ranking import model_calibration
+
+    rows = [(50, True), (50, False), (999, True), (1000, True), (-5, False)]
+    df = spark.createDataFrame(rows, "p_milli long, label boolean")
+    got = {r.bin: r for r in model_calibration(df).collect()}
+    assert got[0].n == 3 and got[0].frac_pos_milli == 333
+    # 999 and the clamped 1000 edge share the top bin
+    assert got[9].n == 2 and got[9].frac_pos_milli == 1000
+    assert got[9].mean_pred_milli == (999 + 1000) // 2
+    # -5 clamps to bin 0 (already counted above: 50, 50, -5)
+    assert got[0].mean_pred_milli == (50 + 50 - 5) // 3
+    with pytest.raises(ValueError):
+        model_calibration(df, n_bins=7)
