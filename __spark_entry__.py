@@ -9680,6 +9680,70 @@ QUALIFY rank <= 10
 """
 
 
+_HYBRID_PROBES = {
+    "q_boilerplate": 7,
+    "q_rare": 101,
+    "q_mixed": 202,
+    "q_phrase": 303,
+    "q_missing": 404,
+}
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (search.bm25_search → search.rrf_rerank):
+    the BM25 top-10 candidates per query are fused with a dense
+    cosine re-rank (each query's vector = a fixed probe doc's
+    embedding) by reciprocal-rank fusion — exact integer RRF scores
+    once ranks are fixed; cosine enters by ORDER only (the
+    knn_bruteforce ids-only discipline). The corpus embedding matrix
+    is touched by ONE broadcast-candidates join; every window runs
+    on the ≤|queries|·10 candidate frame. The oracle recomputes both
+    stages (the BM25 CTE verbatim + DuckDB's native
+    list_cosine_similarity for the re-rank order)."""
+    from beats_spark.operators.search import bm25_search, rrf_rerank
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    cand = bm25_search(docs, _BM25_QUERIES, "text", "doc_id", k=10)
+    return rrf_rerank(cand, emb, _HYBRID_PROBES, k=5)
+
+
+def _sql_hybrid_search() -> str:
+    pv = " UNION ALL ".join(
+        f"SELECT '{q}' AS query_id, {v} AS pvec"
+        for q, v in sorted(_HYBRID_PROBES.items())
+    )
+    return f"""
+WITH cand AS (
+  SELECT query_id, doc_id, rank AS r1 FROM ({_SQL_BM25_SEARCH}) bm
+), pv AS ({pv}),
+j AS (
+  SELECT c.query_id, c.doc_id, c.r1,
+         row_number() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(pe.embedding::DOUBLE[],
+                                           de.embedding::DOUBLE[]) DESC,
+                    c.doc_id
+         )::BIGINT AS r2
+  FROM cand c
+  JOIN embeddings de ON de.vec_id = c.doc_id
+  JOIN pv ON pv.query_id = c.query_id
+  JOIN embeddings pe ON pe.vec_id = pv.pvec
+), s AS (
+  SELECT query_id, doc_id,
+         (1000000 // (60 + r1) + 1000000 // (60 + r2))::BIGINT
+           AS rrf_micro
+  FROM j
+)
+SELECT query_id, doc_id, rrf_micro,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id
+       )::BIGINT AS rank
+FROM s
+QUALIFY rank <= 5
+"""
+
+
 def q_domain_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native OLAP cube over the corpus dimensions — every (lang,
     source) combination plus both one-dimension subtotals and the
@@ -10428,6 +10492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "model_auc": q_model_auc,
         "model_calibration": q_model_calibration,
+        "hybrid_search": q_hybrid_search,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10629,6 +10694,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": _sql_cdc_chunks(),
         "model_auc": _SQL_MODEL_AUC,
         "model_calibration": _SQL_MODEL_CALIBRATION,
+        "hybrid_search": _sql_hybrid_search(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

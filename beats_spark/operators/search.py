@@ -377,3 +377,109 @@ def bm25_search(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def rrf_rerank(
+    candidates: DataFrame,
+    emb: DataFrame,
+    probes: dict[str, int],
+    k: int = 5,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    emb_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval second stage — reciprocal-rank fusion
+    (Cormack et al., SIGIR 2009) of a lexical candidate ranking with
+    a dense cosine re-rank: final score = Σᵢ 10⁶ div (rrf_k + rankᵢ)
+    over the two rankings, exact integers once the ranks are fixed.
+    ``candidates`` is a bm25_search-shaped frame (query, id, rank);
+    ``probes`` maps each query id to the vec id whose embedding
+    stands in as the query vector (the interactive-search contract:
+    bounded driver-side queries, same stance as the ANN operators).
+
+    Cosine VALUES are floats but only their per-query ORDER is used
+    (ids-only float-order-stable discipline, knn_bruteforce
+    precedent); ties and near-ties break on ascending doc id.
+
+    100 TB shape: stage 1 (bm25_search) already reduced the corpus
+    to ≤ |queries|·k₁ candidate rows, so this stage's only
+    corpus-scale touch is ONE broadcast-candidates hash join against
+    the embeddings table to fetch candidate vectors — the corpus
+    embedding matrix never shuffles, no GEMM, no index. Probe
+    vectors are a bounded driver collect. Every window here runs on
+    the candidate frame.
+    """
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    from pyspark.sql import Window
+
+    pv_rows = {
+        r[0]: list(r[1])
+        for r in emb.where(
+            F.col(emb_id).isin(*set(probes.values()))
+        ).select(emb_id, vec_col).collect()
+    }
+    missing = [q for q, v in probes.items() if v not in pv_rows]
+    if missing:
+        raise ValueError(f"probe vectors not found for {missing}")
+    probe_vec = None
+    for q, vid in sorted(probes.items()):
+        arr = F.array(*[F.lit(float(x)) for x in pv_rows[vid]])
+        probe_vec = (
+            F.when(F.col(query_col) == q, arr)
+            if probe_vec is None
+            else probe_vec.when(F.col(query_col) == q, arr)
+        )
+    cand = candidates.select(
+        F.col(query_col),
+        F.col(id_col),
+        F.col(rank_col).cast("long").alias("_r1"),
+    )
+    withvec = (
+        F.broadcast(cand)
+        .join(
+            emb.select(F.col(emb_id).alias(id_col), F.col(vec_col)),
+            id_col,
+        )
+        .withColumn("_pv", probe_vec)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_pv"),
+            F.col(vec_col),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731 — tiny local combinator
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("_pv")) * norm(F.col(vec_col)))
+    w_cos = Window.partitionBy(query_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    w_fin = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        withvec.withColumn("_cos", cos)
+        .withColumn("_r2", F.row_number().over(w_cos).cast("long"))
+        .withColumn(
+            "rrf_micro",
+            F.expr(
+                f"cast(1000000 div ({rrf_k} + _r1) "
+                f"+ 1000000 div ({rrf_k} + _r2) as long)"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w_fin).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_micro", "rank")
+    )

@@ -193,6 +193,7 @@ EXT_QUERIES = [
     "cdc_chunks",
     "model_auc",
     "model_calibration",
+    "hybrid_search",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

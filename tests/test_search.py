@@ -208,3 +208,39 @@ def test_phrase_nonbreaking_space_stays_one_token(spark):
     )
     out = phrase_search(df, [("q", "hash\xa0join x")], k=5).collect()
     assert {(r.doc_id, r.n_matches) for r in out} == {(1, 1)}
+
+
+def test_rrf_rerank_fusion_semantics(spark):
+    from beats_spark.operators.search import rrf_rerank
+
+    # candidates: q1 ranks docs 1,2,3 lexically; embeddings make the
+    # cosine order 3,2,1 (probe == doc 3's vector) — RRF must fuse
+    # symmetric opposites into a tie broken by doc id
+    cand = spark.createDataFrame(
+        [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3)],
+        "query_id string, doc_id long, rank long",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.8, 0.6]),
+            (3, [0.0, 1.0]),
+            (9, [0.0, 1.0]),  # probe vector == doc 3 direction
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = rrf_rerank(cand, emb, {"q1": 9}, k=3).collect()
+    got = {r.doc_id: (r.rrf_micro, r.rank) for r in out}
+    # r1/r2 pairs: doc1 (1,3), doc2 (2,2), doc3 (3,1)
+    s13 = 1000000 // 61 + 1000000 // 63
+    s22 = 2 * (1000000 // 62)
+    assert got[1][0] == s13 and got[3][0] == s13 and got[2][0] == s22
+    # fused scores: docs 1 and 3 tie above doc 2; id breaks the tie
+    assert got[1][1] == 1 and got[3][1] == 2 and got[2][1] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_rerank(cand, emb, {})
+    with pytest.raises(ValueError):
+        rrf_rerank(cand, emb, {"q1": 777})
