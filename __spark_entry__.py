@@ -8773,6 +8773,81 @@ FROM staged GROUP BY bin
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve (textstats.vocab_coverage): occurrence
+    share of the top-{100, 1000, 10000} token types — cutoffs above
+    the fixture vocabulary exercise the eff_k clamp. Cumulative
+    counts ride the distributed prefix; the oracle is the naive
+    single-window cumulative sum."""
+    from beats_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(
+        _load(spark, sf_dir, "documents"), cutoffs=(100, 1000, 10000)
+    )
+
+
+_SQL_VOCAB_COVERAGE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+), nz AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), counts AS (
+  SELECT tok, count(*)::BIGINT AS n FROM nz GROUP BY tok
+), ranked AS (
+  SELECT tok, n,
+         row_number() OVER (ORDER BY n DESC, tok) AS r,
+         sum(n) OVER (ORDER BY n DESC, tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum
+  FROM counts
+), tot AS (
+  SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_types
+  FROM counts
+)
+SELECT ks.k::BIGINT AS k,
+       least(ks.k, tot.n_types)::BIGINT AS eff_k,
+       ranked.cum AS covered, tot.total,
+       (ranked.cum * 1000000 // tot.total)::BIGINT AS coverage_ppm
+FROM (VALUES (100), (1000), (10000)) ks(k), tot
+JOIN ranked ON ranked.r = least(ks.k, tot.n_types)
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Fano factor per event type over hourly buckets
+    (analytics.burstiness) — decimal(38,0) widened math (the count
+    square overflows int64 at 10¹² events; DuckDB HUGEINT mirrors
+    it). One corpus groupBy + a ≤|types|-row rollup."""
+    from beats_spark.operators.analytics import burstiness
+
+    return burstiness(_load(spark, sf_dir, "events"))
+
+
+_SQL_BURSTINESS = r"""
+WITH occ AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS b,
+         count(*)::BIGINT AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, b
+), per AS (
+  SELECT event_type,
+         (max(b) - min(b) + 1)::HUGEINT AS n,
+         sum(c)::HUGEINT AS t,
+         sum(c * c)::HUGEINT AS sq,
+         sum(c)::BIGINT AS n_events,
+         (max(b) - min(b) + 1)::BIGINT AS n_buckets
+  FROM occ GROUP BY event_type
+)
+SELECT event_type, n_buckets, n_events,
+       ((n * sq - t * t) * 1000 // (n * t))::BIGINT AS fano_milli
+FROM per
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10493,6 +10568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_auc": q_model_auc,
         "model_calibration": q_model_calibration,
         "hybrid_search": q_hybrid_search,
+        "vocab_coverage": q_vocab_coverage,
+        "burstiness": q_burstiness,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10695,6 +10772,8 @@ def oracle_sql() -> dict[str, str]:
         "model_auc": _SQL_MODEL_AUC,
         "model_calibration": _SQL_MODEL_CALIBRATION,
         "hybrid_search": _sql_hybrid_search(),
+        "vocab_coverage": _SQL_VOCAB_COVERAGE,
+        "burstiness": _SQL_BURSTINESS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

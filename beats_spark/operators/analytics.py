@@ -898,3 +898,57 @@ def decayed_engagement(
         F.sum("_v").cast("long").alias("raw_micro"),
         F.sum(decayed).cast("long").alias("decayed_micro"),
     )
+
+
+def burstiness(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Exact Fano factor (index of dispersion) of per-bucket event
+    counts, per event type — the burstiness monitor: ~1000 milli for
+    a Poisson arrival process, ≫1000 for bursty/batchy sources, <1000
+    for throttled ones. The span grid runs from each type's first to
+    last OCCUPIED bucket; empty interior buckets count as zeros via
+    arithmetic (the grid is never materialized — no explode, no
+    calendar join).
+
+    fano_milli = (n·Σc² − (Σc)²)·1000 div (n·Σc) over the n-bucket
+    grid, computed in decimal(38,0): at 10¹² events per type the
+    count square overflows int64 mid-formula (the
+    connected_components ANSI-overflow lesson), while DuckDB's
+    HUGEINT mirrors the widened math exactly.
+
+    Shuffles: one corpus-scale groupBy(type, bucket) with map-side
+    combine, then a ≤|types|-row rollup. NULL timestamps are
+    excluded with a tag-and-exclude filter.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    b_us = bucket_seconds * 1_000_000
+    staged = df.select(
+        F.col(type_col),
+        _epoch_us(F.col(ts_col)).alias("_us"),
+    ).where("_us is not null")
+    occ = staged.select(
+        type_col, F.expr(f"_us div {b_us}").alias("_b")
+    ).groupBy(type_col, "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    per = occ.groupBy(type_col).agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_t"),
+        F.sum(F.col("_c") * F.col("_c")).cast("decimal(38,0)").alias("_sq"),
+        (F.max("_b") - F.min("_b") + 1).cast("decimal(38,0)").alias("_n"),
+        F.sum("_c").cast("long").alias("n_events"),
+        (F.max("_b") - F.min("_b") + 1).cast("long").alias("n_buckets"),
+    )
+    return per.select(
+        type_col,
+        "n_buckets",
+        "n_events",
+        F.expr(
+            "cast((_n * _sq - _t * _t) * 1000 div (_n * _t) as long)"
+        ).alias("fano_milli"),
+    )

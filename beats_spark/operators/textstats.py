@@ -1774,3 +1774,72 @@ def doc_structure_stats(
             " as long)"
         ).alias("structured_milli"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cutoffs: tuple[int, ...] = (100, 1000, 10000),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question
+    vocab_top_k's flat list doesn't answer: what fraction of all
+    corpus token OCCURRENCES is covered by the top-k token types, at
+    each probe cutoff k (Zipf economics: where the coverage curve
+    flattens is where growing the vocab stops paying).
+
+    Per cutoff: ``k``, ``eff_k`` (= min(k, distinct types)),
+    ``covered`` (occurrences of the eff_k most frequent types, ties
+    broken by token text), ``total`` occurrences, ``coverage_ppm``
+    (exact integer). One corpus-scale explode→groupBy(token) with
+    map-side combine reduces to the type frame; the cumulative count
+    over (freq desc, tok) order runs on layout.running_prefix — at
+    web scale the TYPE frame is still hundreds of millions of rows,
+    and the naive SUM() OVER (ORDER BY freq DESC) is a one-partition
+    sort of it. Cutoff rows are picked by an ``eff_k`` equi-join
+    against a broadcast ≤|cutoffs|-row frame.
+    """
+    ks = sorted(set(int(k) for k in cutoffs))
+    if not ks or ks[0] < 1:
+        raise ValueError(f"bad cutoffs: {cutoffs!r}")
+    from beats_spark.operators.layout import running_prefix
+
+    toks = _corpus_tokens(df, text_col, id_col)
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    ranked = running_prefix(
+        counts.withColumn("_negn", -F.col("_n")),
+        order_cols=["_negn", "tok"],
+        size_col="_n",
+        n_buckets=n_buckets,
+    ).select(
+        "tok",
+        "_n",
+        F.col("rank").cast("long").alias("_rank"),
+        (F.col("prefix_sum") + F.col("_n")).cast("long").alias("_cum"),
+    ).persist()
+    tot = ranked.agg(
+        F.sum("_n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("_n_types"),
+    )
+    probes = tot.select(
+        "total",
+        "_n_types",
+        F.explode(
+            F.array(*[F.lit(k).cast("long") for k in ks])
+        ).alias("k"),
+    ).withColumn("eff_k", F.least(F.col("k"), F.col("_n_types")))
+    out = F.broadcast(probes).join(
+        ranked, probes.eff_k == ranked._rank
+    )
+    return out.select(
+        "k",
+        "eff_k",
+        F.col("_cum").alias("covered"),
+        "total",
+        F.expr("cast(_cum * 1000000 div total as long)").alias(
+            "coverage_ppm"
+        ),
+    )

@@ -194,6 +194,8 @@ EXT_QUERIES = [
     "model_auc",
     "model_calibration",
     "hybrid_search",
+    "vocab_coverage",
+    "burstiness",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

@@ -292,3 +292,27 @@ def test_decayed_engagement_halvings(spark):
 
     with pytest.raises(ValueError):
         decayed_engagement(df, now=now, half_life_days=0)
+
+
+def test_burstiness_fano(spark):
+    import datetime as dt
+
+    import pytest
+
+    from beats_spark.operators.analytics import burstiness
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=i), i) for i in range(10)]
+    rows += [("b", t0, 100 + i) for i in range(10)]
+    rows += [("b", t0 + dt.timedelta(hours=9), 200)]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long"
+    )
+    got = {r.event_type: r for r in burstiness(df).collect()}
+    # clock-regular: one event per bucket, zero dispersion
+    assert (got["a"].n_buckets, got["a"].fano_milli) == (10, 0)
+    # bursty: (10*101 - 121) * 1000 // (10*11)
+    assert got["b"].fano_milli == (10 * 101 - 121) * 1000 // 110
+    assert got["b"].n_events == 11
+    with pytest.raises(ValueError):
+        burstiness(df, bucket_seconds=0)

@@ -82,3 +82,25 @@ def test_bigram_surprisal_transition_signal(spark):
     # determinism across partitioning
     again = {r.doc_id: tuple(r) for r in bigram_surprisal(df.repartition(5)).collect()}
     assert again == {k: tuple(v) for k, v in out.items()}
+
+
+def test_vocab_coverage_curve(spark):
+    from beats_spark.operators.textstats import vocab_coverage
+
+    # vocabulary: a x4, b x3, c x2, d x1  (10 occurrences, 4 types)
+    rows = [(1, "a a a a b b"), (2, "b c c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.k: r for r in
+           vocab_coverage(df, cutoffs=(1, 2, 99), n_buckets=2).collect()}
+    assert (got[1].eff_k, got[1].covered, got[1].total) == (1, 4, 10)
+    assert got[1].coverage_ppm == 400_000
+    assert (got[2].eff_k, got[2].covered) == (2, 7)
+    # cutoff beyond the vocabulary clamps to every type
+    assert (got[99].eff_k, got[99].covered, got[99].coverage_ppm) == (
+        4, 10, 1_000_000,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        vocab_coverage(df, cutoffs=())
