@@ -8848,6 +8848,91 @@ FROM per
 """
 
 
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect/canonical chain resolution (urlnorm.resolve_redirects,
+    pointer jumping with pigeonhole loop detection): planted from
+    doc ids — hop chains u{i}→u{i+1} for i%10 ∈ {1,2,3} (terminals at
+    %10==4), 3-cycles on i%25==5 through out-of-range ids, and a
+    conflicting double edge on i%50==30 (canonical pick = min target).
+    The oracle walks a depth-capped recursive CTE: looped ⇔ the walk
+    reaches n_edges+1 hops."""
+    from beats_spark.operators.urlnorm import resolve_redirects
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    chain = docs.where(did % 10 == 1).select(
+        u(did).alias("src"), u(did + 1).alias("dst")
+    ).unionByName(
+        docs.where(did % 10 == 2).select(
+            u(did).alias("src"), u(did + 1).alias("dst")
+        )
+    ).unionByName(
+        docs.where(did % 10 == 3).select(
+            u(did).alias("src"), u(did + 1).alias("dst")
+        )
+    )
+    cyc = docs.where(did % 25 == 5).select(
+        u(did).alias("src"), u(did + 100000).alias("dst")
+    ).unionByName(
+        docs.where(did % 25 == 5).select(
+            u(did + 100000).alias("src"), u(did + 200000).alias("dst")
+        )
+    ).unionByName(
+        docs.where(did % 25 == 5).select(
+            u(did + 200000).alias("src"), u(did).alias("dst")
+        )
+    )
+    dup = docs.where(did % 50 == 30).select(
+        u(did).alias("src"), u(did + 300000).alias("dst")
+    )
+    return resolve_redirects(chain.unionByName(cyc).unionByName(dup))
+
+
+_SQL_REDIRECT_CHAINS = r"""
+WITH RECURSIVE raw AS (
+  SELECT 'u' || doc_id::VARCHAR AS src,
+         'u' || (doc_id + 1)::VARCHAR AS dst
+  FROM documents WHERE doc_id % 10 IN (1, 2, 3)
+  UNION ALL
+  SELECT 'u' || doc_id::VARCHAR, 'u' || (doc_id + 100000)::VARCHAR
+  FROM documents WHERE doc_id % 25 = 5
+  UNION ALL
+  SELECT 'u' || (doc_id + 100000)::VARCHAR,
+         'u' || (doc_id + 200000)::VARCHAR
+  FROM documents WHERE doc_id % 25 = 5
+  UNION ALL
+  SELECT 'u' || (doc_id + 200000)::VARCHAR, 'u' || doc_id::VARCHAR
+  FROM documents WHERE doc_id % 25 = 5
+  UNION ALL
+  SELECT 'u' || doc_id::VARCHAR, 'u' || (doc_id + 300000)::VARCHAR
+  FROM documents WHERE doc_id % 50 = 30
+), e AS (
+  SELECT src, min(dst) AS dst FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+  GROUP BY src
+), n AS (
+  SELECT count(*)::BIGINT AS c FROM e
+), walk AS (
+  SELECT src AS origin, dst AS cur, 1::BIGINT AS hops FROM e
+  UNION ALL
+  SELECT w.origin, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur, n
+  WHERE w.hops <= n.c
+), deep AS (
+  SELECT origin, max(hops) AS mh FROM walk GROUP BY origin
+), term AS (
+  SELECT w.origin, w.cur, w.hops
+  FROM walk w JOIN deep d ON w.origin = d.origin AND w.hops = d.mh
+)
+SELECT t.origin AS src,
+       CASE WHEN t.hops > n.c THEN NULL ELSE t.cur END AS terminal,
+       CASE WHEN t.hops > n.c THEN NULL ELSE t.hops END::BIGINT AS hops,
+       t.hops > n.c AS looped
+FROM term t, n
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10570,6 +10655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "vocab_coverage": q_vocab_coverage,
         "burstiness": q_burstiness,
+        "redirect_chains": q_redirect_chains,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10774,6 +10860,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _sql_hybrid_search(),
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "burstiness": _SQL_BURSTINESS,
+        "redirect_chains": _SQL_REDIRECT_CHAINS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

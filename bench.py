@@ -196,6 +196,7 @@ EXT_QUERIES = [
     "hybrid_search",
     "vocab_coverage",
     "burstiness",
+    "redirect_chains",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

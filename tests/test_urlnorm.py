@@ -165,3 +165,31 @@ def test_canonicalize_url_ignores_question_mark_in_fragment(spark):
     }
     assert got[1] == got[2] == "http://h/p"
     assert got[3] == "http://h/p?x=1"
+
+
+def test_resolve_redirects_chains_cycles_conflicts(spark):
+    import pytest
+
+    from beats_spark.operators.urlnorm import resolve_redirects
+
+    edges = [
+        # chain a -> b -> c -> T
+        ("a", "b"), ("b", "c"), ("c", "T"),
+        # 2-cycle x <-> y, plus a feeder into it
+        ("x", "y"), ("y", "x"), ("f", "x"),
+        # conflicting canonicals: min target wins ("m" -> "A")
+        ("m", "Z"), ("m", "A"),
+        # self-loop is dropped as a non-edge -> s never appears
+        ("s", "s"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.src: r for r in resolve_redirects(df).collect()}
+    assert set(got) == {"a", "b", "c", "x", "y", "f", "m"}
+    assert (got["a"].terminal, got["a"].hops, got["a"].looped) == ("T", 3, False)
+    assert (got["b"].terminal, got["b"].hops) == ("T", 2)
+    assert (got["c"].terminal, got["c"].hops) == ("T", 1)
+    for k in ("x", "y", "f"):
+        assert got[k].looped and got[k].terminal is None and got[k].hops is None
+    assert (got["m"].terminal, got["m"].looped) == ("A", False)
+    with pytest.raises(ValueError):
+        resolve_redirects(df, max_rounds=1)
