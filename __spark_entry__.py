@@ -8933,6 +8933,85 @@ FROM term t, n
 """
 
 
+def q_signal_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise curation-signal mutual information
+    (textstats.signal_mi): length bucket (fl2 of n_chars+1), Flesch
+    bucket, and lang — ONE cube() Expand pass produces every joint
+    and marginal (the domain_cube move); MI in floor-log2 millibits.
+    The oracle computes each pair directly with plain joins — a
+    shape-independent referee for the cube plan."""
+    from beats_spark.operators.textstats import readability_stats, signal_mi
+
+    docs = _load(spark, sf_dir, "documents")
+    r = readability_stats(docs).select("doc_id", "flesch_milli")
+    sig = r.join(docs.select("doc_id", "n_chars", "lang"), "doc_id").select(
+        F.expr("cast(length(bin(n_chars + 1)) - 1 as long)").alias("len_b"),
+        F.expr(
+            "cast(case when flesch_milli is null then -1 "
+            "when flesch_milli < 0 then 0 "
+            "when flesch_milli >= 160000 then 7 "
+            "else flesch_milli div 20000 end as long)"
+        ).alias("qual_b"),
+        "lang",
+    )
+    return signal_mi(sig, ["len_b", "qual_b", "lang"])
+
+
+def _sql_signal_mi() -> str:
+    flesch = """
+      SELECT doc_id,
+             (206835 - (1015 * n_words) // n_sentences
+              - (84600 * n_syllables) //
+                (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END))::BIGINT
+               AS flesch_milli
+      FROM (
+        SELECT doc_id,
+               (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END)::BIGINT AS n_words,
+               (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+                     THEN len(regexp_extract_all(text, '[.!?]+'))
+                     ELSE 1 END)::BIGINT AS n_sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                 AS n_syllables
+        FROM documents
+      )
+    """
+
+    def block(a: str, b: str) -> str:
+        return f"""
+  SELECT '{a}' AS sig_a, '{b}' AS sig_b,
+         (sum(j.n * ((length(bin(t.N)) - 1) + (length(bin(j.n)) - 1)
+                     - (length(bin(ma.n)) - 1) - (length(bin(mb.n)) - 1)))
+          * 1000 // max(t.N))::BIGINT AS mi_milli
+  FROM (SELECT {a} AS a, {b} AS b, count(*)::BIGINT AS n
+        FROM sig GROUP BY 1, 2) j
+  JOIN (SELECT {a} AS a, count(*)::BIGINT AS n FROM sig GROUP BY 1) ma
+    ON j.a = ma.a
+  JOIN (SELECT {b} AS b, count(*)::BIGINT AS n FROM sig GROUP BY 1) mb
+    ON j.b = mb.b
+  CROSS JOIN (SELECT count(*)::BIGINT AS N FROM sig) t
+"""
+
+    blocks = " UNION ALL ".join(
+        block(a, b)
+        for a, b in [("len_b", "qual_b"), ("len_b", "lang"),
+                     ("qual_b", "lang")]
+    )
+    return f"""
+WITH f AS ({flesch}), sig AS (
+  SELECT (length(bin(d.n_chars + 1)) - 1)::BIGINT AS len_b,
+         (CASE WHEN f.flesch_milli IS NULL THEN -1
+               WHEN f.flesch_milli < 0 THEN 0
+               WHEN f.flesch_milli >= 160000 THEN 7
+               ELSE f.flesch_milli // 20000 END)::BIGINT AS qual_b,
+         d.lang
+  FROM documents d JOIN f ON d.doc_id = f.doc_id
+)
+{blocks}
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10656,6 +10735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "burstiness": q_burstiness,
         "redirect_chains": q_redirect_chains,
+        "signal_mi": q_signal_mi,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10861,6 +10941,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _SQL_VOCAB_COVERAGE,
         "burstiness": _SQL_BURSTINESS,
         "redirect_chains": _SQL_REDIRECT_CHAINS,
+        "signal_mi": _sql_signal_mi(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1843,3 +1843,89 @@ def vocab_coverage(
             "coverage_ppm"
         ),
     )
+
+
+def signal_mi(
+    df: DataFrame,
+    cols: tuple[str, ...] | list[str],
+) -> DataFrame:
+    """Pairwise mutual information between curation signals, in
+    floor-log2 millibits — the filter-redundancy audit: two signals
+    with high MI gate the same documents, and the weaker one is
+    wasted compute in the cascade (DataComp-style ablation question,
+    answered from counts instead of reruns).
+
+    Statistic (deterministic, engine-exact by construction):
+    mi_milli = Σ_ij n_ij · (fl2(N) + fl2(n_ij) − fl2(n_i) − fl2(n_j))
+    · 1000 div N — the plug-in MI with every log2 floored
+    independently (fl2 = length(bin(n))−1, the surprisal-family
+    rule). Floors compound, so cells can contribute negatively and
+    the estimate is a millibit-resolution BAND around true MI, not a
+    float approximation — same stance as unigram_surprisal. Signals
+    may be any groupable type but must be NON-NULL: cube() encodes
+    rolled-up positions as NULL, so a data NULL would vanish from
+    the marginal equi-joins — pre-bucket NULLs to a sentinel (the
+    caller owns this; the contract query derives all-non-null
+    buckets).
+
+    Scale shape: ONE pass — ``cube()`` over the signal columns
+    compiles to a single Catalyst Expand + one keyed aggregate
+    (every marginal, pair, and the grand total in the same shuffle,
+    the domain_cube move); |cols| corpus-scale groupBys would cost
+    |cols|·(|cols|−1)/2 + |cols| shuffles instead. Everything after
+    the aggregate runs on bucket-cardinality frames.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("signal_mi needs at least two signal columns")
+    gid = F.grouping_id(*[F.col(c) for c in cols])
+    agg = (
+        df.cube(*cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"), gid.alias("_g"))
+        .persist()
+    )
+    k = len(cols)
+    full_mask = (1 << k) - 1
+    total_row = agg.where(F.col("_g") == full_mask).select(
+        F.col("_n").alias("_N")
+    )
+    out = None
+    for i in range(k):
+        for j in range(i + 1, k):
+            # grouping_id bit = 1 when the column is AGGREGATED AWAY;
+            # leftmost cube column is the most significant bit
+            gi = full_mask ^ (1 << (k - 1 - i))
+            gj = full_mask ^ (1 << (k - 1 - j))
+            gij = full_mask ^ (1 << (k - 1 - i)) ^ (1 << (k - 1 - j))
+            a, b = cols[i], cols[j]
+            joints = agg.where(F.col("_g") == gij).select(
+                F.col(a).alias("_a"), F.col(b).alias("_b"),
+                F.col("_n").alias("_nij"),
+            )
+            ma = agg.where(F.col("_g") == gi).select(
+                F.col(a).alias("_a"), F.col("_n").alias("_ni")
+            )
+            mb = agg.where(F.col("_g") == gj).select(
+                F.col(b).alias("_b"), F.col("_n").alias("_nj")
+            )
+            cell = (
+                joints.join(ma, "_a")
+                .join(mb, "_b")
+                .crossJoin(F.broadcast(total_row))
+                .select(
+                    F.expr(
+                        "_nij * ((length(bin(_N)) - 1) + (length(bin(_nij)) - 1)"
+                        " - (length(bin(_ni)) - 1) - (length(bin(_nj)) - 1))"
+                    ).alias("_term"),
+                    F.col("_N"),
+                )
+            )
+            pair = cell.agg(
+                F.expr("cast(sum(_term) * 1000 div max(_N) as long)").alias(
+                    "mi_milli"
+                )
+            ).select(
+                F.lit(a).alias("sig_a"), F.lit(b).alias("sig_b"), "mi_milli"
+            )
+            out = pair if out is None else out.unionByName(pair)
+    return out

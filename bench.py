@@ -197,6 +197,7 @@ EXT_QUERIES = [
     "vocab_coverage",
     "burstiness",
     "redirect_chains",
+    "signal_mi",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

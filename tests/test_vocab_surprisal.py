@@ -104,3 +104,24 @@ def test_vocab_coverage_curve(spark):
 
     with pytest.raises(ValueError):
         vocab_coverage(df, cutoffs=())
+
+
+def test_signal_mi_independence_and_identity(spark):
+    import pytest
+
+    from beats_spark.operators.textstats import signal_mi
+
+    # x uniform over {0,1}, y == x (perfect dependence), z independent
+    rows = [(i % 2, i % 2, (i // 2) % 2) for i in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    got = {(r.sig_a, r.sig_b): r.mi_milli for r in
+           signal_mi(df, ["x", "y", "z"]).collect()}
+    # identical signals: fl2-MI = fl2(64)+fl2(32)-fl2(32)-fl2(32)
+    # per cell = 6+5-5-5 = 1 bit exactly (all counts powers of two,
+    # floors exact)
+    assert got[("x", "y")] == 1000
+    # independent pairs: fl2(64)+fl2(16)-fl2(32)-fl2(32) = 0 exactly
+    assert got[("x", "z")] == 0
+    assert got[("y", "z")] == 0
+    with pytest.raises(ValueError):
+        signal_mi(df, ["x"])
