@@ -9012,6 +9012,95 @@ WITH f AS ({flesch}), sig AS (
 """
 
 
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate cascade planner (sampling.filter_cascade): four
+    gates with distinct measured rejection rates and costs over the
+    corpus — the cheapest-reject-first ordering plus exact-integer
+    expected cost per position under independence (the fold is
+    rescaled div 10⁶ per step, never a float exp-sum-log; signal_mi
+    is the correlation caveat's measuring stick). One corpus
+    aggregate measures all gates; the plan math runs on a one-row
+    array of 4 structs."""
+    from beats_spark.operators.sampling import filter_cascade
+    from beats_spark.operators.textstats import readability_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    frame = readability_stats(docs).select("doc_id", "flesch_milli").join(
+        docs, "doc_id"
+    )
+    filters = {
+        "len200": (F.col("n_chars") >= 200, 1),
+        "not_zh": (F.col("lang") != "zh", 5),
+        "has_sentence": (F.col("text").rlike("[.!?]"), 3),
+        "readable": (F.col("flesch_milli") >= 20000, 40),
+    }
+    return filter_cascade(frame, filters)
+
+
+_SQL_FILTER_CASCADE = r"""
+WITH f AS (
+  SELECT d.n_chars, d.lang, d.text,
+         (206835 - (1015 * n_words) // n_sentences
+          - (84600 * n_syllables) //
+            (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END))::BIGINT
+           AS flesch_milli
+  FROM (
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+'))
+            END)::BIGINT AS n_words,
+           (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+                 THEN len(regexp_extract_all(text, '[.!?]+'))
+                 ELSE 1 END)::BIGINT AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syllables
+    FROM documents
+  ) r JOIN documents d USING (doc_id)
+), rates AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((n_chars >= 200)::INT)::BIGINT AS p_len200,
+         sum((lang <> 'zh')::INT)::BIGINT AS p_not_zh,
+         sum(regexp_matches(text, '[.!?]')::INT)::BIGINT AS p_has_sentence,
+         sum((flesch_milli >= 20000)::INT)::BIGINT AS p_readable
+  FROM f
+), rej AS (
+  SELECT g.gate, g.cost::BIGINT AS cost,
+         ((r.n - CASE g.gate
+             WHEN 'len200' THEN r.p_len200
+             WHEN 'not_zh' THEN r.p_not_zh
+             WHEN 'has_sentence' THEN r.p_has_sentence
+             WHEN 'readable' THEN r.p_readable END)
+          * 1000000 // (CASE WHEN r.n >= 1 THEN r.n ELSE 1 END))::BIGINT
+           AS reject_ppm
+  FROM (VALUES ('len200', 1), ('not_zh', 5), ('has_sentence', 3),
+               ('readable', 40)) g(gate, cost), rates r
+), ordlist AS (
+  SELECT list(struct_pack(gate := gate, reject_ppm := reject_ppm,
+                          cost := cost)
+              ORDER BY reject_ppm * 1000000 // cost DESC, gate) AS o
+  FROM rej
+), pos AS (
+  SELECT unnest(range(1, len(o) + 1)) AS i, o FROM ordlist
+)
+SELECT i::BIGINT AS position,
+       o[i].gate AS gate,
+       o[i].cost AS cost_micro,
+       o[i].reject_ppm AS reject_ppm,
+       (o[i].cost * list_reduce(
+          list_prepend(1000000::BIGINT,
+            list_transform(list_slice(o, 1, i - 1),
+                           x -> 1000000 - x.reject_ppm)),
+          (a, b) -> a * b // 1000000) // 1000000)::BIGINT
+         AS exp_cost_micro,
+       list_reduce(
+          list_prepend(1000000::BIGINT,
+            list_transform(list_slice(o, 1, i),
+                           x -> 1000000 - x.reject_ppm)),
+          (a, b) -> a * b // 1000000)::BIGINT AS survivors_ppm
+FROM pos
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10736,6 +10825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burstiness": q_burstiness,
         "redirect_chains": q_redirect_chains,
         "signal_mi": q_signal_mi,
+        "filter_cascade": q_filter_cascade,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -10942,6 +11032,7 @@ def oracle_sql() -> dict[str, str]:
         "burstiness": _SQL_BURSTINESS,
         "redirect_chains": _SQL_REDIRECT_CHAINS,
         "signal_mi": _sql_signal_mi(),
+        "filter_cascade": _SQL_FILTER_CASCADE,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1054,3 +1054,92 @@ def budget_select(
             (F.col("prefix_sum") + F.col(tokens_col)) <= F.lit(budget_tokens)
         ).alias("kept"),
     )
+
+
+def filter_cascade(
+    df: DataFrame,
+    filters: dict[str, tuple], 
+) -> DataFrame:
+    """Quality-gate cascade planner — the pipeline-economics question
+    every multi-filter curation stack should answer before burning
+    compute: in what ORDER do the gates run, and what does a document
+    cost on average once the cheap gates reject early? ``filters``
+    maps name → (pass_condition Column, cost_micro per evaluated
+    doc). NULL conditions fail closed (tag-and-exclude: an
+    unevaluable doc must not skip a gate).
+
+    Plan = gates sorted by measured rejection-per-cost (reject_ppm ·
+    10⁶ div cost_micro, name tie-break — the classic
+    cheapest-reject-first heuristic), with the expected evaluation
+    cost of each position under the independence approximation:
+    contribution_i = cost_i · Π_{j<i} pass_ppm_j (exact integer fold,
+    rescaled div 10⁶ per step — engine-replayable, unlike a float
+    exp-sum-log). Real pass rates are correlated (see signal_mi —
+    high-MI gate pairs make independence optimistic); the docstring
+    contract is a PLAN and its cost model, not a measured rerun.
+
+    Emits one row per gate: ``position``, ``gate``, ``cost_micro``,
+    ``reject_ppm``, ``exp_cost_micro`` (this gate's expected
+    contribution), ``survivors_ppm`` (after it). Scale shape: ONE
+    corpus-scale aggregate measures every gate's pass count
+    simultaneously (the flags ride one projection); ordering and the
+    cost fold run on a single collected-to-one-row array of
+    |filters| structs — never the corpus.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = sorted(filters)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for name in names:
+        cond, cost = filters[name]
+        if int(cost) <= 0:
+            raise ValueError(f"cost for {name!r} must be > 0")
+        aggs.append(
+            F.sum(F.coalesce(cond, F.lit(False)).cast("long"))
+            .cast("long")
+            .alias(f"_p_{name}")
+        )
+    rates = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.expr(
+                    f"cast((_n - _p_{name}) * 1000000 div "
+                    f"(case when _n >= 1 then _n else 1 end) as long)"
+                ).alias("reject_ppm"),
+                F.lit(int(filters[name][1])).cast("long").alias("cost_micro"),
+                F.lit(name).alias("gate"),
+            )
+            for name in names
+        ]
+    )
+    # order key: rejection-per-cost DESC, then gate name — encoded as
+    # a sortable struct whose first member is the NEGATED key (well
+    # inside the negatable range: ppm ratios, never int64.min —
+    # CLAUDE.md sentinel note)
+    ordered = rates.withColumn("_s", structs).select(
+        F.expr(
+            "array_sort(transform(_s, x -> struct("
+            "-(x.reject_ppm * 1000000 div x.cost_micro) as negkey,"
+            " x.gate as gate, x.reject_ppm as reject_ppm,"
+            " x.cost_micro as cost_micro)))"
+        ).alias("_o")
+    )
+    rows = ordered.select(
+        F.explode(
+            F.expr(
+                """transform(sequence(1, size(_o)), i -> struct(
+  cast(i as long) as position,
+  element_at(_o, i).gate as gate,
+  element_at(_o, i).cost_micro as cost_micro,
+  element_at(_o, i).reject_ppm as reject_ppm,
+  cast(element_at(_o, i).cost_micro * aggregate(slice(_o, 1, i - 1),
+       1000000L, (acc, x) -> acc * (1000000 - x.reject_ppm)
+                 div 1000000) div 1000000 as long) as exp_cost_micro,
+  cast(aggregate(slice(_o, 1, i), 1000000L,
+       (acc, x) -> acc * (1000000 - x.reject_ppm) div 1000000)
+       as long) as survivors_ppm))"""
+            )
+        ).alias("_r")
+    ).select("_r.*")
+    return rows

@@ -198,6 +198,7 @@ EXT_QUERIES = [
     "burstiness",
     "redirect_chains",
     "signal_mi",
+    "filter_cascade",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

@@ -321,3 +321,38 @@ def test_stratified_quota_dict_and_overdraw(spark):
         stratified_quota(df, "source", -1, "doc_id")
     with pytest.raises(ValueError):
         stratified_quota(df, "source", {"a": -2}, "doc_id")
+
+
+def test_filter_cascade_plan(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.operators.sampling import filter_cascade
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    filters = {
+        "half": (F.col("x") % 2 == 0, 10),
+        "cheap_90": (F.col("x") % 10 == 0, 1),
+        "pricey_keep_all": (F.lit(True), 100),
+    }
+    got = {r.position: r for r in filter_cascade(df, filters).collect()}
+    # cheapest-reject-first: 90%-reject at cost 1 leads
+    assert [got[i].gate for i in (1, 2, 3)] == [
+        "cheap_90", "half", "pricey_keep_all",
+    ]
+    assert got[1].exp_cost_micro == 1 and got[1].survivors_ppm == 100_000
+    # second gate costs 10 on the surviving 10% -> 1 micro expected
+    assert got[2].exp_cost_micro == 1 and got[2].survivors_ppm == 50_000
+    # zero-reject gate runs last on 5% of docs
+    assert got[3].exp_cost_micro == 5 and got[3].survivors_ppm == 50_000
+    # NULL conditions fail closed
+    df2 = spark.createDataFrame([(1,), (None,)], "x long")
+    out = {r.gate: r for r in filter_cascade(
+        df2, {"pos": (F.col("x") > 0, 1)}
+    ).collect()}
+    assert out["pos"].reject_ppm == 500_000
+    with pytest.raises(ValueError):
+        filter_cascade(df, {})
+    with pytest.raises(ValueError):
+        filter_cascade(df, {"bad": (F.lit(True), 0)})
