@@ -9101,6 +9101,56 @@ FROM pos
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty (dedup.ngram_novelty): every
+    doc_id%5==0 document probes against the rest of the corpus as
+    reference — natural near-dups score low, unique docs high. One
+    shingle-keyed anti join (the inverted-index shape); the oracle
+    replays shingles + the anti join + exact ppm."""
+    from beats_spark.operators.dedup import ngram_novelty
+    from beats_spark.operators.scale import spread
+
+    docs = spread(_load(spark, sf_dir, "documents"))
+    probes = docs.where(F.col("doc_id") % 5 == 0)
+    ref = docs.where(F.col("doc_id") % 5 != 0)
+    return ngram_novelty(probes, ref)
+
+
+_SQL_NGRAM_NOVELTY = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + 5], ' ')
+         )) AS grams
+  FROM (
+    SELECT doc_id,
+           string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+           ) AS toks
+    FROM documents
+    WHERE trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))
+          <> ''
+  )
+), ref AS (
+  SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 5 <> 0
+), pr AS (
+  SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 5 = 0
+), novel AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_novel
+  FROM pr p LEFT JOIN ref r ON p.g = r.g
+  WHERE r.g IS NULL GROUP BY p.doc_id
+), totals AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM pr GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(n.n_novel, 0)::BIGINT AS n_novel,
+       (COALESCE(n.n_novel, 0) * 1000000 // t.n_grams)::BIGINT
+         AS novelty_ppm
+FROM totals t LEFT JOIN novel n ON t.doc_id = n.doc_id
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10826,6 +10876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains": q_redirect_chains,
         "signal_mi": q_signal_mi,
         "filter_cascade": q_filter_cascade,
+        "ngram_novelty": q_ngram_novelty,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11033,6 +11084,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_chains": _SQL_REDIRECT_CHAINS,
         "signal_mi": _sql_signal_mi(),
         "filter_cascade": _SQL_FILTER_CASCADE,
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1766,3 +1766,60 @@ def cdc_shared_stats(
             F.when(F.col("_ndocs") > 1, F.col("_len")).otherwise(0)
         ).cast("long").alias("chars_shared"),
     )
+
+
+def ngram_novelty(
+    probes: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: what
+    fraction of a probe doc's distinct word shingles never occur in
+    the reference — the memorization/novelty profile (a probe set
+    with low novelty against the training corpus is paraphrase or
+    leakage; a synthetic-data batch with suspiciously HIGH novelty
+    is off-distribution). Shares the shingles() normalization and
+    the shingle-less-doc exclusion discipline with the whole dedup
+    family (the NULL-shingle pitfall stays closed on both engines).
+
+    Emits per probe doc: ``n_grams`` (distinct shingles),
+    ``n_novel``, ``novelty_ppm`` (exact integer).
+
+    100 TB shape: both sides explode to (shingle[, id]) and meet in
+    ONE shingle-keyed left-anti join — the inverted-index shape the
+    Jaccard family already uses (CLAUDE.md: beats array_intersect
+    block joins ~9×); the reference side deduplicates to DISTINCT
+    shingles first (map-side combine), so the join's build side is
+    vocabulary-scale, not corpus-scale. No pairs, no quadratic path.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    def _sh(df: DataFrame, with_id: bool):
+        norm = normalize_text(F.col(text_col))
+        base = df.where(norm != "").select(
+            *( [F.col(id_col).alias("_id")] if with_id else [] ),
+            F.explode(shingles(F.col(text_col), n)).alias("_g"),
+        )
+        return base
+
+    ref = _sh(reference, with_id=False).distinct()
+    pr = _sh(probes, with_id=True)
+    novel = pr.join(ref, "_g", "left_anti").groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    totals = pr.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(novel, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "cast(coalesce(n_novel, 0) * 1000000 div n_grams as long)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -199,6 +199,7 @@ EXT_QUERIES = [
     "redirect_chains",
     "signal_mi",
     "filter_cascade",
+    "ngram_novelty",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

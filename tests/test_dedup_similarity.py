@@ -1127,3 +1127,28 @@ def test_containment_pairs_subset_vs_jaccard(spark):
     hi = {(r.id_a, r.id_b)
           for r in containment_pairs(docs, n=3, threshold_ppm=900_000).collect()}
     assert (1, 2) in hi and (1, 3) not in hi
+
+
+def test_ngram_novelty_semantics(spark):
+    from beats_spark.operators.dedup import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [
+            # exact copy of the reference: zero novelty
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # fully disjoint vocabulary: total novelty
+            (2, "one two three four five six seven eight"),
+            # blank probe: excluded entirely (shingle-less)
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(probes, ref).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].novelty_ppm == 0
+    assert got[2].novelty_ppm == 1_000_000
+    assert got[2].n_novel == got[2].n_grams > 0
