@@ -9151,6 +9151,51 @@ FROM totals t LEFT JOIN novel n ON t.doc_id = n.doc_id
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (the evaluation view the
+    aggregate `lang_id` accuracy hides): per (true lang, predicted)
+    cell, the count and the share of the true language's rows in
+    integer ppm — which languages the heuristic misroutes WHERE, the
+    honest audit of a battery every per-language downstream op keys
+    on. Oracle generated from the same tables
+    (textstats.lang_id_sql_parts)."""
+    from beats_spark.operators import textstats
+
+    docs = _load(spark, sf_dir, "documents")
+    cells = (
+        docs.withColumn("pred", textstats.lang_id(F.col("text")))
+        .groupBy("lang", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cells.withColumn(
+        "share_ppm",
+        F.expr(
+            "cast(n * 1000000 div sum(n) over (partition by lang) as long)"
+        ),
+    )
+
+
+def _sql_langid_confusion() -> str:
+    from beats_spark.operators.textstats import lang_id_sql_parts
+
+    select_list, pred = lang_id_sql_parts("text")
+    return f"""
+WITH scores AS (
+  SELECT doc_id, lang, text,
+         {select_list}
+  FROM documents
+), preds AS (
+  SELECT lang, {pred} AS pred FROM scores
+), cells AS (
+  SELECT lang, pred, count(*)::BIGINT AS n FROM preds GROUP BY lang, pred
+)
+SELECT lang, pred, n,
+       (n * 1000000 // sum(n) OVER (PARTITION BY lang))::BIGINT
+         AS share_ppm
+FROM cells
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10877,6 +10922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "signal_mi": q_signal_mi,
         "filter_cascade": q_filter_cascade,
         "ngram_novelty": q_ngram_novelty,
+        "langid_confusion": q_langid_confusion,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11085,6 +11131,7 @@ def oracle_sql() -> dict[str, str]:
         "signal_mi": _sql_signal_mi(),
         "filter_cascade": _SQL_FILTER_CASCADE,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "langid_confusion": _sql_langid_confusion(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -200,6 +200,7 @@ EXT_QUERIES = [
     "signal_mi",
     "filter_cascade",
     "ngram_novelty",
+    "langid_confusion",
     "cluster_split",
     "bloom_seen",
     "shard_plan",
