@@ -9196,6 +9196,68 @@ FROM cells
 """
 
 
+def q_context_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget overflow report (chat.context_overflow_stats):
+    events as conversation turns (user_id key, event_type#id token
+    text priced by the whitespace convention), probed at budgets
+    {32, 64, 128} — sized to the fixture's ≤99-turn conversations so
+    all three loss regimes appear. One conv aggregate; budgets ride
+    one explode of the reduced frame."""
+    from beats_spark.operators.chat import context_overflow_stats
+    from beats_spark.operators.textstats import token_count_whitespace
+
+    ev = _load(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        token_count_whitespace(
+            F.concat(
+                F.col("event_type"),
+                F.lit("#"),
+                F.col("event_id").cast("string"),
+                F.lit(" payload token run"),
+            )
+        ).cast("long").alias("n_toks"),
+    )
+    return context_overflow_stats(turns, budgets=(32, 64, 128))
+
+
+_SQL_CONTEXT_OVERFLOW = r"""
+WITH turns AS (
+  SELECT user_id AS conv_id,
+         (CASE WHEN trim(t) = '' THEN 0
+               ELSE len(string_split_regex(trim(t), '\s+')) END)::BIGINT
+           AS n_toks
+  FROM (
+    SELECT user_id,
+           event_type || '#' || event_id::VARCHAR || ' payload token run'
+             AS t
+    FROM events
+  )
+), per_conv AS (
+  SELECT conv_id, sum(n_toks)::BIGINT AS len FROM turns GROUP BY conv_id
+), probes AS (
+  SELECT len, b.budget::BIGINT AS budget
+  FROM per_conv, (VALUES (32), (64), (128)) b(budget)
+), g AS (
+  SELECT budget, count(*)::BIGINT AS n_convs,
+         sum((len > budget)::INT)::BIGINT AS n_over,
+         sum(len)::BIGINT AS tokens_total,
+         sum(CASE WHEN len > budget THEN len - budget ELSE 0 END)::BIGINT
+           AS tokens_lost
+  FROM probes GROUP BY budget
+)
+SELECT budget, n_convs, n_over,
+       (n_over * 1000000 //
+        (CASE WHEN n_convs >= 1 THEN n_convs ELSE 1 END))::BIGINT
+         AS over_ppm,
+       tokens_total, tokens_lost,
+       (tokens_lost * 1000000 //
+        (CASE WHEN tokens_total >= 1 THEN tokens_total ELSE 1 END))::BIGINT
+         AS loss_ppm
+FROM g
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10923,6 +10985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_cascade": q_filter_cascade,
         "ngram_novelty": q_ngram_novelty,
         "langid_confusion": q_langid_confusion,
+        "context_overflow": q_context_overflow,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11132,6 +11195,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_cascade": _SQL_FILTER_CASCADE,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "langid_confusion": _sql_langid_confusion(),
+        "context_overflow": _SQL_CONTEXT_OVERFLOW,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -861,3 +861,71 @@ def prefix_cache_stats(
             .alias("turns_saved"),
         )
     )
+
+
+def context_overflow_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tok_col: str = "n_toks",
+    budgets: tuple[int, ...] = (2048, 4096, 8192),
+) -> DataFrame:
+    """Context-budget overflow report — what each candidate context
+    length costs in truncated data: per budget, how many
+    conversations exceed it, and how many turn tokens fall outside
+    (the amount truncate_context would cut corpus-wide). The
+    capacity-planning complement to padding_stats: padding measures
+    waste BELOW the budget, this measures loss ABOVE it.
+
+    Emits per budget: ``budget``, ``n_convs``, ``n_over``,
+    ``over_ppm``, ``tokens_total``, ``tokens_lost`` (Σ max(len −
+    budget, 0) — CASE, not greatest: a NULL conv length must stay
+    NULL, CLAUDE.md), ``loss_ppm``.
+
+    Scale shape: ONE conv-key aggregate reduces the corpus to a
+    per-conversation token total; all budgets ride a single explode
+    over that reduced frame (|budgets|× a per-CONV frame — never the
+    turns) into one ≤|budgets|-row rollup.
+    """
+    bs = sorted(set(int(b) for b in budgets))
+    if not bs or bs[0] <= 0:
+        raise ValueError(f"bad budgets: {budgets!r}")
+    per_conv = df.groupBy(conv_col).agg(
+        F.sum(F.col(tok_col).cast("long")).alias("_len")
+    )
+    probes = per_conv.select(
+        "_len",
+        F.explode(F.array(*[F.lit(b).cast("long") for b in bs])).alias(
+            "budget"
+        ),
+    )
+    g = probes.groupBy("budget").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum((F.col("_len") > F.col("budget")).cast("long"))
+        .cast("long")
+        .alias("n_over"),
+        F.sum("_len").cast("long").alias("tokens_total"),
+        F.sum(
+            F.when(
+                F.col("_len") > F.col("budget"),
+                F.col("_len") - F.col("budget"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_lost"),
+    )
+    return g.select(
+        "budget",
+        "n_convs",
+        "n_over",
+        F.expr(
+            "cast(n_over * 1000000 div "
+            "(case when n_convs >= 1 then n_convs else 1 end) as long)"
+        ).alias("over_ppm"),
+        "tokens_total",
+        "tokens_lost",
+        F.expr(
+            "cast(tokens_lost * 1000000 div "
+            "(case when tokens_total >= 1 then tokens_total else 1 end)"
+            " as long)"
+        ).alias("loss_ppm"),
+    )

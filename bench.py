@@ -201,6 +201,7 @@ EXT_QUERIES = [
     "filter_cascade",
     "ngram_novelty",
     "langid_confusion",
+    "context_overflow",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

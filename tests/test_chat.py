@@ -393,3 +393,24 @@ def test_preference_length_stats_degenerate_margins(spark):
     got = {r["margin_bucket"]: r for r in preference_length_stats(df).collect()}
     assert set(got) == {-1, 0}
     assert got[-1]["n_pairs"] == 2 and got[0]["n_pairs"] == 1
+
+
+def test_context_overflow_stats(spark):
+    import pytest
+
+    from beats_spark.operators.chat import context_overflow_stats
+
+    # conv 1: 10 tokens; conv 2: 50 tokens; conv 3: 100 tokens
+    rows = [(1, 10), (2, 20), (2, 30), (3, 100)]
+    df = spark.createDataFrame(rows, "conv_id long, n_toks long")
+    got = {r.budget: r for r in
+           context_overflow_stats(df, budgets=(16, 64)).collect()}
+    b16 = got[16]
+    assert (b16.n_convs, b16.n_over, b16.tokens_total) == (3, 2, 160)
+    # losses: conv2 50-16=34, conv3 100-16=84
+    assert b16.tokens_lost == 118 and b16.loss_ppm == 118 * 1_000_000 // 160
+    b64 = got[64]
+    assert (b64.n_over, b64.tokens_lost) == (1, 36)
+    assert b64.over_ppm == 1_000_000 // 3
+    with pytest.raises(ValueError):
+        context_overflow_stats(df, budgets=(0,))
