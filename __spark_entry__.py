@@ -9258,6 +9258,49 @@ FROM g
 """
 
 
+def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve (dedup.dedup_rate_curve) over the
+    exact-Jaccard ground-truth pairs at τ=0.3: surviving pairs, docs
+    touched, and the pairwise min-id-keeper drop count per candidate
+    threshold — pair-level scouting, the chosen τ then earns the
+    full clustering pass. Jaccard classifies via floor(j·10⁶) of the
+    bit-identical IEEE division."""
+    from beats_spark.operators.dedup import (
+        dedup_rate_curve,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.3)
+    return dedup_rate_curve(pairs)
+
+
+def _sql_dedup_rate_curve() -> str:
+    body = _SQL_JACCARD_BODY.format(n=5, t=0.3)
+    return f"""
+WITH pairs AS (SELECT * FROM ({body}) x),
+probes AS (
+  SELECT id_a, id_b, t.threshold_ppm::BIGINT AS threshold_ppm
+  FROM pairs, (VALUES (300000), (400000), (500000), (600000),
+                      (700000), (800000), (900000)) t(threshold_ppm)
+  WHERE floor(jaccard * 1000000)::BIGINT >= t.threshold_ppm
+), counts AS (
+  SELECT threshold_ppm, count(*)::BIGINT AS n_pairs,
+         count(DISTINCT id_b)::BIGINT AS n_dropped_naive
+  FROM probes GROUP BY threshold_ppm
+), touched AS (
+  SELECT threshold_ppm, count(DISTINCT d)::BIGINT AS n_docs_matched
+  FROM (
+    SELECT threshold_ppm, id_a AS d FROM probes
+    UNION ALL
+    SELECT threshold_ppm, id_b FROM probes
+  ) GROUP BY threshold_ppm
+)
+SELECT c.threshold_ppm, c.n_pairs, t.n_docs_matched, c.n_dropped_naive
+FROM counts c JOIN touched t USING (threshold_ppm)
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -10986,6 +11029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "langid_confusion": q_langid_confusion,
         "context_overflow": q_context_overflow,
+        "dedup_rate_curve": q_dedup_rate_curve,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11196,6 +11240,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "langid_confusion": _sql_langid_confusion(),
         "context_overflow": _SQL_CONTEXT_OVERFLOW,
+        "dedup_rate_curve": _sql_dedup_rate_curve(),
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1823,3 +1823,64 @@ def ngram_novelty(
             ).alias("novelty_ppm"),
         )
     )
+
+
+def dedup_rate_curve(
+    pairs: DataFrame,
+    thresholds_ppm: tuple[int, ...] = (
+        300_000, 400_000, 500_000, 600_000, 700_000, 800_000, 900_000,
+    ),
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    jaccard_col: str = "jaccard",
+) -> DataFrame:
+    """Dedup aggressiveness curve — the threshold-tuning report every
+    near-dup deployment needs before picking τ: over a LOW-threshold
+    exact-Jaccard pair frame (the ground-truth tier), how many pairs
+    survive each candidate threshold, how many documents are touched,
+    and how many the pairwise min-id keeper would drop. Pair-level
+    accounting (no transitive closure per threshold — that is
+    connected_components × |thresholds|; the curve is the scouting
+    report, the chosen τ then gets the full clustering pass).
+
+    Per threshold: ``threshold_ppm``, ``n_pairs``,
+    ``n_docs_matched`` (distinct docs in any surviving pair),
+    ``n_dropped_naive`` (distinct larger-ids — the pairwise keeper
+    upper bound on survivors removed). Jaccard values classify via
+    floor(j·10⁶) — the single IEEE division is bit-identical across
+    engines, so the floor is too (CLAUDE.md float discipline).
+
+    Scale shape: the input pair frame is already candidate-scale;
+    the sweep explodes it |thresholds|× and runs two map-side-
+    combined aggregates — never touches the corpus.
+    """
+    ts = sorted(set(int(t) for t in thresholds_ppm))
+    if not ts or ts[0] < 0 or ts[-1] > 1_000_000:
+        raise ValueError(f"bad thresholds: {thresholds_ppm!r}")
+    base = pairs.select(
+        F.col(id_a).alias("_a"),
+        F.col(id_b).alias("_b"),
+        F.floor(F.col(jaccard_col) * F.lit(1_000_000))
+        .cast("long")
+        .alias("_ppm"),
+    )
+    probes = base.select(
+        "_a", "_b", "_ppm",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in ts])
+        ).alias("threshold_ppm"),
+    ).where(F.col("_ppm") >= F.col("threshold_ppm"))
+    counts = probes.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("_b").cast("long").alias("n_dropped_naive"),
+    )
+    touched = (
+        probes.select(
+            "threshold_ppm", F.explode(F.array("_a", "_b")).alias("_d")
+        )
+        .groupBy("threshold_ppm")
+        .agg(F.countDistinct("_d").cast("long").alias("n_docs_matched"))
+    )
+    return counts.join(touched, "threshold_ppm").select(
+        "threshold_ppm", "n_pairs", "n_docs_matched", "n_dropped_naive"
+    )

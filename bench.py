@@ -202,6 +202,7 @@ EXT_QUERIES = [
     "ngram_novelty",
     "langid_confusion",
     "context_overflow",
+    "dedup_rate_curve",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

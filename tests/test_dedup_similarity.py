@@ -1152,3 +1152,27 @@ def test_ngram_novelty_semantics(spark):
     assert got[1].novelty_ppm == 0
     assert got[2].novelty_ppm == 1_000_000
     assert got[2].n_novel == got[2].n_grams > 0
+
+
+def test_dedup_rate_curve_monotone(spark):
+    import pytest
+
+    from beats_spark.operators.dedup import dedup_rate_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.95), (1, 3, 0.55), (4, 5, 0.35), (2, 6, 0.75)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r.threshold_ppm: r for r in dedup_rate_curve(
+        pairs, thresholds_ppm=(300_000, 600_000, 900_000)
+    ).collect()}
+    assert got[300_000].n_pairs == 4 and got[300_000].n_docs_matched == 6
+    assert got[600_000].n_pairs == 2
+    # docs 2 and 6 are dropped at 600k (larger ids of surviving pairs)
+    assert got[600_000].n_dropped_naive == 2
+    assert got[900_000].n_pairs == 1 and got[900_000].n_dropped_naive == 1
+    # monotone: tightening the threshold never adds pairs
+    ns = [got[t].n_pairs for t in sorted(got)]
+    assert ns == sorted(ns, reverse=True)
+    with pytest.raises(ValueError):
+        dedup_rate_curve(pairs, thresholds_ppm=(2_000_000,))
