@@ -9301,6 +9301,59 @@ FROM counts c JOIN touched t USING (threshold_ppm)
 """
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations (textstats.collocations): corpus-level
+    phrase mining in whole floor-log2 bits, min_count=5 hapax floor,
+    deterministic (pmi, count, text) tie-break. Distributed top-k
+    (TakeOrderedAndProject); the oracle replays counts, marginals,
+    the fl2 algebra, and the rank."""
+    from beats_spark.operators.textstats import collocations
+
+    return collocations(_load(spark, sf_dir, "documents"), k=30)
+
+
+_SQL_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '
+         ), x -> x <> '') AS tk
+  FROM documents
+), bg AS (
+  SELECT unnest(list_transform(
+           range(1, len(tk)),
+           i -> tk[i] || ' ' || tk[i + 1]
+         )) AS b
+  FROM toks WHERE len(tk) >= 2
+), counts AS (
+  SELECT b, count(*)::BIGINT AS nab FROM bg GROUP BY b
+), lefts AS (
+  SELECT split_part(b, ' ', 1) AS w1, sum(nab)::BIGINT AS na
+  FROM counts GROUP BY 1
+), rights AS (
+  SELECT split_part(b, ' ', 2) AS w2, sum(nab)::BIGINT AS nb
+  FROM counts GROUP BY 1
+), tot AS (
+  SELECT sum(nab)::BIGINT AS N FROM counts
+), scored AS (
+  SELECT c.b AS bigram, c.nab AS n_ab,
+         ((length(bin(c.nab)) - 1) + (length(bin(t.N)) - 1)
+          - (length(bin(l.na)) - 1) - (length(bin(r.nb)) - 1))::BIGINT
+           AS pmi_fl2
+  FROM counts c
+  JOIN lefts l ON split_part(c.b, ' ', 1) = l.w1
+  JOIN rights r ON split_part(c.b, ' ', 2) = r.w2
+  CROSS JOIN tot t
+  WHERE c.nab >= 5
+)
+SELECT row_number() OVER (
+         ORDER BY pmi_fl2 DESC, n_ab DESC, bigram
+       )::BIGINT AS rank,
+       bigram, n_ab, pmi_fl2
+FROM scored
+QUALIFY rank <= 30
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -11030,6 +11083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": q_langid_confusion,
         "context_overflow": q_context_overflow,
         "dedup_rate_curve": q_dedup_rate_curve,
+        "collocations": q_collocations,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11241,6 +11295,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": _sql_langid_confusion(),
         "context_overflow": _SQL_CONTEXT_OVERFLOW,
         "dedup_rate_curve": _sql_dedup_rate_curve(),
+        "collocations": _SQL_COLLOCATIONS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1929,3 +1929,71 @@ def signal_mi(
             )
             out = pair if out is None else out.unionByName(pair)
     return out
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k PMI collocations — corpus-level phrase mining (Church &
+    Hanks 1990): bigrams whose words co-occur far above chance, the
+    candidates a tokenizer-vocab or phrase-index build promotes to
+    units. PMI in whole floor-log2 bits (the surprisal-family rule,
+    ±2-bit floor band): pmi_fl2 = fl2(n_ab) + fl2(N) − fl2(n_a) −
+    fl2(n_b), with n_a = w1's count as a bigram LEFT and n_b = w2's
+    as a bigram RIGHT — both derived from the bigram count table
+    itself (the bigram_surprisal convention; no second corpus pass).
+    ``min_count`` floors away the hapax noise PMI is notorious for.
+
+    Scale shape: ONE corpus-scale bigram explode → groupBy (map-side
+    combined, hash-uniform keys); marginals and N reduce from that
+    count table; ranking is orderBy().limit(k) —
+    TakeOrderedAndProject, each partition keeps k rows, never a
+    global sort. Ties break (n_ab desc, bigram asc): deterministic.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError(f"bad collocation params k={k} min_count={min_count}")
+    from beats_spark.operators.dedup import tokens
+    from beats_spark.operators.scale import spread
+
+    base = spread(df).select(tokens(F.col(text_col)).alias("_toks"))
+    cnt = F.size(F.col("_toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), cnt - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, 2)),
+    )
+    bg = base.where(cnt >= 2).select(F.explode(bigrams).alias("_bg"))
+    counts = bg.groupBy("_bg").agg(
+        F.count(F.lit(1)).cast("long").alias("_nab")
+    ).persist()
+    lefts = counts.groupBy(
+        F.substring_index(F.col("_bg"), " ", 1).alias("_w1")
+    ).agg(F.sum("_nab").cast("long").alias("_na"))
+    rights = counts.groupBy(
+        F.substring_index(F.col("_bg"), " ", -1).alias("_w2")
+    ).agg(F.sum("_nab").cast("long").alias("_nb"))
+    total = counts.agg(F.sum("_nab").cast("long").alias("_N"))
+    scored = (
+        counts.where(F.col("_nab") >= min_count)
+        .join(lefts, F.substring_index(F.col("_bg"), " ", 1) == F.col("_w1"))
+        .join(rights, F.substring_index(F.col("_bg"), " ", -1) == F.col("_w2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_bg").alias("bigram"),
+            F.col("_nab").alias("n_ab"),
+            (
+                fl2(F.col("_nab")) + fl2(F.col("_N"))
+                - fl2(F.col("_na")) - fl2(F.col("_nb"))
+            ).cast("long").alias("pmi_fl2"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi_fl2"), F.desc("n_ab"), F.asc("bigram")
+    ).limit(k)
+    w = Window.orderBy(F.desc("pmi_fl2"), F.desc("n_ab"), F.asc("bigram"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "bigram", "n_ab", "pmi_fl2"
+    )

@@ -203,6 +203,7 @@ EXT_QUERIES = [
     "langid_confusion",
     "context_overflow",
     "dedup_rate_curve",
+    "collocations",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

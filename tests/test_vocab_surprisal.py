@@ -125,3 +125,25 @@ def test_signal_mi_independence_and_identity(spark):
     assert got[("y", "z")] == 0
     with pytest.raises(ValueError):
         signal_mi(df, ["x"])
+
+
+def test_collocations_pmi(spark):
+    import pytest
+
+    from beats_spark.operators.textstats import collocations
+
+    # "foo bar" always together (5 times, each in its own doc, with
+    # filler so the words never pair with anything else); "the the"
+    # frequent but independent filler
+    docs = [(i, "foo bar " + "the " * 10) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations(df, k=5, min_count=5).collect()
+    got = {r.bigram: r for r in out}
+    assert out[0].bigram == "foo bar"  # top PMI
+    # exact fl2 algebra: nab=5, N=55, na("foo")=5, nb("bar")=5
+    assert got["foo bar"].pmi_fl2 == 2 + 5 - 2 - 2
+    assert got["foo bar"].n_ab == 5
+    # filler bigram exists but scores below the collocation
+    assert "the the" in got and got["the the"].pmi_fl2 < got["foo bar"].pmi_fl2
+    with pytest.raises(ValueError):
+        collocations(df, k=0)
