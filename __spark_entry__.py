@@ -9354,6 +9354,49 @@ QUALIFY rank <= 30
 """
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate (dedup.dup_rate_by_source):
+    every doc_id%17==3 document rides in twice (re-idded copy, same
+    source — a provider replaying a bucket), so sources show
+    non-trivial dup ppm. Spark groups by the 128-bit two-hash key
+    (16 B/doc); the oracle groups by the normalized TEXT itself —
+    an independent identity check, not a hash replay."""
+    from beats_spark.operators.dedup import dup_rate_by_source
+
+    docs = _load(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted = docs.select("doc_id", "text", "lang", "source", "n_chars")
+    return dup_rate_by_source(planted.unionByName(copies))
+
+
+_SQL_DUP_RATE_BY_SOURCE = r"""
+WITH planted AS (
+  SELECT source, text FROM documents
+  UNION ALL
+  SELECT source, text FROM documents WHERE doc_id % 17 = 3
+), keyed AS (
+  SELECT source,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS k
+  FROM planted
+), g AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         count(DISTINCT k)::BIGINT AS n_distinct
+  FROM keyed GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+       ((n_docs - n_distinct) * 1000000 //
+        (CASE WHEN n_docs >= 1 THEN n_docs ELSE 1 END))::BIGINT
+         AS dup_ppm
+FROM g
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -11084,6 +11127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_overflow": q_context_overflow,
         "dedup_rate_curve": q_dedup_rate_curve,
         "collocations": q_collocations,
+        "dup_rate_by_source": q_dup_rate_by_source,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11296,6 +11340,7 @@ def oracle_sql() -> dict[str, str]:
         "context_overflow": _SQL_CONTEXT_OVERFLOW,
         "dedup_rate_curve": _sql_dedup_rate_curve(),
         "collocations": _SQL_COLLOCATIONS,
+        "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

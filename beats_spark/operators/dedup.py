@@ -1884,3 +1884,46 @@ def dedup_rate_curve(
     return counts.join(touched, "threshold_ppm").select(
         "threshold_ppm", "n_pairs", "n_docs_matched", "n_dropped_naive"
     )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-duplicate rate per source — the per-provider release
+    metric (a feed whose dup rate jumps is re-crawling itself or
+    replaying a bucket; the corpus_report twin scoped to exact
+    content identity). Per group: ``n_docs``, ``n_distinct``
+    (distinct normalized texts), ``dup_ppm`` (docs beyond the first
+    copy of their text, ppm).
+
+    Scale shape: same 128-bit two-hash key as exact_dedup (16 B per
+    doc shuffled, never text; birthday-safe at multi-billion docs) —
+    one (group, key) groupBy with map-side combine, then a ≤|groups|
+    rollup.
+    """
+    norm = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    keyed = df.select(
+        F.col(group_col).alias("_g"),
+        F.xxhash64(norm).alias("_k1"),
+        F.xxhash64(norm, F.lit(1)).alias("_k2"),
+    )
+    per_text = keyed.groupBy("_g", "_k1", "_k2").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    g = per_text.groupBy("_g").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        "n_docs",
+        "n_distinct",
+        F.expr(
+            "cast((n_docs - n_distinct) * 1000000 div "
+            "(case when n_docs >= 1 then n_docs else 1 end) as long)"
+        ).alias("dup_ppm"),
+    )

@@ -204,6 +204,7 @@ EXT_QUERIES = [
     "context_overflow",
     "dedup_rate_curve",
     "collocations",
+    "dup_rate_by_source",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

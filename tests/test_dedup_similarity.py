@@ -1176,3 +1176,22 @@ def test_dedup_rate_curve_monotone(spark):
     assert ns == sorted(ns, reverse=True)
     with pytest.raises(ValueError):
         dedup_rate_curve(pairs, thresholds_ppm=(2_000_000,))
+
+
+def test_dup_rate_by_source(spark):
+    from beats_spark.operators.dedup import dup_rate_by_source
+
+    rows = [
+        ("a", 1, "same text"), ("a", 2, "same  TEXT "),  # normalize-equal
+        ("a", 3, "unique one"),
+        ("b", 4, "x"), ("b", 5, "y"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r.source: r for r in dup_rate_by_source(df).collect()}
+    assert (got["a"].n_docs, got["a"].n_distinct) == (3, 2)
+    assert got["a"].dup_ppm == 1_000_000 // 3
+    assert got["b"].dup_ppm == 0
+    # normalize=False keeps the whitespace/case variants distinct
+    raw = {r.source: r for r in
+           dup_rate_by_source(df, normalize=False).collect()}
+    assert raw["a"].n_distinct == 3 and raw["a"].dup_ppm == 0
