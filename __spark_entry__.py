@@ -9160,8 +9160,11 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     on. Oracle generated from the same tables
     (textstats.lang_id_sql_parts)."""
     from beats_spark.operators import textstats
+    from beats_spark.operators.scale import spread
 
-    docs = _load(spark, sf_dir, "documents")
+    # the 27-language marker battery is regex-dense: spread the
+    # single-file fixture scan (measured 7.1 s -> sub-second at sf0.1)
+    docs = spread(_load(spark, sf_dir, "documents"))
     cells = (
         docs.withColumn("pred", textstats.lang_id(F.col("text")))
         .groupBy("lang", "pred")
