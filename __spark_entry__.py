@@ -9400,6 +9400,75 @@ FROM g
 """
 
 
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ROC curve (ranking.roc_points) for the Flesch-as-
+    English detector from model_auc — the operating-point table a
+    deployed gate is picked from. One corpus groupBy; suffix windows
+    on the ≤16-bin frame."""
+    from beats_spark.operators.ranking import roc_points
+    from beats_spark.operators.textstats import readability_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = readability_stats(docs).select("doc_id", "flesch_milli")
+    frame = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        F.col("flesch_milli").alias("score_milli"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return roc_points(frame)
+
+
+_SQL_ROC_POINTS = r"""
+WITH s AS (
+  SELECT (206835 - (1015 * n_words) // n_sentences
+          - (84600 * n_syllables) //
+            (CASE WHEN n_words >= 1 THEN n_words ELSE 1 END))::BIGINT
+           AS score,
+         y
+  FROM (
+    SELECT doc_id,
+           (CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\s+'))
+            END)::BIGINT AS n_words,
+           (CASE WHEN len(regexp_extract_all(text, '[.!?]+')) >= 1
+                 THEN len(regexp_extract_all(text, '[.!?]+'))
+                 ELSE 1 END)::BIGINT AS n_sentences,
+           len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+             AS n_syllables,
+           lang = 'en' AS y
+    FROM documents
+  )
+), binned AS (
+  SELECT (CASE WHEN score < -16000 THEN 0
+               WHEN score >= 32000 THEN 15
+               ELSE (score + 16000) * 16 // 48000 END)::BIGINT AS bin,
+         y
+  FROM s WHERE score IS NOT NULL AND y IS NOT NULL
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n_neg
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, n_pos, n_neg,
+         sum(n_pos) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS tp,
+         sum(n_neg) OVER (ORDER BY bin DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS fp,
+         sum(n_pos) OVER ()::BIGINT AS tpos,
+         sum(n_neg) OVER ()::BIGINT AS tneg
+  FROM g
+)
+SELECT bin, n_pos, n_neg, tp, fp,
+       (tp * 1000000 //
+        (CASE WHEN tpos >= 1 THEN tpos ELSE 1 END))::BIGINT AS tpr_ppm,
+       (fp * 1000000 //
+        (CASE WHEN tneg >= 1 THEN tneg ELSE 1 END))::BIGINT AS fpr_ppm
+FROM cum
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -11131,6 +11200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_curve": q_dedup_rate_curve,
         "collocations": q_collocations,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "roc_points": q_roc_points,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11344,6 +11414,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_curve": _sql_dedup_rate_curve(),
         "collocations": _SQL_COLLOCATIONS,
         "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
+        "roc_points": _SQL_ROC_POINTS,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

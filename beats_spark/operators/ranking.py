@@ -511,3 +511,78 @@ def model_calibration(
         F.expr("cast(_sp div n as long)").alias("mean_pred_milli"),
         F.expr("cast(_np * 1000 div n as long)").alias("frac_pos_milli"),
     )
+
+
+def roc_points(
+    df: DataFrame,
+    score_col: str = "score_milli",
+    label_col: str = "label",
+    n_bins: int = 16,
+    lo: int = -16_000,
+    hi: int = 32_000,
+) -> DataFrame:
+    """Bucketed ROC curve — the operating-point view model_auc's
+    scalar hides: for each score-bucket threshold ("classify
+    positive at or above this bucket"), the exact integer TPR/FPR in
+    ppm. A curation gate is DEPLOYED at one threshold; this is the
+    table that picks it. Same histogram spec as quality_drift (CASE
+    edge clamps, never least/greatest on the NULL path); NULL
+    scores/labels tag-and-exclude.
+
+    Emits per bucket b (ascending): ``bin``, ``n_pos``/``n_neg`` in
+    the bucket, ``tp``/``fp`` (positives/negatives at or ABOVE b —
+    DESC suffix sums over the ≤n_bins frame, the depth_survival
+    move), ``tpr_ppm``, ``fpr_ppm``. One corpus-scale
+    map-side-combined groupBy; everything else runs on ≤n_bins rows.
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"bad histogram spec n_bins={n_bins} [{lo}, {hi})")
+    span = hi - lo
+    s = F.col(score_col).cast("long")
+    raw = F.expr(
+        f"cast((cast({score_col} as long) - {lo}) * {n_bins} "
+        f"div {span} as long)"
+    )
+    b = (
+        F.when(s.isNull(), F.lit(None).cast("long"))
+        .when(s < lo, F.lit(0))
+        .when(s >= hi, F.lit(n_bins - 1))
+        .otherwise(raw)
+    )
+    staged = df.select(
+        b.alias("bin"), F.col(label_col).cast("boolean").alias("_y")
+    ).where("bin is not null and _y is not null")
+    g = staged.groupBy("bin").agg(
+        F.sum(F.col("_y").cast("long")).cast("long").alias("n_pos"),
+        F.sum((~F.col("_y")).cast("long")).cast("long").alias("n_neg"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = g.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.sum("n_neg").over(w).cast("long").alias("fp"),
+        F.sum("n_pos").over(wt).cast("long").alias("_tpos"),
+        F.sum("n_neg").over(wt).cast("long").alias("_tneg"),
+    )
+    return cum.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        F.expr(
+            "cast(tp * 1000000 div "
+            "(case when _tpos >= 1 then _tpos else 1 end) as long)"
+        ).alias("tpr_ppm"),
+        F.expr(
+            "cast(fp * 1000000 div "
+            "(case when _tneg >= 1 then _tneg else 1 end) as long)"
+        ).alias("fpr_ppm"),
+    )

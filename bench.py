@@ -205,6 +205,7 @@ EXT_QUERIES = [
     "dedup_rate_curve",
     "collocations",
     "dup_rate_by_source",
+    "roc_points",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

@@ -152,3 +152,24 @@ def test_model_calibration_bins_and_clamp(spark):
     assert got[0].mean_pred_milli == (50 + 50 - 5) // 3
     with pytest.raises(ValueError):
         model_calibration(df, n_bins=7)
+
+
+def test_roc_points_curve(spark):
+    from beats_spark.operators.ranking import roc_points
+
+    # scores spanning bins; positives concentrated high
+    rows = [(30_000, True), (30_000, True), (20_000, True),
+            (10_000, False), (0, False), (-20_000, False)]
+    df = spark.createDataFrame(rows, "score_milli long, label boolean")
+    got = {r.bin: r for r in roc_points(df).collect()}
+    bins = sorted(got)
+    # lowest occupied threshold classifies everything positive
+    lo = got[bins[0]]
+    assert lo.tpr_ppm == 1_000_000 and lo.fpr_ppm == 1_000_000
+    # top bin (clamped 30k scores -> bin 15): only true positives
+    top = got[15]
+    assert top.tp == 2 and top.fp == 0
+    assert top.tpr_ppm == 2 * 1_000_000 // 3 and top.fpr_ppm == 0
+    # monotone: moving the threshold down never lowers tp/fp
+    tps = [got[b].tp for b in sorted(got, reverse=True)]
+    assert tps == sorted(tps)
