@@ -9469,6 +9469,41 @@ FROM cum
 """
 
 
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration audit (textstats.source_concentration):
+    exact integer Gini + top-provider share over per-source CHAR
+    totals (weight = n_chars — bytes, not doc counts, is what
+    training actually consumes). One corpus groupBy; pairwise sum on
+    the 20-source frame."""
+    from beats_spark.operators.textstats import source_concentration
+
+    return source_concentration(
+        _load(spark, sf_dir, "documents"), weight_col="n_chars"
+    )
+
+
+_SQL_SOURCE_GINI = r"""
+WITH g AS (
+  SELECT source, sum(n_chars)::BIGINT AS x
+  FROM documents GROUP BY source
+), pair AS (
+  SELECT sum(abs(a.x - b.x))::BIGINT AS d FROM g a, g b
+), tot AS (
+  SELECT count(*)::BIGINT AS n_groups, sum(x)::BIGINT AS total,
+         max(x)::BIGINT AS mx
+  FROM g
+)
+SELECT n_groups, total,
+       (d * 1000000 // (CASE WHEN n_groups * total >= 1
+                        THEN 2 * n_groups * total ELSE 1 END))::BIGINT
+         AS gini_micro,
+       (mx * 1000000 //
+        (CASE WHEN total >= 1 THEN total ELSE 1 END))::BIGINT
+         AS top_share_ppm
+FROM tot, pair
+"""
+
+
 _MIX_WEIGHTS = {
     "src0": 300, "src1": 200, "src2": 150, "src3": 100, "src4": 100,
     "src5": 50, "src6": 50, "src7": 25, "src8": 15, "src9": 10,
@@ -11201,6 +11236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "dup_rate_by_source": q_dup_rate_by_source,
         "roc_points": q_roc_points,
+        "source_gini": q_source_gini,
         # --- everything below already has a green CORRECTNESS_r01-r04
         # row ---
         "text_stats": q_text_stats,
@@ -11415,6 +11451,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": _SQL_COLLOCATIONS,
         "dup_rate_by_source": _SQL_DUP_RATE_BY_SOURCE,
         "roc_points": _SQL_ROC_POINTS,
+        "source_gini": _SQL_SOURCE_GINI,
         "incremental_neardup": _SQL_INCREMENTAL_NEARDUP,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "host_pagerank": _SQL_HOST_PAGERANK,

@@ -1997,3 +1997,51 @@ def collocations(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "bigram", "n_ab", "pmi_fl2"
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Corpus concentration audit — how dominated the corpus is by
+    its biggest providers: exact integer Gini over per-group totals
+    (pairwise |xᵢ−xⱼ| formulation — the group frame is tiny, so the
+    quadratic form is free and exactly engine-replayable where the
+    sorted-rank form would need a floats-free rederivation), plus
+    the top-group share. A release whose Gini drifts up is quietly
+    becoming one provider's corpus.
+
+    Emits one row: ``n_groups``, ``total``, ``gini_micro``
+    (Σᵢⱼ|xᵢ−xⱼ| · 10⁶ div (2·n·Σx)), ``top_share_ppm``. One
+    corpus-scale map-side-combined groupBy; the pairwise sum runs on
+    the ≤|groups|² cross of the reduced frame (broadcast both sides).
+    """
+    w = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).cast("long")
+    )
+    g = df.groupBy(group_col).agg(w.alias("_x")).persist()
+    a = g.select(F.col("_x").alias("_xa"))
+    b = g.select(F.col("_x").alias("_xb"))
+    pair = F.broadcast(a).crossJoin(F.broadcast(b)).agg(
+        F.sum(F.abs(F.col("_xa") - F.col("_xb"))).cast("long").alias("_d")
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_x").cast("long").alias("total"),
+        F.max("_x").cast("long").alias("_mx"),
+    )
+    return F.broadcast(tot).crossJoin(pair).select(
+        "n_groups",
+        "total",
+        F.expr(
+            "cast(_d * 1000000 div (case when n_groups * total >= 1 "
+            "then 2 * n_groups * total else 1 end) as long)"
+        ).alias("gini_micro"),
+        F.expr(
+            "cast(_mx * 1000000 div "
+            "(case when total >= 1 then total else 1 end) as long)"
+        ).alias("top_share_ppm"),
+    )

@@ -206,6 +206,7 @@ EXT_QUERIES = [
     "collocations",
     "dup_rate_by_source",
     "roc_points",
+    "source_gini",
     "cluster_split",
     "bloom_seen",
     "shard_plan",

@@ -147,3 +147,25 @@ def test_collocations_pmi(spark):
     assert "the the" in got and got["the the"].pmi_fl2 < got["foo bar"].pmi_fl2
     with pytest.raises(ValueError):
         collocations(df, k=0)
+
+
+def test_source_concentration_gini(spark):
+    from beats_spark.operators.textstats import source_concentration
+
+    # perfectly balanced: Gini 0
+    even = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 10)], "source string, n_chars long"
+    )
+    r = source_concentration(even, weight_col="n_chars").collect()[0]
+    assert (r.n_groups, r.total, r.gini_micro) == (3, 30, 0)
+    assert r.top_share_ppm == 1_000_000 // 3
+    # maximally concentrated pair: Gini -> 1/2 for n=2 (one holds all)
+    skew = spark.createDataFrame(
+        [("a", 100), ("b", 0)], "source string, n_chars long"
+    )
+    r2 = source_concentration(skew, weight_col="n_chars").collect()[0]
+    # sum|xi-xj| over ordered pairs = 200; 200/(2*2*100) = 1/2
+    assert r2.gini_micro == 500_000 and r2.top_share_ppm == 1_000_000
+    # doc-count weighting (weight_col=None)
+    cnt = source_concentration(even).collect()[0]
+    assert cnt.total == 3 and cnt.gini_micro == 0
